@@ -1,0 +1,286 @@
+"""Relational query-keys from SURVEY.md §2 over the driver testdata.
+
+Every query here is oracle-checked: the paired ``ORACLE`` entry is ANSI
+SQL DuckDB runs over the same parquet views (``region nation customer
+supplier part orders lineitem events documents embeddings``). The
+driver compares row count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically in Spark and SQL;
+- float arithmetic in outputs is rounded (summation order differs
+  between engines) — raw parquet doubles pass through exactly;
+- numeric narrowing casts use TRUNC in SQL because Spark's CAST
+  truncates toward zero while DuckDB's rounds;
+- ties at LIMIT boundaries are broken by a unique key column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.operators import (
+    alias_cast,
+    dropna_rows,
+    filter_and_not,
+    filter_eq,
+    inner_equi_join,
+    sample_fraction,
+    seeded_random_split,
+    select_columns,
+    sort_limit,
+    top_k_per_group,
+    union_all,
+)
+from machine_learning_algorithm_sparkml__spark.sources import load_table, load_tables
+
+
+# --- S1: scans -------------------------------------------------------------
+
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table parquet scan (S1 upgraded from header-CSV per SURVEY §2.1)."""
+    return load_table(spark, sf_dir, "region")
+
+
+# --- P1-P3: projections ------------------------------------------------------
+
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: column-pruned projection (``MarchineLearningAlgorithm.txt:62``)."""
+    return select_columns(load_table(spark, sf_dir, "orders"), ["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+def project_alias_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3: rename + cast projection (``...USElectionPrediction.txt:69-78``)."""
+    return alias_cast(
+        load_table(spark, sf_dir, "orders"),
+        {
+            "order_id": ("o_orderkey", None),
+            "total_int": ("o_totalprice", "int"),       # narrowing: truncates
+            "total_dbl": ("o_totalprice", "double"),
+            "priority": ("o_orderpriority", None),
+        },
+    )
+
+
+# --- F1-F3: filters ----------------------------------------------------------
+
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: equality filter (``...USElectionPrediction.txt:55``)."""
+    return filter_eq(load_table(spark, sf_dir, "orders"), "o_orderstatus", "F")
+
+
+def q_filter_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: conjunction + negation (``...USElectionPrediction.txt:99``)."""
+    return filter_and_not(load_table(spark, sf_dir, "customer"), "c_mktsegment", "BUILDING", "c_nationkey", 5)
+
+
+def q_filter_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: ``df.na.drop()`` (``MarchineLearningAlgorithm.txt:42``)."""
+    return dropna_rows(load_table(spark, sf_dir, "events"))
+
+
+# --- J1/P4: join -------------------------------------------------------------
+
+def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: inner equi-join with cast on the build-side key, duplicate key
+    kept out of the projection (``...USElectionPrediction.txt:58,69``).
+    ``customer`` is the bounded dim side -> broadcast."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    joined = inner_equi_join(
+        orders, customer, "o_custkey", "c_custkey",
+        cast_right_key="bigint", broadcast_right=True,
+    )
+    return joined.select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+# --- W1/W2 + F2: flagship ----------------------------------------------------
+
+def flagship_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY §7.2): the USE relational core on testdata.
+
+    scan orders+customer -> filter finished orders (F1) -> broadcast
+    equi-join on custkey (J1) -> rank orders per customer by descending
+    totalprice (W1/W2) -> keep rank 1, excluding one priority class
+    (F2, the NOT-'Ben Carson' shape of ``...USElectionPrediction.txt:99``).
+
+    Plan shape to preserve: filter pushed to the orders scan; broadcast
+    hash join (no shuffle of orders); single shuffle for the window,
+    with InferWindowGroupLimit pre-truncating to top-1 per map task.
+    """
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    finished = filter_eq(orders, "o_orderstatus", "F")
+    joined = inner_equi_join(
+        finished, customer, "o_custkey", "c_custkey",
+        cast_right_key="bigint", broadcast_right=True,
+    )
+    ranked = top_k_per_group(
+        joined, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], k=1, rank_col="rnk"
+    )
+    winners = ranked.filter(~(F.col("o_orderpriority") == F.lit("5-LOW")))
+    return winners.select(
+        "o_custkey", "c_name", "c_mktsegment", "o_orderkey", "o_totalprice", "o_orderpriority", "rnk"
+    )
+
+
+# --- §2.7: sort/limit ----------------------------------------------------------
+
+def q_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by price; unique orderkey breaks ties."""
+    return sort_limit(
+        select_columns(load_table(spark, sf_dir, "orders"), ["o_orderkey", "o_totalprice"]),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        10,
+    )
+
+
+# --- A1 + DOCX-derived aggregates ---------------------------------------------
+
+def q_agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 as a one-row DataFrame (``A related code.txt:77``)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_agg_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX-derived group-by-count (SURVEY §2.5: Tableau pivot intent)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary — the engine's headline aggregate
+    (additive; exercises map-side partial aggregation at scale). Money
+    sums are rounded: double summation order differs across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-06-30").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- U1-U3: set ops / sampling -------------------------------------------------
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: bag-semantics union of two class-filtered frames
+    (``A related code.txt:74-80``'s FATAL + sampled-RESOLVED shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return union_all(
+        filter_eq(orders, "o_orderstatus", "F"),
+        filter_eq(orders, "o_orderstatus", "P"),
+    )
+
+
+def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: seeded Bernoulli sample (``A related code.txt:78``).
+    No SQL oracle: per-partition RNG semantics are Spark-specific."""
+    return sample_fraction(load_table(spark, sf_dir, "documents"), 0.5, seed=754)
+
+
+def q_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: seeded 80/20 split (``MarchineLearningAlgorithm.txt:91``).
+    Returned as one frame tagged with a ``split`` column so the driver
+    sees a single DataFrame; invariants tested in tests/test_setops.py.
+    No SQL oracle (Spark RNG)."""
+    train, test = seeded_random_split(load_table(spark, sf_dir, "orders"), (0.8, 0.2), seed=754)
+    return union_all(
+        train.withColumn("split", F.lit("train")),
+        test.withColumn("split", F.lit("test")),
+    )
+
+
+QUERIES = {
+    "scan_parquet": scan_parquet,
+    "project_select": project_select,
+    "project_alias_cast": project_alias_cast,
+    "filter_eq": q_filter_eq,
+    "filter_and_not": q_filter_and_not,
+    "filter_dropna": q_filter_dropna,
+    "join_inner_equi": q_join_inner_equi,
+    "window_rank_topk": flagship_top_order_per_customer,
+    "sort_limit_topk": q_sort_limit_topk,
+    "agg_count": q_agg_count,
+    "agg_groupby_count": q_agg_groupby_count,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "union_all": q_union_all,
+    "sample_fraction": q_sample_fraction,
+    "random_split": q_random_split,
+}
+
+ORACLE = {
+    "scan_parquet": "SELECT r_regionkey, r_name FROM region",
+    "project_select": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    "project_alias_cast": """
+        SELECT o_orderkey AS order_id,
+               CAST(TRUNC(o_totalprice) AS INTEGER) AS total_int,
+               CAST(o_totalprice AS DOUBLE) AS total_dbl,
+               o_orderpriority AS priority
+        FROM orders
+    """,
+    "filter_eq": "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+    "filter_and_not": """
+        SELECT * FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND NOT (c_nationkey = 5)
+    """,
+    "filter_dropna": """
+        SELECT * FROM events
+        WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
+    """,
+    "join_inner_equi": """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = CAST(c.c_custkey AS BIGINT)
+    """,
+    "window_rank_topk": """
+        WITH ranked AS (
+            SELECT o.o_custkey, c.c_name, c.c_mktsegment,
+                   o.o_orderkey, o.o_totalprice, o.o_orderpriority,
+                   CAST(RANK() OVER (
+                       PARTITION BY o.o_custkey
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+                   ) AS INTEGER) AS rnk
+            FROM orders o
+            JOIN customer c ON o.o_custkey = CAST(c.c_custkey AS BIGINT)
+            WHERE o.o_orderstatus = 'F'
+        )
+        SELECT o_custkey, c_name, c_mktsegment, o_orderkey, o_totalprice, o_orderpriority, rnk
+        FROM ranked
+        WHERE rnk = 1 AND NOT (o_orderpriority = '5-LOW')
+    """,
+    "sort_limit_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "agg_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
+    "agg_groupby_count": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority
+    """,
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "union_all": """
+        SELECT * FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderstatus = 'P'
+    """,
+    # sample_fraction / random_split: Spark-RNG semantics, rows-only check.
+}

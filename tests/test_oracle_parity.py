@@ -1,0 +1,44 @@
+"""Mirror of the driver's correctness gate: every oracle-checked
+query key must match DuckDB exactly at sf0.001 (fast) — the driver
+reruns this at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle import compare_query, duck_connection
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+def test_every_query_has_callable():
+    qs = entrymod.queries()
+    assert qs, "queries() is empty"
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = set(entrymod.queries())
+    os_ = set(entrymod.oracle_sql())
+    assert os_ <= qs, f"oracle keys without queries: {os_ - qs}"
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    compare_query(spark, duck, entrymod.queries()[name], entrymod.oracle_sql()[name], sf_dir, name)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(5).collect()
+    assert df.schema.fieldNames()
+    assert len(rows) >= 0
