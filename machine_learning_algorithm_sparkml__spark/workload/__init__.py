@@ -10,9 +10,9 @@ sorting columns BY NAME and hashing values, so every computed column is
 aliased identically on both sides.
 """
 
-from machine_learning_algorithm_sparkml__spark.workload import relational
+from machine_learning_algorithm_sparkml__spark.workload import ml, relational
 
-ALL_QUERY_MODULES = [relational]
+ALL_QUERY_MODULES = [relational, ml]
 
 
 def all_queries():

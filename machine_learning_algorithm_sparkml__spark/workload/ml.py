@@ -1,0 +1,250 @@
+"""ML query-keys (SURVEY.md §2.12) over testdata-derived frames.
+
+Oracle-checkable keys: StringIndexer (single + multi) and the one-hot/
+assembler projections ARE SQL-expressible — frequencyDesc indexing is
+"rank values by (count desc, value asc), zero-based", so DuckDB can
+replicate it exactly. Tree-ensemble training/eval keys are rows-only
+(SURVEY §5.3); their invariants live in tests/test_ml.py.
+
+Vector outputs are projected through ``vector_to_array`` (VectorUDT
+never crosses the driver-compare boundary — SURVEY §7.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.ml import (
+    fit_predict_evaluate,
+    make_accuracy_evaluator,
+    make_cross_validator,
+    make_param_grid,
+    make_pipeline,
+    make_random_forest,
+    make_string_indexer,
+    make_vector_assembler,
+    undersample_balance,
+)
+from machine_learning_algorithm_sparkml__spark.ml.classify import (
+    REFERENCE_SPLIT_SEED,
+    fit_transform,
+)
+from machine_learning_algorithm_sparkml__spark.ml.features import make_one_hot_encoder
+from machine_learning_algorithm_sparkml__spark.ml.pipelines import (
+    covid_like_frame,
+    election_like_frame,
+    mla_pipeline,
+)
+from machine_learning_algorithm_sparkml__spark.operators import seeded_random_split
+from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+
+# --- M1/M2: StringIndexer (oracle-checked) -----------------------------------
+
+def q_ml_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: single-column frequencyDesc StringIndexer
+    (``MarchineLearningAlgorithm.txt:95-97``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    indexer = make_string_indexer("o_orderpriority", "priority_index")
+    _, indexed = fit_transform(indexer, orders)
+    return indexed.select("o_orderkey", "o_orderpriority", "priority_index")
+
+
+def q_ml_string_index_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: multi-column StringIndexer (``MarchineLearningAlgorithm
+    .txt:65-70``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    indexer = make_string_indexer(
+        ["o_orderpriority", "o_orderstatus"], ["priority_index", "status_index"]
+    )
+    _, indexed = fit_transform(indexer, orders)
+    return indexed.select("o_orderkey", "o_orderpriority", "priority_index", "o_orderstatus", "status_index")
+
+
+_INDEX_SQL = """
+    WITH freq AS (
+        SELECT {col} AS val, COUNT(*) AS cnt FROM {table} GROUP BY 1
+    ), idx AS (
+        SELECT val,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, val ASC) - 1 AS DOUBLE) AS index_val
+        FROM freq
+    )
+"""
+
+
+# --- M4: OneHotEncoder (oracle-checked against the 5-value priority domain) ---
+
+def q_ml_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: one-hot over the priority index (``A related code.txt:
+    123-127``). dropLast=True (Spark default, reference-unmodified):
+    5 categories -> 4-dim vector; projected to array<double>."""
+    orders = load_table(spark, sf_dir, "orders")
+    _, indexed = fit_transform(make_string_indexer("o_orderpriority", "priority_index"), orders)
+    _, encoded = fit_transform(make_one_hot_encoder(["priority_index"], ["priority_vec"]), indexed)
+    return encoded.select(
+        "o_orderkey",
+        F.col("priority_index"),
+        vector_to_array(F.col("priority_vec")).alias("priority_onehot"),
+    )
+
+
+# --- M5: VectorAssembler (oracle-checked) --------------------------------------
+
+def q_ml_vector_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: numeric columns -> feature vector -> array projection
+    (``MarchineLearningAlgorithm.txt:109-111``)."""
+    customer = load_table(spark, sf_dir, "customer")
+    base = customer.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("f_acctbal"),
+        F.col("c_nationkey").cast("double").alias("f_nationkey"),
+    )
+    assembler = make_vector_assembler(["f_acctbal", "f_nationkey"], "features_vec")
+    assembled = assembler.transform(base)
+    return assembled.select(
+        "c_custkey", vector_to_array(F.col("features_vec")).alias("features")
+    )
+
+
+# --- M6-M11: training/eval keys (rows-only) -------------------------------------
+
+def q_ml_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 via explicit M3 chaining: index -> assemble -> RF fit ->
+    predictions on the training frame. Seeded; rows-only check."""
+    df = covid_like_frame(spark, sf_dir)
+    _, indexed = fit_transform(make_string_indexer("status", "label_index"), df)
+    _, indexed = fit_transform(
+        make_string_indexer(
+            ["priority", "segment", "nation_name"],
+            ["priority_index", "segment_index", "nation_index"],
+        ),
+        indexed,
+    )
+    assembled = make_vector_assembler(
+        ["priority_index", "segment_index", "nation_index"]
+    ).transform(indexed)
+    rf = make_random_forest(num_trees=10, max_depth=4)
+    model = rf.fit(assembled.cache())
+    preds = model.transform(assembled)
+    return preds.select("row_id", "status", "label_index", "prediction")
+
+
+def q_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: the same stages composed as a Pipeline
+    (``MarchineLearningAlgorithm.txt:145-146``); rows-only check."""
+    df = covid_like_frame(spark, sf_dir)
+    feature_cols = ["priority", "segment", "nation_name"]
+    pipeline = make_pipeline([
+        make_string_indexer("status", "label_index"),
+        make_string_indexer(feature_cols, [f"{c}_index" for c in feature_cols]),
+        make_vector_assembler([f"{c}_index" for c in feature_cols]),
+        make_random_forest(num_trees=10, max_depth=4),
+    ])
+    model = pipeline.fit(df)
+    return model.transform(df).select("row_id", "status", "label_index", "prediction")
+
+
+def q_ml_fit_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: fit on the 80% split, score the 20% split, one-row accuracy
+    frame (``MarchineLearningAlgorithm.txt:237-270``); rows-only."""
+    df = election_like_frame(spark, sf_dir)
+    pipeline = make_pipeline([
+        make_string_indexer("label", "label_index"),
+        make_vector_assembler(["feat_totalprice", "feat_acctbal"]),
+        make_random_forest(num_trees=10, max_depth=4),
+    ])
+    evaluator = make_accuracy_evaluator()
+    train, test = seeded_random_split(df, (0.8, 0.2), seed=REFERENCE_SPLIT_SEED)
+    _, _, accuracy = fit_predict_evaluate(pipeline, evaluator, train, test)
+    return spark.createDataFrame(
+        [(float(accuracy), train.count(), test.count())],
+        "accuracy double, n_train long, n_test long",
+    )
+
+
+def q_ml_cross_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9+M10: full MLA CV (12 fits: 3 folds x {3,4} x {entropy,gini});
+    one-row frame with the best params + held-out accuracy; rows-only."""
+    result = mla_pipeline(covid_like_frame(spark, sf_dir))
+    cv_model = result.model
+    best_rf = cv_model.bestModel.stages[-1]
+    return spark.createDataFrame(
+        [(
+            float(result.accuracy),
+            int(best_rf.getMaxDepth()),
+            str(best_rf.getImpurity()),
+            len(cv_model.avgMetrics),
+        )],
+        "accuracy double, best_max_depth int, best_impurity string, n_param_combos int",
+    )
+
+
+def q_ml_undersample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12: undersampling rebalance (``A related code.txt:69-81``);
+    returns per-class counts of the balanced frame; rows-only."""
+    df = covid_like_frame(spark, sf_dir)
+    two_class = df.filter(F.col("priority").isin("1-URGENT", "3-MEDIUM"))
+    balanced = undersample_balance(two_class, "priority", "1-URGENT", "3-MEDIUM", seed=REFERENCE_SPLIT_SEED)
+    return balanced.groupBy("priority").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+QUERIES = {
+    "ml_string_index": q_ml_string_index,
+    "ml_string_index_multi": q_ml_string_index_multi,
+    "ml_one_hot": q_ml_one_hot,
+    "ml_vector_assemble": q_ml_vector_assemble,
+    "ml_random_forest": q_ml_random_forest,
+    "ml_pipeline": q_ml_pipeline,
+    "ml_fit_predict_eval": q_ml_fit_predict_eval,
+    "ml_cross_validate": q_ml_cross_validate,
+    "ml_undersample_balance": q_ml_undersample_balance,
+}
+
+ORACLE = {
+    "ml_string_index": (
+        _INDEX_SQL.format(col="o_orderpriority", table="orders")
+        + """
+        SELECT o.o_orderkey, o.o_orderpriority, i.index_val AS priority_index
+        FROM orders o JOIN idx i ON o.o_orderpriority = i.val
+        """
+    ),
+    "ml_string_index_multi": """
+        WITH pfreq AS (
+            SELECT o_orderpriority AS val, COUNT(*) AS cnt FROM orders GROUP BY 1
+        ), pidx AS (
+            SELECT val, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, val ASC) - 1 AS DOUBLE) AS index_val
+            FROM pfreq
+        ), sfreq AS (
+            SELECT o_orderstatus AS val, COUNT(*) AS cnt FROM orders GROUP BY 1
+        ), sidx AS (
+            SELECT val, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, val ASC) - 1 AS DOUBLE) AS index_val
+            FROM sfreq
+        )
+        SELECT o.o_orderkey,
+               o.o_orderpriority, p.index_val AS priority_index,
+               o.o_orderstatus, s.index_val AS status_index
+        FROM orders o
+        JOIN pidx p ON o.o_orderpriority = p.val
+        JOIN sidx s ON o.o_orderstatus = s.val
+    """,
+    "ml_one_hot": (
+        _INDEX_SQL.format(col="o_orderpriority", table="orders")
+        + """
+        SELECT o.o_orderkey, i.index_val AS priority_index,
+               [CASE WHEN i.index_val = 0 THEN 1.0 ELSE 0.0 END,
+                CASE WHEN i.index_val = 1 THEN 1.0 ELSE 0.0 END,
+                CASE WHEN i.index_val = 2 THEN 1.0 ELSE 0.0 END,
+                CASE WHEN i.index_val = 3 THEN 1.0 ELSE 0.0 END] AS priority_onehot
+        FROM orders o JOIN idx i ON o.o_orderpriority = i.val
+        """
+    ),
+    "ml_vector_assemble": """
+        SELECT c_custkey,
+               [CAST(c_acctbal AS DOUBLE), CAST(c_nationkey AS DOUBLE)] AS features
+        FROM customer
+    """,
+    # RF / pipeline / CV / eval / balance: not SQL-expressible -> rows-only
+    # (invariants in tests/test_ml.py).
+}

@@ -199,7 +199,29 @@ def q_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: header-CSV sink (``MarchineLearningAlgorithm.txt:283-293``)
+    proven by round-trip: project -> write csv -> read back with an
+    explicit schema (never inferSchema). Oracle sees the projection."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from machine_learning_algorithm_sparkml__spark.sources import read_csv, write_csv
+
+    out = select_columns(load_table(spark, sf_dir, "orders"), ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    path = tempfile.mkdtemp(prefix="sink_csv_") + "/orders_csv"
+    write_csv(out, path)
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])
+    return read_csv(spark, path, schema=schema)
+
+
 QUERIES = {
+    "sink_csv": q_sink_csv_roundtrip,
     "scan_parquet": scan_parquet,
     "project_select": project_select,
     "project_alias_cast": project_alias_cast,
@@ -218,6 +240,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sink_csv": "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "scan_parquet": "SELECT r_regionkey, r_name FROM region",
     "project_select": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     "project_alias_cast": """

@@ -1,0 +1,87 @@
+"""Invariants for the non-SQL-expressible ML keys (SURVEY §5.3):
+split sizes sum to total; balanced ratio ~1; accuracy in [0,1] and
+>= majority-class baseline; identical seeds => identical predictions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.ml.pipelines import (
+    arc_pipeline,
+    covid_like_frame,
+    election_like_frame,
+    mla_pipeline,
+    use_pipeline,
+)
+from machine_learning_algorithm_sparkml__spark.workload.ml import (
+    q_ml_fit_predict_eval,
+    q_ml_random_forest,
+    q_ml_undersample_balance,
+)
+
+
+@pytest.fixture(scope="module")
+def covid_df(spark, sf_dir):
+    return covid_like_frame(spark, sf_dir).cache()
+
+
+def test_covid_frame_shape(covid_df):
+    assert covid_df.columns == ["row_id", "status", "priority", "segment", "nation_name"]
+    assert covid_df.select("status").distinct().count() == 3
+
+
+def test_rf_predictions_are_valid_classes(spark, sf_dir):
+    preds = q_ml_random_forest(spark, sf_dir)
+    n_classes = preds.select("label_index").distinct().count()
+    bad = preds.filter((F.col("prediction") < 0) | (F.col("prediction") >= n_classes))
+    assert bad.count() == 0
+
+
+def test_rf_seed_determinism(spark, sf_dir):
+    a = q_ml_random_forest(spark, sf_dir).collect()
+    b = q_ml_random_forest(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_fit_predict_eval_accuracy_beats_majority(spark, sf_dir):
+    row = q_ml_fit_predict_eval(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.accuracy <= 1.0
+    df = election_like_frame(spark, sf_dir)
+    total = df.count()
+    majority = df.groupBy("label").count().agg(F.max("count")).collect()[0][0]
+    baseline = majority / total
+    # RF on weak features may only match the baseline; it must not be worse
+    # than chance-at-baseline by a wide margin.
+    assert row.accuracy >= baseline * 0.8
+    assert row.n_train + row.n_test == total
+
+
+def test_undersample_balance_ratio(spark, sf_dir):
+    counts = {r.priority: r.n_rows for r in q_ml_undersample_balance(spark, sf_dir).collect()}
+    assert set(counts) == {"1-URGENT", "3-MEDIUM"}
+    ratio = counts["3-MEDIUM"] / counts["1-URGENT"]
+    assert 0.7 < ratio < 1.3, f"balanced ratio should be ~1, got {ratio}"
+
+
+def test_mla_cross_validation_pipeline(covid_df):
+    result = mla_pipeline(covid_df)
+    assert 0.0 <= result.accuracy <= 1.0
+    assert len(result.model.avgMetrics) == 4  # 2 depths x 2 impurities
+    best_rf = result.model.bestModel.stages[-1]
+    assert best_rf.getMaxDepth() in (3, 4)
+    assert best_rf.getImpurity() in ("entropy", "gini")
+
+
+def test_use_pipeline(spark, sf_dir):
+    result = use_pipeline(election_like_frame(spark, sf_dir))
+    assert 0.0 <= result.accuracy <= 1.0
+    best_rf = result.model.bestModel.stages[-1]
+    assert best_rf.getMaxDepth() in (3, 5)
+
+
+def test_arc_pipeline_balanced_binary(covid_df):
+    result = arc_pipeline(covid_df)
+    assert 0.0 <= result.accuracy <= 1.0
+    # binary after class filter + balance
+    assert result.predictions.select("label_index").distinct().count() == 2
