@@ -1,0 +1,115 @@
+"""Text-analysis column expressions (SURVEY.md §7.4, north-star).
+
+Everything here is a pure ``pyspark.sql.functions`` composition —
+JVM-side, whole-stage-codegen'd, zero Python in the hot path. These
+are the per-document scorers a 100 TB training-data pipeline runs
+during its first filtering pass, so cost-per-row is the design
+constraint: one projection, no shuffles, no UDFs.
+
+Regex discipline: only patterns with identical semantics in Java
+regex (Spark) and DuckDB's RE2 (`\\s`, simple alternation, character
+classes) so every function stays oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny multilingual marker lexicons for the lang-id heuristic.
+#: Deliberately small: at 100 TB the cost is one array-filter pass per doc.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "and", "of", "to", "is", "in"),
+    "es": ("el", "la", "los", "que", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3"),
+}
+
+#: English stopwords used by the quality score.
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization as an array column. Empty/blank text
+    yields an empty array (Spark's split returns [''] on '' — guarded)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count — the cheap "how long is this document"
+    signal (int)."""
+    return F.size(tokens(text))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish token count: runs of word characters and single
+    non-word-non-space characters each count as one token — a stable
+    proxy for subword tokenizer load, still pure regex.
+    """
+    return F.regexp_count(text, F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are (English) stopwords — low values
+    flag keyword-stuffed or non-natural text."""
+    toks = tokens(text)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: length band + stopword presence
+    - punctuation noise. The exact weighting is a policy choice; the
+    engine guarantees determinism and single-pass evaluation."""
+    n_tok = token_count(text).cast("double")
+    length_component = F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.5
+    stop_component = F.least(stopword_ratio(text) * F.lit(4.0), F.lit(1.0)) * 0.3
+    punct_penalty = F.least(punct_ratio(text) * F.lit(10.0), F.lit(1.0)) * 0.2
+    # No rounding: every term is IEEE-deterministic (divisions and
+    # multiplies of exact ints), so any engine evaluating the same
+    # expression tree produces the bit-identical double.
+    return length_component + stop_component + (F.lit(0.2) - punct_penalty)
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(text: Column) -> Column:
+    """Language-ID heuristic: count marker-lexicon hits per language
+    over the token array; argmax with alphabetical tie-break; 'und'
+    (undetermined) when nothing matches. One projection, no shuffle.
+    """
+    toks = tokens(text)
+    scored = F.array(*[
+        F.struct(
+            _marker_hits(toks, LANG_MARKERS[lang]).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(LANG_MARKERS)  # alphabetical => deterministic ties
+    ])
+    # argmax with lang-ascending tie-break: take max hits, then the
+    # alphabetically-first struct among the languages achieving it.
+    max_hits = F.array_max(F.transform(scored, lambda s: s["hits"]))
+    winner = F.array_min(F.filter(scored, lambda s: s["hits"] == max_hits))
+    return F.when(max_hits == 0, F.lit("und")).otherwise(winner["lang"])
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 over the normalized
+    text (lowercased, whitespace collapsed). Exact-dedup key that is
+    stable across storage layout; 32-hex-char string."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)

@@ -1,0 +1,290 @@
+"""Document deduplication (SURVEY.md §7.4 north-star — no reference
+citations; these are the operators a 100 TB training-data pipeline
+needs that the reference's scripts never did).
+
+Everything is a composition of built-in DataFrame ops — hashing via
+``xxhash64`` (JVM), set ops via array functions, candidate generation
+via group-by/join. No Python UDFs anywhere.
+
+Scale design:
+- exact dedup        : one hash-aggregate shuffle on the key.
+- n-gram Jaccard     : shingle-explode + self-join; hot shingles are
+  capped by document frequency (``max_shingle_doc_freq``) — the
+  standard stop-shingle trick; without it one ubiquitous shingle
+  makes the join quadratic.
+- MinHash + LSH      : signatures via ONE aggregation (k mins computed
+  in the same groupBy); banding turns all-pairs into per-bucket
+  joins, so cost follows true duplicate density, not n^2.
+- SimHash            : 64 bit-sums in one aggregation; near-dup pairs
+  via band-of-bits buckets (Hamming-LSH), then exact Hamming check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.functions.text import tokens
+
+
+# --- exact ---------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Keep one arbitrary row per key (Spark's dropDuplicates). For a
+    deterministic representative use :func:`exact_dedup_representatives`."""
+    return df.dropDuplicates(subset)
+
+
+def exact_dedup_representatives(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Deterministic exact dedup: group by the content key, keep the
+    minimum id as the surviving representative plus the duplicate
+    count. One hash-aggregate shuffle; map-side partial aggregation
+    applies."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --- shingling -----------------------------------------------------------------
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct word n-grams per document.
+    ``sequence``/``transform``/``slice`` keep construction JVM-side."""
+    toks = tokens(F.col(text_col))
+    ngrams = F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return df.select(F.col(id_col), F.explode(F.array_distinct(ngrams)).alias("shingle"))
+
+
+def _cap_hot_shingles(pairs: DataFrame, id_col: str, max_doc_freq: int | None) -> DataFrame:
+    """Drop shingles appearing in more than ``max_doc_freq`` docs —
+    they carry no dedup signal and quadratically inflate the self-join."""
+    if max_doc_freq is None:
+        return pairs
+    freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    keep = freq.filter(F.col("df_") <= max_doc_freq).select("shingle")
+    return pairs.join(keep, "shingle")
+
+
+# --- exact n-gram Jaccard ---------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact near-duplicate pairs by n-gram Jaccard similarity.
+
+    shingle-explode -> self-join on shingle (id_a < id_b) -> count
+    intersections -> join per-doc set sizes -> Jaccard >= threshold.
+    Fully SQL-expressible, so oracle-checkable; at scale the candidate
+    join is bounded by ``max_shingle_doc_freq``.
+    Output: (id_a, id_b, jaccard) with jaccard rounded to 6 places.
+    """
+    pairs = shingle_sets(df, id_col, text_col, n)
+    pairs = _cap_hot_shingles(pairs, id_col, max_shingle_doc_freq)
+    sizes = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = pairs.select(F.col(id_col).alias("id_a"), "shingle")
+    b = pairs.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            # unrounded: one IEEE division of exact ints is
+            # bit-deterministic, so the oracle matches exactly
+            F.col("n_inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# --- MinHash + LSH -----------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: k independent hash functions realized as
+    ``xxhash64(shingle, seed_i)``; the k per-document minima come from
+    ONE groupBy (one shuffle, map-side combine). Output: (id,
+    signature array<bigint> of length k)."""
+    pairs = shingle_sets(df, id_col, text_col, shingle_n)
+    mins = pairs.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_candidate_pairs(signatures: DataFrame, id_col: str, *, num_bands: int = 8) -> DataFrame:
+    """LSH banding: split each signature into bands, hash each band,
+    bucket-join. Docs sharing ANY band bucket become a candidate pair.
+    Output: distinct (id_a, id_b), id_a < id_b."""
+    sig_len_row = signatures.select(F.size("signature").alias("n")).limit(1).collect()
+    if not sig_len_row:
+        return signatures.sparkSession.createDataFrame([], f"id_a long, id_b long")
+    rows_per_band = max(1, sig_len_row[0]["n"] // num_bands)
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.hash(F.slice("signature", j * rows_per_band + 1, rows_per_band)).alias("bucket"),
+                )
+                for j in range(num_bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-dup detection: candidates from banding, then a
+    signature-estimated Jaccard (fraction of matching minhash slots)
+    filters at ``threshold``. Output: (id_a, id_b, est_jaccard).
+
+    The estimate is unbiased with stderr ~ 1/sqrt(k); tests validate
+    recall against :func:`ngram_jaccard_pairs` ground truth.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n).cache()
+    cands = minhash_candidate_pairs(sigs, id_col, num_bands=num_bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.size("sig_a").cast("double"),
+                6,
+            ),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+
+
+# --- SimHash ---------------------------------------------------------------------
+
+def simhash_bits(df: DataFrame, id_col: str, text_col: str, *, num_bits: int = 64) -> DataFrame:
+    """SimHash: per document, the sign pattern of per-bit weighted sums
+    over token hashes. One explode + one groupBy with ``num_bits`` sum
+    aggregates. Output: (id, simhash array<int> of 0/1, length num_bits).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    hashed = tok.withColumn("h", F.xxhash64("tok"))
+    bit_sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(num_bits)
+        ]
+    )
+    return bit_sums.select(
+        F.col(id_col),
+        F.array(*[
+            F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)) for i in range(num_bits)
+        ]).alias("simhash"),
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between equal-length bit arrays."""
+    return F.size(F.filter(F.zip_with(a, b, lambda x, y: x != y), lambda d: d))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    num_bits: int = 64,
+    num_bands: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the bit array (pigeonhole — any
+    pair within ``max_hamming`` shares at least one of
+    ``num_bands > max_hamming`` bands), bucket-join, exact Hamming
+    check. ``num_bands`` defaults to ``max_hamming + 1`` (the minimum
+    guaranteeing full recall). Output: (id_a, id_b, hamming)."""
+    if num_bands is None:
+        num_bands = max_hamming + 1
+    assert num_bands > max_hamming, "pigeonhole requires num_bands > max_hamming"
+    sh = simhash_bits(df, id_col, text_col, num_bits=num_bits).cache()
+    band_size = num_bits // num_bands
+    banded = sh.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.hash(F.slice("simhash", j * band_size + 1, band_size)).alias("bucket"),
+                )
+                for j in range(num_bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+    ha = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    hb = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    out = (
+        cands.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", hamming_distance(F.col("sh_a"), F.col("sh_b")))
+    )
+    return out.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

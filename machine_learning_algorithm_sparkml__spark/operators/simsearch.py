@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (SURVEY.md §7.4).
+
+Two strategies over ``array<float>`` embeddings:
+
+- ``brute_force_topk``  — exact: broadcast the (small) query set,
+  one streaming pass over the corpus computing cosine JVM-side
+  (``F.zip_with``/``F.aggregate``), then top-k per query through the
+  rank-then-filter window shape so the exchange carries only each map
+  task's local top-k (InferWindowGroupLimit). At 100 TB this is ONE
+  corpus scan with no corpus shuffle — the optimal exact plan.
+
+- ``hyperplane_lsh_topk`` — approximate: sign-random-projection LSH
+  with OR-amplification. Each of ``num_tables`` independent plane
+  sets gives every vector a ``num_planes``-bit bucket; queries probe
+  their bucket plus all 1-bit-flip neighbors (multi-probe) in every
+  table; the unioned candidates are ranked exactly. The corpus is
+  bucketed in one projection; the candidate join is bucket-sized.
+  Recall/candidate-count trade-off: more tables or fewer planes =
+  higher recall, more candidates. On clustered real-world embeddings
+  a few planes separate clusters cheaply; on the adversarial
+  uniform-random case (like the synthetic testdata) candidate counts
+  approach brute force before recall does — tests pin recall on both
+  a clustered synthetic set and the uniform one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.functions.vectors import cosine_similarity
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast-cross-join queries against the
+    corpus. Output: (query_id, neighbor_id, rank, sim)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    return _topk_per_query(scored, k)
+
+
+def _seeded_hyperplanes(dim: int, num_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim))
+
+
+def _bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
+    """Bit i of the bucket = sign of <vec, plane_i>. Dot products with
+    literal hyperplanes stay whole-stage-codegen'd."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _table_buckets(df: DataFrame, id_alias: str, id_col: str, vec_col: str, plane_sets: list[np.ndarray]) -> DataFrame:
+    """(id, table, bucket) — one row per hash table."""
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+                )
+                for t, planes in enumerate(plane_sets)
+            ])
+        ).alias("tb"),
+    ).select(id_alias, "tb.table", "tb.bucket")
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    seed: int = 754,
+    multi_probe: bool = True,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table sign-random-projection
+    buckets: candidates = union over tables of bucket collisions
+    (+ Hamming-1 probes), then exact cosine ranking. Output schema
+    matches :func:`brute_force_topk`: (query_id, neighbor_id, rank,
+    sim)."""
+    dim = len(corpus.select(vec_col).limit(1).collect()[0][0])
+    plane_sets = [_seeded_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
+
+    c_buckets = _table_buckets(corpus, "neighbor_id", id_col, vec_col, plane_sets)
+    q_base = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+                )
+                for t, planes in enumerate(plane_sets)
+            ])
+        ).alias("tb"),
+    ).select("query_id", "tb.table", "tb.bucket")
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]
+        )
+        q_buckets = q_base.select("query_id", "table", F.explode(probes).alias("bucket"))
+    else:
+        q_buckets = q_base
+
+    cands = (
+        c_buckets.join(F.broadcast(q_buckets), ["table", "bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    if exclude_self:
+        cands = cands.filter(F.col("query_id") != F.col("neighbor_id"))
+
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cands.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    return _topk_per_query(scored, k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 754,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table hyperplane
+    buckets: pairs colliding in ANY table are verified with exact
+    cosine. At threshold 0.95 the per-table collision probability is
+    ~0.3 (8 planes); 8 tables push recall to ~0.95 (tested on a
+    constructed near-dup set). Output: (id_a, id_b, sim)."""
+    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    plane_sets = [_seeded_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
+    buckets = _table_buckets(df, "vid", id_col, vec_col, plane_sets)
+    a = buckets.select(F.col("vid").alias("id_a"), "table", "bucket")
+    b = buckets.select(F.col("vid").alias("id_b"), "table", "bucket")
+    cands = a.join(b, ["table", "bucket"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    scored = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6))
+    )
+    return scored.filter(F.col("sim") >= threshold).select("id_a", "id_b", "sim")

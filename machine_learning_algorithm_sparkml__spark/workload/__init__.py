@@ -10,9 +10,9 @@ sorting columns BY NAME and hashing values, so every computed column is
 aliased identically on both sides.
 """
 
-from machine_learning_algorithm_sparkml__spark.workload import ml, relational
+from machine_learning_algorithm_sparkml__spark.workload import llm, ml, relational
 
-ALL_QUERY_MODULES = [relational, ml]
+ALL_QUERY_MODULES = [relational, ml, llm]
 
 
 def all_queries():

@@ -1,0 +1,286 @@
+"""LLM-data-pipeline query-keys (SURVEY.md §7.4) over ``documents``
+and ``embeddings``.
+
+Oracle-checked: token counting, quality scoring, lang-id, fingerprint,
+exact dedup, n-gram Jaccard near-dup, brute-force cosine top-k, and
+multimodal metadata — all expressible in DuckDB SQL. Rows-only:
+MinHash-LSH, SimHash, hyperplane-LSH ANN (approximate by design;
+their recall is property-tested against the exact operators in
+tests/test_llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_token_count,
+)
+from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+    exact_dedup_representatives,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media,
+    extract_features,
+)
+from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    hyperplane_lsh_topk,
+)
+from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+
+# --- text analysis -------------------------------------------------------------
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        word_token_count(F.col("text")).cast("int").alias("n_word_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        punct_ratio(F.col("text")).alias("punct_ratio"),
+        stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# --- dedup ----------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_representatives(docs.select("doc_id", "text"), ["text"], "doc_id")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: LSH banding is Spark-hash-specific. Recall vs the
+    exact Jaccard operator is asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: xxhash64 bit patterns are Spark-specific."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+# --- similarity search ------------------------------------------------------------
+
+def _query_vectors(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < 10)
+
+
+def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vectors(emb), k=5)
+
+
+def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: approximate by design (recall tested vs brute force)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(emb, _query_vectors(emb), k=5)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: bucketed near-dup pairs over the full embedding set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.9)
+
+
+# --- multimodal -----------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct, flattened for comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = attach_binary_payload(docs, "doc_id", "text", mime="text/plain;fake")
+    return wrapped.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Arrow-batched mapInPandas decode (stubbed codec)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = attach_binary_payload(docs, "doc_id", "text", mime="text/plain;fake")
+    return decode_media(wrapped)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Arrow-batched feature-extraction stub."""
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = attach_binary_payload(docs, "doc_id", "text", mime="text/plain;fake")
+    return extract_features(wrapped)
+
+
+QUERIES = {
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "simsearch_topk": q_simsearch_topk,
+    "simsearch_lsh": q_simsearch_lsh,
+    "embedding_neardup": q_embedding_neardup,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_features": q_multimodal_features,
+}
+
+_STOPWORD_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _marker_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+
+
+_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+ORACLE = {
+    "text_token_count": f"""
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKENS}) END AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS INTEGER) AS n_word_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars_computed
+        FROM documents
+    """,
+    "text_quality": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END AS n_tok,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                   len(list_filter({_TOKENS}, x -> x IN ({_STOPWORD_LIST}))) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
+               CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tok END AS stopword_ratio,
+               LEAST(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 0.5
+             + LEAST((CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tok END) * 4.0, 1.0) * 0.3
+             + (0.2 - LEAST((CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 10.0, 1.0) * 0.2) AS quality
+        FROM t
+    """,
+    "text_lang_id": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len(list_filter({_TOKENS}, x -> x IN ({_marker_list('de')}))) AS h_de,
+                   len(list_filter({_TOKENS}, x -> x IN ({_marker_list('en')}))) AS h_en,
+                   len(list_filter({_TOKENS}, x -> x IN ({_marker_list('es')}))) AS h_es,
+                   len(list_filter({_TOKENS}, x -> x IN ({_marker_list('fr')}))) AS h_fr,
+                   len(list_filter({_TOKENS}, x -> x IN ({_marker_list('zh')}))) AS h_zh
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                    WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                    WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                    WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                    WHEN h_fr >= h_zh THEN 'fr'
+                    ELSE 'zh' END AS lang_pred
+        FROM t
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    """,
+    "dedup_exact": """
+        SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "dedup_ngram_jaccard": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+        ), sh_raw AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                   END AS sh
+            FROM toks
+        ), shingles AS (
+            SELECT DISTINCT doc_id, u.shingle
+            FROM sh_raw, UNNEST(sh) AS u(shingle)
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.5
+    """,
+    "simsearch_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+        ), scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(
+                       list_transform(q.q_vec, x -> CAST(x AS DOUBLE)),
+                       list_transform(c.embedding, x -> CAST(x AS DOUBLE))
+                   ) AS sim_raw
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id ASC
+                   ) AS INTEGER) AS rank,
+                   ROUND(sim_raw, 6) AS sim
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+    """,
+    "multimodal_meta": """
+        SELECT doc_id, 'text/plain;fake' AS mime,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               sha256(text) AS sha256
+        FROM documents
+    """,
+}

@@ -1,0 +1,163 @@
+"""Property tests for the approximate LLM-pipeline operators:
+MinHash-LSH recall vs exact Jaccard, hyperplane-LSH recall vs brute
+force, SimHash sanity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media,
+    extract_features,
+    frame_sample,
+)
+from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
+    brute_force_topk,
+    hyperplane_lsh_topk,
+)
+from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_minhash_recall_vs_exact_jaccard(docs):
+    """High-similarity pairs (>=0.7 true Jaccard) must be recalled by
+    MinHash-LSH tuned for threshold 0.5 at >=80%."""
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7).collect()
+    }
+    if not truth:
+        pytest.skip("no high-similarity pairs at this scale factor")
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", num_hashes=32, num_bands=8, threshold=0.5
+        ).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_simhash_flags_near_identical_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+        (3, "completely different content about spark query engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=16).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_lsh_topk_recall_vs_brute_force(emb):
+    """Uniform-random embeddings are LSH's adversarial case; the
+    multi-table + multi-probe configuration must still recall most
+    true top-5 neighbors."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = brute_force_topk(emb, queries, k=5).collect()
+    approx = hyperplane_lsh_topk(emb, queries, k=5, num_planes=4, num_tables=8).collect()
+    truth_set = {(r.query_id, r.neighbor_id) for r in truth}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth_set & approx_set) / len(truth_set)
+    assert recall >= 0.7, f"lsh recall {recall:.2f}"
+    # schema parity between exact and approximate paths
+    if approx:
+        assert set(approx[0].asDict().keys()) == {"query_id", "neighbor_id", "rank", "sim"}
+
+
+def test_brute_force_topk_is_sorted_and_complete(emb):
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    rows = out.collect()
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r)
+    assert set(per_query) == {0, 1, 2}
+    for q, rs in per_query.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        sims = [r.sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_embedding_neardup_recall_on_constructed_set(spark):
+    """Construct vectors with known near-dups (cos > 0.95) plus random
+    noise vectors; the bucketed pair finder must recover the planted
+    pairs exactly."""
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 32))
+    rows = []
+    planted = set()
+    vid = 0
+    for i in range(20):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append((vid, [float(x) for x in v]))
+        dup_id = vid + 1
+        dup = v + rng.standard_normal(32) * 0.02  # tiny perturbation
+        rows.append((dup_id, [float(x) for x in dup]))
+        planted.add((vid, dup_id))
+        vid += 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    found = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, threshold=0.95, num_planes=8, num_tables=8).collect()
+    }
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.9, f"near-dup recall {recall:.2f}"
+    assert found - planted == set(), "false positives above 0.95 threshold"
+
+
+def test_multimodal_payload_and_decode(docs):
+    wrapped = attach_binary_payload(docs, "doc_id", "text", mime="text/plain;fake")
+    assert dict(wrapped.dtypes)["payload"] == "binary"
+    decoded = decode_media(wrapped)
+    row = decoded.limit(1).collect()[0]
+    assert 64 <= row.width < 256 and 64 <= row.height < 256 and 1 <= row.n_channels <= 3
+    assert decoded.count() == docs.count()
+
+
+def test_multimodal_decode_refuses_real_media(spark):
+    df = spark.createDataFrame([(1, "xx")], "doc_id long, text string")
+    wrapped = attach_binary_payload(df, "doc_id", "text", mime="image/png")
+    with pytest.raises(Exception, match="NotImplementedError|stubbed"):
+        decode_media(wrapped).collect()
+
+
+def test_multimodal_features_fixed_dim(docs):
+    wrapped = attach_binary_payload(docs.limit(20), "doc_id", "text")
+    feats = extract_features(wrapped)
+    rows = feats.collect()
+    assert all(len(r.features) == 16 for r in rows)
+    # deterministic across runs
+    again = extract_features(attach_binary_payload(docs.limit(20), "doc_id", "text")).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+
+
+def test_frame_sample_multiplies_rows(docs):
+    wrapped = attach_binary_payload(docs.limit(10), "doc_id", "text")
+    frames = frame_sample(wrapped, n_frames=4)
+    assert frames.count() == 40
+    assert frames.filter(F.octet_length("frame_bytes") == 0).count() == 0
