@@ -1,0 +1,11 @@
+from machine_learning_algorithm_sparkml__spark.streaming.events import (
+    read_events_stream,
+    run_streaming_window_counts,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "windowed_event_counts",
+    "run_streaming_window_counts",
+]

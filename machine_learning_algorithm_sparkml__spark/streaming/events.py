@@ -1,0 +1,102 @@
+"""Structured Streaming over the ``events`` table (SURVEY.md §7.4,
+additive — the reference has no streaming surface, §2.10).
+
+The events parquet directory doubles as a bounded stream source:
+``readStream`` over the file glob, event-time tumbling windows with a
+watermark for late data, and a memory sink driven to completion with
+``processAllAvailable()`` — the smallest useful streaming surface,
+identical in shape to a production kafka -> window -> sink job.
+
+Scale notes: windowed aggregation state is keyed by (window,
+event_type); the watermark bounds state size — without it a 100 TB
+backfill would accumulate unbounded state. ``complete`` output mode is
+used for the finite-replay correctness check; production append-mode
+emits each window once its watermark passes.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long ns
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events parquet file(s). The nanosecond
+    timestamp is read as long and rebuilt to a microsecond timestamp,
+    mirroring ``sources.io.load_table``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source lists a DIRECTORY; select just the events
+    # file via glob (a production job points at a growing directory).
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling window counts + value sums per event type,
+    late data bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_streaming_window_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Drive the streaming window-count query to completion over the
+    bounded events source and return the final result as a DataFrame.
+
+    ``complete`` output mode + ``processAllAvailable`` => the memory
+    sink holds the full aggregation, equal to the batch (and SQL
+    oracle) result — the streaming/batch unification Spark guarantees.
+    """
+    query_name = f"ev_counts_{uuid.uuid4().hex[:8]}"
+    events = read_events_stream(spark, sf_dir)
+    agg = windowed_event_counts(events, window_duration=window_duration)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Materialize before the sink table goes away.
+    result = spark.table(query_name)
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
