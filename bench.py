@@ -1,0 +1,83 @@
+"""Benchmark driver: runs every query key at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {"<key>": sec, ...}, "sf": 0.1, ...}
+
+Execution is forced through the noop sink (full pipeline runs, nothing
+collected to the driver), so timings measure the engine, not driver
+serialization. A JVM warm-up query runs first and is not recorded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _force(df) -> int:
+    """Execute the full plan without collecting rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from machine_learning_algorithm_sparkml__spark import get_session
+    import __spark_entry__ as entrymod
+
+    spark = get_session("bench")
+    qs = entrymod.queries()
+
+    # Warm-up: JVM/codegen/file-index priming, not recorded.
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        try:
+            _force(qs[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep benching; report the failure
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "n_queries": len(timings),
+        "config": {
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        },
+    }
+    if failures:
+        result["failures"] = failures
+    print(json.dumps(result))
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

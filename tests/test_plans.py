@@ -1,0 +1,59 @@
+"""Plan-hygiene assertions (SURVEY.md §4 / 100 TB design rules):
+pushdown, pruning, broadcast, codegen. These fail when a refactor
+silently degrades the physical plan even though results stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.operators import filter_eq, select_columns
+from machine_learning_algorithm_sparkml__spark.plans import (
+    has_broadcast_join,
+    has_pushed_filters,
+    scan_read_schema_columns,
+    whole_stage_codegen_spans,
+)
+from machine_learning_algorithm_sparkml__spark.sources import load_table
+from machine_learning_algorithm_sparkml__spark.workload.relational import (
+    flagship_top_order_per_customer,
+    q_agg_pricing_summary,
+)
+
+
+def test_filter_pushes_down_to_scan(spark, sf_dir):
+    df = filter_eq(load_table(spark, sf_dir, "orders"), "o_orderstatus", "F")
+    assert has_pushed_filters(df)
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    df = select_columns(load_table(spark, sf_dir, "orders"), ["o_orderkey", "o_totalprice"])
+    schemas = scan_read_schema_columns(df)
+    assert schemas and schemas[0] == ["o_orderkey", "o_totalprice"], schemas
+
+
+def test_flagship_plan_shape(spark, sf_dir):
+    df = flagship_top_order_per_customer(spark, sf_dir)
+    assert has_broadcast_join(df), "dim join must broadcast, not shuffle orders"
+    assert has_pushed_filters(df), "status filter must reach the orders scan"
+    # orders scan must not read columns the query never uses
+    schemas = scan_read_schema_columns(df)
+    orders_scan = next(s for s in schemas if "o_orderkey" in s)
+    assert "o_orderdate" not in orders_scan
+
+
+def test_pricing_summary_plan(spark, sf_dir):
+    df = q_agg_pricing_summary(spark, sf_dir)
+    assert whole_stage_codegen_spans(df) >= 1
+    assert has_pushed_filters(df), "shipdate filter must reach the lineitem scan"
+    from machine_learning_algorithm_sparkml__spark.plans import has_partial_aggregation
+
+    assert has_partial_aggregation(df), "aggregation must run map-side partials"
+
+
+def test_window_group_limit_applied(spark, sf_dir):
+    """Spark >=3.5 rewrites filter-over-rank into WindowGroupLimit —
+    the map-side top-k truncation the flagship relies on at scale."""
+    df = flagship_top_order_per_customer(spark, sf_dir)
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+
+    assert "WindowGroupLimit" in formatted_plan(df)
