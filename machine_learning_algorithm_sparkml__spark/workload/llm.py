@@ -152,7 +152,41 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(wrapped)
 
 
+def q_ml_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: MLlib Tokenizer->StopWords->NGram->HashingTF->IDF
+    pipeline; tf-idf vector projected to its nonzero count for a
+    stable comparable schema."""
+    from pyspark.ml.functions import vector_to_array
+
+    from machine_learning_algorithm_sparkml__spark.ml.text_features import (
+        text_feature_pipeline,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = text_feature_pipeline(num_features=1 << 12).fit(docs)
+    out = model.transform(docs)
+    arr = vector_to_array(F.col("tfidf"))
+    return out.select(
+        "doc_id",
+        F.size(F.filter(arr, lambda x: x != 0)).alias("n_nonzero_tfidf"),
+        F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), 4).alias("tfidf_sum"),
+    )
+
+
+def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: MLlib MinHashLSH approxSimilarityJoin alternate to
+    the hand-rolled banding implementation."""
+    from machine_learning_algorithm_sparkml__spark.ml.text_features import (
+        minhash_lsh_mllib_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_mllib_pairs(docs, "doc_id", "text", jaccard_distance_threshold=0.5)
+
+
 QUERIES = {
+    "ml_text_features": q_ml_text_features,
+    "dedup_minhash_mllib": q_dedup_minhash_mllib,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,

@@ -1,0 +1,119 @@
+"""Scale-engineering features: salted joins/aggregates equal their
+plain counterparts; partitioned writes prune partitions; bucketed
+tables join without an exchange; MLlib text/LSH pipelines run."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.operators.layout import (
+    write_bucketed,
+    write_partitioned,
+)
+from machine_learning_algorithm_sparkml__spark.operators.skew import (
+    salted_aggregate_count,
+    salted_join,
+)
+from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+from machine_learning_algorithm_sparkml__spark.sources import load_table, load_tables
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    small = customer.select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    plain = orders.join(small, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, small, "o_custkey").select("o_orderkey", "c_name")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_aggregate_equals_plain_count(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    plain = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        r.o_orderpriority: r.n_rows
+        for r in salted_aggregate_count(orders, "o_orderpriority").collect()
+    }
+    assert plain == salted
+
+
+def test_partition_pruning(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="part_") + "/orders_by_status"
+    write_partitioned(orders, path, ["o_orderstatus"])
+    scan = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = formatted_plan(scan)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+    assert scan.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_bucketed_join_skips_exchange(spark, sf_dir):
+    import shutil
+
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders_b", "t_customer_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    write_bucketed(orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+                   "t_orders_b", "o_custkey", num_buckets=8)
+    write_bucketed(customer.select(F.col("c_custkey").cast("bigint").alias("o_custkey"), "c_name"),
+                   "t_customer_b", "o_custkey", num_buckets=8)
+    a = spark.table("t_orders_b")
+    b = spark.table("t_customer_b")
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "o_custkey")
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_mllib_text_feature_pipeline(spark, sf_dir):
+    from machine_learning_algorithm_sparkml__spark.ml.text_features import (
+        count_vectorizer_pipeline,
+        text_feature_pipeline,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    model = text_feature_pipeline(num_features=1 << 10).fit(docs)
+    out = model.transform(docs)
+    assert dict(out.dtypes)["tfidf"] == "vector"
+    assert out.count() == 200
+    cv = count_vectorizer_pipeline(vocab_size=500).fit(docs)
+    assert cv.transform(docs).filter(F.col("counts").isNull()).count() == 0
+
+
+def test_mllib_minhash_agrees_with_custom_on_strong_pairs(spark, sf_dir):
+    from machine_learning_algorithm_sparkml__spark.ml.text_features import (
+        minhash_lsh_mllib_pairs,
+    )
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    if not truth:
+        import pytest
+
+        pytest.skip("no >=0.8 Jaccard pairs at this sf")
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_mllib_pairs(
+            docs, "doc_id", "text", jaccard_distance_threshold=0.4
+        ).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.8, f"mllib minhash recall {recall:.2f}"
