@@ -57,6 +57,9 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # keep benching; report the failure
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+        # operators that cache intermediates (LSH signatures/buckets)
+        # must not skew the next query's timing or hog executor memory
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -57,7 +57,7 @@ def make_cross_validator(
     param_grid: list,
     *,
     num_folds: int = 3,
-    parallelism: int = 4,
+    parallelism: int = 8,
     seed: int = 754,
 ) -> CrossValidator:
     """M10: 3-fold grid-search CV (``MarchineLearningAlgorithm.txt:

@@ -181,6 +181,25 @@ def q_ml_cross_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ml_evaluate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 standalone: MulticlassClassificationEvaluator(accuracy) over
+    RF predictions on the full frame, with the majority-class baseline
+    alongside for context (``MarchineLearningAlgorithm.txt:168-171``);
+    rows-only."""
+    preds = q_ml_random_forest(spark, sf_dir).cache()
+    evaluator = make_accuracy_evaluator()
+    accuracy = evaluator.evaluate(preds)
+    majority = (
+        preds.groupBy("label_index").count().agg(F.max("count")).collect()[0][0]
+    )
+    total = preds.count()
+    preds.unpersist()
+    return spark.createDataFrame(
+        [(float(accuracy), float(majority / total))],
+        "accuracy double, majority_baseline double",
+    )
+
+
 def q_ml_undersample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M12: undersampling rebalance (``A related code.txt:69-81``);
     returns per-class counts of the balanced frame; rows-only."""
@@ -198,6 +217,7 @@ QUERIES = {
     "ml_random_forest": q_ml_random_forest,
     "ml_pipeline": q_ml_pipeline,
     "ml_fit_predict_eval": q_ml_fit_predict_eval,
+    "ml_evaluate_accuracy": q_ml_evaluate_accuracy,
     "ml_cross_validate": q_ml_cross_validate,
     "ml_undersample_balance": q_ml_undersample_balance,
 }

@@ -92,6 +92,17 @@ def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
 
 
+def q_join_drop_dup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+P4 exactly as the reference stages them: both sides carry the
+    SAME key name and the duplicate is dropped post-join
+    (``...USElectionPrediction.txt:69``: ``.drop(county.col("fips"))``)."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    cust = customer.select(F.col("c_custkey").alias("custkey"), "c_name", "c_acctbal")
+    ords = orders.select(F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice")
+    joined = inner_equi_join(ords, cust, "custkey", "custkey", cast_right_key="bigint", broadcast_right=True)
+    return joined.select("custkey", "o_orderkey", "o_totalprice", "c_name", "c_acctbal")
+
+
 # --- W1/W2 + F2: flagship ----------------------------------------------------
 
 def flagship_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,6 +180,93 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- joins beyond the reference (engine completeness) ---------------------------
+
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER: every customer, their big orders or nulls."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return customer.select(F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_name").join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers with at least one finished order."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    finished = orders.filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        finished, customer["c_custkey"].cast("bigint") == finished["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no finished order."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    finished = orders.filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        finished, customer["c_custkey"].cast("bigint") == finished["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event gets the latest prior order (by
+    date) of the matching customer — the custom operator Spark lacks,
+    composed from union + running-window carry-forward
+    (operators/asof.py). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from machine_learning_algorithm_sparkml__spark.operators.asof import asof_join_backward
+
+    orders, events = load_tables(spark, sf_dir, "orders", "events")
+    # unique (key, ts) on the left side => deterministic match values
+    latest_orders = (
+        orders.groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_totalprice").alias("last_price"))
+    )
+    out = asof_join_backward(
+        latest_orders,
+        events.select("event_id", "user_id", "ts"),
+        key="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        value_cols=["last_price"],
+    )
+    return out.select("event_id", "user_id", "ts", F.col("asof_last_price").alias("last_price"))
+
+
+# --- aggregates beyond the reference ---------------------------------------------
+
+def q_agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy + pivot to wide counts. All 15 combos exist in the
+    generated data, so Spark's null-for-missing-cell never fires and
+    the CASE-based oracle matches."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
 # --- U1-U3: set ops / sampling -------------------------------------------------
 
 def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,6 +327,14 @@ QUERIES = {
     "filter_and_not": q_filter_and_not,
     "filter_dropna": q_filter_dropna,
     "join_inner_equi": q_join_inner_equi,
+    "join_drop_dup_key": q_join_drop_dup_key,
+    "join_left_outer": q_join_left_outer,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "asof_join": q_asof_join,
+    "agg_distinct_count": q_agg_distinct_count,
+    "pivot_status_by_priority": q_pivot_status_by_priority,
+    "agg_rollup": q_agg_rollup,
     "window_rank_topk": flagship_top_order_per_customer,
     "sort_limit_topk": q_sort_limit_topk,
     "agg_count": q_agg_count,
@@ -263,6 +369,59 @@ ORACLE = {
     "join_inner_equi": """
         SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_mktsegment
         FROM orders o JOIN customer c ON o.o_custkey = CAST(c.c_custkey AS BIGINT)
+    """,
+    "join_drop_dup_key": """
+        SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice, c.c_name, c.c_acctbal
+        FROM orders o JOIN customer c ON o.o_custkey = CAST(c.c_custkey AS BIGINT)
+    """,
+    "join_left_outer": """
+        SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c
+        LEFT OUTER JOIN (
+            SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+        ) o ON CAST(c.c_custkey AS BIGINT) = o.o_custkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = CAST(c.c_custkey AS BIGINT) AND o.o_orderstatus = 'F'
+        )
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = CAST(c.c_custkey AS BIGINT) AND o.o_orderstatus = 'F'
+        )
+    """,
+    "asof_join": """
+        WITH latest_orders AS (
+            SELECT o_custkey AS user_id, o_orderdate, MAX(o_totalprice) AS last_price
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts, lo.last_price
+        FROM events e
+        ASOF LEFT JOIN latest_orders lo
+          ON e.user_id = lo.user_id AND e.ts >= lo.o_orderdate
+    """,
+    "agg_distinct_count": """
+        SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+    """,
+    "pivot_status_by_priority": """
+        SELECT o_orderpriority,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "agg_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "window_rank_topk": """
         WITH ranked AS (
