@@ -118,6 +118,15 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_topk(emb, _query_vectors(emb), k=5)
 
 
+def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: KMeans-quantized inverted-file ANN (recall tested
+    vs brute force)."""
+    from machine_learning_algorithm_sparkml__spark.operators.simsearch import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vectors(emb), k=5, num_centroids=16, n_probe=6)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: bucketed near-dup pairs over the full embedding set."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -197,6 +206,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
+    "simsearch_ivf": q_simsearch_ivf,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,

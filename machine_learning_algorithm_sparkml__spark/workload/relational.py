@@ -235,6 +235,26 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", F.col("asof_last_price").alias("last_price"))
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key) via bucketized equi-join: events
+    whose value falls in a price band derived from part sizes. Without
+    bucketization this is a nested-loop plan (operators/rangejoin.py)."""
+    from machine_learning_algorithm_sparkml__spark.operators.rangejoin import (
+        bucketized_range_join,
+    )
+
+    events, part = load_tables(spark, sf_dir, "events", "part")
+    bands = part.filter(F.col("p_partkey") < 100).select(
+        "p_partkey",
+        (F.col("p_size") * F.lit(10.0)).alias("low"),
+        (F.col("p_size") * F.lit(10.0) + F.lit(25.0)).alias("high"),
+    )
+    joined = bucketized_range_join(
+        events.select("event_id", "value"), bands, "value", "low", "high", bucket_width=25.0
+    )
+    return joined.select("event_id", "value", "p_partkey", "low")
+
+
 # --- aggregates beyond the reference ---------------------------------------------
 
 def q_agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,6 +352,7 @@ QUERIES = {
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "agg_distinct_count": q_agg_distinct_count,
     "pivot_status_by_priority": q_pivot_status_by_priority,
     "agg_rollup": q_agg_rollup,
@@ -404,6 +425,12 @@ ORACLE = {
         FROM events e
         ASOF LEFT JOIN latest_orders lo
           ON e.user_id = lo.user_id AND e.ts >= lo.o_orderdate
+    """,
+    "range_join": """
+        SELECT e.event_id, e.value, p.p_partkey, p.p_size * 10.0 AS low
+        FROM events e
+        JOIN (SELECT p_partkey, p_size FROM part WHERE p_partkey < 100) p
+          ON e.value >= p.p_size * 10.0 AND e.value < p.p_size * 10.0 + 25.0
     """,
     "agg_distinct_count": """
         SELECT COUNT(DISTINCT l_partkey) AS n_parts,

@@ -43,13 +43,29 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-type totals; over the bounded source the final emission equals
+    the batch aggregation -> oracle-checked."""
+    from machine_learning_algorithm_sparkml__spark.streaming.stateful import (
+        run_stateful_running_totals,
+    )
+
+    return run_stateful_running_totals(spark, sf_dir)
+
+
 QUERIES = {
     "streaming_window_counts": q_streaming_window_counts,
+    "streaming_stateful_totals": q_streaming_stateful_totals,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
 }
 
 ORACLE = {
+    "streaming_stateful_totals": """
+        SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
     "streaming_window_counts": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
