@@ -31,9 +31,11 @@ STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization as an array column. Empty/blank text
-    yields an empty array (Spark's split returns [''] on '' — guarded)."""
-    trimmed = F.trim(text)
+    """Whitespace tokenization as an array column. NULL and empty/blank
+    text both yield an empty array (Spark's split returns [''] on ''
+    and null on null — both guarded so every downstream count/ratio is
+    total)."""
+    trimmed = F.trim(F.coalesce(text, F.lit("")))
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )
@@ -48,15 +50,17 @@ def token_count(text: Column) -> Column:
 def word_token_count(text: Column) -> Column:
     """BPE-ish token count: runs of word characters and single
     non-word-non-space characters each count as one token — a stable
-    proxy for subword tokenizer load, still pure regex.
+    proxy for subword tokenizer load, still pure regex. NULL-safe.
     """
-    return F.regexp_count(text, F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"))
+    return F.regexp_count(F.coalesce(text, F.lit("")), F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"))
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are sentence punctuation."""
-    n = F.length(text)
-    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    """Fraction of characters that are sentence punctuation. NULL-safe
+    (null text -> 0.0)."""
+    safe = F.coalesce(text, F.lit(""))
+    n = F.length(safe)
+    punct = F.length(F.regexp_replace(safe, r"[^.,;:!?]", ""))
     return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n.cast("double"))
 
 
@@ -111,5 +115,5 @@ def doc_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 over the normalized
     text (lowercased, whitespace collapsed). Exact-dedup key that is
     stable across storage layout; 32-hex-char string."""
-    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+", " ")
     return F.md5(normalized)
