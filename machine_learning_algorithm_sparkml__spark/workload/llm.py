@@ -101,6 +101,46 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: exact-Jaccard pairs -> connected components
+    -> every clustered doc labeled with its component (min doc_id
+    reachable). Oracle: the same pair SQL + a recursive CTE."""
+    from machine_learning_algorithm_sparkml__spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    return connected_components(members, pairs, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+def q_text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map operator (applyInPandas): per-language z-score of
+    document length — the per-group pandas normalization pattern.
+    Oracle: window AVG/STDDEV_SAMP SQL."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["n_chars"].mean()
+        std = pdf["n_chars"].std(ddof=1)
+        pdf["z_chars"] = 0.0 if (std == 0 or pd.isna(std)) else (pdf["n_chars"] - mean) / std
+        pdf["z_chars"] = pdf["z_chars"].round(6)
+        return pdf
+
+    return docs.groupBy("lang").applyInPandas(
+        zscore, schema="doc_id long, lang string, n_chars long, z_chars double"
+    )
+
+
 # --- similarity search ------------------------------------------------------------
 
 def _query_vectors(emb: DataFrame) -> DataFrame:
@@ -203,6 +243,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
+    "text_zscore_by_lang": q_text_zscore_by_lang,
     "dedup_simhash": q_dedup_simhash,
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
@@ -300,6 +342,56 @@ ORACLE = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.5
+    """,
+    "dedup_clusters": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+        ), sh_raw AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                   END AS sh
+            FROM toks
+        ), shingles AS (
+            SELECT DISTINCT doc_id, u.shingle
+            FROM sh_raw, UNNEST(sh) AS u(shingle)
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.5
+        ), und AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ), members AS (
+            SELECT DISTINCT src AS doc_id FROM und
+        ), reach AS (
+            WITH RECURSIVE r(node, root) AS (
+                SELECT doc_id, doc_id FROM members
+                UNION
+                SELECT e.dst, r.root FROM r JOIN und e ON e.src = r.node
+            )
+            SELECT node, MIN(root) AS component FROM r GROUP BY node
+        )
+        SELECT node AS doc_id, component FROM reach
+    """,
+    "text_zscore_by_lang": """
+        WITH stats AS (
+            SELECT doc_id, lang, n_chars,
+                   AVG(n_chars) OVER (PARTITION BY lang) AS mu,
+                   STDDEV_SAMP(n_chars) OVER (PARTITION BY lang) AS sigma
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN sigma IS NULL OR sigma = 0 THEN 0.0
+                    ELSE ROUND((n_chars - mu) / sigma, 6) END AS z_chars
+        FROM stats
     """,
     "simsearch_topk": """
         WITH q AS (

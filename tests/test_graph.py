@@ -1,0 +1,25 @@
+"""Connected-components correctness on constructed graphs."""
+
+from __future__ import annotations
+
+from machine_learning_algorithm_sparkml__spark.operators.graph import connected_components
+
+
+def test_components_on_known_graph(spark):
+    # components: {1,2,3,4} (chain), {5,6}, {7} isolated
+    vertices = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.id: r.component for r in connected_components(vertices, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_components_long_chain_converges(spark):
+    # diameter-bound check: min-label propagation needs ~n iterations
+    # on a chain (worst case; real near-dup clusters have diameter 2-3)
+    n = 12
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    out = {r.id: r.component for r in connected_components(vertices, edges, max_iterations=15).collect()}
+    assert set(out.values()) == {0}
