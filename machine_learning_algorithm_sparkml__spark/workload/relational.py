@@ -287,6 +287,48 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: pull a typed field out of the JSON
+    ``props`` column (events-pipeline staple). JVM-side
+    ``get_json_object`` — no Python, pushdown-friendly projection."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
+    )
+
+
+def q_unpivot_wide_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): per-part wide numeric columns to (metric, value)
+    rows via stack — the inverse of pivot."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE))"
+        ).alias("metric", "value"),
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping-set combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) of order totals per
+    status — Spark ``percentile`` == DuckDB ``quantile_cont``."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+    )
+
+
 # --- U1-U3: set ops / sampling -------------------------------------------------
 
 def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,6 +398,10 @@ QUERIES = {
     "agg_distinct_count": q_agg_distinct_count,
     "pivot_status_by_priority": q_pivot_status_by_priority,
     "agg_rollup": q_agg_rollup,
+    "agg_cube": q_agg_cube,
+    "agg_percentiles": q_agg_percentiles,
+    "json_extract": q_json_extract,
+    "unpivot_wide_metrics": q_unpivot_wide_metrics,
     "window_rank_topk": flagship_top_order_per_customer,
     "sort_limit_topk": q_sort_limit_topk,
     "agg_count": q_agg_count,
@@ -449,6 +495,26 @@ ORACLE = {
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "agg_cube": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "agg_percentiles": """
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "json_extract": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+        FROM events
+    """,
+    "unpivot_wide_metrics": """
+        SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
     """,
     "window_rank_topk": """
         WITH ranked AS (
