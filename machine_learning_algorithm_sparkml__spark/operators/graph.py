@@ -41,6 +41,10 @@ def connected_components(
     ).unionAll(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     ).distinct()
+    # materialize once: the edge list joins into EVERY propagation
+    # round; without this its upstream plan (possibly an expensive
+    # similarity self-join) re-executes per iteration
+    undirected = undirected.localCheckpoint(eager=True)
 
     labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     for _ in range(max_iterations):

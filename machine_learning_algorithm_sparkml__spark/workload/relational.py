@@ -287,6 +287,22 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert: 'updates' (BUILDING customers with zeroed balance)
+    replace their target rows; everyone else passes through
+    (operators/merge.py — MERGE INTO emulation)."""
+    from machine_learning_algorithm_sparkml__spark.operators.merge import merge_upsert
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    updates = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .withColumn("c_acctbal", F.lit(0.0))
+    )
+    return merge_upsert(customer, updates, "c_custkey")
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access: pull a typed field out of the JSON
     ``props`` column (events-pipeline staple). JVM-side
@@ -401,6 +417,7 @@ QUERIES = {
     "agg_cube": q_agg_cube,
     "agg_percentiles": q_agg_percentiles,
     "json_extract": q_json_extract,
+    "merge_upsert": q_merge_upsert,
     "unpivot_wide_metrics": q_unpivot_wide_metrics,
     "window_rank_topk": flagship_top_order_per_customer,
     "sort_limit_topk": q_sort_limit_topk,
@@ -506,6 +523,11 @@ ORACLE = {
                ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
                ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
         FROM orders GROUP BY o_orderstatus
+    """,
+    "merge_upsert": """
+        SELECT c_custkey, c_name, c_mktsegment,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 0.0 ELSE c_acctbal END AS c_acctbal
+        FROM customer
     """,
     "json_extract": """
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
