@@ -57,6 +57,47 @@ def count_vectorizer_pipeline(*, text_col: str = "text", vocab_size: int = 1 << 
     ])
 
 
+def brp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 8,
+    seed: int = 754,
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH euclidean ANN — the library
+    counterpart to the custom hyperplane LSH. approxSimilarityJoin on
+    a distance threshold, then exact top-k per query by euclidean
+    distance. Output: (query_id, neighbor_id, rank, dist)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
+    q = queries.select(F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(c)
+    # threshold large enough to admit true neighbors of unit-ish vectors
+    joined = model.approxSimilarityJoin(q, c, 100.0, distCol="dist")
+    pairs = joined.select(
+        F.col(f"datasetA.{id_col}").alias("query_id"),
+        F.col(f"datasetB.{id_col}").alias("neighbor_id"),
+        F.round("dist", 6).alias("dist"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
+
+
 def minhash_lsh_mllib_pairs(
     df: DataFrame,
     id_col: str,

@@ -167,6 +167,14 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_vectors(emb), k=5, num_centroids=16, n_probe=6)
 
 
+def q_simsearch_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: MLlib BucketedRandomProjectionLSH euclidean ANN."""
+    from machine_learning_algorithm_sparkml__spark.ml.text_features import brp_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brp_lsh_topk(emb, _query_vectors(emb), k=5)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: bucketed near-dup pairs over the full embedding set."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -249,6 +257,7 @@ QUERIES = {
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
     "simsearch_ivf": q_simsearch_ivf,
+    "simsearch_brp": q_simsearch_brp,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
