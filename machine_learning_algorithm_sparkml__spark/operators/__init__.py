@@ -18,6 +18,30 @@ from machine_learning_algorithm_sparkml__spark.operators.setops import (
     seeded_random_split,
     union_all,
 )
+from machine_learning_algorithm_sparkml__spark.operators.asof import asof_join_backward
+from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_representatives,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from machine_learning_algorithm_sparkml__spark.operators.graph import connected_components
+from machine_learning_algorithm_sparkml__spark.operators.merge import merge_upsert
+from machine_learning_algorithm_sparkml__spark.operators.rangejoin import (
+    bucketized_range_join,
+)
+from machine_learning_algorithm_sparkml__spark.operators.sessions import sessionize
+from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    hyperplane_lsh_topk,
+    ivf_topk,
+)
+from machine_learning_algorithm_sparkml__spark.operators.skew import (
+    salted_aggregate_count,
+    salted_join,
+)
 
 __all__ = [
     "alias_cast",
@@ -34,4 +58,20 @@ __all__ = [
     "sample_fraction",
     "seeded_random_split",
     "union_all",
+    "asof_join_backward",
+    "exact_dedup",
+    "exact_dedup_representatives",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup_pairs",
+    "simhash_near_dup_pairs",
+    "connected_components",
+    "merge_upsert",
+    "bucketized_range_join",
+    "sessionize",
+    "brute_force_topk",
+    "hyperplane_lsh_topk",
+    "ivf_topk",
+    "embedding_near_dup_pairs",
+    "salted_join",
+    "salted_aggregate_count",
 ]
