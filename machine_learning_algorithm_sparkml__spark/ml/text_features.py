@@ -114,19 +114,10 @@ def minhash_lsh_mllib_pairs(
     Shingles -> HashingTF (binary) -> MinHashLSH; emits pairs with
     Jaccard DISTANCE below the threshold (MLlib reports distance =
     1 - similarity). Output: (id_a, id_b, jaccard_dist)."""
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import shingle_array
+
     shingled = df.select(
-        F.col(id_col),
-        F.when(
-            F.size(F.split(F.trim(F.col(text_col)), r"\s+")) < shingle_n,
-            F.array(F.trim(F.col(text_col))),
-        ).otherwise(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.size(F.split(F.trim(F.col(text_col)), r"\s+")) - F.lit(shingle_n - 1)
-                ),
-                lambda i: F.concat_ws(" ", F.slice(F.split(F.trim(F.col(text_col)), r"\s+"), i, shingle_n)),
-            )
-        ).alias("shingles"),
+        F.col(id_col), shingle_array(F.col(text_col), shingle_n).alias("shingles")
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True)
     vecs = tf.transform(shingled)

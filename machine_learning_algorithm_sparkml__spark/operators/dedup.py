@@ -48,11 +48,13 @@ def exact_dedup_representatives(df: DataFrame, key_cols: list[str], id_col: str)
 
 # --- shingling -----------------------------------------------------------------
 
-def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) pairs: distinct word n-grams per document.
-    ``sequence``/``transform``/``slice`` keep construction JVM-side."""
-    toks = tokens(F.col(text_col))
-    ngrams = F.when(
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """Word n-gram array for one text column (null-safe via tokens()).
+    Texts shorter than ``n`` tokens yield their whole token string as a
+    single shingle. Shared by the custom MinHash/Jaccard operators and
+    the MLlib MinHashLSH wrapper — one definition, no drift."""
+    toks = tokens(text)
+    return F.when(
         F.size(toks) < n, F.array(F.concat_ws(" ", toks))
     ).otherwise(
         F.transform(
@@ -60,6 +62,12 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct word n-grams per document.
+    ``sequence``/``transform``/``slice`` keep construction JVM-side."""
+    ngrams = shingle_array(F.col(text_col), n)
     return df.select(F.col(id_col), F.explode(F.array_distinct(ngrams)).alias("shingle"))
 
 
@@ -89,15 +97,21 @@ def ngram_jaccard_pairs(
     shingle-explode -> self-join on shingle (id_a < id_b) -> count
     intersections -> join per-doc set sizes -> Jaccard >= threshold.
     Fully SQL-expressible, so oracle-checkable; at scale the candidate
-    join is bounded by ``max_shingle_doc_freq``.
-    Output: (id_a, id_b, jaccard) with jaccard rounded to 6 places.
+    join is bounded by ``max_shingle_doc_freq``. Set sizes always come
+    from the FULL sets; with the cap set, shared hot shingles are
+    excluded from intersections, so the reported Jaccard is a lower
+    bound (conservative: may miss borderline pairs, never inflates).
+    Output: (id_a, id_b, jaccard), exact when the cap is unset.
     """
     pairs = shingle_sets(df, id_col, text_col, n)
-    pairs = _cap_hot_shingles(pairs, id_col, max_shingle_doc_freq)
+    # TRUE set sizes from the uncapped sets: the hot-shingle cap below
+    # prunes CANDIDATE GENERATION only; folding it into sizes or
+    # intersections would silently change the reported Jaccard.
     sizes = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    capped = _cap_hot_shingles(pairs, id_col, max_shingle_doc_freq)
 
-    a = pairs.select(F.col(id_col).alias("id_a"), "shingle")
-    b = pairs.select(F.col(id_col).alias("id_b"), "shingle")
+    a = capped.select(F.col(id_col).alias("id_a"), "shingle")
+    b = capped.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -149,7 +163,8 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str, *, num_bands: in
     Output: distinct (id_a, id_b), id_a < id_b."""
     sig_len_row = signatures.select(F.size("signature").alias("n")).limit(1).collect()
     if not sig_len_row:
-        return signatures.sparkSession.createDataFrame([], f"id_a long, id_b long")
+        id_type = dict(signatures.dtypes)[id_col]  # schema-stable on empty input
+        return signatures.sparkSession.createDataFrame([], f"id_a {id_type}, id_b {id_type}")
     rows_per_band = max(1, sig_len_row[0]["n"] // num_bands)
     banded = signatures.select(
         F.col(id_col),
@@ -190,7 +205,11 @@ def minhash_near_dup_pairs(
     The estimate is unbiased with stderr ~ 1/sqrt(k); tests validate
     recall against :func:`ngram_jaccard_pairs` ground truth.
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n).cache()
+    # localCheckpoint, not cache: read by banding AND both verify legs;
+    # blocks are released on GC rather than pinned for the session
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    ).localCheckpoint(eager=True)
     cands = minhash_candidate_pairs(sigs, id_col, num_bands=num_bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -261,7 +280,7 @@ def simhash_near_dup_pairs(
     if num_bands is None:
         num_bands = max_hamming + 1
     assert num_bands > max_hamming, "pigeonhole requires num_bands > max_hamming"
-    sh = simhash_bits(df, id_col, text_col, num_bits=num_bits).cache()
+    sh = simhash_bits(df, id_col, text_col, num_bits=num_bits).localCheckpoint(eager=True)
     band_size = num_bits // num_bands
     banded = sh.select(
         F.col(id_col),

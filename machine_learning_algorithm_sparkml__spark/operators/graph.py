@@ -72,5 +72,9 @@ def connected_components(
         n_changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iterations} "
+        "iterations (graph diameter exceeds the cap); raise max_iterations — "
+        "returning partial labels would be silently wrong"
+    )

@@ -31,7 +31,14 @@ def bucketized_range_join(
     ``low_col <= point_col < high_col`` via bucket equi-join.
 
     Both inputs keep all their columns; callers project afterwards.
+    Inner join only: the post-join range filter would silently drop
+    the null-extended rows an outer join produces.
     """
+    if how.lower() != "inner":
+        raise ValueError(
+            "bucketized_range_join is inner-only: the exact range filter "
+            "after the bucket join discards outer-join null extensions"
+        )
     p = points.withColumn("_bucket", F.floor(F.col(point_col) / F.lit(bucket_width)))
     r = ranges.withColumn(
         "_bucket",

@@ -63,6 +63,21 @@ def brute_force_topk(
     return _topk_per_query(scored, k)
 
 
+def _vector_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row; 0 for an empty frame."""
+    row = df.select(vec_col).limit(1).collect()
+    return len(row[0][0]) if row else 0
+
+
+def _empty_topk_result(df: DataFrame, id_col: str):
+    """Empty (query_id, neighbor_id, rank, sim) frame with the id type
+    taken from the input (empty corpora must not change schemas)."""
+    id_type = dict(df.dtypes)[id_col]
+    return df.sparkSession.createDataFrame(
+        [], f"query_id {id_type}, neighbor_id {id_type}, rank int, sim double"
+    )
+
+
 def _seeded_hyperplanes(dim: int, num_planes: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((num_planes, dim))
@@ -121,7 +136,9 @@ def hyperplane_lsh_topk(
     (+ Hamming-1 probes), then exact cosine ranking. Output schema
     matches :func:`brute_force_topk`: (query_id, neighbor_id, rank,
     sim)."""
-    dim = len(corpus.select(vec_col).limit(1).collect()[0][0])
+    dim = _vector_dim(corpus, vec_col)
+    if dim == 0:
+        return _empty_topk_result(corpus, id_col)
     plane_sets = [_seeded_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
 
     c_buckets = _table_buckets(corpus, "neighbor_id", id_col, vec_col, plane_sets)
@@ -175,6 +192,8 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if _vector_dim(corpus, vec_col) == 0:
+        return _empty_topk_result(corpus, id_col)
     with_vec = corpus.withColumn("_mlvec", array_to_vector(F.col(vec_col)))
     km = KMeans(k=num_centroids, seed=seed, featuresCol="_mlvec", predictionCol="_cell")
     model = km.fit(with_vec.select("_mlvec"))
@@ -240,10 +259,16 @@ def embedding_near_dup_pairs(
     cosine. At threshold 0.95 the per-table collision probability is
     ~0.3 (8 planes); 8 tables push recall to ~0.95 (tested on a
     constructed near-dup set). Output: (id_a, id_b, sim)."""
-    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    dim = _vector_dim(df, vec_col)
+    if dim == 0:
+        id_type = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame([], f"id_a {id_type}, id_b {id_type}, sim double")
     plane_sets = [_seeded_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
-    # cached: both sides of the candidate self-join read these buckets
-    buckets = _table_buckets(df, "vid", id_col, vec_col, plane_sets).cache()
+    # localCheckpoint, not cache: both legs of the candidate self-join
+    # read these buckets; checkpoint materializes once and the blocks
+    # are released by the ContextCleaner when the frame is GC'd, so a
+    # long-lived session running many queries does not accumulate pins
+    buckets = _table_buckets(df, "vid", id_col, vec_col, plane_sets).localCheckpoint(eager=True)
     a = buckets.select(F.col("vid").alias("id_a"), "table", "bucket")
     b = buckets.select(F.col("vid").alias("id_b"), "table", "bucket")
     cands = a.join(b, ["table", "bucket"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()

@@ -30,7 +30,17 @@ def salted_join(
     Cost model: small side is replicated ``salt_buckets``x — use only
     when `small` is dimension-sized but too big (or too skew-prone)
     to broadcast outright.
+
+    Only join types where the replicated side never surfaces unmatched
+    are allowed: a right/full outer join would emit each unmatched
+    small-side row once PER SALT BUCKET.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; '{how}' would duplicate "
+            "unmatched small-side rows once per salt bucket"
+        )
     salted_big = big.withColumn("_salt", (F.rand(seed=754) * salt_buckets).cast("int"))
     salted_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

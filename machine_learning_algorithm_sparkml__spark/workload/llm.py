@@ -110,7 +110,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    # materialize the expensive similarity self-join ONCE: it feeds the
+    # edge list, both legs of the members union, and round 1
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).localCheckpoint(
+        eager=True
+    )
     members = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
@@ -276,8 +280,8 @@ _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 ORACLE = {
     "text_token_count": f"""
         SELECT doc_id,
-               CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len({_TOKENS}) END AS n_tokens,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKENS}) END AS INTEGER) AS n_tokens,
                CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS INTEGER) AS n_word_tokens,
                CAST(length(text) AS INTEGER) AS n_chars_computed
         FROM documents

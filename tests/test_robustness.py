@@ -43,6 +43,83 @@ def test_neardup_single_vector(spark):
     assert embedding_near_dup_pairs(df, num_planes=4, num_tables=2).count() == 0
 
 
+def test_lsh_and_ivf_empty_corpus(spark):
+    from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
+        hyperplane_lsh_topk,
+        ivf_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    for fn in (hyperplane_lsh_topk, ivf_topk):
+        out = fn(empty, empty, k=3)
+        assert out.count() == 0
+        assert set(out.columns) == {"query_id", "neighbor_id", "rank", "sim"}
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.skew import salted_join
+    from machine_learning_algorithm_sparkml__spark.sources import load_tables
+
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    small = customer.select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    with pytest.raises(ValueError, match="salt bucket"):
+        salted_join(orders, small, "o_custkey", how="full")
+
+
+def test_range_join_rejects_outer(spark):
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.rangejoin import (
+        bucketized_range_join,
+    )
+
+    pts = spark.createDataFrame([(1, 5.0)], "id long, value double")
+    rng = spark.createDataFrame([(1, 0.0, 10.0)], "rid long, low double, high double")
+    with pytest.raises(ValueError, match="inner-only"):
+        bucketized_range_join(pts, rng, "value", "low", "high", bucket_width=5.0, how="left")
+
+
+def test_jaccard_hot_shingle_cap_is_conservative(spark):
+    """With the cap, reported Jaccard must never EXCEED the true value
+    (sizes from full sets, intersections from capped sets)."""
+    # 4 docs share the hot shingle 'a a a'; docs 1,2 are near-identical
+    rows = [
+        (1, "a a a x y z w"),
+        (2, "a a a x y z q"),
+        (3, "a a a p q r s"),
+        (4, "a a a k l m n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0, max_shingle_doc_freq=3
+        ).collect()
+    }
+    for pair, j in capped.items():
+        assert j <= full[pair] + 1e-12, (pair, j, full[pair])
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 8
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vertices, edges, max_iterations=2)
+
+
 def test_stateful_totals_across_multiple_batches(spark, sf_dir):
     """Split events into several parquet files and feed them one per
     micro-batch (maxFilesPerTrigger=1): state must accumulate across
