@@ -238,7 +238,11 @@ def minhash_near_dup_pairs(
 def simhash_bits(df: DataFrame, id_col: str, text_col: str, *, num_bits: int = 64) -> DataFrame:
     """SimHash: per document, the sign pattern of per-bit weighted sums
     over token hashes. One explode + one groupBy with ``num_bits`` sum
-    aggregates. Output: (id, simhash array<int> of 0/1, length num_bits).
+    aggregates — all JVM-side with map-side partial aggregation. (A
+    collect_list + vectorized-numpy variant was measured and rejected:
+    the per-doc hash shuffle and Arrow transfer cost more than the 64
+    codegen'd aggregates save.) Output: (id, simhash array<int> of
+    0/1, length num_bits).
     """
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     hashed = tok.withColumn("h", F.xxhash64("tok"))
