@@ -145,6 +145,65 @@ def q_text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite dedup pipeline a training-data run executes:
+    exact dedup (fingerprint) -> near-dup clusters (Jaccard +
+    components) -> keep ONE representative per cluster (min doc_id)
+    plus all unclustered docs. Output: surviving doc_ids. Oracle:
+    the same program in SQL (fingerprint group-min + recursive CTE)."""
+    from machine_learning_algorithm_sparkml__spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # exact phase: keep min doc_id per normalized fingerprint
+    exact_kept = (
+        docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(exact_kept, "doc_id").select("doc_id", "text")
+    # near-dup phase over the exact survivors
+    pairs = ngram_jaccard_pairs(survivors, "doc_id", "text", n=3, threshold=0.5).localCheckpoint(
+        eager=True
+    )
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    components = connected_components(members, pairs, id_col="doc_id")
+    representatives = components.groupBy("component").agg(F.min("id").alias("doc_id"))
+    clustered = members.select("doc_id")
+    unclustered = survivors.select("doc_id").exceptAll(clustered)
+    return unclustered.unionAll(representatives.select("doc_id"))
+
+
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality gate: keep documents whose quality score is
+    >= their language's median — the relative-threshold filter pass of
+    a corpus pipeline. Oracle: quantile_cont window SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    scored = docs.select("doc_id", "lang", quality_score(F.col("text")).alias("q"))
+    w = Window.partitionBy("lang")
+    gated = scored.withColumn("lang_median", F.expr("percentile(q, 0.5)").over(w))
+    return gated.filter(F.col("q") >= F.col("lang_median")).select("doc_id", "lang", "q")
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: frame-sampling plumbing — payload split into 4
+    deterministic byte windows, one row per frame."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = attach_binary_payload(docs, "doc_id", "text", mime="text/plain;fake")
+    frames = frame_sample(wrapped, n_frames=4)
+    return frames.select("doc_id", "frame_idx", F.octet_length("frame_bytes").alias("n_bytes"))
+
+
 # --- similarity search ------------------------------------------------------------
 
 def _query_vectors(emb: DataFrame) -> DataFrame:
@@ -256,7 +315,10 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_pipeline_keep": q_dedup_pipeline_keep,
     "text_zscore_by_lang": q_text_zscore_by_lang,
+    "text_quality_filter": q_text_quality_filter,
+    "multimodal_frames": q_multimodal_frames,
     "dedup_simhash": q_dedup_simhash,
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
@@ -393,6 +455,73 @@ ORACLE = {
             SELECT node, MIN(root) AS component FROM r GROUP BY node
         )
         SELECT node AS doc_id, component FROM reach
+    """,
+    "dedup_pipeline_keep": """
+        WITH fp AS (
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+            FROM documents
+        ), exact_kept AS (
+            SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f
+        ), survivors AS (
+            SELECT d.doc_id, d.text FROM documents d JOIN exact_kept k ON d.doc_id = k.doc_id
+        ), toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM survivors
+        ), sh_raw AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                   END AS sh
+            FROM toks
+        ), shingles AS (
+            SELECT DISTINCT doc_id, u.shingle FROM sh_raw, UNNEST(sh) AS u(shingle)
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), prs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.5
+        ), und AS (
+            SELECT id_a AS src, id_b AS dst FROM prs UNION SELECT id_b, id_a FROM prs
+        ), mem AS (
+            SELECT DISTINCT src AS doc_id FROM und
+        ), reach AS (
+            WITH RECURSIVE r(node, root) AS (
+                SELECT doc_id, doc_id FROM mem
+                UNION
+                SELECT e.dst, r.root FROM r JOIN und e ON e.src = r.node
+            )
+            SELECT node, MIN(root) AS component FROM r GROUP BY node
+        )
+        SELECT s.doc_id FROM survivors s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM mem)
+        UNION ALL
+        SELECT DISTINCT component AS doc_id FROM reach
+    """,
+    "text_quality_filter": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END AS n_tok,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                   len(list_filter({_TOKENS}, x -> x IN ({_STOPWORD_LIST}))) AS n_stop
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, lang,
+                   LEAST(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 0.5
+                 + LEAST((CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tok END) * 4.0, 1.0) * 0.3
+                 + (0.2 - LEAST((CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 10.0, 1.0) * 0.2) AS q
+            FROM t
+        ), gated AS (
+            SELECT doc_id, lang, q,
+                   quantile_cont(q, 0.5) OVER (PARTITION BY lang) AS med
+            FROM scored
+        )
+        SELECT doc_id, lang, q FROM gated WHERE q >= med
     """,
     "text_zscore_by_lang": """
         WITH stats AS (
