@@ -2,23 +2,35 @@
 
 Near-duplicate detection yields PAIRS; keeping one representative per
 duplicate CLUSTER needs the transitive closure: connected components.
-Implemented as iterative min-label propagation in pure DataFrame ops:
-every vertex starts labeled with its own id; each round, every vertex
-takes the min label among itself and its neighbors; converged when no
-label changes.
+Implemented as iterative min-label propagation in pure DataFrame ops.
 
-Scale notes: each round is one join + one aggregation (shuffle on
-vertex id); rounds needed = graph diameter, and near-dup clusters are
-small and dense (diameter 2-3), so the loop converges in a handful of
-rounds. Labels are checkpointed per round via localCheckpoint to stop
-the lineage growing linearly with iterations — the classic iterative-
-algorithm trap on Spark.
+Scale notes:
+- Only edge-active vertices enter the loop; isolated vertices (the vast
+  majority in a dedup corpus) are labeled with their own id in a single
+  anti-join AFTER convergence, so per-round shuffles scale with the
+  duplicate-pair graph, not the corpus.
+- Self-loop edges fold each vertex's own label into the neighbor-min
+  aggregation, so one round = ONE join + ONE aggregation (a naive
+  formulation needs a second join to merge the old label back in).
+- The initial labels are the 1-hop minima, computed by aggregating the
+  adjacency list directly — the first propagation round costs no join.
+- Convergence: labels only ever decrease, so the total label sum
+  (exact DECIMAL(38,0) — no float drift, no bigint overflow) is
+  strictly decreasing until fixpoint; one cheap aggregate per round
+  replaces a join-based changed-row count. Non-integral id types fall
+  back to the join-based check (min/least on strings is fine, sums are
+  not).
+- Labels are checkpointed per round via localCheckpoint to stop the
+  lineage growing linearly with iterations — the classic iterative-
+  algorithm trap on Spark.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 
 def connected_components(
@@ -41,40 +53,68 @@ def connected_components(
     ).unionAll(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     ).distinct()
-    # materialize once: the edge list joins into EVERY propagation
-    # round; without this its upstream plan (possibly an expensive
-    # similarity self-join) re-executes per iteration
-    undirected = undirected.localCheckpoint(eager=True)
+    active = undirected.select(F.col("src").alias("id")).distinct()
+    # materialize the adjacency (+ self-loops) once: it joins into EVERY
+    # propagation round; without this its upstream plan (possibly an
+    # expensive similarity self-join) re-executes per iteration
+    adjacency = undirected.unionAll(
+        active.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    ).localCheckpoint(eager=True)
 
     # NOTE: a pointer-jumping (label-of-label) variant was measured and
     # REJECTED: the extra self-join per round costs more than the saved
     # rounds on near-dup cluster graphs (diameter 2-4, small vertex
     # count — per-round Spark overhead dominates, 43s vs 25s at sf0.1).
     # Revisit only for graphs with large diameters.
-    labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+
+    # round 1 for free: with self-loops present, min(dst) per src IS the
+    # 1-hop label minimum (dst values are raw vertex ids = own labels)
+    labels = adjacency.groupBy("src").agg(F.min("dst").alias("component")).select(
+        F.col("src").alias("id"), "component"
+    ).localCheckpoint(eager=True)
+
+    sum_convergence = dict(vertices.dtypes).get(id_col) in _INTEGRAL_TYPES
+
+    def label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("s")).first()["s"]
+
+    prev_sum = label_sum(labels) if sum_convergence else None
+    converged = False
     for _ in range(max_iterations):
-        neighbor_min = (
-            undirected.join(labels, undirected["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
         updated = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left_outer")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("_changed"),
-            )
+            adjacency.join(labels, adjacency["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("component"))
+            .select(F.col("src").alias("id"), "component")
+            .localCheckpoint(eager=True)
         )
-        updated = updated.localCheckpoint(eager=True)
-        n_changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if n_changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge within {max_iterations} "
-        "iterations (graph diameter exceeds the cap); raise max_iterations — "
-        "returning partial labels would be silently wrong"
+        if sum_convergence:
+            new_sum = label_sum(updated)
+            changed = new_sum != prev_sum
+            prev_sum = new_sum
+        else:
+            changed = (
+                updated.alias("new")
+                .join(labels.alias("old"), "id")
+                .filter(F.col("new.component") != F.col("old.component"))
+                .limit(1)
+                .count()
+                > 0
+            )
+        labels = updated
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (graph diameter exceeds the cap); raise max_iterations — "
+            "returning partial labels would be silently wrong"
+        )
+
+    isolated = (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(active, "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
     )
+    return labels.unionAll(isolated)
