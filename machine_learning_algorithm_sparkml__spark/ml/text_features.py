@@ -123,6 +123,10 @@ def minhash_lsh_mllib_pairs(
     vecs = tf.transform(shingled)
     # MinHashLSH requires at least one non-zero entry
     vecs = vecs.filter(F.size("shingles") > 0)
+    # materialize once: the self-approxSimilarityJoin reads vecs as BOTH
+    # datasetA and datasetB, and hashes it again inside the join — without
+    # this the shingle+HashingTF plan executes three times
+    vecs = vecs.localCheckpoint(eager=True)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
     model = lsh.fit(vecs)
     joined = model.approxSimilarityJoin(vecs, vecs, jaccard_distance_threshold, distCol="jaccard_dist")
