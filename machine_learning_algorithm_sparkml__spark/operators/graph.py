@@ -47,6 +47,9 @@ def connected_components(
 
     ``vertices``: one row per vertex id. ``edges``: pair rows; treated
     as undirected. Vertices absent from ``edges`` keep their own id.
+    Edge endpoints are expected to be a subset of ``vertices`` (always
+    true for dedup-pair edges derived from the corpus); endpoints
+    outside it are still labeled and appear in the output.
     """
     undirected = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
