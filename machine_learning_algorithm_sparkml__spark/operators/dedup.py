@@ -246,18 +246,21 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str, *, num_bits: int = 6
     """
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     hashed = tok.withColumn("h", F.xxhash64("tok"))
+    # branch-free per-bit aggregate: sum of the raw bit (0/1) plus one
+    # shared token count; the ±1 weighted sum b_i = 2*ones_i - n, so the
+    # sign test "b_i > 0" is exactly "2*ones_i > n"
     bit_sums = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
             for i in range(num_bits)
-        ]
+        ],
     )
     return bit_sums.select(
         F.col(id_col),
         F.array(*[
-            F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)) for i in range(num_bits)
+            F.when(F.col(f"b{i}") * 2 > F.col("n_"), F.lit(1)).otherwise(F.lit(0))
+            for i in range(num_bits)
         ]).alias("simhash"),
     )
 
