@@ -115,9 +115,12 @@ def connected_components(
             "returning partial labels would be silently wrong"
         )
 
+    # anti-join against the CHECKPOINTED labels (one row per edge-active
+    # vertex) — anti-joining `active` would re-execute the raw edges
+    # plan, which may be an expensive similarity self-join
     isolated = (
         vertices.select(F.col(id_col).alias("id"))
-        .join(active, "id", "left_anti")
+        .join(labels.select("id"), "id", "left_anti")
         .select("id", F.col("id").alias("component"))
     )
     return labels.unionAll(isolated)
