@@ -51,15 +51,17 @@ def connected_components(
     true for dedup-pair edges derived from the corpus); endpoints
     outside it are still labeled and appear in the output.
     """
+    # materialize the symmetrized edge list FIRST: its upstream plan
+    # (possibly an expensive similarity self-join) would otherwise
+    # execute once per appearance — it feeds both the self-loop
+    # derivation and the adjacency, and the adjacency joins into EVERY
+    # propagation round
     undirected = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionAll(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     active = undirected.select(F.col("src").alias("id")).distinct()
-    # materialize the adjacency (+ self-loops) once: it joins into EVERY
-    # propagation round; without this its upstream plan (possibly an
-    # expensive similarity self-join) re-executes per iteration
     adjacency = undirected.unionAll(
         active.select(F.col("id").alias("src"), F.col("id").alias("dst"))
     ).localCheckpoint(eager=True)
@@ -76,7 +78,11 @@ def connected_components(
         F.col("src").alias("id"), "component"
     ).localCheckpoint(eager=True)
 
-    sum_convergence = dict(vertices.dtypes).get(id_col) in _INTEGRAL_TYPES
+    # key the convergence strategy on the LABEL type (edge-derived) —
+    # keying on the vertices dtype would silently pick the sum path for
+    # non-numeric labels, whose decimal cast is NULL, and declare
+    # convergence after round 1
+    sum_convergence = dict(undirected.dtypes).get("dst") in _INTEGRAL_TYPES
 
     def label_sum(df: DataFrame):
         return df.agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("s")).first()["s"]

@@ -15,6 +15,18 @@ def test_components_on_known_graph(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
 
 
+def test_components_string_ids_join_fallback(spark):
+    # string labels can't use the label-sum convergence check; this
+    # exercises the join-based fallback end-to-end
+    vertices = spark.createDataFrame([(f"d{i}",) for i in range(1, 8)], "id string")
+    edges = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("d5", "d6")],
+        "id_a string, id_b string",
+    )
+    out = {r.id: r.component for r in connected_components(vertices, edges).collect()}
+    assert out == {"d1": "d1", "d2": "d1", "d3": "d1", "d4": "d1", "d5": "d5", "d6": "d5", "d7": "d7"}
+
+
 def test_components_long_chain_converges(spark):
     # diameter-bound check: min-label propagation needs ~n iterations
     # on a chain (worst case; real near-dup clusters have diameter 2-3)

@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from bench import _force  # same plan-forcing recipe as the official bench
     from machine_learning_algorithm_sparkml__spark import get_session
     from machine_learning_algorithm_sparkml__spark.sources import load_table
     import __spark_entry__ as entrymod
@@ -30,7 +31,7 @@ def main() -> None:
     timings = {}
     for name in keys:
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _force(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
     print(json.dumps(timings))
