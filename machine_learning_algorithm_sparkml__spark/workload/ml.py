@@ -6,8 +6,11 @@ assembler projections ARE SQL-expressible — frequencyDesc indexing is
 replicate it exactly. Tree-ensemble training/eval keys are rows-only
 (SURVEY §5.3); their invariants live in tests/test_ml.py.
 
-Vector outputs are projected through ``vector_to_array`` (VectorUDT
-never crosses the driver-compare boundary — SURVEY §7.6).
+Vector outputs are projected through ``vector_to_array`` and then
+widened to one scalar double column per slot: neither VectorUDT *nor
+plain arrays* may cross the driver-compare boundary (the canonicalizer
+hashes cell values and list cells are unhashable — SURVEY §7.6,
+VERDICT r1 "What's wrong" #1).
 """
 
 from __future__ import annotations
@@ -79,22 +82,27 @@ _INDEX_SQL = """
 def q_ml_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4: one-hot over the priority index (``A related code.txt:
     123-127``). dropLast=True (Spark default, reference-unmodified):
-    5 categories -> 4-dim vector; projected to array<double>."""
+    5 categories -> 4-dim vector, projected to one scalar double column
+    per slot (the driver canonicalizer cannot hash array cells —
+    SURVEY §7.6 / VERDICT r1 #1)."""
     orders = load_table(spark, sf_dir, "orders")
     _, indexed = fit_transform(make_string_indexer("o_orderpriority", "priority_index"), orders)
     _, encoded = fit_transform(make_one_hot_encoder(["priority_index"], ["priority_vec"]), indexed)
+    onehot = vector_to_array(F.col("priority_vec"))
     return encoded.select(
         "o_orderkey",
         F.col("priority_index"),
-        vector_to_array(F.col("priority_vec")).alias("priority_onehot"),
+        *[onehot.getItem(i).alias(f"onehot_{i}") for i in range(4)],
     )
 
 
 # --- M5: VectorAssembler (oracle-checked) --------------------------------------
 
 def q_ml_vector_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M5: numeric columns -> feature vector -> array projection
-    (``MarchineLearningAlgorithm.txt:109-111``)."""
+    """M5: numeric columns -> feature vector -> per-slot scalar projection
+    (``MarchineLearningAlgorithm.txt:109-111``). Slots are read back out
+    of the assembled vector (round-trip through VectorUDT), one double
+    column each, so the driver compare sees only hashable scalars."""
     customer = load_table(spark, sf_dir, "customer")
     base = customer.select(
         "c_custkey",
@@ -103,8 +111,11 @@ def q_ml_vector_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assembler = make_vector_assembler(["f_acctbal", "f_nationkey"], "features_vec")
     assembled = assembler.transform(base)
+    features = vector_to_array(F.col("features_vec"))
     return assembled.select(
-        "c_custkey", vector_to_array(F.col("features_vec")).alias("features")
+        "c_custkey",
+        features.getItem(0).alias("feat_acctbal"),
+        features.getItem(1).alias("feat_nationkey"),
     )
 
 
@@ -253,16 +264,17 @@ ORACLE = {
         _INDEX_SQL.format(col="o_orderpriority", table="orders")
         + """
         SELECT o.o_orderkey, i.index_val AS priority_index,
-               [CASE WHEN i.index_val = 0 THEN 1.0 ELSE 0.0 END,
-                CASE WHEN i.index_val = 1 THEN 1.0 ELSE 0.0 END,
-                CASE WHEN i.index_val = 2 THEN 1.0 ELSE 0.0 END,
-                CASE WHEN i.index_val = 3 THEN 1.0 ELSE 0.0 END] AS priority_onehot
+               CASE WHEN i.index_val = 0 THEN 1.0 ELSE 0.0 END AS onehot_0,
+               CASE WHEN i.index_val = 1 THEN 1.0 ELSE 0.0 END AS onehot_1,
+               CASE WHEN i.index_val = 2 THEN 1.0 ELSE 0.0 END AS onehot_2,
+               CASE WHEN i.index_val = 3 THEN 1.0 ELSE 0.0 END AS onehot_3
         FROM orders o JOIN idx i ON o.o_orderpriority = i.val
         """
     ),
     "ml_vector_assemble": """
         SELECT c_custkey,
-               [CAST(c_acctbal AS DOUBLE), CAST(c_nationkey AS DOUBLE)] AS features
+               CAST(c_acctbal AS DOUBLE) AS feat_acctbal,
+               CAST(c_nationkey AS DOUBLE) AS feat_nationkey
         FROM customer
     """,
     # RF / pipeline / CV / eval / balance: not SQL-expressible -> rows-only

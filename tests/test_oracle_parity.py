@@ -42,3 +42,24 @@ def test_entry_smoke(spark):
     rows = df.limit(5).collect()
     assert df.schema.fieldNames()
     assert len(rows) >= 0
+
+
+# Driver-compare boundary rule (VERDICT r1 "What's wrong" #1): the
+# driver's canonicalizer pandas-sorts and hashes every cell, and list /
+# struct / map cells are unhashable — so NO query key may emit a
+# non-atomic column, oracle-checked or rows-only alike.
+_ATOMIC_OK = (
+    "string", "int", "bigint", "smallint", "tinyint", "double", "float",
+    "boolean", "date", "timestamp", "timestamp_ntz", "binary",
+)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_output_schema_is_atomic(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
+    for field in df.schema.fields:
+        ds = field.dataType.simpleString()
+        assert ds in _ATOMIC_OK or ds.startswith("decimal"), (
+            f"{name}: column {field.name} has non-atomic type {ds}; "
+            "the driver canonicalizer cannot hash it — widen to scalars"
+        )
