@@ -239,9 +239,21 @@ def q_simsearch_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: bucketed near-dup pairs over the full embedding set."""
+    """Rows-only: bucketed near-dup pairs over the embedding set with
+    planted duplicates. The synthetic embeddings are uniform-random
+    (no natural near-dups at threshold 0.9 — top-5 cosine ~0.32), so a
+    0-row result carries no signal; instead every vec_id divisible by
+    100 is re-inserted under id+10_000_000 and the operator must find
+    exactly those pairs at sim 1.0 — a deterministic non-empty result
+    the driver's rows-only check can anchor on."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.9)
+    planted = emb.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    corpus = emb.unionByName(planted)
+    return embedding_near_dup_pairs(
+        corpus, id_col="vec_id", vec_col="embedding", threshold=0.9
+    )
 
 
 # --- multimodal -----------------------------------------------------------------
