@@ -161,3 +161,43 @@ def test_frame_sample_multiplies_rows(docs):
     frames = frame_sample(wrapped, n_frames=4)
     assert frames.count() == 40
     assert frames.filter(F.octet_length("frame_bytes") == 0).count() == 0
+
+
+def test_hot_shingle_cap_prunes_boilerplate_pairs(spark):
+    """Planted ubiquitous shingle (VERDICT r1 #2): docs 1 and 2 share
+    ONLY a boilerplate sentence that appears in every doc; docs 3 and 4
+    are true near-dups. The cap must kill the boilerplate-only pair
+    (its shingles exceed the doc-frequency cap) while keeping the true
+    pair, whose distinctive shingles stay under the cap."""
+    boiler = "all rights reserved contact us for terms of service and privacy"
+    # 14 shared distinctive tokens -> 12 shared 3-gram shingles between
+    # docs 3 and 4; capped Jaccard = 12 / (24 + 24 - 12) = 1/3 >= 0.3
+    # (true set sizes stay uncapped: conservative lower bound)
+    story = "unique penguin story about glaciers in antarctica that are melting and calving very quickly"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (2, f"one two three four five six seven {boiler}"),
+        (3, f"{story} now {boiler}"),
+        (4, f"{story} soon {boiler}"),
+        (5, f"red yellow blue green orange purple {boiler}"),
+        (6, f"north south east west upward downward {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.3
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.3, max_shingle_doc_freq=3
+        ).collect()
+    }
+    # the boilerplate alone pushes EVERY pair over the uncapped threshold
+    assert (1, 2) in uncapped
+    # capped: boilerplate shingles (df=6 > 3) are pruned from candidate
+    # generation, so only the genuinely similar pair survives
+    assert capped == {(3, 4)}, capped
