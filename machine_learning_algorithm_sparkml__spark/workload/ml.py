@@ -121,6 +121,28 @@ def q_ml_vector_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- M6-M11: training/eval keys (rows-only) -------------------------------------
 
+def _majority_baseline(predictions: DataFrame) -> tuple[float, float]:
+    """(majority-class fraction, binomial noise margin) of a scored
+    frame's true labels. The majority fraction is the accuracy a
+    constant classifier achieves; the margin is a 95% normal-approx
+    band (1.96 * sqrt(p(1-p)/n)). The synthetic TPC-H features are
+    independent of the labels, so a correct model lands AT the majority
+    baseline up to sampling noise — the checkable invariant is
+    ``accuracy >= majority - margin`` (a broken model scores far
+    below), not a strict improvement. Driver-side scalar over a tiny
+    grouped count (not a hot path)."""
+    import math
+
+    counts = [
+        r["n"] for r in
+        predictions.groupBy("label_index").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    if not counts:
+        return 0.0, 0.0
+    n = sum(counts)
+    p = max(counts) / n
+    return float(p), float(1.96 * math.sqrt(p * (1.0 - p) / n))
+
 def q_ml_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 via explicit M3 chaining: index -> assemble -> RF fit ->
     predictions on the training frame. Seeded; rows-only check."""
@@ -168,10 +190,11 @@ def q_ml_fit_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     evaluator = make_accuracy_evaluator()
     train, test = seeded_random_split(df, (0.8, 0.2), seed=REFERENCE_SPLIT_SEED)
-    _, _, accuracy = fit_predict_evaluate(pipeline, evaluator, train, test)
+    _, predictions, accuracy = fit_predict_evaluate(pipeline, evaluator, train, test)
+    majority, margin = _majority_baseline(predictions)
     return spark.createDataFrame(
-        [(float(accuracy), train.count(), test.count())],
-        "accuracy double, n_train long, n_test long",
+        [(float(accuracy), majority, bool(accuracy >= majority - margin), train.count(), test.count())],
+        "accuracy double, majority_baseline double, matches_majority boolean, n_train long, n_test long",
     )
 
 
@@ -181,14 +204,22 @@ def q_ml_cross_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = mla_pipeline(covid_like_frame(spark, sf_dir))
     cv_model = result.model
     best_rf = cv_model.bestModel.stages[-1]
+    # matches_majority makes the driver's rows-only check carry signal:
+    # a broken model (accuracy below the majority baseline beyond
+    # sampling noise on the held-out split) flips the column to false
+    # even though the row count stays 1
+    majority, margin = _majority_baseline(result.predictions)
     return spark.createDataFrame(
         [(
             float(result.accuracy),
+            majority,
+            bool(result.accuracy >= majority - margin),
             int(best_rf.getMaxDepth()),
             str(best_rf.getImpurity()),
             len(cv_model.avgMetrics),
         )],
-        "accuracy double, best_max_depth int, best_impurity string, n_param_combos int",
+        "accuracy double, majority_baseline double, matches_majority boolean,"
+        " best_max_depth int, best_impurity string, n_param_combos int",
     )
 
 
@@ -200,14 +231,11 @@ def q_ml_evaluate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     preds = q_ml_random_forest(spark, sf_dir).cache()
     evaluator = make_accuracy_evaluator()
     accuracy = evaluator.evaluate(preds)
-    majority = (
-        preds.groupBy("label_index").count().agg(F.max("count")).collect()[0][0]
-    )
-    total = preds.count()
+    majority, margin = _majority_baseline(preds)
     preds.unpersist()
     return spark.createDataFrame(
-        [(float(accuracy), float(majority / total))],
-        "accuracy double, majority_baseline double",
+        [(float(accuracy), majority, bool(accuracy >= majority - margin))],
+        "accuracy double, majority_baseline double, matches_majority boolean",
     )
 
 
