@@ -51,9 +51,26 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
     exclude_self: bool = True,
+    max_broadcast_queries: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast-cross-join queries against the
-    corpus. Output: (query_id, neighbor_id, rank, sim)."""
+    corpus. Output: (query_id, neighbor_id, rank, sim).
+
+    The query side is broadcast unconditionally, so its size is the
+    scale contract: ``max_broadcast_queries`` fails fast before a large
+    query frame is shipped to every executor (10k x 768 float x ~8 B
+    is ~60 MB — near the practical broadcast ceiling). Batch-scoring a
+    bigger query set is a different plan (LSH/IVF, or a shuffled join
+    on bucketed candidates) — refuse rather than silently OOM the
+    driver."""
+    n_queries = queries.count()
+    if n_queries > max_broadcast_queries:
+        raise ValueError(
+            f"brute_force_topk broadcasts the query side: got {n_queries} "
+            f"query rows > max_broadcast_queries={max_broadcast_queries}; "
+            "use hyperplane_lsh_topk/ivf_topk for large query sets or "
+            "raise the cap explicitly"
+        )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     pairs = c.crossJoin(F.broadcast(q))

@@ -201,3 +201,8 @@ def test_hot_shingle_cap_prunes_boilerplate_pairs(spark):
     # capped: boilerplate shingles (df=6 > 3) are pruned from candidate
     # generation, so only the genuinely similar pair survives
     assert capped == {(3, 4)}, capped
+
+
+def test_brute_force_topk_refuses_oversized_query_broadcast(emb):
+    with pytest.raises(ValueError, match="max_broadcast_queries"):
+        brute_force_topk(emb, emb, k=3, max_broadcast_queries=5)
