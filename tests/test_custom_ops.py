@@ -64,3 +64,26 @@ def test_stateful_totals_equal_batch(spark, sf_dir):
         .collect()
     }
     assert totals == batch
+
+
+def test_asof_join_attaches_columns_from_single_matched_row(spark):
+    """A NULL in one value column of the matched (latest) left row must
+    stay NULL — not be back-filled from an older left row (DuckDB ASOF
+    semantics: all columns come from the one matched row)."""
+    from machine_learning_algorithm_sparkml__spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, 100.0, "old"),
+            (1, 20, None, "new"),   # latest match: price is NULL here
+        ],
+        "k long, ts long, price double, tag string",
+    )
+    right = spark.createDataFrame([(1, 25, "e1")], "k long, ts long, event string")
+    out = asof_join_backward(left, right, "k", "ts", "ts", ["price", "tag"]).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.asof_tag == "new"
+    assert row.asof_price is None, "price back-filled from an older row"
