@@ -377,23 +377,25 @@ def _marker_list(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
 
 
-_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+# COALESCE mirrors the Spark functions' null-hardening (tokens()
+# yields [] on NULL) so the oracles agree even on NULL text
+_TOKENS = "regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')"
 
 ORACLE = {
     "text_token_count": f"""
         SELECT doc_id,
-               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               CAST(CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
                     ELSE len({_TOKENS}) END AS INTEGER) AS n_tokens,
-               CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS INTEGER) AS n_word_tokens,
+               CAST(len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS INTEGER) AS n_word_tokens,
                CAST(length(text) AS INTEGER) AS n_chars_computed
         FROM documents
     """,
     "text_quality": f"""
         WITH t AS (
             SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END AS n_tok,
-                   length(text) AS n_chars,
-                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0 ELSE len({_TOKENS}) END AS n_tok,
+                   length(COALESCE(text, '')) AS n_chars,
+                   length(regexp_replace(COALESCE(text, ''), '[^.,;:!?]', '', 'g')) AS n_punct,
                    len(list_filter({_TOKENS}, x -> x IN ({_STOPWORD_LIST}))) AS n_stop
             FROM documents
         )
@@ -425,7 +427,7 @@ ORACLE = {
         FROM t
     """,
     "doc_fingerprint": """
-        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        SELECT doc_id, md5(regexp_replace(lower(trim(COALESCE(text, ''))), '\\s+', ' ', 'g')) AS fingerprint
         FROM documents
     """,
     "dedup_exact": """
@@ -508,7 +510,7 @@ ORACLE = {
     """,
     "dedup_pipeline_keep": f"""
         WITH fp AS (
-            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+            SELECT doc_id, md5(regexp_replace(lower(trim(COALESCE(text, ''))), '\\s+', ' ', 'g')) AS f
             FROM documents
         ), exact_kept AS (
             SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f
@@ -560,9 +562,9 @@ ORACLE = {
     "text_quality_filter": f"""
         WITH t AS (
             SELECT doc_id, lang,
-                   CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END AS n_tok,
-                   length(text) AS n_chars,
-                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0 ELSE len({_TOKENS}) END AS n_tok,
+                   length(COALESCE(text, '')) AS n_chars,
+                   length(regexp_replace(COALESCE(text, ''), '[^.,;:!?]', '', 'g')) AS n_punct,
                    len(list_filter({_TOKENS}, x -> x IN ({_STOPWORD_LIST}))) AS n_stop
             FROM documents
         ), scored AS (
