@@ -17,9 +17,31 @@ delegate to ``spark.read``/``df.write``.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+
+@contextmanager
+def _nanos_as_long(spark: SparkSession):
+    """Scope ``spark.sql.legacy.parquet.nanosAsLong`` to one read.
+
+    The flag is consulted only at eager schema inference (the
+    ``spark.read.parquet`` call), so restoring the prior value right
+    after is safe — and prevents a side effect where loading events
+    silently changes how every LATER parquet scan in the session
+    treats nanos timestamps."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 #: Driver-generated testdata tables (TESTDATA.md).
 TESTDATA_TABLES = (
@@ -90,8 +112,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+        with _nanos_as_long(spark):
+            df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             # integer div: ns values exceed double's 2^53 exact range
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -36,15 +36,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events parquet file(s). The nanosecond
     timestamp is read as long and rebuilt to a microsecond timestamp,
     mirroring ``sources.io.load_table``."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from machine_learning_algorithm_sparkml__spark.sources.io import _nanos_as_long
+
     # The file stream source lists a DIRECTORY; select just the events
     # file via glob (a production job points at a growing directory).
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    with _nanos_as_long(spark):
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
