@@ -1,0 +1,100 @@
+"""Document chunking and sequence packing — the two reshaping passes
+between a cleaned corpus and a training run.
+
+Both are single-projection / single-window compositions of built-in
+functions (JVM-side, no UDFs, no driver loops):
+
+- ``chunk_fixed``: split each document's token stream into fixed-size
+  windows with overlap — one ``transform`` + ``posexplode``, no
+  shuffle at all (row-local).
+- ``pack_sequences``: assign documents to fixed-capacity context
+  windows ("packs") with a running token cumsum — one window over a
+  hash-sharded partitioning, so packing parallelizes across shards
+  instead of serializing the corpus through one global order (the
+  100 TB constraint; a global greedy pack is inherently sequential).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.functions.text import tokens
+
+
+def chunk_fixed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-window chunking with overlap.
+
+    Chunks start at token offsets ``1, 1+stride, 1+2*stride, ...``
+    (stride = chunk_tokens - overlap) while the offset is within the
+    document; each chunk is ``chunk_tokens`` tokens (the final one
+    may be shorter). Empty/NULL text yields one empty chunk, so every
+    document survives into the chunked corpus (droppable downstream).
+
+    Output: (id, chunk_id, chunk_text, n_chunk_tokens), chunk_id
+    0-based. Row-local — no shuffle, scales linearly.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap={overlap} must be < chunk_tokens={chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    pieces = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(pieces).alias("chunk_id", "_piece")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", "_piece").alias("chunk_text"),
+        F.size("_piece").alias("n_chunk_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    capacity_tokens: int = 256,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Streaming sequence packing: shard documents by hash, order each
+    shard by id, and cut packs wherever the running token count
+    crosses a capacity boundary (``pack_seq = (cumsum - n_tokens) div
+    capacity``). A pack may overflow by at most one document's tokens
+    — the standard streaming-packing trade (the alternative, exact
+    first-fit, is sequential and cannot scale past one partition).
+
+    Output: (id, n_tokens, pack_shard, pack_seq); (pack_shard,
+    pack_seq) is the pack key. One shuffle (the window partitioning).
+    """
+    n_tok = F.size(tokens(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        # id-mod sharding, not a hash: deterministic, engine-portable
+        # (oracle-exact), and uniform for the monotonic ids synthetic
+        # corpora carry; swap in a hash expression for adversarial ids
+        F.pmod(F.col(id_col), F.lit(num_shards)).cast("int").alias("pack_shard"),
+    )
+    w = (
+        Window.partitionBy("pack_shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = base.withColumn("_cum", F.sum("n_tokens").over(w))
+    # integer div (values nonnegative, so trunc == floor in both engines)
+    return packed.select(
+        id_col,
+        "n_tokens",
+        "pack_shard",
+        F.expr(f"(_cum - n_tokens) div {capacity_tokens}").alias("pack_seq"),
+    )

@@ -76,6 +76,54 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass. The synthetic corpus has no PII, so each doc
+    gets a deterministic planted suffix (email + IP + phone derived
+    from doc_id, mirrored in the oracle SQL) — the redactor must mask
+    exactly those spans. Output keeps the redacted text and per-
+    category counts."""
+    from machine_learning_algorithm_sparkml__spark.functions.redact import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" reach doc"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+        F.lit(" from 10.0."), F.pmod(F.col("doc_id"), F.lit(256)).cast("string"), F.lit(".7"),
+        F.lit(" call +1 415 555 0199"),
+    )
+    counts = pii_counts(planted)
+    return docs.select(
+        "doc_id",
+        redact_pii(planted).alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+def q_doc_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking (64 tokens, 16 overlap) — row-local, no
+    shuffle. Oracle: range()+list-slice SQL."""
+    from machine_learning_algorithm_sparkml__spark.operators.chunking import chunk_fixed
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_fixed(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded streaming sequence packing into 256-token context
+    windows. Oracle: windowed cumsum SQL with the same shard/div."""
+    from machine_learning_algorithm_sparkml__spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", capacity_tokens=256, num_shards=32)
+
+
 # --- dedup ----------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,6 +399,9 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "text_pii_redact": q_text_pii_redact,
+    "doc_chunk_fixed": q_doc_chunk_fixed,
+    "doc_pack_sequences": q_doc_pack_sequences,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -429,6 +480,62 @@ ORACLE = {
     "doc_fingerprint": """
         SELECT doc_id, md5(regexp_replace(lower(trim(COALESCE(text, ''))), '\\s+', ' ', 'g')) AS fingerprint
         FROM documents
+    """,
+    # plain string (not f-string): the regex quantifier braces must stay literal
+    "text_pii_redact": """
+        WITH planted AS (
+            SELECT doc_id,
+                   COALESCE(text, '') || ' reach doc' || CAST(doc_id AS VARCHAR)
+                   || '@example.com' || ' from 10.0.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                   || ' call +1 415 555 0199' AS t
+            FROM documents
+        ), r1 AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+                   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t
+            FROM planted
+        ), r2 AS (
+            SELECT doc_id, n_email,
+                   CAST(len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INTEGER) AS n_ipv4,
+                   regexp_replace(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g') AS t
+            FROM r1
+        )
+        SELECT doc_id,
+               regexp_replace(t, '\\+[0-9][0-9 ()-]{6,}[0-9]', '[PHONE]', 'g') AS redacted,
+               n_email, n_ipv4,
+               CAST(len(regexp_extract_all(t, '\\+[0-9][0-9 ()-]{6,}[0-9]')) AS INTEGER) AS n_phone
+        FROM r2
+    """,
+    "doc_chunk_fixed": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') END AS t
+            FROM documents
+        ), starts AS (
+            SELECT doc_id, t, u.s AS s
+            FROM toks, UNNEST(range(1, GREATEST(len(t), 1) + 1, 48)) AS u(s)
+        )
+        SELECT doc_id,
+               CAST((s - 1) // 48 AS INTEGER) AS chunk_id,
+               array_to_string(t[s : s + 63], ' ') AS chunk_text,
+               CAST(len(t[s : s + 63]) AS INTEGER) AS n_chunk_tokens
+        FROM starts
+    """,
+    "doc_pack_sequences": """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) END AS INTEGER) AS n_tokens,
+                   CAST(doc_id % 32 AS INTEGER) AS pack_shard
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, pack_shard,
+               (CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens) // 256 AS pack_seq
+        FROM t
+        WINDOW w AS (PARTITION BY pack_shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     "dedup_exact": """
         SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

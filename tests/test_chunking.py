@@ -1,0 +1,105 @@
+"""Property tests for chunking, sequence packing, and PII redaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.functions.redact import (
+    pii_counts,
+    redact_pii,
+)
+from machine_learning_algorithm_sparkml__spark.operators.chunking import (
+    chunk_fixed,
+    pack_sequences,
+)
+from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+
+def test_chunk_fixed_windows_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(chunk_fixed(df, "doc_id", "text", chunk_tokens=64, overlap=16).collect(),
+                  key=lambda r: r.chunk_id)
+    # stride 48 over 100 tokens -> starts 1, 49, 97 -> 3 chunks
+    assert [r.chunk_id for r in rows] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in rows] == [64, 52, 4]
+    # consecutive chunks overlap by 16 tokens
+    first, second = rows[0].chunk_text.split(), rows[1].chunk_text.split()
+    assert first[-16:] == second[:16]
+    # every token appears in some chunk, in order
+    joined = []
+    for i, r in enumerate(rows):
+        toks = r.chunk_text.split()
+        joined.extend(toks if i == 0 else toks[16:])
+    assert joined == text.split()
+
+
+def test_chunk_fixed_empty_and_null_text(spark):
+    df = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    rows = chunk_fixed(df, "doc_id", "text").collect()
+    assert {(r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens) for r in rows} == {
+        (1, 0, "", 0),
+        (2, 0, "", 0),
+    }
+
+
+def test_chunk_fixed_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_fixed(df, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
+def test_pack_sequences_capacity_bound(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    capacity = 256
+    packed = pack_sequences(docs, "doc_id", "text", capacity_tokens=capacity, num_shards=8)
+    per_pack = packed.groupBy("pack_shard", "pack_seq").agg(
+        F.sum("n_tokens").alias("total"), F.max("n_tokens").alias("biggest")
+    )
+    # streaming-pack overflow bound: a pack exceeds capacity by less
+    # than its final (straddling) document
+    bad = per_pack.filter(F.col("total") >= capacity + F.col("biggest")).count()
+    assert bad == 0
+    # deterministic: same input -> identical assignment
+    again = pack_sequences(docs, "doc_id", "text", capacity_tokens=capacity, num_shards=8)
+    assert sorted(map(tuple, packed.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_pack_sequences_fills_packs_in_id_order(spark):
+    rows = [(i, " ".join(["tok"] * 10)) for i in range(12)]  # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = {r.doc_id: r.pack_seq for r in
+              pack_sequences(df, "doc_id", "text", capacity_tokens=25, num_shards=1).collect()}
+    # cumsum before doc: 0,10,20,...; pack = that div 25
+    assert packed == {i: (i * 10) // 25 for i in range(12)}
+
+
+def test_redact_pii_masks_planted_spans(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+tag@corp.example.org now"),
+            (2, "server at 192.168.0.1 rebooted"),
+            (3, "call +1 (415) 555-0199 today"),
+            (4, "clean text with no pii at all"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    counts = pii_counts(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("red"),
+            counts["email"].alias("n_email"),
+            counts["ipv4"].alias("n_ipv4"),
+            counts["phone"].alias("n_phone"),
+        ).collect()
+    }
+    assert out[1].red == "mail [EMAIL] now" and out[1].n_email == 1
+    assert out[2].red == "server at [IP] rebooted" and out[2].n_ipv4 == 1
+    assert out[3].red == "call [PHONE] today" and out[3].n_phone == 1
+    assert out[4].red == "clean text with no pii at all"
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (0, 0, 0)
+    assert out[5].red == ""

@@ -57,3 +57,33 @@ def test_window_group_limit_applied(spark, sf_dir):
     from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
 
     assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_chunk_fixed_is_shuffle_free(spark, sf_dir):
+    """Chunking is row-local: explode + projection, no Exchange."""
+    from machine_learning_algorithm_sparkml__spark.operators.chunking import chunk_fixed
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+
+    # other modules cache `documents`; a cached relation would replace
+    # the parquet scan this test asserts on
+    spark.catalog.clearCache()
+    df = chunk_fixed(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, "chunking must not shuffle"
+    # only the two referenced columns reach the scan
+    from machine_learning_algorithm_sparkml__spark.plans import scan_read_schema_columns
+
+    assert scan_read_schema_columns(df)[0] == ["doc_id", "text"]
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """Packing needs exactly one Exchange (the shard window)."""
+    from machine_learning_algorithm_sparkml__spark.operators.chunking import (
+        pack_sequences,
+    )
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+
+    df = pack_sequences(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    plan = formatted_plan(df)
+    # one numbered Exchange node in the formatted plan detail
+    assert plan.count(") Exchange") == 1, plan
