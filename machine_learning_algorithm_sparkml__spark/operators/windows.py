@@ -60,3 +60,55 @@ def sort_limit(df: DataFrame, order_by: Sequence[Column], n: int) -> DataFrame:
     merge of n-row heaps — no full global sort even at 100 TB. Callers
     should include a unique tie-break column for determinism."""
     return df.orderBy(*order_by).limit(n)
+
+
+def analytic_lag_lead(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str,
+    *,
+    offset: int = 1,
+) -> DataFrame:
+    """Per-group series analytics: ``lag``/``lead`` of the value column
+    plus ``row_number`` — the previous/next-observation pattern of
+    sessionized event analysis (additive; the reference uses only
+    ``rank``, ``...USElectionPrediction.txt:89``).
+
+    Scale: ONE shuffle on the partition keys serves all three window
+    expressions (identical window spec -> a single Window physical
+    node). ``order_by`` must include a unique tie-break column for
+    deterministic lag/lead values."""
+    spec = Window.partitionBy(*[F.col(c) for c in partition_by]).orderBy(*order_by)
+    return df.select(
+        "*",
+        F.lag(value_col, offset).over(spec).alias(f"prev_{value_col}"),
+        F.lead(value_col, offset).over(spec).alias(f"next_{value_col}"),
+        F.row_number().over(spec).alias("seq"),
+    )
+
+
+def moving_aggregate(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str,
+    *,
+    window_rows: int = 3,
+) -> DataFrame:
+    """Trailing moving average (last ``window_rows`` rows) and running
+    total per group — explicit ROWS frames (the reference never uses
+    frame specs; SURVEY §2.6 notes the gap).
+
+    Both expressions share one window partitioning: one shuffle, two
+    frames. Outputs are rounded because windowed SUM/AVG association
+    order is engine-specific (Spark streams the frame; other engines
+    may use segment trees), so the last ulp is not portable."""
+    spec = Window.partitionBy(*[F.col(c) for c in partition_by]).orderBy(*order_by)
+    trailing = spec.rowsBetween(-(window_rows - 1), 0)
+    running = spec.rowsBetween(Window.unboundedPreceding, 0)
+    return df.select(
+        "*",
+        F.round(F.avg(value_col).over(trailing), 6).alias(f"avg_{value_col}_{window_rows}"),
+        F.round(F.sum(value_col).over(running), 4).alias(f"cum_{value_col}"),
+    )

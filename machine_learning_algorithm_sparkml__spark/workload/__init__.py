@@ -10,9 +10,15 @@ sorting columns BY NAME and hashing values, so every computed column is
 aliased identically on both sides.
 """
 
-from machine_learning_algorithm_sparkml__spark.workload import llm, ml, relational, streaming
+from machine_learning_algorithm_sparkml__spark.workload import (
+    analytics,
+    llm,
+    ml,
+    relational,
+    streaming,
+)
 
-ALL_QUERY_MODULES = [relational, ml, llm, streaming]
+ALL_QUERY_MODULES = [relational, analytics, ml, llm, streaming]
 
 
 def all_queries():

@@ -1,0 +1,304 @@
+"""Analytic query-keys beyond the reference surface (additive; the
+reference's only window function is ``rank`` and its only aggregate is
+``count`` — SURVEY.md §2.5-2.6). These are the series-analytics,
+statistics, and data-profiling operators an engine user expects:
+lag/lead, moving frames, grouping sets, scalar string/date function
+packs, approximate aggregates, histograms, and outlier detection.
+
+Oracle discipline (module contract):
+- every computed column aliased identically on both sides;
+- windowed SUM/AVG and multi-pass statistical moments are rounded —
+  association order is engine-specific;
+- approximate aggregates (HLL, t-digest) are engine-specific by
+  construction, so the oracle-checkable surface is an exactness
+  INVARIANT: the Spark side emits ``*_ok`` booleans (approx within
+  tolerance of the exact value) and the oracle asserts literal TRUE —
+  a hash mismatch means the sketch drifted out of tolerance;
+- DuckDB returns BIGINT/DOUBLE where Spark returns INT/DATE: casts
+  pinned in the SQL, not papered over in the Spark plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.operators.windows import (
+    analytic_lag_lead,
+    moving_aggregate,
+)
+from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+
+# --- window analytics ----------------------------------------------------------
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous/next event value per user — lag/lead/row_number share
+    one window spec (single shuffle on user_id)."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return analytic_lag_lead(
+        events, ["user_id"], [F.asc("ts"), F.asc("event_id")], "value"
+    )
+
+
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-row moving average + running total of event values
+    per user — explicit ROWS frames, one shuffle for both."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return moving_aggregate(
+        events, ["user_id"], [F.asc("ts"), F.asc("event_id")], "value", window_rows=3
+    )
+
+
+# --- statistical aggregates ----------------------------------------------------
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group: sample stddev/variance,
+    correlation, covariance. All are single-pass partial-aggregatable
+    (sum/sum-of-squares/sum-of-products) — map-side combine applies at
+    scale. Rounded: moment accumulation order is engine-specific."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    )
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((returnflag), (linestatus), ()) — the
+    general form of rollup/cube (already covered by `agg_rollup` /
+    `agg_cube`); one Expand + one aggregate exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates: HyperLogLog++ distinct count and
+    quantile sketch vs their exact counterparts. At 100 TB these ARE
+    the distinct-count/quantile path (exact countDistinct needs a
+    global shuffle of all distinct values; the sketches merge in fixed
+    memory). Oracle checks the exact columns and the within-tolerance
+    invariants (booleans must be TRUE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_p50_exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("_p50_approx"),
+    )
+    return raw.select(
+        "n_parts_exact",
+        (
+            F.abs(F.col("_approx_parts") - F.col("n_parts_exact"))
+            <= 0.05 * F.col("n_parts_exact")
+        ).alias("approx_distinct_ok"),
+        (
+            F.abs(F.col("_p50_approx") - F.col("_p50_exact")) <= 0.01 * F.col("_p50_exact")
+        ).alias("approx_p50_ok"),
+    )
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bucket = floor(x/50000).
+    One hash aggregate (map-side combine) — the profiling primitive."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+def q_filter_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier detection on per-customer total spend: aggregate,
+    compute global Q1/Q3 (one-row frame), broadcast the fences back
+    over the aggregate, keep rows outside [Q1-1.5*IQR, Q3+1.5*IQR].
+
+    The per-customer sum is rounded BEFORE the quantile so both
+    engines interpolate over bit-identical inputs. The one-row fence
+    frame crosses via a broadcast nested-loop join — no shuffle of the
+    spend table."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    fences = spend.agg(
+        F.expr("percentile(total_spend, 0.25)").alias("_q1"),
+        F.expr("percentile(total_spend, 0.75)").alias("_q3"),
+    )
+    flagged = spend.crossJoin(F.broadcast(fences))
+    iqr = F.col("_q3") - F.col("_q1")
+    return flagged.filter(
+        (F.col("total_spend") < F.col("_q1") - 1.5 * iqr)
+        | (F.col("total_spend") > F.col("_q3") + 1.5 * iqr)
+    ).select("o_custkey", "total_spend", "n_orders")
+
+
+# --- scalar function packs -----------------------------------------------------
+
+def q_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function pack over ``part``: case mapping, substring,
+    concat, padding, regex extraction, split, reverse — all JVM
+    expressions inside one whole-stage-codegen'd projection."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.split("p_type", " ").getItem(0).alias("type_first"),
+        F.reverse("p_name").alias("name_rev"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+def q_scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function pack over ``orders``: field extraction,
+    truncation, arithmetic, formatting. Session timezone is pinned
+    UTC (session.py) so extraction matches any naive-timestamp engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.trunc(d, "month").alias("month_start"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.datediff(F.to_date(F.lit("2024-12-31")), d).alias("days_to_eoy"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+# --- stratified sampling -------------------------------------------------------
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum seeded Bernoulli sampling (``sampleBy``) — the
+    class-targeted generalization of the reference's global
+    undersampling (``A related code.txt:78``). No SQL oracle: Spark
+    RNG semantics; per-stratum rate invariants in tests."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.sampleBy(
+        "o_orderstatus", fractions={"F": 0.3, "O": 0.1, "P": 0.5}, seed=754
+    )
+
+
+QUERIES = {
+    "window_lag_lead": q_window_lag_lead,
+    "window_moving_avg": q_window_moving_avg,
+    "agg_stats": q_agg_stats,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "agg_approx": q_agg_approx,
+    "agg_histogram": q_agg_histogram,
+    "filter_outlier_iqr": q_filter_outlier_iqr,
+    "scalar_string_funcs": q_scalar_string_funcs,
+    "scalar_date_funcs": q_scalar_date_funcs,
+    "sample_stratified": q_sample_stratified,
+}
+
+ORACLE = {
+    "window_lag_lead": """
+        SELECT event_id, user_id, ts, value,
+               LAG(value, 1) OVER w AS prev_value,
+               LEAD(value, 1) OVER w AS next_value,
+               CAST(ROW_NUMBER() OVER w AS INTEGER) AS seq
+        FROM (SELECT event_id, user_id, ts, value FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    "window_moving_avg": """
+        SELECT event_id, user_id, ts, value,
+               ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg_value_3,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value
+        FROM (SELECT event_id, user_id, ts, value FROM events)
+    """,
+    "agg_stats": """
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+               ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS covar_qty_disc
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "agg_approx": """
+        SELECT COUNT(DISTINCT l_partkey) AS n_parts_exact,
+               TRUE AS approx_distinct_ok,
+               TRUE AS approx_p50_ok
+        FROM lineitem
+    """,
+    "agg_histogram": """
+        SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER) AS bucket,
+               COUNT(*) AS n_orders,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders GROUP BY 1
+    """,
+    "filter_outlier_iqr": """
+        WITH spend AS (
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        ), fences AS (
+            SELECT quantile_cont(total_spend, 0.25) AS q1,
+                   quantile_cont(total_spend, 0.75) AS q3
+            FROM spend
+        )
+        SELECT s.o_custkey, s.total_spend, s.n_orders
+        FROM spend s, fences f
+        WHERE s.total_spend < f.q1 - 1.5 * (f.q3 - f.q1)
+           OR s.total_spend > f.q3 + 1.5 * (f.q3 - f.q1)
+    """,
+    "scalar_string_funcs": """
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               SUBSTRING(p_name, 1, 8) AS name_prefix,
+               CONCAT_WS('-', p_brand, p_type) AS brand_type,
+               LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+               regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+               split_part(p_type, ' ', 1) AS type_first,
+               REVERSE(p_name) AS name_rev,
+               CAST(LENGTH(p_name) AS INTEGER) AS name_len
+        FROM part
+    """,
+    "scalar_date_funcs": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               CAST(day(o_orderdate) AS INTEGER) AS dom,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-12-31') AS INTEGER) AS days_to_eoy,
+               strftime(o_orderdate, '%Y-%m') AS ym
+        FROM orders
+    """,
+    # sample_stratified: Spark per-stratum RNG, rows-only check.
+}

@@ -1,0 +1,82 @@
+"""Invariants for the analytics workload keys that the oracle can't
+cover (seeded sampling, plan shape). Oracle-checked keys are covered
+by tests/test_oracle_parity.py automatically."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.workload import analytics
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    full = (
+        analytics.load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = {r["o_orderstatus"]: r["n"] for r in full.collect()}
+    sampled = analytics.q_sample_stratified(spark, sf_dir)
+    got = {
+        r["o_orderstatus"]: r["n"]
+        for r in sampled.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    targets = {"F": 0.3, "O": 0.1, "P": 0.5}
+    for status, frac in targets.items():
+        expected = totals[status] * frac
+        # 5-sigma binomial margin so the seeded draw never flakes
+        margin = 5 * (totals[status] * frac * (1 - frac)) ** 0.5
+        assert abs(got.get(status, 0) - expected) <= margin, (status, got, expected)
+    # seeded => identical on rerun
+    again = analytics.q_sample_stratified(spark, sf_dir)
+    assert sampled.exceptAll(again).isEmpty() and again.exceptAll(sampled).isEmpty()
+
+
+def test_lag_lead_group_boundaries(spark, sf_dir):
+    out = analytics.q_window_lag_lead(spark, sf_dir)
+    firsts = out.filter(F.col("seq") == 1)
+    assert firsts.filter(F.col("prev_value").isNotNull()).isEmpty()
+    # every user contributes exactly one seq=1 row
+    n_users = out.select("user_id").distinct().count()
+    assert firsts.count() == n_users
+
+
+def test_moving_avg_first_row_equals_value(spark, sf_dir):
+    out = analytics.q_window_moving_avg(spark, sf_dir)
+    ranked = out.withColumn(
+        "rn",
+        F.row_number().over(
+            analytics.Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+        ),
+    )
+    firsts = ranked.filter(F.col("rn") == 1)
+    bad = firsts.filter(
+        (F.abs(F.col("avg_value_3") - F.col("value")) > 1e-6)
+        | (F.abs(F.col("cum_value") - F.col("value")) > 1e-4)
+    )
+    assert bad.isEmpty()
+
+
+def test_window_keys_single_shuffle(spark, sf_dir):
+    """Both window keys must shuffle exactly once: all their window
+    expressions share one partitioning."""
+    for fn in (analytics.q_window_lag_lead, analytics.q_window_moving_avg):
+        plan = _physical_plan(fn(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_outlier_iqr_no_spend_shuffle_for_fences(spark, sf_dir):
+    """The one-row fence frame must cross via broadcast, not shuffle
+    the spend aggregate again."""
+    plan = _physical_plan(analytics.q_filter_outlier_iqr(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_approx_invariants_hold(spark, sf_dir):
+    row = analytics.q_agg_approx(spark, sf_dir).collect()[0]
+    assert row["approx_distinct_ok"] is True
+    assert row["approx_p50_ok"] is True
