@@ -111,6 +111,28 @@ def lang_id(text: Column) -> Column:
     return F.when(max_hits == 0, F.lit("und")).otherwise(winner["lang"])
 
 
+#: md5-first-hex-char bucketing for the deterministic split: 16 hex
+#: chars -> 12/2/2 ~ 75/12.5/12.5. Content- or id-keyed, the split is
+#: stable across runs, partitionings, and engines (md5 is md5).
+SPLIT_TRAIN_HEX: tuple[str, ...] = tuple("0123456789ab")
+SPLIT_VAL_HEX: tuple[str, ...] = ("c", "d")
+
+
+def hash_split_label(key: Column) -> Column:
+    """Deterministic train/val/test assignment from a hash of ``key``
+    (use a content fingerprint so duplicate documents always land in
+    the SAME split — no train/test leakage through near-copies; or an
+    id for pure random-but-stable assignment). Pure projection: no
+    shuffle, no RNG state, reproducible on any engine that computes
+    md5 of the same bytes."""
+    c = F.substring(F.md5(key.cast("string")), 1, 1)
+    return (
+        F.when(c.isin(*SPLIT_TRAIN_HEX), F.lit("train"))
+        .when(c.isin(*SPLIT_VAL_HEX), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 over the normalized
     text (lowercased, whitespace collapsed). Exact-dedup key that is

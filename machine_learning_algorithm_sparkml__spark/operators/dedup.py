@@ -134,6 +134,37 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def decontaminate_by_shingle(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document sharing at
+    least one word ``n``-gram with any benchmark document — the
+    standard guard against eval-set leakage into training data.
+
+    Scale design: the benchmark side (eval suites — thousands of docs,
+    not billions) reduces to a distinct shingle set that is explicitly
+    ``broadcast``; the corpus is scanned once, its shingles probe the
+    broadcast hash map-side, and only the (small) contaminated id set
+    shuffles for the anti-join. The corpus is never self-joined and
+    never shuffled by shingle. Output: surviving corpus rows, schema
+    unchanged."""
+    bench_shingles = (
+        shingle_sets(benchmark, id_col, text_col, n).select("shingle").distinct()
+    )
+    corpus_shingles = shingle_sets(corpus, id_col, text_col, n)
+    contaminated = (
+        corpus_shingles.join(F.broadcast(bench_shingles), "shingle")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 # --- MinHash + LSH -----------------------------------------------------------------
 
 def minhash_signatures(

@@ -23,6 +23,7 @@ from machine_learning_algorithm_sparkml__spark.functions.text import (
     quality_score,
     stopword_ratio,
     token_count,
+    tokens,
     word_token_count,
 )
 from machine_learning_algorithm_sparkml__spark.operators.dedup import (
@@ -122,6 +123,65 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, "doc_id", "text", capacity_tokens=256, num_shards=32)
+
+
+def q_doc_tokens_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral token view: one row per (doc, position, token) via
+    ``posexplode`` — the flattening step feeding vocabulary builds and
+    positional n-gram passes. Narrow (no shuffle); output size is the
+    corpus token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+    )
+
+
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 non-stopword terms by frequency.
+    explode -> hash-aggregate (map-side combine) -> TakeOrdered; the
+    full term frequency table never sorts globally. Ties at the limit
+    boundary break by term."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(~F.col("term").isin(*STOPWORDS))
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split keyed on the CONTENT
+    fingerprint, so byte-identical documents always share a split (no
+    leakage through exact copies). Pure projection — no RNG, no
+    shuffle; reproducible on any engine."""
+    from machine_learning_algorithm_sparkml__spark.functions.text import hash_split_label
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", hash_split_label(doc_fingerprint(F.col("text"))).alias("split")
+    )
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with ``doc_id % 97 == 0`` stand
+    in for an eval suite; every other doc sharing a word 4-gram with
+    them is dropped. Benchmark shingles broadcast; corpus scanned once
+    (operators/dedup.py:decontaminate_by_shingle). Output: surviving
+    corpus doc_ids."""
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+        decontaminate_by_shingle,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate_by_shingle(corpus, benchmark, "doc_id", "text", n=4).select(
+        "doc_id"
+    )
 
 
 # --- dedup ----------------------------------------------------------------------
@@ -402,6 +462,10 @@ QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "doc_chunk_fixed": q_doc_chunk_fixed,
     "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_tokens_explode": q_doc_tokens_explode,
+    "text_top_terms": q_text_top_terms,
+    "doc_hash_split": q_doc_hash_split,
+    "decontaminate_ngram": q_decontaminate_ngram,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -536,6 +600,64 @@ ORACLE = {
         FROM t
         WINDOW w AS (PARTITION BY pack_shard ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    # DuckDB has no UNNEST WITH ORDINALITY: positions come from
+    # range(1, len+1) subscripting (empty arrays -> empty range -> no
+    # rows, matching posexplode)
+    "doc_tokens_explode": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') END AS t
+            FROM documents
+        )
+        SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, t[CAST(u.i AS INTEGER)] AS token
+        FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    """,
+    "text_top_terms": f"""
+        WITH toks AS (
+            SELECT CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\\s+') END AS t
+            FROM documents
+        ), terms AS (
+            SELECT u.term FROM toks, UNNEST(t) AS u(term)
+            WHERE u.term NOT IN ({_STOPWORD_LIST})
+        )
+        SELECT term, COUNT(*) AS n FROM terms
+        GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
+    """,
+    "doc_hash_split": """
+        WITH fp AS (
+            SELECT doc_id,
+                   substring(md5(md5(regexp_replace(lower(trim(COALESCE(text, ''))), '\\s+', ' ', 'g'))), 1, 1) AS c
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN c IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                    WHEN c IN ('c','d') THEN 'val'
+                    ELSE 'test' END AS split
+        FROM fp
+    """,
+    "decontaminate_ngram": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+        ), sh_raw AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                        ELSE list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))
+                   END AS sh
+            FROM toks
+        ), shingles AS (
+            SELECT DISTINCT doc_id, u.shingle FROM sh_raw, UNNEST(sh) AS u(shingle)
+        ), bench AS (
+            SELECT DISTINCT shingle FROM shingles WHERE doc_id % 97 = 0
+        ), contaminated AS (
+            SELECT DISTINCT s.doc_id FROM shingles s JOIN bench b ON s.shingle = b.shingle
+            WHERE s.doc_id % 97 <> 0
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     """,
     "dedup_exact": """
         SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

@@ -1,0 +1,81 @@
+"""Planted-scenario tests for the corpus-hygiene operators:
+benchmark decontamination and deterministic hash splitting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.functions.text import (
+    doc_fingerprint,
+    hash_split_label,
+)
+from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+    decontaminate_by_shingle,
+)
+
+
+def test_decontaminate_drops_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim 4-gram lifted from the benchmark -> contaminated
+            (10, "witness the quick brown fox escaping again"),
+            # shares words but never a 4-gram -> clean
+            (11, "a brown dog and a quick cat nap"),
+            (12, "entirely unrelated text about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = decontaminate_by_shingle(corpus, bench, "doc_id", "text", n=4)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 12]
+
+
+def test_decontaminate_keeps_schema(spark):
+    bench = spark.createDataFrame([(1, "alpha beta gamma delta")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(2, "some other words entirely here")], "doc_id long, text string"
+    )
+    kept = decontaminate_by_shingle(corpus, bench, "doc_id", "text", n=4)
+    assert kept.columns == corpus.columns
+    assert kept.count() == 1
+
+
+def test_hash_split_deterministic_and_leakage_free(spark):
+    # duplicate texts (different ids) must land in the SAME split when
+    # keyed on the content fingerprint
+    df = spark.createDataFrame(
+        [(i, f"document number {i % 50} body text") for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        "text",
+        hash_split_label(doc_fingerprint(F.col("text"))).alias("split"),
+    )
+    per_text = out.groupBy("text").agg(F.countDistinct("split").alias("k"))
+    assert per_text.filter(F.col("k") > 1).isEmpty()
+    # rerun => identical assignment
+    again = df.select(
+        "doc_id", hash_split_label(doc_fingerprint(F.col("text"))).alias("split")
+    )
+    first = out.select("doc_id", "split")
+    assert first.exceptAll(again).isEmpty() and again.exceptAll(first).isEmpty()
+
+
+def test_hash_split_proportions(spark):
+    # over 2000 distinct keys the 12/2/2 hex split should be ~75/12.5/12.5
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    got = {
+        r["split"]: r["n"]
+        for r in df.select(hash_split_label(F.col("k")).alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == {"train", "val", "test"}
+    assert 0.70 <= got["train"] / 2000 <= 0.80
+    assert 0.08 <= got["val"] / 2000 <= 0.17
+    assert 0.08 <= got["test"] / 2000 <= 0.17
