@@ -1,11 +1,19 @@
 from machine_learning_algorithm_sparkml__spark.streaming.events import (
     read_events_stream,
+    run_stream_static_join,
+    run_streaming_dedup,
+    run_streaming_sliding_counts,
     run_streaming_window_counts,
+    sliding_event_counts,
     windowed_event_counts,
 )
 
 __all__ = [
     "read_events_stream",
     "windowed_event_counts",
+    "sliding_event_counts",
     "run_streaming_window_counts",
+    "run_streaming_sliding_counts",
+    "run_streaming_dedup",
+    "run_stream_static_join",
 ]

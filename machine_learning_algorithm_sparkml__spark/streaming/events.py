@@ -72,6 +72,100 @@ def windowed_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 hour",
+    slide_duration: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding event-time windows: each event contributes to
+    window/slide overlapping windows (2 here). State is keyed by
+    (window, event_type) exactly as tumbling; the overlap factor
+    multiplies state size, which the watermark still bounds."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration, slide_duration).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _run_to_completion(spark: SparkSession, agg: DataFrame, *, output_mode: str) -> DataFrame:
+    """Drive a bounded streaming query to completion through a memory
+    sink and return the materialized result."""
+    query_name = f"stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = spark.table(query_name)
+    rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
+
+
+def run_streaming_sliding_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window_duration: str = "1 hour",
+    slide_duration: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window counts over the bounded events stream; complete
+    mode => equals the batch overlap expansion the oracle computes."""
+    events = read_events_stream(spark, sf_dir)
+    agg = sliding_event_counts(
+        events, window_duration=window_duration, slide_duration=slide_duration
+    )
+    return _run_to_completion(spark, agg, output_mode="complete")
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the bounded events stream is doubled
+    (every row planted twice via explode) and
+    ``dropDuplicatesWithinWatermark`` must restore exactly one row per
+    event_id — the streaming half of the corpus dedup story. State
+    holds only ids younger than the watermark; append mode emits each
+    first occurrence immediately."""
+    events = read_events_stream(spark, sf_dir)
+    doubled = events.withColumn("_copy", F.explode(F.array(F.lit(0), F.lit(1)))).drop("_copy")
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    out = deduped.select("event_id", "user_id", "ts", "event_type", "value")
+    return _run_to_completion(spark, out, output_mode="append")
+
+
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each event picks up the customer
+    dimension row (user_id == c_custkey). The static side is a bounded
+    dim -> Spark broadcasts it to every micro-batch task; the stream is
+    never shuffled and no state is kept (stateless join)."""
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_name", "c_mktsegment"
+    )
+    joined = events.join(customer, events["user_id"] == customer["c_custkey"]).select(
+        "event_id", "user_id", "event_type", "value", "c_name", "c_mktsegment"
+    )
+    return _run_to_completion(spark, joined, output_mode="append")
+
+
 def run_streaming_window_counts(
     spark: SparkSession,
     sf_dir: str,
@@ -85,20 +179,6 @@ def run_streaming_window_counts(
     sink holds the full aggregation, equal to the batch (and SQL
     oracle) result — the streaming/batch unification Spark guarantees.
     """
-    query_name = f"ev_counts_{uuid.uuid4().hex[:8]}"
     events = read_events_stream(spark, sf_dir)
     agg = windowed_event_counts(events, window_duration=window_duration)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    # Materialize before the sink table goes away.
-    result = spark.table(query_name)
-    rows = result.collect()
-    return spark.createDataFrame(rows, result.schema)
+    return _run_to_completion(spark, agg, output_mode="complete")

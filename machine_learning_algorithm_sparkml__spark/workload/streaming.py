@@ -54,8 +54,41 @@ def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful_running_totals(spark, sf_dir)
 
 
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h window / 30 min slide): every event lands
+    in 2 windows. Oracle: batch overlap expansion (each event joined
+    to its k=2 aligned window starts)."""
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_sliding_counts,
+    )
+
+    return run_streaming_sliding_counts(
+        spark, sf_dir, window_duration="1 hour", slide_duration="30 minutes"
+    )
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup over a planted-duplicate stream (every
+    event doubled): dropDuplicatesWithinWatermark must restore one row
+    per event_id. Oracle: the original events table."""
+    from machine_learning_algorithm_sparkml__spark.streaming import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf_dir)
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless stream-static broadcast join: events enriched with the
+    customer dim. Oracle: the equivalent batch join."""
+    from machine_learning_algorithm_sparkml__spark.streaming import run_stream_static_join
+
+    return run_stream_static_join(spark, sf_dir)
+
+
 QUERIES = {
     "streaming_window_counts": q_streaming_window_counts,
+    "streaming_sliding_counts": q_streaming_sliding_counts,
+    "streaming_dedup": q_streaming_dedup,
+    "stream_static_join": q_stream_static_join,
     "streaming_stateful_totals": q_streaming_stateful_totals,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
@@ -74,6 +107,32 @@ ORACLE = {
                ROUND(SUM(value), 2) AS sum_value
         FROM events
         GROUP BY 1, 2, 3
+    """,
+    # Sliding windows (W=1h, S=30min): an event at t belongs to the
+    # k in {0,1} windows starting at time_bucket(30min, t) - k*30min —
+    # Spark's epoch-aligned window(ts, W, S) semantics reproduced by
+    # overlap expansion
+    "streaming_sliding_counts": """
+        WITH expanded AS (
+            SELECT e.event_type, e.value,
+                   time_bucket(INTERVAL '30 minutes', e.ts)
+                     - u.k * INTERVAL '30 minutes' AS window_start
+            FROM events e, UNNEST([0, 1]) AS u(k)
+        )
+        SELECT window_start,
+               window_start + INTERVAL '1 hour' AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM expanded
+        GROUP BY 1, 2, 3
+    """,
+    "streaming_dedup": """
+        SELECT event_id, user_id, ts, event_type, value FROM events
+    """,
+    "stream_static_join": """
+        SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_name, c.c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = CAST(c.c_custkey AS BIGINT)
     """,
     "sessionize": """
         WITH flagged AS (
