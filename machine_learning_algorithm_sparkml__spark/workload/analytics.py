@@ -92,12 +92,18 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory). Oracle checks the exact columns and the within-tolerance
     invariants (booleans must be TRUE)."""
     li = load_table(spark, sf_dir, "lineitem")
-    raw = li.agg(
-        F.countDistinct("l_partkey").alias("n_parts_exact"),
+    # Three INDEPENDENT one-row aggregates crossed at the end, not one
+    # combined agg: a distinct aggregate mixed with a value-buffering
+    # percentile forces Expand + sort-aggregate over N x 2 rows
+    # (measured 4x slower at sf0.1); separately each is a single
+    # partial-aggregatable pass and the cross of 1-row frames is free.
+    exact_distinct = li.agg(F.countDistinct("l_partkey").alias("n_parts_exact"))
+    exact_p50 = li.agg(F.expr("percentile(l_extendedprice, 0.5)").alias("_p50_exact"))
+    approx = li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_parts"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("_p50_exact"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("_p50_approx"),
     )
+    raw = exact_distinct.crossJoin(F.broadcast(exact_p50)).crossJoin(F.broadcast(approx))
     return raw.select(
         "n_parts_exact",
         (
