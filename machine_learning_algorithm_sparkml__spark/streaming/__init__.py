@@ -2,8 +2,10 @@ from machine_learning_algorithm_sparkml__spark.streaming.events import (
     read_events_stream,
     run_stream_static_join,
     run_streaming_dedup,
+    run_streaming_session_windows,
     run_streaming_sliding_counts,
     run_streaming_window_counts,
+    session_window_counts,
     sliding_event_counts,
     windowed_event_counts,
 )
@@ -12,8 +14,10 @@ __all__ = [
     "read_events_stream",
     "windowed_event_counts",
     "sliding_event_counts",
+    "session_window_counts",
     "run_streaming_window_counts",
     "run_streaming_sliding_counts",
+    "run_streaming_session_windows",
     "run_streaming_dedup",
     "run_stream_static_join",
 ]

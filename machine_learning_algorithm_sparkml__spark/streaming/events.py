@@ -100,6 +100,32 @@ def sliding_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native session windows: per user, events merge into one session
+    while each arrives within ``gap`` of the session's current end
+    (Spark merges when the new event's start <= current end, so a gap
+    of exactly ``gap`` still merges). State is one open session per
+    user, closed and evicted once the watermark passes its end —
+    bounded regardless of stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def _run_to_completion(spark: SparkSession, agg: DataFrame, *, output_mode: str) -> DataFrame:
     """Drive a bounded streaming query to completion through a memory
     sink and return the materialized result."""
@@ -132,6 +158,17 @@ def run_streaming_sliding_counts(
     agg = sliding_event_counts(
         events, window_duration=window_duration, slide_duration=slide_duration
     )
+    return _run_to_completion(spark, agg, output_mode="complete")
+
+
+def run_streaming_session_windows(
+    spark: SparkSession, sf_dir: str, *, gap: str = "30 minutes"
+) -> DataFrame:
+    """Session-window counts over the bounded events stream; complete
+    mode => the final state equals the batch session_window result
+    (and the oracle's gap-island SQL)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = session_window_counts(events, gap=gap)
     return _run_to_completion(spark, agg, output_mode="complete")
 
 

@@ -15,10 +15,11 @@ from machine_learning_algorithm_sparkml__spark.workload import (
     llm,
     ml,
     relational,
+    scale,
     streaming,
 )
 
-ALL_QUERY_MODULES = [relational, analytics, ml, llm, streaming]
+ALL_QUERY_MODULES = [relational, analytics, ml, llm, streaming, scale]
 
 
 def all_queries():

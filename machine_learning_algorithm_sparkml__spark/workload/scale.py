@@ -1,0 +1,133 @@
+"""Physical-layout and skew query keys (SURVEY.md §7.5).
+
+These wire the scale operators (``operators/layout.py``,
+``operators/skew.py``, JSON source) as driver-verified keys: each
+proves a 100 TB mechanism — partition pruning, shuffle-free bucketed
+joins, salt-spread skew joins — while the oracle checks that the
+mechanism changes only the PLAN, never the answer.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from machine_learning_algorithm_sparkml__spark.operators.layout import (
+    write_bucketed,
+    write_partitioned,
+)
+from machine_learning_algorithm_sparkml__spark.operators.skew import salted_join
+from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof join: lineitem (fact) x part (dim) salted over 16
+    buckets, then a per-brand rollup. Salting spreads any hot partkey
+    across 16 tasks; the dim is replicated 16x (dim-sized only — a
+    broadcastable side would just be broadcast instead). The answer is
+    salt-invariant, so the oracle is the plain join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_extendedprice"
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    joined = salted_join(li, pt, "partkey", salt_buckets=16)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q_sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-partitioned sink + pruned scan: orders written
+    partitioned by o_orderpriority, read back with a partition filter
+    — Spark lists ONLY the matching directory (PartitionFilters in the
+    scan; asserted in tests/test_scale_features.py). At 100 TB this is
+    the difference between one directory and the whole dataset."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="sink_part_") + "/orders_by_priority"
+    write_partitioned(orders, path, ["o_orderpriority"])
+    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    return back.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: orders and customer both bucketed 8
+    ways on custkey => the join reads co-located buckets and needs NO
+    exchange on either side (plan asserted in tests). The per-segment
+    rollup is materialized before the temp tables are dropped."""
+    suffix = uuid.uuid4().hex[:8]
+    t_orders, t_cust = f"orders_b_{suffix}", f"customer_b_{suffix}"
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(orders, t_orders, "o_custkey", num_buckets=8)
+    write_bucketed(cust, t_cust, "c_custkey", num_buckets=8)
+    try:
+        joined = spark.table(t_orders).join(
+            spark.table(t_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        out = joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+
+
+def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + scan round-trip (the interchange format of
+    every LLM corpus pipeline): documents written as JSONL, read back
+    with an EXPLICIT schema — never inferSchema, which at 100 TB is a
+    full extra scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    path = tempfile.mkdtemp(prefix="sink_json_") + "/documents_jsonl"
+    docs.write.mode("overwrite").json(path)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    return spark.read.schema(schema).json(path)
+
+
+QUERIES = {
+    "join_skew_salted": q_join_skew_salted,
+    "sink_partitioned_scan": q_sink_partitioned_scan,
+    "join_bucketed": q_join_bucketed,
+    "sink_json": q_sink_json_roundtrip,
+}
+
+ORACLE = {
+    "join_skew_salted": """
+        SELECT p.p_brand,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l.l_extendedprice), 2) AS sum_price
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """,
+    "sink_partitioned_scan": """
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "join_bucketed": """
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS sum_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "sink_json": """
+        SELECT doc_id, lang, text FROM documents
+    """,
+}

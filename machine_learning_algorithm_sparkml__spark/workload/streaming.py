@@ -67,6 +67,18 @@ def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30 min gap) per user: count + value sum,
+    session_end = last event + gap. Oracle: gap-island SQL (a gap of
+    exactly 30 min still merges — Spark merges on start <= current
+    end, so the island break is strictly '> gap')."""
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_session_windows,
+    )
+
+    return run_streaming_session_windows(spark, sf_dir, gap="30 minutes")
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup over a planted-duplicate stream (every
     event doubled): dropDuplicatesWithinWatermark must restore one row
@@ -87,6 +99,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_sliding_counts": q_streaming_sliding_counts,
+    "streaming_session_window": q_streaming_session_window,
     "streaming_dedup": q_streaming_dedup,
     "stream_static_join": q_stream_static_join,
     "streaming_stateful_totals": q_streaming_stateful_totals,
@@ -126,6 +139,33 @@ ORACLE = {
                ROUND(SUM(value), 2) AS sum_value
         FROM expanded
         GROUP BY 1, 2, 3
+    """,
+    # Session windows: break an island when the gap STRICTLY exceeds
+    # 30 min (Spark merges when new start <= current session end);
+    # session_end = last event in the island + gap
+    "streaming_session_window": """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR (epoch(ts) - epoch(LAG(ts) OVER w)) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM sessions
+        GROUP BY user_id, sid
     """,
     "streaming_dedup": """
         SELECT event_id, user_id, ts, event_type, value FROM events

@@ -117,3 +117,28 @@ def test_mllib_minhash_agrees_with_custom_on_strong_pairs(spark, sf_dir):
     }
     recall = len(truth & found) / len(truth)
     assert recall >= 0.8, f"mllib minhash recall {recall:.2f}"
+
+
+def test_wired_partitioned_scan_key_prunes(spark, sf_dir):
+    """The driver-facing sink_partitioned_scan key must actually prune:
+    its scan lists only the o_orderpriority=1-URGENT directory."""
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_sink_partitioned_scan,
+    )
+
+    out = q_sink_partitioned_scan(spark, sf_dir)
+    plan = formatted_plan(out)
+    assert "PartitionFilters" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_wired_salted_join_key_spreads_salt(spark, sf_dir):
+    """join_skew_salted joins on (key, salt): the physical join keys
+    include the salt column, i.e. the hot key's rows hash to 16
+    different partitions instead of one."""
+    from machine_learning_algorithm_sparkml__spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    pt = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
+    plan = formatted_plan(salted_join(li, pt, "partkey", salt_buckets=16))
+    assert "_salt" in plan

@@ -63,3 +63,39 @@ def test_sessionize_gap_splits(spark):
     )
     out = {r.event_id: r.session_id for r in sessionize(df, gap_minutes=30).collect()}
     assert out == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir):
+    """Complete-mode session windows over the bounded stream equal the
+    batch session_window aggregation (streaming/batch unification)."""
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_session_windows,
+    )
+
+    stream_result = run_streaming_session_windows(spark, sf_dir, gap="30 minutes")
+    events = load_table(spark, sf_dir, "events")
+    batch = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    s = sorted(map(tuple, stream_result.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b
+
+
+def test_streaming_dedup_restores_uniqueness(spark, sf_dir):
+    """Doubled stream -> dropDuplicatesWithinWatermark -> one row per
+    event_id, matching the original table exactly."""
+    from machine_learning_algorithm_sparkml__spark.streaming import run_streaming_dedup
+
+    result = run_streaming_dedup(spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert result.count() == n_events
+    assert result.select("event_id").distinct().count() == n_events
