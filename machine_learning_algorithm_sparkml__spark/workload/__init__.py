@@ -19,7 +19,11 @@ from machine_learning_algorithm_sparkml__spark.workload import (
     streaming,
 )
 
-ALL_QUERY_MODULES = [relational, analytics, ml, llm, streaming, scale]
+# Order matters: the driver's correctness sweep records only the first
+# ~50 keys, so modules whose keys lack a driver correctness row go FIRST.
+# llm (30), streaming (8), and scale (4) had no CORRECTNESS_r02 rows;
+# relational/analytics/ml are already driver-green from r1/r2.
+ALL_QUERY_MODULES = [llm, streaming, scale, relational, analytics, ml]
 
 
 def all_queries():

@@ -106,9 +106,13 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = exact_distinct.crossJoin(F.broadcast(exact_p50)).crossJoin(F.broadcast(approx))
     return raw.select(
         "n_parts_exact",
+        # tolerance = 5x rsd: the HLL sketch is deterministic per
+        # dataset, but a new scale factor re-rolls the error; 10% at
+        # rsd=0.02 leaves ~5 sigma of margin so the TRUE-pinned oracle
+        # can't flip without a code change.
         (
             F.abs(F.col("_approx_parts") - F.col("n_parts_exact"))
-            <= 0.05 * F.col("n_parts_exact")
+            <= 0.10 * F.col("n_parts_exact")
         ).alias("approx_distinct_ok"),
         (
             F.abs(F.col("_p50_approx") - F.col("_p50_exact")) <= 0.01 * F.col("_p50_exact")
@@ -138,17 +142,25 @@ def q_filter_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the aggregate, keep rows outside [Q1-1.5*IQR, Q3+1.5*IQR].
 
     The per-customer sum is rounded BEFORE the quantile so both
-    engines interpolate over bit-identical inputs. The one-row fence
-    frame crosses via a broadcast nested-loop join — no shuffle of the
-    spend table."""
+    engines rank over bit-identical inputs. The one-row fence frame
+    crosses via a broadcast nested-loop join — no shuffle of the
+    spend table.
+
+    Scale shape: fences come from ``approx_percentile`` (Greenwald-
+    Khanna sketch, fixed memory, mergeable map-side) rather than exact
+    ``percentile`` (which buffers every per-customer value on one
+    reducer — a 100x-scale hazard). With accuracy >= N the sketch
+    never compresses, so the result is EXACTLY the element at rank
+    ceil(p*N) — percentile_disc semantics — which the DuckDB oracle
+    mirrors bit-for-bit (verified sf0.001/0.01/0.1)."""
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     fences = spend.agg(
-        F.expr("percentile(total_spend, 0.25)").alias("_q1"),
-        F.expr("percentile(total_spend, 0.75)").alias("_q3"),
+        F.expr("approx_percentile(total_spend, 0.25, 1000000)").alias("_q1"),
+        F.expr("approx_percentile(total_spend, 0.75, 1000000)").alias("_q3"),
     )
     flagged = spend.crossJoin(F.broadcast(fences))
     iqr = F.col("_q3") - F.col("_q1")
@@ -273,8 +285,10 @@ ORACLE = {
                    COUNT(*) AS n_orders
             FROM orders GROUP BY o_custkey
         ), fences AS (
-            SELECT quantile_cont(total_spend, 0.25) AS q1,
-                   quantile_cont(total_spend, 0.75) AS q3
+            -- percentile_disc == Spark approx_percentile in its exact
+            -- regime (accuracy >= N): the element at rank ceil(p*N)
+            SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY total_spend) AS q1,
+                   percentile_disc(0.75) WITHIN GROUP (ORDER BY total_spend) AS q3
             FROM spend
         )
         SELECT s.o_custkey, s.total_spend, s.n_orders

@@ -305,13 +305,19 @@ def q_dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality gate: keep documents whose quality score is
     >= their language's median — the relative-threshold filter pass of
-    a corpus pipeline. Oracle: quantile_cont window SQL."""
+    a corpus pipeline. Oracle: quantile_cont window SQL.
+
+    Scale shape: the per-lang median is a tiny groupBy aggregate
+    (|langs| rows) broadcast-joined back, NOT a Window.partitionBy(lang)
+    — lang has ~5 distinct values, so a window would sort five
+    corpus-sized partitions at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
 
     scored = docs.select("doc_id", "lang", quality_score(F.col("text")).alias("q"))
-    w = Window.partitionBy("lang")
-    gated = scored.withColumn("lang_median", F.expr("percentile(q, 0.5)").over(w))
+    medians = scored.groupBy("lang").agg(
+        F.expr("percentile(q, 0.5)").alias("lang_median")
+    )
+    gated = scored.join(F.broadcast(medians), "lang")
     return gated.filter(F.col("q") >= F.col("lang_median")).select("doc_id", "lang", "q")
 
 

@@ -87,3 +87,21 @@ def test_pack_sequences_single_shuffle(spark, sf_dir):
     plan = formatted_plan(df)
     # one numbered Exchange node in the formatted plan detail
     assert plan.count(") Exchange") == 1, plan
+
+
+def test_quality_filter_no_lang_window(spark, sf_dir):
+    """The per-lang median must be a tiny groupBy aggregate broadcast
+    back, never a Window.partitionBy(lang) — lang has ~5 values, so a
+    window sorts corpus-sized partitions at 100 TB (VERDICT r2 #1)."""
+    from machine_learning_algorithm_sparkml__spark.plans import (
+        formatted_plan,
+        has_broadcast_join,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_text_quality_filter,
+    )
+
+    df = q_text_quality_filter(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert ") Window" not in plan, "per-lang median must not use a Window"
+    assert has_broadcast_join(df), "median frame must broadcast back"
