@@ -5,6 +5,11 @@ ONE JSON line:
     {"metric": "total_bench_sec", "value": N, "unit": "sec",
      "queries": {"<key>": sec, ...}, "sf": 0.1, ...}
 
+The JSON line is the ONLY thing on stdout: fd 1 is redirected to
+stderr at the OS level for the whole run (so JVM banners, Spark
+warnings, and progress output can't interleave or truncate it) and the
+saved real stdout receives exactly one line at the end.
+
 Execution is forced through the noop sink (full pipeline runs, nothing
 collected to the driver), so timings measure the engine, not driver
 serialization. A JVM warm-up query runs first and is not recorded.
@@ -33,6 +38,13 @@ def _force(df) -> int:
 
 
 def main() -> None:
+    # Reserve the real stdout for the one JSON result line; everything
+    # else (JVM banners, Spark logs, warm-up chatter — including output
+    # written by child processes directly to fd 1) goes to stderr.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ["SPARK_GRAFT_CPUS"] = cpus
@@ -57,6 +69,7 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # keep benching; report the failure
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+        print(f"[bench] {name}: {timings.get(name, 'FAIL')}", file=sys.stderr, flush=True)
         # operators that cache intermediates (LSH signatures/buckets)
         # must not skew the next query's timing or hog executor memory
         spark.catalog.clearCache()
@@ -77,7 +90,9 @@ def main() -> None:
     }
     if failures:
         result["failures"] = failures
-    print(json.dumps(result))
+    with os.fdopen(real_stdout, "w") as out:
+        out.write(json.dumps(result) + "\n")
+        out.flush()
     if failures:
         sys.exit(1)
 
