@@ -3,6 +3,7 @@ from machine_learning_algorithm_sparkml__spark.sources.io import (
     load_tables,
     read_csv,
     read_parquet,
+    scratch_sink_path,
     write_csv,
     write_parquet,
     TESTDATA_TABLES,
@@ -13,6 +14,7 @@ __all__ = [
     "load_tables",
     "read_csv",
     "read_parquet",
+    "scratch_sink_path",
     "write_csv",
     "write_parquet",
     "TESTDATA_TABLES",

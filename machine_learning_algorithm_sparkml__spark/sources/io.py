@@ -124,3 +124,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     """Load several testdata tables at once."""
     return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def scratch_sink_path(sf_dir: str, leaf: str) -> str:
+    """Fixed per-(sf, leaf) scratch path for sink round-trip keys,
+    reused across invocations with mode=overwrite.
+
+    ``mkdtemp`` per call would leak a full table copy to the temp dir
+    on every bench iteration / test run / driver sweep; the returned
+    DataFrame also reads lazily from the dir, so it must outlive the
+    call — a stable overwritten path does both."""
+    import tempfile
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_sinks", sf_name)
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, leaf)

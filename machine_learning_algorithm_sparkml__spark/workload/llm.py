@@ -646,10 +646,15 @@ ORACLE = {
     """,
     "decontaminate_ngram": """
         WITH toks AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            SELECT doc_id,
+                   -- guarded like the Spark tokens(): NULL/blank text -> []
+                   -- (the len(t)<n branch then yields the same single '' shingle)
+                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') END AS t
+            FROM documents
         ), sh_raw AS (
             SELECT doc_id,
-                   CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                   CASE WHEN len(t) < 4 THEN [COALESCE(array_to_string(t, ' '), '')]
                         ELSE list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))
                    END AS sh
             FROM toks
@@ -671,10 +676,15 @@ ORACLE = {
     """,
     "dedup_ngram_jaccard": f"""
         WITH toks AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            SELECT doc_id,
+                   -- guarded like the Spark tokens(): NULL/blank text -> []
+                   -- (the len(t)<n branch then yields the same single '' shingle)
+                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') END AS t
+            FROM documents
         ), sh_raw AS (
             SELECT doc_id,
-                   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                   CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
                         ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
                    END AS sh
             FROM toks
@@ -702,10 +712,15 @@ ORACLE = {
     """,
     "dedup_clusters": f"""
         WITH toks AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            SELECT doc_id,
+                   -- guarded like the Spark tokens(): NULL/blank text -> []
+                   -- (the len(t)<n branch then yields the same single '' shingle)
+                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') END AS t
+            FROM documents
         ), sh_raw AS (
             SELECT doc_id,
-                   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                   CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
                         ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
                    END AS sh
             FROM toks
@@ -752,10 +767,13 @@ ORACLE = {
         ), survivors AS (
             SELECT d.doc_id, d.text FROM documents d JOIN exact_kept k ON d.doc_id = k.doc_id
         ), toks AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM survivors
+            SELECT doc_id,
+                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') END AS t
+            FROM survivors
         ), sh_raw AS (
             SELECT doc_id,
-                   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                   CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
                         ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
                    END AS sh
             FROM toks

@@ -379,14 +379,16 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: header-CSV sink (``MarchineLearningAlgorithm.txt:283-293``)
     proven by round-trip: project -> write csv -> read back with an
     explicit schema (never inferSchema). Oracle sees the projection."""
-    import tempfile
-
     from pyspark.sql import types as T
 
-    from machine_learning_algorithm_sparkml__spark.sources import read_csv, write_csv
+    from machine_learning_algorithm_sparkml__spark.sources import (
+        read_csv,
+        scratch_sink_path,
+        write_csv,
+    )
 
     out = select_columns(load_table(spark, sf_dir, "orders"), ["o_orderkey", "o_orderstatus", "o_totalprice"])
-    path = tempfile.mkdtemp(prefix="sink_csv_") + "/orders_csv"
+    path = scratch_sink_path(sf_dir, "orders_csv")
     write_csv(out, path)
     schema = T.StructType([
         T.StructField("o_orderkey", T.LongType()),

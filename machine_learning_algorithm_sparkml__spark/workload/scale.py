@@ -9,7 +9,6 @@ mechanism changes only the PLAN, never the answer.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,7 +20,10 @@ from machine_learning_algorithm_sparkml__spark.operators.layout import (
     write_partitioned,
 )
 from machine_learning_algorithm_sparkml__spark.operators.skew import salted_join
-from machine_learning_algorithm_sparkml__spark.sources import load_table
+from machine_learning_algorithm_sparkml__spark.sources import (
+    load_table,
+    scratch_sink_path,
+)
 
 
 def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +54,7 @@ def q_sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
-    path = tempfile.mkdtemp(prefix="sink_part_") + "/orders_by_priority"
+    path = scratch_sink_path(sf_dir, "orders_by_priority")
     write_partitioned(orders, path, ["o_orderpriority"])
     back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
     return back.select("o_orderkey", "o_totalprice", "o_orderpriority")
@@ -91,7 +93,7 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an EXPLICIT schema — never inferSchema, which at 100 TB is a
     full extra scan."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    path = tempfile.mkdtemp(prefix="sink_json_") + "/documents_jsonl"
+    path = scratch_sink_path(sf_dir, "documents_jsonl")
     docs.write.mode("overwrite").json(path)
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),

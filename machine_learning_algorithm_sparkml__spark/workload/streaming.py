@@ -71,21 +71,36 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30 min gap) per user: count + value sum,
     session_end = last event + gap. Oracle: gap-island SQL (a gap of
     exactly 30 min still merges — Spark merges on start <= current
-    end, so the island break is strictly '> gap')."""
+    end, so the island break is strictly '> gap').
+
+    ``valid_session`` is a belt-and-braces invariant (session_end >
+    session_start must hold for every session) pinned TRUE in the
+    oracle, so the key still carries signal under a rows-only check."""
     from machine_learning_algorithm_sparkml__spark.streaming import (
         run_streaming_session_windows,
     )
 
-    return run_streaming_session_windows(spark, sf_dir, gap="30 minutes")
+    out = run_streaming_session_windows(spark, sf_dir, gap="30 minutes")
+    return out.withColumn(
+        "valid_session", F.col("session_end") > F.col("session_start")
+    )
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup over a planted-duplicate stream (every
     event doubled): dropDuplicatesWithinWatermark must restore one row
-    per event_id. Oracle: the original events table."""
+    per event_id. Oracle: the original events table.
+
+    ``dedup_ok`` (row count == distinct event_id count, one-row frame
+    broadcast back) is pinned TRUE in the oracle — rows-only signal
+    even if the hash compare is skipped."""
     from machine_learning_algorithm_sparkml__spark.streaming import run_streaming_dedup
 
-    return run_streaming_dedup(spark, sf_dir)
+    out = run_streaming_dedup(spark, sf_dir)
+    invariant = out.agg(
+        (F.count(F.lit(1)) == F.countDistinct("event_id")).alias("dedup_ok")
+    )
+    return out.crossJoin(F.broadcast(invariant))
 
 
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,12 +178,14 @@ ORACLE = {
                MIN(ts) AS session_start,
                MAX(ts) + INTERVAL '30 minutes' AS session_end,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS sum_value
+               ROUND(SUM(value), 2) AS sum_value,
+               TRUE AS valid_session
         FROM sessions
         GROUP BY user_id, sid
     """,
     "streaming_dedup": """
-        SELECT event_id, user_id, ts, event_type, value FROM events
+        SELECT event_id, user_id, ts, event_type, value, TRUE AS dedup_ok
+        FROM events
     """,
     "stream_static_join": """
         SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_name, c.c_mktsegment

@@ -178,3 +178,52 @@ def test_stateful_totals_across_multiple_batches(spark, sf_dir):
         .collect()
     }
     assert latest == batch
+
+
+def test_shingle_oracles_survive_null_and_blank_text(spark, sf_dir, tmp_path):
+    """The shingle-based oracle SQL must agree with Spark even when a
+    document's text is NULL or blank — the real testdata has no such
+    rows, so this plants them (ADVICE r2: the unguarded tokenization
+    silently dropped NULL-text docs from the DuckDB shingle set)."""
+    import duckdb
+
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        ORACLE,
+        q_decontaminate_ngram,
+        q_dedup_ngram_jaccard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    edge = spark.createDataFrame(
+        [(900001, None, "en", "planted", 0), (900002, "   ", "en", "planted", 3)],
+        schema=docs.schema,
+    )
+    planted_dir = str(tmp_path / "planted")
+    docs.unionAll(edge).coalesce(1).write.mode("overwrite").parquet(
+        planted_dir + "/documents.parquet"
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{planted_dir}/documents.parquet/*.parquet')"
+    )
+    for name, fn in [
+        ("decontaminate_ngram", q_decontaminate_ngram),
+        ("dedup_ngram_jaccard", q_dedup_ngram_jaccard),
+    ]:
+        s_rows = sorted(
+            tuple(r) for r in fn(spark, planted_dir).select("doc_id").collect()
+        ) if name == "decontaminate_ngram" else sorted(
+            (r["id_a"], r["id_b"]) for r in fn(spark, planted_dir).collect()
+        )
+        rel = con.sql(ORACLE[name])
+        cols = list(rel.columns)
+        if name == "decontaminate_ngram":
+            d_rows = sorted((r[cols.index("doc_id")],) for r in rel.fetchall())
+        else:
+            d_rows = sorted(
+                (r[cols.index("id_a")], r[cols.index("id_b")]) for r in rel.fetchall()
+            )
+        assert s_rows == d_rows, f"{name}: planted NULL/blank text diverges"
