@@ -398,8 +398,33 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, path, schema=schema)
 
 
+def q_scan_csv_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 in its literal reference form: read a header-CSV with
+    column NAMES from the header and ALL-STRING values — exactly
+    ``spark.read.option("header","true").csv(...)`` with no
+    inferSchema (``MarchineLearningAlgorithm.txt:38-41``; inferSchema
+    never appears in the reference, and at 100 TB it is a full extra
+    scan). The file is first produced by the S2 sink; only
+    render-stable types (bigint, string) are projected so the
+    string round-trip is engine-independent."""
+    from machine_learning_algorithm_sparkml__spark.sources import (
+        read_csv,
+        scratch_sink_path,
+        write_csv,
+    )
+
+    out = select_columns(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    )
+    path = scratch_sink_path(sf_dir, "orders_csv_header")
+    write_csv(out, path)
+    return read_csv(spark, path)  # names from header, all-string values
+
+
 QUERIES = {
     "sink_csv": q_sink_csv_roundtrip,
+    "scan_csv_header": q_scan_csv_header,
     "scan_parquet": scan_parquet,
     "project_select": project_select,
     "project_alias_cast": project_alias_cast,
@@ -433,6 +458,11 @@ QUERIES = {
 
 ORACLE = {
     "sink_csv": "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "scan_csv_header": """
+        SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+               o_orderstatus, o_orderpriority
+        FROM orders
+    """,
     "scan_parquet": "SELECT r_regionkey, r_name FROM region",
     "project_select": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     "project_alias_cast": """
