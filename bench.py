@@ -75,7 +75,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    result = {
+    full = {
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
@@ -89,9 +89,53 @@ def main() -> None:
         },
     }
     if failures:
-        result["failures"] = failures
+        full["failures"] = failures
+
+    # Full per-key result (3-decimal timings, config, failure detail)
+    # goes to a sidecar the judge can read directly.
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"[bench] full per-key result -> BENCH_FULL.json", file=sys.stderr)
+
+    # The driver keeps only the LAST 2000 chars of stdout, so the one
+    # JSON line must fit that window or it can never be parsed
+    # (BENCH_r02/r03 both recorded parsed=null from an over-long line).
+    # Compact encoding + 2-decimal timings; if still too long, fold the
+    # fastest keys into an "omitted" rollup — their sub-second timings
+    # carry the least signal and survive in BENCH_FULL.json anyway.
+    line_budget = 1900
+    kept = {k: round(v, 2) for k, v in timings.items()}
+    omitted_n, omitted_sec = 0, 0.0
+    by_time = sorted(timings, key=lambda k: (timings[k], k))
+
+    def _line() -> str:
+        result = {
+            "metric": "total_bench_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": kept,
+            "sf": full["sf"],
+            "n_queries": len(timings),
+            "full": "BENCH_FULL.json",
+        }
+        if omitted_n:
+            result["omitted"] = {"n": omitted_n, "sec": round(omitted_sec, 2)}
+        if failures:
+            result["n_failures"] = len(failures)
+        return json.dumps(result, separators=(",", ":"))
+
+    line = _line()
+    for k in by_time:
+        if len(line) <= line_budget:
+            break
+        omitted_sec += kept.pop(k)
+        omitted_n += 1
+        line = _line()
+
     with os.fdopen(real_stdout, "w") as out:
-        out.write(json.dumps(result) + "\n")
+        out.write(line + "\n")
         out.flush()
     if failures:
         sys.exit(1)

@@ -1,0 +1,98 @@
+"""Gopher-style document-quality signals (additive, SURVEY.md §7.4).
+
+Heuristic quality rules in the style of the Gopher/MassiveText
+filtering pipeline (Rae et al. 2021, "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher", §A1.1): word-count
+band, mean word length band, alphabetic-word ratio, and repeated-token
+ratio. Like ``functions/text.py``, every signal is a pure
+``pyspark.sql.functions`` composition — one projection, no shuffle, no
+UDF — because these run as the first filtering pass over the full
+corpus.
+
+Determinism contract (driver hashes exact values): every ratio here is
+an integer-over-integer single division — bit-identical on any IEEE
+engine regardless of row or partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.functions.text import tokens
+
+#: Gopher-style acceptance bands (policy constants; the engine
+#: guarantees determinism, the bands are tunable).
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MIN_ALPHA_RATIO = 0.7
+GOPHER_MAX_REPETITION = 0.4
+
+
+def word_repetition_ratio(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    ``1 - distinct/total``. High values flag boilerplate / keyword
+    stuffing (the doc-level cousin of Gopher's duplicate-line
+    fraction). 0.0 for empty docs. Exact: two int counts, one
+    division."""
+    toks = tokens(text)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - n_distinct.cast("double") / n.cast("double")
+    )
+
+
+def mean_word_length(text: Column) -> Column:
+    """Mean characters per whitespace token. 0.0 for empty docs.
+    Exact: total non-whitespace chars (int) / token count (int)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        total_chars.cast("double") / n.cast("double")
+    )
+
+
+def alpha_word_ratio(text: Column) -> Column:
+    """Fraction of tokens containing at least one ASCII letter —
+    Gopher's "80% of words contain an alphabetic character" rule.
+    0.0 for empty docs."""
+    toks = tokens(text)
+    n = F.size(toks)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        n_alpha.cast("double") / n.cast("double")
+    )
+
+
+def gopher_flags(text: Column) -> dict[str, Column]:
+    """The individual Gopher rule verdicts plus the conjunction.
+    Returned as named columns so a pipeline can log WHY a doc was
+    dropped (per-rule rejection rates are the standard corpus-health
+    dashboard)."""
+    n = F.size(tokens(text))
+    mwl = mean_word_length(text)
+    alpha = alpha_word_ratio(text)
+    rep = word_repetition_ratio(text)
+    len_ok = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    mwl_ok = (mwl >= GOPHER_MIN_MEAN_WORD_LEN) & (mwl <= GOPHER_MAX_MEAN_WORD_LEN)
+    alpha_ok = alpha >= GOPHER_MIN_ALPHA_RATIO
+    rep_ok = rep <= GOPHER_MAX_REPETITION
+    return {
+        "n_words": n,
+        "mean_word_len": mwl,
+        "alpha_ratio": alpha,
+        "repetition_ratio": rep,
+        "len_ok": len_ok,
+        "mean_word_len_ok": mwl_ok,
+        "alpha_ok": alpha_ok,
+        "repetition_ok": rep_ok,
+        "gopher_ok": len_ok & mwl_ok & alpha_ok & rep_ok,
+    }

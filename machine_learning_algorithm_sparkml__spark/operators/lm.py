@@ -1,0 +1,83 @@
+"""Corpus unigram language-model scoring (additive, SURVEY.md §7.4).
+
+The classic cheap LM-quality signal for training-data curation: build
+a corpus unigram frequency table, then score each document by how
+"familiar" its tokens are. Real pipelines (CCNet-style) use a KenLM
+perplexity; the engine analogue keeps the same dataflow shape —
+corpus-wide token aggregate, then a token-level join back — with
+arithmetic that stays oracle-exact (integer sums, one final division;
+no ``ln`` whose libm rounding differs across engines).
+
+Scale shape (100 TB): the vocab aggregate is one hash-aggregate with
+map-side combine over exploded tokens (zipf-bounded output, far
+smaller than the corpus); the score join shuffles by token — the
+heavy-hitter tokens are exactly the ones AQE's skew-join splitting
+handles, and the per-doc re-aggregate is another map-side-combinable
+sum. No driver-side state, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.functions.text import tokens
+
+
+def exploded_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, token) rows — empty/NULL docs contribute no rows."""
+    return docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+
+
+def unigram_vocab(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus unigram counts: one hash-aggregate (partial + final) over
+    the exploded tokens."""
+    return exploded_tokens(docs, id_col, text_col).groupBy("token").agg(
+        F.count("*").alias("tok_count")
+    )
+
+
+def unigram_familiarity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram familiarity.
+
+    ``familiarity = sum(corpus_count(tok)) / (n_tok * corpus_total)``
+    — the mean corpus relative-frequency of the document's tokens.
+    High = common/natural text, low = rare-token noise. The numerator
+    and both denominator factors are exact integers; the single double
+    division at the end is IEEE-deterministic, so the driver's exact
+    value hash is stable.
+
+    Docs with no tokens score (0, 0, 0.0) via the left join back to
+    the document spine.
+    """
+    tok = exploded_tokens(docs, id_col, text_col)
+    vocab = unigram_vocab(docs, id_col, text_col)
+    total = vocab.agg(F.sum("tok_count").alias("n_total"))
+    per_doc = (
+        tok.join(vocab, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_tok"),
+            F.sum("tok_count").alias("sum_count"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+            F.coalesce("sum_count", F.lit(0)).cast("bigint").alias("sum_count"),
+            F.when(F.coalesce("n_tok", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("sum_count").cast("double")
+                / (F.col("n_tok").cast("double") * F.col("n_total").cast("double"))
+            )
+            .alias("familiarity"),
+        )
+    )

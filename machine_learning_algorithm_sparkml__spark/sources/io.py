@@ -104,19 +104,26 @@ def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite", partitio
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table from a scale-factor directory.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    rejects by default. We read it via the legacy nanos-as-long path and
-    rebuild a microsecond timestamp (truncation — the same narrowing
-    DuckDB applies), keeping the public schema a real ``timestamp``.
+    ``events.ts`` has been generated both as parquet TIMESTAMP(NANOS)
+    (which Spark 4 rejects by default — read via the legacy
+    nanos-as-long path and truncated to micros, the same narrowing
+    DuckDB applies) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (which Spark 4 infers as TIMESTAMP_NTZ). Either way the public
+    schema is normalized to a real ``timestamp`` (LTZ) — the session
+    timezone is pinned to UTC, so the NTZ→LTZ cast is value-preserving
+    and every downstream epoch/double cast stays legal.
     """
     from pyspark.sql import functions as F
 
     if name == "events":
         with _nanos_as_long(spark):
             df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer div: ns values exceed double's 2^53 exact range
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -22,32 +22,50 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long ns
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """Streaming needs the schema up front; the generated events file
+    has shipped with ``ts`` as both TIMESTAMP(NANOS) (Spark 4 rejects
+    → read as long ns) and TIMESTAMP(MICROS, NTZ). Peek at the parquet
+    footer (metadata only, no data IO) to pick the right read schema.
+    Returns (schema, ts_is_long_nanos)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ts_type = str(pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type)
+    nanos = ts_type.endswith("[ns]")
+    ts_field = T.LongType() if nanos else T.TimestampNTZType()
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_field),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    return schema, nanos
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events parquet file(s). The nanosecond
-    timestamp is read as long and rebuilt to a microsecond timestamp,
-    mirroring ``sources.io.load_table``."""
+    """Streaming scan of the events parquet file(s). ``ts`` is
+    normalized to a microsecond ``timestamp`` (LTZ; session tz is UTC)
+    whichever physical form the file carries, mirroring
+    ``sources.io.load_table``."""
     from machine_learning_algorithm_sparkml__spark.sources.io import _nanos_as_long
 
+    schema, nanos = _events_schema(sf_dir)
     # The file stream source lists a DIRECTORY; select just the events
     # file via glob (a production job points at a growing directory).
     with _nanos_as_long(spark):
         stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
+            spark.readStream.schema(schema)
             .format("parquet")
             .option("pathGlobFilter", "events.parquet")
             .load(sf_dir)
         )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(

@@ -14,16 +14,18 @@ from machine_learning_algorithm_sparkml__spark.workload import (
     analytics,
     llm,
     ml,
+    quality,
     relational,
     scale,
     streaming,
 )
 
 # Order matters: the driver's correctness sweep records only the first
-# ~50 keys, so modules whose keys lack a driver correctness row go FIRST.
-# llm (30), streaming (8), and scale (4) had no CORRECTNESS_r02 rows;
-# relational/analytics/ml are already driver-green from r1/r2.
-ALL_QUERY_MODULES = [llm, streaming, scale, relational, analytics, ml]
+# ~50 keys, so the rotation puts the least-recently-verified modules
+# FIRST each round. r3's window covered llm/streaming/scale (all
+# green); r4 leads with the new quality module, then the relational/
+# analytics/ml keys whose last driver row was r2.
+ALL_QUERY_MODULES = [quality, relational, analytics, ml, llm, streaming, scale]
 
 
 def all_queries():

@@ -209,6 +209,26 @@ def q_scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- rank distributions --------------------------------------------------------
+
+def q_window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment + rank distributions per market segment:
+    ntile/percent_rank/cume_dist share ONE window spec (single shuffle
+    on the segment). Ordering is pinned by (acctbal, custkey) so tile
+    boundaries are engine-independent; percent_rank and cume_dist are
+    exact rank-over-count rationals — no rounding needed."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 # --- stratified sampling -------------------------------------------------------
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,6 +243,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "window_ntile_cume": q_window_ntile_cume,
     "window_lag_lead": q_window_lag_lead,
     "window_moving_avg": q_window_moving_avg,
     "agg_stats": q_agg_stats,
@@ -236,6 +257,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "window_ntile_cume": """
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
     "window_lag_lead": """
         SELECT event_id, user_id, ts, value,
                LAG(value, 1) OVER w AS prev_value,

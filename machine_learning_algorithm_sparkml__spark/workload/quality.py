@@ -1,0 +1,185 @@
+"""Round-4 corpus-curation query-keys (additive; SURVEY.md §7.4):
+Gopher-style quality rules, corpus unigram-LM familiarity, per-domain
+document caps, and int8 embedding quantization.
+
+Oracle discipline (module contract, same as workload/llm.py):
+- every ratio is integer-over-integer with ONE final double division —
+  bit-exact on any IEEE engine, no rounding needed;
+- token semantics mirror functions/text.py's whitespace tokens() and
+  the llm module's ``_TOKENS`` DuckDB macro exactly (NULL/blank text
+  → zero tokens);
+- array-valued results are widened to scalar slot columns (driver
+  canonicalizer hashes cells; lists are unhashable — r1 verdict rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.functions.quality import gopher_flags
+from machine_learning_algorithm_sparkml__spark.operators.lm import unigram_familiarity
+from machine_learning_algorithm_sparkml__spark.operators.quantize import quantize_int8
+from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher rule metrics + verdicts — one shuffle-free
+    projection over the corpus (the shape of a first filtering pass
+    at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_flags(F.col("text"))
+    return docs.select(
+        "doc_id",
+        flags["n_words"].alias("n_words"),
+        flags["mean_word_len"].alias("mean_word_len"),
+        flags["alpha_ratio"].alias("alpha_ratio"),
+        flags["repetition_ratio"].alias("repetition_ratio"),
+        flags["len_ok"].alias("len_ok"),
+        flags["mean_word_len_ok"].alias("mean_word_len_ok"),
+        flags["alpha_ok"].alias("alpha_ok"),
+        flags["repetition_ok"].alias("repetition_ok"),
+        flags["gopher_ok"].alias("gopher_ok"),
+    )
+
+
+def q_text_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram-LM score per doc (operators/lm.py): vocab
+    hash-aggregate + token join + per-doc sum; integers until one
+    final division."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_familiarity(docs, "doc_id", "text")
+
+
+def q_domain_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (CommonCrawl-style anti-spam rule):
+    keep the 5 largest docs per source. Rank-then-filter window so
+    the exchange carries each map task's local top-5 only
+    (InferWindowGroupLimit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization, widened to scalar
+    slots (q0..q3) + range invariants for the driver compare."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, id_col="vec_id", vec_col="embedding", out_col="q")
+    qcol = F.col("q")
+    return q.select(
+        "vec_id",
+        F.col("scale"),
+        F.size(qcol).alias("n_dim"),
+        F.element_at(qcol, 1).alias("q0"),
+        F.element_at(qcol, 2).alias("q1"),
+        F.element_at(qcol, 3).alias("q2"),
+        F.element_at(qcol, 4).alias("q3"),
+        F.array_max(F.transform(qcol, lambda v: F.abs(v))).alias("max_abs_q"),
+        (F.array_max(F.transform(qcol, lambda v: F.abs(v))) <= 127).alias("q_in_range"),
+    )
+
+
+QUERIES = {
+    "text_gopher_quality": q_text_gopher_quality,
+    "text_unigram_familiarity": q_text_unigram_familiarity,
+    "domain_top_docs": q_domain_top_docs,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
+}
+
+# DuckDB mirrors. Token macro identical to workload/llm.py's _TOKENS.
+_TOKS = "regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')"
+_NTOK = f"CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0 ELSE len({_TOKS}) END"
+
+ORACLE = {
+    "text_gopher_quality": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   {_NTOK} AS n_words,
+                   CASE WHEN {_NTOK} = 0 THEN 0.0
+                        ELSE CAST(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum') AS DOUBLE)
+                             / CAST({_NTOK} AS DOUBLE) END AS mean_word_len,
+                   CASE WHEN {_NTOK} = 0 THEN 0.0
+                        ELSE CAST(len(list_filter({_TOKS}, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                             / CAST({_NTOK} AS DOUBLE) END AS alpha_ratio,
+                   CASE WHEN {_NTOK} = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                             / CAST({_NTOK} AS DOUBLE) END AS repetition_ratio
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_words AS INTEGER) AS n_words,
+               mean_word_len, alpha_ratio, repetition_ratio,
+               n_words >= 40 AND n_words <= 100000 AS len_ok,
+               mean_word_len >= 2.0 AND mean_word_len <= 12.0 AS mean_word_len_ok,
+               alpha_ratio >= 0.7 AS alpha_ok,
+               repetition_ratio <= 0.4 AS repetition_ok,
+               (n_words >= 40 AND n_words <= 100000)
+               AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+               AND alpha_ratio >= 0.7 AND repetition_ratio <= 0.4 AS gopher_ok
+        FROM t
+    """,
+    "text_unigram_familiarity": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS}) AS token
+            FROM documents
+            WHERE length(trim(COALESCE(text, ''))) > 0
+        ), vocab AS (
+            SELECT token, COUNT(*) AS tok_count FROM tok GROUP BY token
+        ), total AS (
+            SELECT SUM(tok_count) AS n_total FROM vocab
+        ), per_doc AS (
+            SELECT t.doc_id, COUNT(*) AS n_tok, SUM(v.tok_count) AS sum_count
+            FROM tok t JOIN vocab v USING (token)
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_tok, 0) AS INTEGER) AS n_tok,
+               CAST(COALESCE(p.sum_count, 0) AS BIGINT) AS sum_count,
+               CASE WHEN COALESCE(p.n_tok, 0) = 0 THEN 0.0
+                    ELSE CAST(p.sum_count AS DOUBLE)
+                         / (CAST(p.n_tok AS DOUBLE) * CAST(total.n_total AS DOUBLE)) END
+                   AS familiarity
+        FROM documents d
+        LEFT JOIN per_doc p USING (doc_id)
+        CROSS JOIN total
+    """,
+    "domain_top_docs": """
+        SELECT doc_id, source, n_chars, CAST(rn AS INTEGER) AS rn
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM documents
+        )
+        WHERE rn <= 5
+    """,
+    "embedding_quantize_int8": """
+        WITH q AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+            FROM embeddings
+        ), codes AS (
+            SELECT vec_id,
+                   max_abs / 127.0 AS scale,
+                   CAST(len(xs) AS INTEGER) AS n_dim,
+                   CASE WHEN max_abs = 0.0 THEN list_transform(xs, x -> 0)
+                        ELSE list_transform(xs, x -> CAST(round(x / (max_abs / 127.0)) AS INTEGER))
+                   END AS qs
+            FROM q
+        )
+        SELECT vec_id, scale, n_dim,
+               CAST(qs[1] AS INTEGER) AS q0,
+               CAST(qs[2] AS INTEGER) AS q1,
+               CAST(qs[3] AS INTEGER) AS q2,
+               CAST(qs[4] AS INTEGER) AS q3,
+               CAST(list_max(list_transform(qs, x -> abs(x))) AS INTEGER) AS max_abs_q,
+               list_max(list_transform(qs, x -> abs(x))) <= 127 AS q_in_range
+        FROM codes
+    """,
+}

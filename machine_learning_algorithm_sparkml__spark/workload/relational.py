@@ -357,6 +357,27 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-semantics INTERSECT (distinct): customers that placed both
+    an 'F'-status and an 'O'-status order. Catalyst plans INTERSECT
+    as a left-semi join over distinct keys — one shuffle per side on
+    the (already-projected) key column."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_cust = filter_eq(orders, "o_orderstatus", "F").select("o_custkey")
+    o_cust = filter_eq(orders, "o_orderstatus", "O").select("o_custkey")
+    return f_cust.intersect(o_cust)
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-semantics EXCEPT (distinct): customers with an 'F'-status
+    order but no 'P'-status order — planned as a left-anti join over
+    distinct keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_cust = filter_eq(orders, "o_orderstatus", "F").select("o_custkey")
+    p_cust = filter_eq(orders, "o_orderstatus", "P").select("o_custkey")
+    return f_cust.subtract(p_cust)
+
+
 def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2: seeded Bernoulli sample (``A related code.txt:78``).
     No SQL oracle: per-partition RNG semantics are Spark-specific."""
@@ -452,6 +473,8 @@ QUERIES = {
     "agg_groupby_count": q_agg_groupby_count,
     "agg_pricing_summary": q_agg_pricing_summary,
     "union_all": q_union_all,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
     "sample_fraction": q_sample_fraction,
     "random_split": q_random_split,
 }
@@ -610,6 +633,16 @@ ORACLE = {
         SELECT * FROM orders WHERE o_orderstatus = 'F'
         UNION ALL
         SELECT * FROM orders WHERE o_orderstatus = 'P'
+    """,
+    "set_intersect": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "set_except": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
     """,
     # sample_fraction / random_split: Spark-RNG semantics, rows-only check.
 }

@@ -1,0 +1,146 @@
+"""Round-4 corpus-curation operators: Gopher quality rules, unigram-LM
+familiarity, per-domain caps, int8 quantization, set ops, and rank
+distributions. Oracle parity runs in test_oracle_parity (these keys
+all have ORACLE entries); here: plan hygiene + semantic properties the
+oracle can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.functions.quality import (
+    GOPHER_MAX_REPETITION,
+    gopher_flags,
+    mean_word_length,
+    word_repetition_ratio,
+)
+from machine_learning_algorithm_sparkml__spark.operators.lm import unigram_familiarity
+from machine_learning_algorithm_sparkml__spark.operators.quantize import (
+    dequantize_error_bound,
+    quantize_int8,
+)
+from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+from machine_learning_algorithm_sparkml__spark.sources import load_table
+from machine_learning_algorithm_sparkml__spark.workload.quality import (
+    q_domain_top_docs,
+    q_text_gopher_quality,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- gopher rules --------------------------------------------------------------
+
+def test_gopher_flags_on_crafted_docs(spark):
+    docs = _docs(spark, [
+        (1, None),                                  # empty -> everything fails closed
+        (2, " ".join(["spam"] * 100)),              # 100% repetition
+        (3, " ".join(f"w{i}" for i in range(60))),  # healthy doc
+        (4, " ".join(["1234567890123"] * 50)),      # numeric, long words
+    ])
+    flags = gopher_flags(F.col("text"))
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id", flags["gopher_ok"].alias("ok"),
+        flags["repetition_ok"].alias("rep_ok"),
+        flags["alpha_ok"].alias("alpha_ok"),
+        flags["mean_word_len_ok"].alias("mwl_ok"),
+    ).collect()}
+    assert not out[1]["ok"]
+    assert not out[2]["rep_ok"] and not out[2]["ok"]
+    assert out[3]["ok"]
+    assert not out[4]["alpha_ok"] and not out[4]["mwl_ok"]
+
+
+def test_repetition_and_mean_word_len_values(spark):
+    docs = _docs(spark, [(1, "a a b"), (2, "abc de")])
+    row = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        word_repetition_ratio(F.col("text")).alias("rep"),
+        mean_word_length(F.col("text")).alias("mwl"),
+    ).collect()}
+    assert abs(row[1]["rep"] - (1 - 2 / 3)) < 1e-15
+    assert abs(row[1]["mwl"] - 1.0) < 1e-15
+    assert row[2]["rep"] == 0.0
+    assert abs(row[2]["mwl"] - 2.5) < 1e-15
+
+
+def test_gopher_scan_is_shuffle_free(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = q_text_gopher_quality(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, "quality scoring must stay a projection"
+
+
+def test_gopher_filter_keeps_some_drops_some(spark, sf_dir):
+    df = q_text_gopher_quality(spark, sf_dir)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("gopher_ok").cast("int")).alias("n_ok"),
+    ).collect()[0]
+    assert 0 < agg["n_ok"] < agg["n"], (
+        f"gopher bands are degenerate on the corpus: {agg['n_ok']}/{agg['n']}"
+    )
+
+
+# --- unigram familiarity -------------------------------------------------------
+
+def test_unigram_familiarity_orders_common_above_rare(spark):
+    # 9 docs of common tokens + 1 doc of singletons: the common-token
+    # docs must score strictly higher.
+    rows = [(i, "the cat sat") for i in range(9)] + [(9, "qzx wvu jkl")]
+    fam = {r["doc_id"]: r["familiarity"]
+           for r in unigram_familiarity(_docs(spark, rows)).collect()}
+    assert fam[0] > fam[9] > 0.0
+
+
+def test_unigram_familiarity_empty_doc_is_zero(spark):
+    rows = [(1, "a a"), (2, None), (3, "  ")]
+    out = {r["doc_id"]: r for r in unigram_familiarity(_docs(spark, rows)).collect()}
+    assert out[2]["n_tok"] == 0 and out[2]["familiarity"] == 0.0
+    assert out[3]["n_tok"] == 0 and out[3]["familiarity"] == 0.0
+    # single-token vocab: every token is 'a', familiarity = 2/2 * 1/2? no:
+    # sum_count = 2 tokens * count 2 = 4; n_tok=2, total=2 -> 4/(2*2)=1.0
+    assert out[1]["familiarity"] == 1.0
+
+
+# --- per-domain cap ------------------------------------------------------------
+
+def test_domain_top_docs_cap_and_group_limit(spark, sf_dir):
+    df = q_domain_top_docs(spark, sf_dir)
+    per_source = df.groupBy("source").count().collect()
+    assert per_source and all(r["count"] <= 5 for r in per_source)
+    assert "WindowGroupLimit" in formatted_plan(df), (
+        "rank-then-filter must rewrite to map-side group limits"
+    )
+
+
+# --- int8 quantization ---------------------------------------------------------
+
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    q = quantize_int8(emb)
+    chk = dequantize_error_bound(q, emb)
+    bad = chk.filter(~F.col("err_ok")).count()
+    assert bad == 0
+    rng = q.select(
+        F.max(F.array_max(F.transform(F.col("q"), lambda v: F.abs(v)))).alias("m")
+    ).collect()[0]["m"]
+    assert rng <= 127
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert out[1]["scale"] == 0.0 and out[1]["q"] == [0, 0, 0]
+    assert out[2]["q"][1] in (-127,)  # max-abs slot pins to ±127
+
+
+def test_quantize_is_shuffle_free(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    assert "Exchange" not in formatted_plan(df)
