@@ -1,0 +1,94 @@
+"""SemDeDup: semantic deduplication via embedding clustering
+(additive, SURVEY.md §7.4; method of Abbas et al. 2023, "SemDeDup:
+Data-efficient learning at web-scale through semantic deduplication").
+
+Shape: (1) KMeans clusters the embedding space — at 100 TB the fit
+runs on a bounded seeded sample while assignment is a single broadcast
+pass over the corpus (cluster centers are k×dim, kilobytes); (2) the
+candidate near-duplicate search is confined WITHIN clusters, so the
+quadratic pair term is bounded by the largest cluster, not the corpus
+— the same blast-radius control as the LSH buckets in
+``operators/simsearch.py``, but driven by learned structure instead of
+random planes; (3) among mutually-similar docs the min-id
+representative is kept (deterministic, engine-independent).
+
+MLlib KMeans with a fixed seed is deterministic for a fixed input
+partitioning, so the workload key pins a repartition before fit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from machine_learning_algorithm_sparkml__spark.functions.vectors import cosine_similarity
+
+
+def cluster_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 754,
+    fit_sample_rows: int = 100_000,
+) -> DataFrame:
+    """Assign a ``cluster`` id to every row. The KMeans fit is bounded:
+    when the input exceeds ``fit_sample_rows`` the model fits on a
+    seeded sample (centers only need to be representative; assignment
+    is exact for whichever centers come out). Assignment itself is one
+    projection — model.transform broadcasts the k×dim centers."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = df.withColumn("_v", array_to_vector(F.col(vec_col)))
+    n = with_vec.count()
+    fit_input = with_vec
+    if n > fit_sample_rows:
+        fit_input = with_vec.sample(fraction=fit_sample_rows / n, seed=seed)
+    model = KMeans(k=k, seed=seed, featuresCol="_v", predictionCol="cluster").fit(fit_input)
+    return model.transform(with_vec).drop("_v")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    tau: float = 0.97,
+    seed: int = 754,
+) -> DataFrame:
+    """SemDeDup keep/drop verdicts: (id, cluster, is_kept).
+
+    A row is dropped iff some SAME-CLUSTER row with a smaller id has
+    cosine ≥ tau — so every duplicate group keeps exactly its min-id
+    member (cross-cluster near-dups are accepted misses, exactly as in
+    the paper; recall is a property of k and is tested with planted
+    duplicates)."""
+    assigned = cluster_embeddings(df, id_col=id_col, vec_col=vec_col, k=k, seed=seed)
+    # both legs of the within-cluster self-join read the assignment;
+    # checkpoint so KMeans transform doesn't run twice
+    assigned = assigned.select(id_col, "cluster", vec_col).localCheckpoint(eager=True)
+    left = assigned.select(
+        F.col(id_col).alias("i"), "cluster", F.col(vec_col).alias("vi")
+    )
+    right = assigned.select(
+        F.col(id_col).alias("j"), "cluster", F.col(vec_col).alias("vj")
+    )
+    dup_ids = (
+        left.join(right, "cluster")
+        .filter(F.col("j") < F.col("i"))
+        .filter(cosine_similarity(F.col("vi"), F.col("vj")) >= tau)
+        .select(F.col("i").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "cluster")
+        .join(dup_ids.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
+        )
+    )

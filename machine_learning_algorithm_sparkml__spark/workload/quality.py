@@ -84,11 +84,55 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization before fingerprint/dedup: lowercase,
+    strip sentence punctuation, collapse whitespace, trim. Pure
+    projection; regexes restricted to the Java∩RE2 common subset so
+    the oracle is literal."""
+    docs = load_table(spark, sf_dir, "documents")
+    safe = F.coalesce(F.col("text"), F.lit(""))
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(safe), r"[.,;:!?]", ""), r"\s+", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        normalized.alias("norm_text"),
+        F.length(normalized).alias("norm_len"),
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding set with planted duplicates (same
+    planting scheme as ``embedding_neardup``: every vec_id divisible
+    by 100 re-inserted at id+10_000_000, so each planted copy MUST be
+    dropped in favor of its min-id original — same vector ⇒ same
+    cluster ⇒ sim 1.0). Rows-only key (KMeans isn't SQL-expressible);
+    ``planted_dropped_ok`` carries the signal: TRUE iff every planted
+    copy was dropped AND every original kept."""
+    from machine_learning_algorithm_sparkml__spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    corpus = emb.unionByName(planted)
+    verdicts = semantic_dedup(corpus, id_col="vec_id", vec_col="embedding", k=16, tau=0.97)
+    planted_rows = verdicts.filter(F.col("vec_id") >= 10_000_000)
+    invariant = planted_rows.agg(
+        (F.sum(F.col("is_kept").cast("int")) == 0).alias("planted_dropped_ok")
+    )
+    return verdicts.crossJoin(F.broadcast(invariant))
+
+
 QUERIES = {
     "text_gopher_quality": q_text_gopher_quality,
     "text_unigram_familiarity": q_text_unigram_familiarity,
+    "text_normalize": q_text_normalize,
     "domain_top_docs": q_domain_top_docs,
     "embedding_quantize_int8": q_embedding_quantize_int8,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 # DuckDB mirrors. Token macro identical to workload/llm.py's _TOKENS.
@@ -148,6 +192,16 @@ ORACLE = {
         LEFT JOIN per_doc p USING (doc_id)
         CROSS JOIN total
     """,
+    "text_normalize": """
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(COALESCE(text, '')),
+                    '[.,;:!?]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text,
+               CAST(length(trim(regexp_replace(regexp_replace(lower(COALESCE(text, '')),
+                    '[.,;:!?]', '', 'g'), '\\s+', ' ', 'g'))) AS INTEGER) AS norm_len
+        FROM documents
+    """,
+    # semantic_dedup: KMeans clustering is not SQL-expressible — rows-only
+    # with the planted_dropped_ok invariant column.
     "domain_top_docs": """
         SELECT doc_id, source, n_chars, CAST(rn AS INTEGER) AS rn
         FROM (

@@ -144,3 +144,49 @@ def test_quantize_is_shuffle_free(spark, sf_dir):
     spark.catalog.clearCache()
     df = quantize_int8(load_table(spark, sf_dir, "embeddings"))
     assert "Exchange" not in formatted_plan(df)
+
+
+# --- semantic dedup ------------------------------------------------------------
+
+def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
+    from machine_learning_algorithm_sparkml__spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    out = semantic_dedup(emb.unionByName(planted))
+    rows = {r["vec_id"]: r for r in out.collect()}
+    n_planted = planted.count()
+    assert n_planted > 0
+    for vid, r in rows.items():
+        if vid >= 10_000_000:
+            # identical vector, larger id -> must be dropped...
+            assert not r["is_kept"], vid
+            # ...in favor of its original, which must survive
+            assert rows[vid - 10_000_000]["is_kept"], vid
+    # non-planted uniform-random vectors have no pairs at tau=0.97
+    n_dropped = sum(1 for r in rows.values() if not r["is_kept"])
+    assert n_dropped == n_planted
+
+
+def test_semantic_dedup_cluster_assignment_consistent(spark, sf_dir):
+    """Identical vectors must land in the same cluster (assignment is
+    a pure argmin over broadcast centers)."""
+    from machine_learning_algorithm_sparkml__spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    out = semantic_dedup(emb.unionByName(planted))
+    pairs = (
+        out.filter(F.col("vec_id") >= 10_000_000)
+        .select(
+            (F.col("vec_id") - 10_000_000).alias("vec_id"),
+            F.col("cluster").alias("cluster_copy"),
+        )
+        .join(out, "vec_id")
+    )
+    mismatch = pairs.filter(F.col("cluster") != F.col("cluster_copy")).count()
+    assert mismatch == 0
