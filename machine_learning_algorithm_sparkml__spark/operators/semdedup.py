@@ -21,8 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from machine_learning_algorithm_sparkml__spark.functions.vectors import cosine_similarity
-
 
 def cluster_embeddings(
     df: DataFrame,
@@ -46,7 +44,21 @@ def cluster_embeddings(
     fit_input = with_vec
     if n > fit_sample_rows:
         fit_input = with_vec.sample(fraction=fit_sample_rows / n, seed=seed)
-    model = KMeans(k=k, seed=seed, featuresCol="_v", predictionCol="cluster").fit(fit_input)
+    # Seeded random init + bounded iterations: kmeans|| init costs ~5
+    # extra passes over the fit set for marginally better centers the
+    # dedup step doesn't need (any stable partition of the space works
+    # — duplicates are IDENTICAL vectors, always co-assigned). The fit
+    # set is driver-bounded, so coalesce it away from the corpus's
+    # partitioning to keep per-iteration task overhead flat.
+    model = KMeans(
+        k=k,
+        seed=seed,
+        featuresCol="_v",
+        predictionCol="cluster",
+        initMode="random",
+        maxIter=10,
+        tol=1e-3,
+    ).fit(fit_input.coalesce(8))
     return model.transform(with_vec).drop("_v")
 
 
@@ -67,19 +79,38 @@ def semantic_dedup(
     the paper; recall is a property of k and is tested with planted
     duplicates)."""
     assigned = cluster_embeddings(df, id_col=id_col, vec_col=vec_col, k=k, seed=seed)
-    # both legs of the within-cluster self-join read the assignment;
-    # checkpoint so KMeans transform doesn't run twice
-    assigned = assigned.select(id_col, "cluster", vec_col).localCheckpoint(eager=True)
-    left = assigned.select(
-        F.col(id_col).alias("i"), "cluster", F.col(vec_col).alias("vi")
+    # Pre-normalize ONCE per vector so the pairwise predicate is a
+    # single dot product instead of dot + two norms — the pairwise
+    # term dominates (cluster_size² pairs × vector length of
+    # interpreted higher-order-function evaluation), so cutting it
+    # 3× is the lever. Zero vectors normalize to zeros (cos := 0).
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
     )
-    right = assigned.select(
-        F.col(id_col).alias("j"), "cluster", F.col(vec_col).alias("vj")
+    unit = F.when(norm == 0.0, F.transform(F.col(vec_col), lambda x: F.lit(0.0))).otherwise(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    )
+    # both legs of the within-cluster self-join read the assignment;
+    # checkpoint so KMeans transform + normalization run once
+    assigned = (
+        assigned.select(id_col, "cluster", unit.alias("_unit"))
+        .localCheckpoint(eager=True)
+    )
+    left = assigned.select(F.col(id_col).alias("i"), "cluster", F.col("_unit").alias("vi"))
+    right = assigned.select(F.col(id_col).alias("j"), "cluster", F.col("_unit").alias("vj"))
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("vi"), F.col("vj"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     dup_ids = (
         left.join(right, "cluster")
         .filter(F.col("j") < F.col("i"))
-        .filter(cosine_similarity(F.col("vi"), F.col("vj")) >= tau)
+        .filter(pair_dot >= tau)
         .select(F.col("i").alias(id_col))
         .distinct()
     )

@@ -118,7 +118,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + F.lit(10_000_000)
     )
     corpus = emb.unionByName(planted)
-    verdicts = semantic_dedup(corpus, id_col="vec_id", vec_col="embedding", k=16, tau=0.97)
+    verdicts = semantic_dedup(
+        corpus, id_col="vec_id", vec_col="embedding", k=16, tau=0.97
+    ).localCheckpoint(eager=True)  # invariant agg + output both read it
     planted_rows = verdicts.filter(F.col("vec_id") >= 10_000_000)
     invariant = planted_rows.agg(
         (F.sum(F.col("is_kept").cast("int")) == 0).alias("planted_dropped_ok")
