@@ -50,6 +50,75 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/2nd event value per user over the full partition —
+    explicit UNBOUNDED..UNBOUNDED frame (the default frame would make
+    last_value just the current row). One shuffle serves all three."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    spec = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.first("value").over(spec).alias("first_value"),
+        F.last("value").over(spec).alias("last_value"),
+        F.nth_value("value", 2).over(spec).alias("second_value"),
+    )
+
+
+def q_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour event-time RANGE frame per user: count + sum of
+    values within the last 3600 epoch-seconds. Range frames are
+    peer-inclusive on the ORDER BY key in every engine, so ordering by
+    floor-epoch is deterministic; the double sum is rounded (frame
+    association order is engine-specific)."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    with_epoch = events.withColumn("epoch_s", F.col("ts").cast("long"))
+    spec = (
+        Window.partitionBy("user_id").orderBy(F.asc("epoch_s")).rangeBetween(-3600, 0)
+    )
+    return with_epoch.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        "value",
+        F.count(F.lit(1)).over(spec).alias("n_1h"),
+        F.round(F.sum("value").over(spec), 4).alias("sum_1h"),
+    )
+
+
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER-clause semantics) per order
+    priority: big-order count/total alongside the plain rollup — the
+    one-pass alternative to self-joining filtered subqueries. All
+    conditions evaluate in the same partial aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 300000
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(big.cast("bigint")).alias("n_big"),
+        F.round(F.sum(F.when(big, F.col("o_totalprice")).otherwise(F.lit(0.0))), 2).alias("sum_big"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("bigint").alias("n_finished"),
+    )
+
+
+def q_agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted set-collection per group, emitted as a joined string
+    (driver outputs must stay atomic): distinct order statuses per
+    priority. collect_set is partition-order-nondeterministic, so the
+    sort happens AFTER collection — the output is engine-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_statuses"),
+    )
+
+
 # --- statistical aggregates ----------------------------------------------------
 
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,6 +315,10 @@ QUERIES = {
     "window_ntile_cume": q_window_ntile_cume,
     "window_lag_lead": q_window_lag_lead,
     "window_moving_avg": q_window_moving_avg,
+    "window_first_last": q_window_first_last,
+    "window_range_time": q_window_range_time,
+    "agg_conditional": q_agg_conditional,
+    "agg_string_collect": q_agg_string_collect,
     "agg_stats": q_agg_stats,
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_approx": q_agg_approx,
@@ -280,6 +353,41 @@ ORACLE = {
                ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value
         FROM (SELECT event_id, user_id, ts, value FROM events)
+    """,
+    "window_first_last": """
+        SELECT event_id, user_id, ts, value,
+               first_value(value) OVER w AS first_value,
+               last_value(value) OVER w AS last_value,
+               nth_value(value, 2) OVER w AS second_value
+        FROM (SELECT event_id, user_id, ts, value FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "window_range_time": """
+        SELECT event_id, user_id, epoch_s, value,
+               COUNT(*) OVER w AS n_1h,
+               ROUND(SUM(value) OVER w, 4) AS sum_1h
+        FROM (
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, value
+            FROM events
+        )
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s ASC
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    "agg_conditional": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COALESCE(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END), 0) AS n_big,
+               ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_totalprice > 300000), 0.0), 2) AS sum_big,
+               COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS n_finished
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "agg_string_collect": """
+        SELECT o_orderpriority,
+               string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+               COUNT(DISTINCT o_orderstatus) AS n_statuses
+        FROM orders GROUP BY o_orderpriority
     """,
     "agg_stats": """
         SELECT l_returnflag,

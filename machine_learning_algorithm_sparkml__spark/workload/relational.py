@@ -211,6 +211,23 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER: nation-filtered customers × big orders — null rows
+    survive on BOTH sides (customers with no big order, big orders
+    whose customer fell out of the filter). Same shuffle shape as the
+    inner join; Spark just keeps both unmatched streams."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    cust = customer.filter(F.col("c_nationkey") < 13).select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_name"
+    )
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return cust.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "full_outer"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each event gets the latest prior order (by
     date) of the matching customer — the custom operator Spark lacks,
@@ -457,6 +474,7 @@ QUERIES = {
     "join_left_outer": q_join_left_outer,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
+    "join_full_outer": q_join_full_outer,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "agg_distinct_count": q_agg_distinct_count,
@@ -533,6 +551,17 @@ ORACLE = {
             SELECT 1 FROM orders o
             WHERE o.o_custkey = CAST(c.c_custkey AS BIGINT) AND o.o_orderstatus = 'F'
         )
+    """,
+    "join_full_outer": """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM (
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+            FROM customer WHERE c_nationkey < 13
+        ) c
+        FULL OUTER JOIN (
+            SELECT o_custkey, o_orderkey, o_totalprice
+            FROM orders WHERE o_totalprice > 400000
+        ) o ON c.c_custkey = o.o_custkey
     """,
     "asof_join": """
         WITH latest_orders AS (

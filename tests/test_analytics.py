@@ -80,3 +80,49 @@ def test_approx_invariants_hold(spark, sf_dir):
     row = analytics.q_agg_approx(spark, sf_dir).collect()[0]
     assert row["approx_distinct_ok"] is True
     assert row["approx_p50_ok"] is True
+
+
+def test_range_frame_includes_exact_boundary(spark):
+    """RANGE BETWEEN 3600 PRECEDING is inclusive: an event exactly one
+    hour after another must see it in its frame."""
+    from datetime import datetime
+
+    rows = [
+        (1, 7, datetime(2024, 1, 1, 10, 0, 0), 1.0),
+        (2, 7, datetime(2024, 1, 1, 11, 0, 0), 2.0),   # exactly +3600s
+        (3, 7, datetime(2024, 1, 1, 12, 0, 1), 4.0),   # +3601s from #2
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    spec = (
+        analytics.Window.partitionBy("user_id")
+        .orderBy(F.asc(F.col("ts").cast("long")))
+        .rangeBetween(-3600, 0)
+    )
+    out = {r["event_id"]: r["s"] for r in df.select(
+        "event_id", F.sum("value").over(spec).alias("s")
+    ).collect()}
+    assert out[1] == 1.0
+    assert out[2] == 3.0   # boundary event included
+    assert out[3] == 4.0   # 3601s gap excluded
+
+
+def test_full_outer_join_populates_both_null_sides(spark, sf_dir):
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_join_full_outer,
+    )
+
+    df = q_join_full_outer(spark, sf_dir)
+    assert df.filter(F.col("o_orderkey").isNull()).count() > 0, "customers w/o big orders"
+    assert df.filter(F.col("c_custkey").isNull()).count() > 0, "big orders w/o surviving customer"
+
+
+def test_string_collect_is_sorted_and_deterministic(spark, sf_dir):
+    out1 = {r["o_orderpriority"]: r["statuses"]
+            for r in analytics.q_agg_string_collect(spark, sf_dir).collect()}
+    out2 = {r["o_orderpriority"]: r["statuses"]
+            for r in analytics.q_agg_string_collect(
+                spark, sf_dir).repartition(7).collect()}
+    for k, v in out1.items():
+        parts = v.split(",")
+        assert parts == sorted(parts), v
+        assert out2[k] == v
