@@ -436,6 +436,22 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, path, schema=schema)
 
 
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/scan round-trip (additive; Spark-native columnar
+    alternative to parquet — same pushdown/pruning machinery, ORC
+    stripe statistics instead of parquet row-group stats). Oracle sees
+    the projection; the round trip proves the format path."""
+    out = select_columns(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    from machine_learning_algorithm_sparkml__spark.sources import scratch_sink_path
+
+    path = scratch_sink_path(sf_dir, "orders_orc")
+    out.write.mode("overwrite").format("orc").save(path)
+    return spark.read.format("orc").load(path)
+
+
 def q_scan_csv_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 in its literal reference form: read a header-CSV with
     column NAMES from the header and ALL-STRING values — exactly
@@ -462,6 +478,7 @@ def q_scan_csv_header(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sink_csv": q_sink_csv_roundtrip,
+    "sink_orc": q_sink_orc_roundtrip,
     "scan_csv_header": q_scan_csv_header,
     "scan_parquet": scan_parquet,
     "project_select": project_select,
@@ -499,6 +516,7 @@ QUERIES = {
 
 ORACLE = {
     "sink_csv": "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "sink_orc": "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders",
     "scan_csv_header": """
         SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
                o_orderstatus, o_orderpriority
