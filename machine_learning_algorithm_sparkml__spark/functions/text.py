@@ -31,14 +31,14 @@ STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization as an array column. NULL and empty/blank
-    text both yield an empty array (Spark's split returns [''] on ''
-    and null on null — both guarded so every downstream count/ratio is
-    total)."""
-    trimmed = F.trim(F.coalesce(text, F.lit("")))
-    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    """Whitespace tokenization as an array column: split on runs of ANY
+    whitespace, drop empty fragments. NULL / empty / whitespace-only
+    text (including tabs and newlines — ``trim`` only strips spaces,
+    a bug hypothesis caught on '\\t') all yield an empty array, and
+    leading/trailing whitespace never produces empty edge tokens, so
+    every downstream count/ratio is total."""
+    parts = F.split(F.coalesce(text, F.lit("")), r"\s+")
+    return F.filter(parts, lambda t: F.length(t) > 0)
 
 
 def token_count(text: Column) -> Column:
@@ -137,5 +137,7 @@ def doc_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 over the normalized
     text (lowercased, whitespace collapsed). Exact-dedup key that is
     stable across storage layout; 32-hex-char string."""
-    normalized = F.regexp_replace(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+", " ")
+    # collapse BEFORE trim: trim only strips spaces, so leading tabs/
+    # newlines survive a trim-first order and change the hash
+    normalized = F.trim(F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"\s+", " "))
     return F.md5(normalized)

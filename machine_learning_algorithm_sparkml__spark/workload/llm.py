@@ -500,13 +500,15 @@ def _marker_list(lang: str) -> str:
 
 # COALESCE mirrors the Spark functions' null-hardening (tokens()
 # yields [] on NULL) so the oracles agree even on NULL text
-_TOKENS = "regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')"
+# mirrors functions.text.tokens(): split on ANY whitespace run, drop
+# empty fragments (trim-based guards miss tabs/newlines — DuckDB trim
+# strips only spaces, same as Spark)
+_TOKENS = "list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0)"
 
 ORACLE = {
     "text_token_count": f"""
         SELECT doc_id,
-               CAST(CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
-                    ELSE len({_TOKENS}) END AS INTEGER) AS n_tokens,
+               CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
                CAST(len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS INTEGER) AS n_word_tokens,
                CAST(length(text) AS INTEGER) AS n_chars_computed
         FROM documents
@@ -514,7 +516,7 @@ ORACLE = {
     "text_quality": f"""
         WITH t AS (
             SELECT doc_id,
-                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0 ELSE len({_TOKENS}) END AS n_tok,
+                   len({_TOKENS}) AS n_tok,
                    length(COALESCE(text, '')) AS n_chars,
                    length(regexp_replace(COALESCE(text, ''), '[^.,;:!?]', '', 'g')) AS n_punct,
                    len(list_filter({_TOKENS}, x -> x IN ({_STOPWORD_LIST}))) AS n_stop
@@ -548,7 +550,7 @@ ORACLE = {
         FROM t
     """,
     "doc_fingerprint": """
-        SELECT doc_id, md5(regexp_replace(lower(trim(COALESCE(text, ''))), '\\s+', ' ', 'g')) AS fingerprint
+        SELECT doc_id, md5(trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'))) AS fingerprint
         FROM documents
     """,
     # plain string (not f-string): the regex quantifier braces must stay literal
@@ -580,8 +582,7 @@ ORACLE = {
     "doc_chunk_fixed": """
         WITH toks AS (
             SELECT doc_id,
-                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') END AS t
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> length(x) > 0) AS t
             FROM documents
         ), starts AS (
             SELECT doc_id, t, u.s AS s
@@ -596,8 +597,7 @@ ORACLE = {
     "doc_pack_sequences": """
         WITH t AS (
             SELECT doc_id,
-                   CAST(CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')) END AS INTEGER) AS n_tokens,
+                   CAST(len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> length(x) > 0)) AS INTEGER) AS n_tokens,
                    CAST(doc_id % 32 AS INTEGER) AS pack_shard
             FROM documents
         )
@@ -613,8 +613,7 @@ ORACLE = {
     "doc_tokens_explode": """
         WITH toks AS (
             SELECT doc_id,
-                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') END AS t
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> length(x) > 0) AS t
             FROM documents
         )
         SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, t[CAST(u.i AS INTEGER)] AS token
@@ -622,8 +621,7 @@ ORACLE = {
     """,
     "text_top_terms": f"""
         WITH toks AS (
-            SELECT CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\\s+') END AS t
+            SELECT list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '\s+'), x -> length(x) > 0) AS t
             FROM documents
         ), terms AS (
             SELECT u.term FROM toks, UNNEST(t) AS u(term)
@@ -649,8 +647,7 @@ ORACLE = {
             SELECT doc_id,
                    -- guarded like the Spark tokens(): NULL/blank text -> []
                    -- (the len(t)<n branch then yields the same single '' shingle)
-                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') END AS t
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> length(x) > 0) AS t
             FROM documents
         ), sh_raw AS (
             SELECT doc_id,
@@ -679,8 +676,7 @@ ORACLE = {
             SELECT doc_id,
                    -- guarded like the Spark tokens(): NULL/blank text -> []
                    -- (the len(t)<n branch then yields the same single '' shingle)
-                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') END AS t
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> length(x) > 0) AS t
             FROM documents
         ), sh_raw AS (
             SELECT doc_id,
@@ -715,8 +711,7 @@ ORACLE = {
             SELECT doc_id,
                    -- guarded like the Spark tokens(): NULL/blank text -> []
                    -- (the len(t)<n branch then yields the same single '' shingle)
-                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') END AS t
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> length(x) > 0) AS t
             FROM documents
         ), sh_raw AS (
             SELECT doc_id,
@@ -768,8 +763,7 @@ ORACLE = {
             SELECT d.doc_id, d.text FROM documents d JOIN exact_kept k ON d.doc_id = k.doc_id
         ), toks AS (
             SELECT doc_id,
-                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') END AS t
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> length(x) > 0) AS t
             FROM survivors
         ), sh_raw AS (
             SELECT doc_id,
@@ -815,7 +809,7 @@ ORACLE = {
     "text_quality_filter": f"""
         WITH t AS (
             SELECT doc_id, lang,
-                   CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0 ELSE len({_TOKENS}) END AS n_tok,
+                   len({_TOKENS}) AS n_tok,
                    length(COALESCE(text, '')) AS n_chars,
                    length(regexp_replace(COALESCE(text, ''), '[^.,;:!?]', '', 'g')) AS n_punct,
                    len(list_filter({_TOKENS}, x -> x IN ({_STOPWORD_LIST}))) AS n_stop

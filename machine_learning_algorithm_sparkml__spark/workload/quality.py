@@ -137,9 +137,11 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
 }
 
-# DuckDB mirrors. Token macro identical to workload/llm.py's _TOKENS.
-_TOKS = "regexp_split_to_array(trim(COALESCE(text, '')), '\\s+')"
-_NTOK = f"CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0 ELSE len({_TOKS}) END"
+# DuckDB mirrors. Token macro identical to workload/llm.py's _TOKENS:
+# split on any whitespace run, drop empty fragments (trim-based guards
+# miss tabs/newlines).
+_TOKS = "list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0)"
+_NTOK = f"len({_TOKS})"
 
 ORACLE = {
     "text_gopher_quality": f"""

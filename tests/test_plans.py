@@ -105,3 +105,62 @@ def test_quality_filter_no_lang_window(spark, sf_dir):
     plan = formatted_plan(df)
     assert ") Window" not in plan, "per-lang median must not use a Window"
     assert has_broadcast_join(df), "median frame must broadcast back"
+
+
+def test_round4_key_plan_shapes(spark, sf_dir):
+    """Plan hygiene for the round-4 keys: partial aggregation where a
+    groupBy exists, single exchange per shared window spec, no
+    nested-loop fallback in the full outer join."""
+    from machine_learning_algorithm_sparkml__spark.plans import (
+        formatted_plan,
+        has_partial_aggregation,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.analytics import (
+        q_agg_conditional,
+        q_agg_string_collect,
+        q_window_first_last,
+        q_window_ntile_cume,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_join_full_outer,
+    )
+
+    assert has_partial_aggregation(q_agg_conditional(spark, sf_dir)), (
+        "conditional aggregates must combine map-side"
+    )
+    # collect_set is partial-aggregatable too (ObjectHashAggregate)
+    plan = formatted_plan(q_agg_string_collect(spark, sf_dir))
+    assert "partial" in plan.lower(), plan
+    for fn in (q_window_first_last, q_window_ntile_cume):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert plan.count(") Exchange") == 1, f"{fn.__name__} must shuffle once:\n{plan}"
+    plan = formatted_plan(q_join_full_outer(spark, sf_dir))
+    assert "NestedLoop" not in plan, plan
+    assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan, plan
+
+
+def test_unigram_vocab_partial_aggregation(spark, sf_dir):
+    """The corpus vocab aggregate must map-side combine — at 100 TB
+    the exploded token stream is the biggest intermediate in the
+    module."""
+    from machine_learning_algorithm_sparkml__spark.operators.lm import unigram_vocab
+    from machine_learning_algorithm_sparkml__spark.plans import has_partial_aggregation
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+    spark.catalog.clearCache()
+    assert has_partial_aggregation(unigram_vocab(load_table(spark, sf_dir, "documents")))
+
+
+def test_gopher_quality_single_scan(spark, sf_dir):
+    """All nine Gopher output columns must come from ONE scan of
+    documents (no self-join, no re-read)."""
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+    from machine_learning_algorithm_sparkml__spark.workload.quality import (
+        q_text_gopher_quality,
+    )
+
+    spark.catalog.clearCache()
+    plan = formatted_plan(q_text_gopher_quality(spark, sf_dir))
+    # one Location line per scan node (the node name itself appears in
+    # both the tree summary and the numbered detail)
+    assert plan.count("InMemoryFileIndex") == 1, plan

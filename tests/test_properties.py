@@ -87,3 +87,127 @@ def test_sessionize_matches_python_reference(spark, rows):
     df = spark.createDataFrame(events, "event_id long, user_id long, ts timestamp")
     got = {r.event_id: r.session_id for r in sessionize(df, gap_minutes=30).collect()}
     assert got == _py_sessionize(events)
+
+
+# --- round-4 quality functions vs pure-Python references -----------------------
+
+def _py_gopher(text):
+    toks = text.split()
+    n = len(toks)
+    if n == 0:
+        return (0, 0.0, 0.0, 0.0)
+    mwl = sum(len(t) for t in toks) / n
+    alpha = sum(1 for t in toks if any(c.isascii() and c.isalpha() for c in t)) / n
+    rep = 1.0 - len(set(toks)) / n
+    return (n, mwl, alpha, rep)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab1! \t")),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_gopher_metrics_match_python_reference(spark, texts):
+    from machine_learning_algorithm_sparkml__spark.functions.quality import gopher_flags
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    flags = gopher_flags(F.col("text"))
+    rows = df.select(
+        "doc_id",
+        flags["n_words"].alias("n"),
+        flags["mean_word_len"].alias("mwl"),
+        flags["alpha_ratio"].alias("alpha"),
+        flags["repetition_ratio"].alias("rep"),
+    ).collect()
+    for r in rows:
+        n, mwl, alpha, rep = _py_gopher(texts[r["doc_id"]])
+        assert r["n"] == n, (texts[r["doc_id"]], r)
+        assert abs(r["mwl"] - mwl) < 1e-12
+        assert abs(r["alpha"] - alpha) < 1e-12
+        assert abs(r["rep"] - rep) < 1e-12
+
+
+def _py_familiarity(docs):
+    from collections import Counter
+
+    counts = Counter(t for _, text in docs for t in text.split())
+    total = sum(counts.values())
+    out = {}
+    for i, text in docs:
+        toks = text.split()
+        if not toks:
+            out[i] = (0, 0, 0.0)
+        else:
+            s = sum(counts[t] for t in toks)
+            out[i] = (len(toks), s, s / (len(toks) * total))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "q"]), min_size=0, max_size=10),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_unigram_familiarity_matches_python_reference(spark, texts):
+    from machine_learning_algorithm_sparkml__spark.operators.lm import unigram_familiarity
+
+    docs = [(i, " ".join(words)) for i, words in enumerate(texts)]
+    if not any(w for _, w in docs):
+        return  # all-empty corpus: vocab empty, nothing to score
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    expect = _py_familiarity(docs)
+    for r in unigram_familiarity(df).collect():
+        n_tok, s, fam = expect[r["doc_id"]]
+        assert r["n_tok"] == n_tok
+        assert r["sum_count"] == s
+        assert abs(r["familiarity"] - fam) < 1e-15
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-8.0, max_value=8.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_quantize_int8_matches_python_reference(spark, vecs):
+    from machine_learning_algorithm_sparkml__spark.operators.quantize import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    import struct
+
+    for r in quantize_int8(df).collect():
+        xs = [struct.unpack("f", struct.pack("f", x))[0] for x in vecs[r["vec_id"]]]
+        max_abs = max(abs(x) for x in xs)
+        if max_abs == 0.0:
+            assert r["scale"] == 0.0 and r["q"] == [0] * len(xs)
+            continue
+        scale = max_abs / 127.0
+        assert abs(r["scale"] - scale) < 1e-18
+        for got, x in zip(r["q"], xs):
+            # round-half-away (Spark HALF_UP on doubles)
+            import decimal
+
+            want = int(
+                decimal.Decimal(x / scale).quantize(0, rounding=decimal.ROUND_HALF_UP)
+            )
+            assert got == want, (x, scale, got, want)
+            assert -127 <= got <= 127

@@ -78,3 +78,24 @@ def test_token_count_matches_python_split(spark, texts):
     out = _eval(spark, token_count, texts)
     expected = [len(t.split()) if t else 0 for t in texts]
     assert out == expected
+
+
+def test_tokens_handle_tabs_newlines_and_padding(spark):
+    """trim() strips only spaces — tokenization must still yield no
+    empty tokens for tab/newline-only or whitespace-padded text
+    (hypothesis-caught on '\\t')."""
+    from machine_learning_algorithm_sparkml__spark.functions.text import token_count, tokens
+
+    rows = [(1, "\t"), (2, "\n\n"), (3, "\ta b\n"), (4, "  x  "), (5, None), (6, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n"], r["toks"]) for r in df.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n"),
+        tokens(F.col("text")).alias("toks"),
+    ).collect()}
+    assert out[1] == (0, [])
+    assert out[2] == (0, [])
+    assert out[3] == (2, ["a", "b"])
+    assert out[4] == (1, ["x"])
+    assert out[5] == (0, [])
+    assert out[6] == (0, [])
