@@ -103,7 +103,13 @@ def ngram_jaccard_pairs(
     bound (conservative: may miss borderline pairs, never inflates).
     Output: (id_a, id_b, jaccard), exact when the cap is unset.
     """
-    pairs = shingle_sets(df, id_col, text_col, n)
+    # The (id, shingle) frame feeds the size aggregate, the doc-freq
+    # cap, and both legs of the candidate self-join — five lineage
+    # reads. Materialize it once (localCheckpoint blocks are released
+    # by the ContextCleaner); at cluster scale this trades one
+    # corpus-token-sized spill for four recomputes of the
+    # tokenize+shingle projection over the full corpus.
+    pairs = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=True)
     # TRUE set sizes from the uncapped sets: the hot-shingle cap below
     # prunes CANDIDATE GENERATION only; folding it into sizes or
     # intersections would silently change the reported Jaccard.
