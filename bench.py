@@ -60,19 +60,36 @@ def main() -> None:
 
     load_table(spark, sf_dir, "lineitem").count()
 
+    # Sub-second timings from a single run are noise-dominated (r4's
+    # two apparent >2x regressions vanished under isolated re-runs), so
+    # keys whose first run lands under REPEAT_BELOW_SEC get two more
+    # runs and report the MEDIAN. Slow keys stay single-run: their
+    # signal-to-noise is fine and repeats would triple bench cost.
+    REPEAT_BELOW_SEC = 2.0
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in sorted(qs):
-        t0 = time.perf_counter()
+        runs: list[float] = []
         try:
-            _force(qs[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            while True:
+                t0 = time.perf_counter()
+                _force(qs[name](spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+                # caches (LSH signatures, checkpoints) must not leak
+                # into the next run's timing or hog executor memory
+                spark.catalog.clearCache()
+                if runs[0] >= REPEAT_BELOW_SEC or len(runs) == 3:
+                    break
+            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         except Exception as exc:  # keep benching; report the failure
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
-        print(f"[bench] {name}: {timings.get(name, 'FAIL')}", file=sys.stderr, flush=True)
-        # operators that cache intermediates (LSH signatures/buckets)
-        # must not skew the next query's timing or hog executor memory
-        spark.catalog.clearCache()
+            spark.catalog.clearCache()
+        print(
+            f"[bench] {name}: {timings.get(name, 'FAIL')}"
+            f" ({len(runs)} run{'s' if len(runs) != 1 else ''})",
+            file=sys.stderr,
+            flush=True,
+        )
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -87,6 +104,7 @@ def main() -> None:
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
         },
+        "protocol": {"repeat_below_sec": REPEAT_BELOW_SEC, "max_runs": 3, "stat": "median"},
     }
     if failures:
         full["failures"] = failures

@@ -22,25 +22,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def choose_k(n: int, *, target_cluster_rows: int = 2048, k_max: int = 65_536) -> int:
+    """Cluster count that keeps the within-cluster pair term bounded:
+    cluster size ≈ ``target_cluster_rows`` regardless of corpus size,
+    so candidate pairs grow LINEARLY with n (n/target clusters ×
+    target² pairs each) instead of quadratically as with any fixed k.
+    Capped at ``k_max`` — centers stay a broadcastable k×dim matrix
+    (65 536 × 64 doubles ≈ 34 MB); beyond the cap, route
+    within-cluster candidate generation through the bucketed
+    ``embedding_near_dup_pairs`` instead of raising k further."""
+    return max(16, min(-(-n // target_cluster_rows), k_max))
+
+
 def cluster_embeddings(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 16,
+    k: int | None = None,
     seed: int = 754,
     fit_sample_rows: int = 100_000,
+    target_cluster_rows: int = 2048,
 ) -> DataFrame:
-    """Assign a ``cluster`` id to every row. The KMeans fit is bounded:
-    when the input exceeds ``fit_sample_rows`` the model fits on a
-    seeded sample (centers only need to be representative; assignment
-    is exact for whichever centers come out). Assignment itself is one
-    projection — model.transform broadcasts the k×dim centers."""
+    """Assign a ``cluster`` id to every row. ``k=None`` (the default)
+    derives k from the corpus size via :func:`choose_k` so cluster —
+    and therefore pairwise-candidate — size stays bounded at any
+    scale. The KMeans fit is bounded: when the input exceeds
+    ``fit_sample_rows`` the model fits on a seeded sample (centers
+    only need to be representative; assignment is exact for whichever
+    centers come out). Assignment itself is one projection —
+    model.transform broadcasts the k×dim centers."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     with_vec = df.withColumn("_v", array_to_vector(F.col(vec_col)))
     n = with_vec.count()
+    if k is None:
+        k = choose_k(n, target_cluster_rows=target_cluster_rows)
+        # the sample must keep ≥ a handful of rows per center or the
+        # fit degenerates to singleton clusters of sample points
+        fit_sample_rows = max(fit_sample_rows, 16 * k)
     fit_input = with_vec
     if n > fit_sample_rows:
         fit_input = with_vec.sample(fraction=fit_sample_rows / n, seed=seed)
@@ -67,7 +88,7 @@ def semantic_dedup(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 16,
+    k: int | None = None,
     tau: float = 0.97,
     seed: int = 754,
 ) -> DataFrame:
@@ -77,7 +98,9 @@ def semantic_dedup(
     cosine ≥ tau — so every duplicate group keeps exactly its min-id
     member (cross-cluster near-dups are accepted misses, exactly as in
     the paper; recall is a property of k and is tested with planted
-    duplicates)."""
+    duplicates). ``k=None`` scales the cluster count with the corpus
+    (:func:`choose_k`) so the within-cluster pair term stays bounded
+    at any input size."""
     assigned = cluster_embeddings(df, id_col=id_col, vec_col=vec_col, k=k, seed=seed)
     # Pre-normalize ONCE per vector so the pairwise predicate is a
     # single dot product instead of dot + two norms — the pairwise

@@ -30,10 +30,26 @@ def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     Returns (schema, ts_is_long_nanos)."""
     import os
 
-    import pyarrow.parquet as pq
+    try:
+        import pyarrow.parquet as pq
 
-    ts_type = str(pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type)
-    nanos = ts_type.endswith("[ns]")
+        ts_type = str(pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type)
+        nanos = ts_type.endswith("[ns]")
+    except ImportError:
+        # pyarrow is an optional pyspark dependency; fall back to the
+        # same detection sources.io.load_table could do — a metadata-only
+        # Spark batch read of the file's schema (nanos files read as long
+        # under the legacy flag; micros files read as timestamp_ntz).
+        from pyspark.sql import SparkSession
+
+        from machine_learning_algorithm_sparkml__spark.sources.io import _nanos_as_long
+
+        spark = SparkSession.getActiveSession()
+        with _nanos_as_long(spark):
+            dt = dict(
+                spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+            )["ts"]
+        nanos = dt == "bigint"
     ts_field = T.LongType() if nanos else T.TimestampNTZType()
     schema = T.StructType([
         T.StructField("event_id", T.LongType()),

@@ -22,10 +22,11 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, so the rotation puts the least-recently-verified modules
-# FIRST each round. r3's window covered llm/streaming/scale (all
-# green); r4 leads with the new quality module, then the relational/
-# analytics/ml keys whose last driver row was r2.
-ALL_QUERY_MODULES = [quality, relational, analytics, ml, llm, streaming, scale]
+# FIRST each round. r4's window covered quality + relational + the
+# first 9 analytics keys; r5 leads with analytics (the 6 tail keys had
+# no r3/r4 row and the module changed in r3) + ml (all 10 keys stale
+# since r3's trim) + llm (tokens() changed in r4).
+ALL_QUERY_MODULES = [analytics, ml, llm, streaming, scale, quality, relational]
 
 
 def all_queries():

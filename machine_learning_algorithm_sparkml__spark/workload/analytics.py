@@ -99,10 +99,18 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditions evaluate in the same partial aggregate."""
     orders = load_table(spark, sf_dir, "orders")
     big = F.col("o_totalprice") > 300000
+    # sum_big is summed as decimal(18,2): decimal addition is exact and
+    # associative, so the result is independent of the partial-aggregation
+    # tree (a raw double sum landed on different representation boundaries
+    # across environments). The single trailing cast to double is
+    # deterministic. The per-row double->decimal rounding is unambiguous
+    # here because o_totalprice values sit within 1e-7 of exact cents.
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(big.cast("bigint")).alias("n_big"),
-        F.round(F.sum(F.when(big, F.col("o_totalprice")).otherwise(F.lit(0.0))), 2).alias("sum_big"),
+        F.sum(
+            F.when(big, F.col("o_totalprice")).otherwise(F.lit(0.0)).cast("decimal(18,2)")
+        ).cast("double").alias("sum_big"),
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("bigint").alias("n_finished"),
     )
 
@@ -378,9 +386,10 @@ ORACLE = {
     "agg_conditional": """
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
-               COALESCE(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END), 0) AS n_big,
-               ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_totalprice > 300000), 0.0), 2) AS sum_big,
-               COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS n_finished
+               CAST(COALESCE(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_big,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_totalprice > 300000),
+                             CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_big,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_finished
         FROM orders GROUP BY o_orderpriority
     """,
     "agg_string_collect": """

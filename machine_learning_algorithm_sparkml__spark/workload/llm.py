@@ -323,13 +323,23 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: frame-sampling plumbing — payload split into 4
-    deterministic byte windows, one row per frame."""
+    deterministic byte windows, one row per frame. ``frames_ok`` is a
+    TRUE-pinned invariant: every document emitted exactly 4 frames
+    (the rows-only driver check can't see values, so the key carries
+    its own verdict, same pattern as ``semantic_dedup``)."""
     from machine_learning_algorithm_sparkml__spark.operators.multimodal import frame_sample
 
     docs = load_table(spark, sf_dir, "documents")
     wrapped = attach_binary_payload(docs, "doc_id", "text", mime="text/plain;fake")
     frames = frame_sample(wrapped, n_frames=4)
-    return frames.select("doc_id", "frame_idx", F.octet_length("frame_bytes").alias("n_bytes"))
+    out = frames.select("doc_id", "frame_idx", F.octet_length("frame_bytes").alias("n_bytes"))
+    bad_docs = (
+        out.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") != 4)
+    )
+    inv = bad_docs.agg((F.count(F.lit(1)) == 0).alias("frames_ok"))
+    return out.crossJoin(F.broadcast(inv))
 
 
 # --- similarity search ------------------------------------------------------------
@@ -338,32 +348,65 @@ def _query_vectors(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") < 10)
 
 
+def _with_recall_invariant(result: DataFrame, truth: DataFrame, floor: float) -> DataFrame:
+    """Append a broadcast single-row ``recall_ok`` column: TRUE iff the
+    approximate result recovers >= ``floor`` of the exact top-k
+    (query_id, neighbor_id) pairs. Rows-only driver checks can't see
+    values, so each ANN key carries its own planted verdict (the
+    ``semantic_dedup`` pattern). The truth side is a 10-query
+    broadcast brute-force pass — O(corpus) with no shuffle."""
+    result = result.localCheckpoint(eager=True)  # invariant + output both read it
+    hits = result.join(
+        truth.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    inv = (
+        hits.agg(F.count(F.lit(1)).alias("n_hit"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        .select(
+            F.when(F.col("n_truth") == 0, F.lit(True))
+            .otherwise((F.col("n_hit") / F.col("n_truth")) >= floor)
+            .alias("recall_ok")
+        )
+    )
+    return result.crossJoin(F.broadcast(inv))
+
+
 def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, _query_vectors(emb), k=5)
 
 
 def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: approximate by design (recall tested vs brute force)."""
+    """Rows-only: approximate by design. ``recall_ok`` pins recall
+    >= 0.7 vs brute force (floor matches tests/test_llm.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return hyperplane_lsh_topk(emb, _query_vectors(emb), k=5)
+    approx = hyperplane_lsh_topk(emb, _query_vectors(emb), k=5)
+    truth = brute_force_topk(emb, _query_vectors(emb), k=5)
+    return _with_recall_invariant(approx, truth, floor=0.7)
 
 
 def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: KMeans-quantized inverted-file ANN (recall tested
-    vs brute force)."""
+    """Rows-only: KMeans-quantized inverted-file ANN. ``recall_ok``
+    pins recall >= 0.6 vs brute force (n_probe=6 of 16 cells probes
+    ~38% of the space; measured recall is well above the floor)."""
     from machine_learning_algorithm_sparkml__spark.operators.simsearch import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, _query_vectors(emb), k=5, num_centroids=16, n_probe=6)
+    approx = ivf_topk(emb, _query_vectors(emb), k=5, num_centroids=16, n_probe=6)
+    truth = brute_force_topk(emb, _query_vectors(emb), k=5)
+    return _with_recall_invariant(approx, truth, floor=0.6)
 
 
 def q_simsearch_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: MLlib BucketedRandomProjectionLSH euclidean ANN."""
+    """Rows-only: MLlib BucketedRandomProjectionLSH euclidean ANN.
+    ``recall_ok`` pins recall >= 0.75 vs cosine brute force (8 hash
+    tables; the 2-table floor in tests is already 0.75)."""
     from machine_learning_algorithm_sparkml__spark.ml.text_features import brp_lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return brp_lsh_topk(emb, _query_vectors(emb), k=5)
+    approx = brp_lsh_topk(emb, _query_vectors(emb), k=5)
+    truth = brute_force_topk(emb, _query_vectors(emb), k=5)
+    return _with_recall_invariant(approx, truth, floor=0.75)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,7 +625,7 @@ ORACLE = {
     "doc_chunk_fixed": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> length(x) > 0) AS t
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0) AS t
             FROM documents
         ), starts AS (
             SELECT doc_id, t, u.s AS s
@@ -597,7 +640,7 @@ ORACLE = {
     "doc_pack_sequences": """
         WITH t AS (
             SELECT doc_id,
-                   CAST(len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> length(x) > 0)) AS INTEGER) AS n_tokens,
+                   CAST(len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0)) AS INTEGER) AS n_tokens,
                    CAST(doc_id % 32 AS INTEGER) AS pack_shard
             FROM documents
         )
@@ -613,7 +656,7 @@ ORACLE = {
     "doc_tokens_explode": """
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> length(x) > 0) AS t
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0) AS t
             FROM documents
         )
         SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, t[CAST(u.i AS INTEGER)] AS token
@@ -621,7 +664,7 @@ ORACLE = {
     """,
     "text_top_terms": f"""
         WITH toks AS (
-            SELECT list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '\s+'), x -> length(x) > 0) AS t
+            SELECT list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '\\s+'), x -> length(x) > 0) AS t
             FROM documents
         ), terms AS (
             SELECT u.term FROM toks, UNNEST(t) AS u(term)
@@ -647,7 +690,7 @@ ORACLE = {
             SELECT doc_id,
                    -- guarded like the Spark tokens(): NULL/blank text -> []
                    -- (the len(t)<n branch then yields the same single '' shingle)
-                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> length(x) > 0) AS t
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0) AS t
             FROM documents
         ), sh_raw AS (
             SELECT doc_id,
@@ -676,7 +719,7 @@ ORACLE = {
             SELECT doc_id,
                    -- guarded like the Spark tokens(): NULL/blank text -> []
                    -- (the len(t)<n branch then yields the same single '' shingle)
-                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> length(x) > 0) AS t
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0) AS t
             FROM documents
         ), sh_raw AS (
             SELECT doc_id,
@@ -711,7 +754,7 @@ ORACLE = {
             SELECT doc_id,
                    -- guarded like the Spark tokens(): NULL/blank text -> []
                    -- (the len(t)<n branch then yields the same single '' shingle)
-                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> length(x) > 0) AS t
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0) AS t
             FROM documents
         ), sh_raw AS (
             SELECT doc_id,
@@ -763,7 +806,7 @@ ORACLE = {
             SELECT d.doc_id, d.text FROM documents d JOIN exact_kept k ON d.doc_id = k.doc_id
         ), toks AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> length(x) > 0) AS t
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0) AS t
             FROM survivors
         ), sh_raw AS (
             SELECT doc_id,

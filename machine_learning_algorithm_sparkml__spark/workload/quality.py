@@ -110,7 +110,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped in favor of its min-id original — same vector ⇒ same
     cluster ⇒ sim 1.0). Rows-only key (KMeans isn't SQL-expressible);
     ``planted_dropped_ok`` carries the signal: TRUE iff every planted
-    copy was dropped AND every original kept."""
+    copy was dropped AND every planted copy's original kept."""
     from machine_learning_algorithm_sparkml__spark.operators.semdedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -119,11 +119,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(planted)
     verdicts = semantic_dedup(
-        corpus, id_col="vec_id", vec_col="embedding", k=16, tau=0.97
+        corpus, id_col="vec_id", vec_col="embedding", tau=0.97
     ).localCheckpoint(eager=True)  # invariant agg + output both read it
-    planted_rows = verdicts.filter(F.col("vec_id") >= 10_000_000)
-    invariant = planted_rows.agg(
-        (F.sum(F.col("is_kept").cast("int")) == 0).alias("planted_dropped_ok")
+    # Both conjuncts in one pass: planted rows must ALL be dropped, and
+    # their originals (vec_id = planted - 10M) must ALL be kept. The
+    # sums are coalesced so an (impossible-today, but schema-safe) empty
+    # planted set yields TRUE, not NULL.
+    kept = F.col("is_kept").cast("int")
+    is_planted = F.col("vec_id") >= 10_000_000
+    is_original = (F.col("vec_id") % 100 == 0) & ~is_planted
+    invariant = verdicts.agg(
+        (
+            (F.coalesce(F.sum(F.when(is_planted, kept)), F.lit(0)) == 0)
+            & (F.coalesce(F.sum(F.when(is_original, 1 - kept)), F.lit(0)) == 0)
+        ).alias("planted_dropped_ok")
     )
     return verdicts.crossJoin(F.broadcast(invariant))
 

@@ -190,3 +190,22 @@ def test_semantic_dedup_cluster_assignment_consistent(spark, sf_dir):
     )
     mismatch = pairs.filter(F.col("cluster") != F.col("cluster_copy")).count()
     assert mismatch == 0
+
+
+def test_semantic_dedup_k_scales_with_corpus():
+    """The within-cluster pair term must stay bounded as the corpus
+    grows: expected cluster size n/k never exceeds the target, so
+    candidate pairs grow linearly with n, not quadratically."""
+    from machine_learning_algorithm_sparkml__spark.operators.semdedup import choose_k
+
+    target = 2048
+    for n in (1, 500, 10_000, 1_000_000, 50_000_000):
+        k = choose_k(n, target_cluster_rows=target)
+        assert k >= 16
+        if k < 65_536:  # below the broadcast cap the bound is strict
+            assert n / k <= target, (n, k)
+    # monotone non-decreasing in n
+    ks = [choose_k(n) for n in (100, 10_000, 1_000_000, 10_000_000)]
+    assert ks == sorted(ks)
+    # centers stay broadcastable: hard cap
+    assert choose_k(10**12) == 65_536
