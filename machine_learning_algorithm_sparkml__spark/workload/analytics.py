@@ -319,6 +319,74 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- behavioral analytics ------------------------------------------------------
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    reaches stage N only via an event STRICTLY AFTER their stage-N-1
+    time. Three user-keyed aggregates + two user-keyed joins — the
+    canonical distributed funnel shape (each stage's frame shrinks, and
+    all shuffles share the user_id key so AQE can co-locate them); no
+    per-user event-list collection anywhere. Exact integer outputs."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(views, "1_view")
+        .unionAll(stage(clicks, "2_click"))
+        .unionAll(stage(purchases, "3_purchase"))
+    )
+
+
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the ISO week of
+    their first event; n_users active at each week offset since.
+    Shapes: one user-keyed aggregate (first-seen), one distinct over
+    (user, week) — both map-side combinable — then a user-keyed join
+    and a tiny (cohort, offset) aggregate. Offsets are exact integer
+    day-differences of Monday-truncated dates divided by 7."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .select("user_id", F.to_date(F.date_trunc("week", F.col("t0"))).alias("cohort_week"))
+    )
+    active = events.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("active_week")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 QUERIES = {
     "window_ntile_cume": q_window_ntile_cume,
     "window_lag_lead": q_window_lag_lead,
@@ -335,6 +403,8 @@ QUERIES = {
     "scalar_string_funcs": q_scalar_string_funcs,
     "scalar_date_funcs": q_scalar_date_funcs,
     "sample_stratified": q_sample_stratified,
+    "event_funnel": q_event_funnel,
+    "retention_cohort": q_retention_cohort,
 }
 
 ORACLE = {
@@ -467,4 +537,37 @@ ORACLE = {
         FROM orders
     """,
     # sample_stratified: Spark per-stratum RNG, rows-only check.
+    "event_funnel": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_buy
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        UNION ALL SELECT '2_click' AS stage, COUNT(*) AS n_users FROM c
+        UNION ALL SELECT '3_purchase' AS stage, COUNT(*) AS n_users FROM p
+    """,
+    "retention_cohort": """
+        WITH t0 AS (
+            SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ), aw AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+            FROM events
+        )
+        SELECT t0.cohort_week,
+               CAST(date_diff('day', t0.cohort_week, aw.active_week) // 7 AS INTEGER) AS week_offset,
+               COUNT(*) AS n_users
+        FROM aw JOIN t0 ON aw.user_id = t0.user_id
+        GROUP BY t0.cohort_week, week_offset
+    """,
 }

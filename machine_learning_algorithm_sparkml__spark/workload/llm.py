@@ -166,6 +166,27 @@ def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: per-source sampling weights
+    applied as a DETERMINISTIC hash gate (keep iff the first 16 bits
+    of the content fingerprint fall under the source's integer
+    threshold out of 65536). No RNG state — reproducible on any
+    engine, stable under re-partitioning, and byte-identical documents
+    get identical verdicts everywhere (no leakage through copies).
+    Pure projection+filter: one corpus scan, no shuffle. Weights:
+    src0-4 keep all (65536), src5-9 half (32768), src10-14 quarter
+    (16384), rest ~10% (6553)."""
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = (
+        F.when(F.col("source").isin([f"src{i}" for i in range(5)]), F.lit(65536))
+        .when(F.col("source").isin([f"src{i}" for i in range(5, 10)]), F.lit(32768))
+        .when(F.col("source").isin([f"src{i}" for i in range(10, 15)]), F.lit(16384))
+        .otherwise(F.lit(6553))
+    )
+    u16 = F.conv(F.substring(doc_fingerprint(F.col("text")), 1, 4), 16, 10).cast("long")
+    return docs.filter(u16 < threshold).select("doc_id", "source")
+
+
 def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with ``doc_id % 97 == 0`` stand
     in for an eval suite; every other doc sharing a word 4-gram with
@@ -514,6 +535,7 @@ QUERIES = {
     "doc_tokens_explode": q_doc_tokens_explode,
     "text_top_terms": q_text_top_terms,
     "doc_hash_split": q_doc_hash_split,
+    "mixture_weighted_sample": q_mixture_weighted_sample,
     "decontaminate_ngram": q_decontaminate_ngram,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -595,6 +617,22 @@ ORACLE = {
     "doc_fingerprint": """
         SELECT doc_id, md5(trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'))) AS fingerprint
         FROM documents
+    """,
+    # '0x'-prefixed CAST parses hex; thresholds are integer literals on
+    # both sides (a double weight*65536 would round in DuckDB casts but
+    # truncate in Spark)
+    "mixture_weighted_sample": """
+        WITH fp AS (
+            SELECT doc_id, source,
+                   CAST('0x' || substring(md5(trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'))), 1, 4) AS BIGINT) AS u16
+            FROM documents
+        )
+        SELECT doc_id, source FROM fp
+        WHERE u16 < CASE
+            WHEN source IN ('src0','src1','src2','src3','src4') THEN 65536
+            WHEN source IN ('src5','src6','src7','src8','src9') THEN 32768
+            WHEN source IN ('src10','src11','src12','src13','src14') THEN 16384
+            ELSE 6553 END
     """,
     # plain string (not f-string): the regex quantifier braces must stay literal
     "text_pii_redact": """

@@ -126,3 +126,48 @@ def test_string_collect_is_sorted_and_deterministic(spark, sf_dir):
         parts = v.split(",")
         assert parts == sorted(parts), v
         assert out2[k] == v
+
+
+def test_event_funnel_is_monotone_and_ordered(spark, sf_dir):
+    """Stage counts can only shrink, and the strictly-after rule means
+    a user with click-before-view never reaches stage 2."""
+    rows = {r["stage"]: r["n_users"] for r in analytics.q_event_funnel(spark, sf_dir).collect()}
+    assert set(rows) == {"1_view", "2_click", "3_purchase"}
+    assert rows["1_view"] >= rows["2_click"] >= rows["3_purchase"]
+    assert rows["1_view"] > 0
+
+
+def test_event_funnel_strictly_after_semantics(spark):
+    """click at the exact same ts as the first view does NOT count
+    (strict >); a later one does."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t, 10, "view", 1.0, "{}"),
+        (2, t, 10, "click", 1.0, "{}"),              # same instant: no
+        (3, t + dt.timedelta(seconds=1), 11, "view", 1.0, "{}"),
+        (4, t + dt.timedelta(seconds=2), 11, "click", 1.0, "{}"),  # yes
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {r["stage"]: r["n_users"] for r in analytics.q_event_funnel(spark, d).collect()}
+    assert out["1_view"] == 2
+    assert out["2_click"] == 1
+    assert out["3_purchase"] == 0
+
+
+def test_retention_cohort_week_zero_covers_every_user(spark, sf_dir):
+    """Every user is active in their own cohort week, so the sum of
+    week_offset=0 counts equals the number of distinct users."""
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+    df = analytics.q_retention_cohort(spark, sf_dir)
+    week0 = df.filter(F.col("week_offset") == 0).agg(F.sum("n_users")).collect()[0][0]
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert week0 == n_users
+    assert df.filter(F.col("week_offset") < 0).count() == 0

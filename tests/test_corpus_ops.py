@@ -79,3 +79,23 @@ def test_hash_split_proportions(spark):
     assert 0.70 <= got["train"] / 2000 <= 0.80
     assert 0.08 <= got["val"] / 2000 <= 0.17
     assert 0.08 <= got["test"] / 2000 <= 0.17
+
+
+def test_mixture_weighted_sample_respects_thresholds(spark, sf_dir):
+    """Full-weight sources keep every doc; keep-rates otherwise can
+    only shrink with the threshold; verdicts are deterministic."""
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_mixture_weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = q_mixture_weighted_sample(spark, sf_dir)
+    total = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept_by = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for i in range(5):  # weight 1.0 -> everything kept
+        src = f"src{i}"
+        assert kept_by.get(src, 0) == total[src], src
+    # deterministic: second run identical
+    kept2 = {r["doc_id"] for r in q_mixture_weighted_sample(spark, sf_dir).collect()}
+    assert kept2 == {r["doc_id"] for r in kept.collect()}
