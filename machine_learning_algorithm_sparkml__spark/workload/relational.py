@@ -476,6 +476,75 @@ def q_scan_csv_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, path)  # names from header, all-string values
 
 
+# --- warehouse utilities --------------------------------------------------------
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary in ONE corpus scan: null count, distinct
+    count, lexicographic min/max (string form — uniform across column
+    types) for a column set, emitted long-format via ``stack``. The
+    single wide aggregate partial-aggregates map-side; n_distinct uses
+    exact count-distinct (one Expand), the profile shape every
+    warehouse's ANALYZE implements."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (column_name, n_nulls, n_distinct, min_str, max_str)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build (gaps-and-islands):
+    collapse each user's consecutive same-event_type runs into
+    validity intervals [valid_from, valid_to), valid_to NULL for the
+    current run. One window pass flags changes, a running sum numbers
+    the runs (both share a single user_id shuffle), a run-keyed
+    aggregate closes the intervals, and lead() over the run number
+    (strictly increasing — tie-proof) assigns valid_to."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("event_type").over(w)
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0).alias("chg"),
+        F.col("event_id"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run_id"),
+    )
+    runs = flagged.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_runs = Window.partitionBy("user_id").orderBy(F.asc("run_id"))
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_runs).alias("valid_to"),
+        "n_events",
+    )
+
+
 QUERIES = {
     "sink_csv": q_sink_csv_roundtrip,
     "sink_orc": q_sink_orc_roundtrip,
@@ -512,6 +581,8 @@ QUERIES = {
     "set_except": q_set_except,
     "sample_fraction": q_sample_fraction,
     "random_split": q_random_split,
+    "profile_table": q_profile_table,
+    "scd2_intervals": q_scd2_intervals,
 }
 
 ORACLE = {
@@ -692,4 +763,54 @@ ORACLE = {
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
     """,
     # sample_fraction / random_split: Spark-RNG semantics, rows-only check.
+    "profile_table": """
+        WITH base AS (SELECT COUNT(*) AS n_rows FROM orders),
+        prof AS (
+            SELECT 'o_custkey' AS column_name,
+                   CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                   MIN(CAST(o_custkey AS VARCHAR)) AS min_str,
+                   MAX(CAST(o_custkey AS VARCHAR)) AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus',
+                   CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+                   MIN(CAST(o_orderstatus AS VARCHAR)),
+                   MAX(CAST(o_orderstatus AS VARCHAR))
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority',
+                   CAST(COALESCE(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+                   MIN(CAST(o_orderpriority AS VARCHAR)),
+                   MAX(CAST(o_orderpriority AS VARCHAR))
+            FROM orders
+        )
+        SELECT column_name, base.n_rows, n_nulls, n_distinct, min_str, max_str
+        FROM prof, base
+    """,
+    "scd2_intervals": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(event_type) OVER w IS NULL
+                          OR LAG(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts, event_type,
+                   SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+            FROM flagged
+        ), runs AS (
+            SELECT user_id, run_id, MIN(event_type) AS event_type,
+                   MIN(ts) AS valid_from, COUNT(*) AS n_events
+            FROM numbered GROUP BY user_id, run_id
+        )
+        SELECT user_id, event_type, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+               n_events
+        FROM runs
+    """,
 }

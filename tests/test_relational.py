@@ -60,3 +60,47 @@ def test_flagship_one_winner_per_customer(spark, sf_dir):
     dup = df.groupBy("o_custkey").count().filter(F.col("count") > 1)
     # unique tie-break on o_orderkey => at most one row per customer
     assert dup.count() == 0
+
+
+def test_profile_table_counts(spark, sf_dir):
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+    from machine_learning_algorithm_sparkml__spark.workload.relational import q_profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = {r["column_name"]: r for r in q_profile_table(spark, sf_dir).collect()}
+    n = orders.count()
+    assert set(rows) == {"o_custkey", "o_orderstatus", "o_orderpriority"}
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert 0 <= r["n_nulls"] <= n
+        assert 1 <= r["n_distinct"] <= n
+        assert r["min_str"] <= r["max_str"]
+    assert rows["o_orderstatus"]["n_distinct"] <= 3
+
+
+def test_scd2_intervals_tile_each_user_timeline(spark, sf_dir):
+    """Intervals are disjoint and ordered: each run's valid_to equals
+    the next run's valid_from; exactly one open interval per user;
+    n_events sums to the user's event count."""
+    from pyspark.sql import functions as F
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+    from machine_learning_algorithm_sparkml__spark.workload.relational import q_scd2_intervals
+
+    out = q_scd2_intervals(spark, sf_dir)
+    # one open (valid_to IS NULL) interval per user
+    open_counts = (
+        out.filter(F.col("valid_to").isNull()).groupBy("user_id").count()
+    )
+    assert open_counts.filter(F.col("count") != 1).count() == 0
+    # intervals never invert
+    assert out.filter(F.col("valid_to") < F.col("valid_from")).count() == 0
+    # event conservation
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "events").count()
+    # consecutive runs change type
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    consec = out.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    assert consec.filter(F.col("event_type") == F.col("prev_type")).count() == 0
