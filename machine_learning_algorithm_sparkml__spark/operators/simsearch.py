@@ -197,23 +197,40 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 754,
     exclude_self: bool = True,
+    fit_sample_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     partitions the corpus into ``num_centroids`` cells; each query
     searches only its ``n_probe`` nearest cells with exact cosine.
 
     The scale path for CLUSTERED embeddings: the KMeans fit is one
-    MLlib job, cell assignment is a single projection, and the
-    candidate join touches n_probe/num_centroids of the corpus.
-    Output schema matches :func:`brute_force_topk`."""
+    MLlib job bounded by a seeded ``fit_sample_rows`` sample (a coarse
+    quantizer only needs representative centers — recall floors are
+    property-tested), with random init + few iterations (kmeans||'s
+    extra init passes buy center quality the probe step doesn't need);
+    cell assignment is a single projection, and the candidate join
+    touches n_probe/num_centroids of the corpus. Output schema matches
+    :func:`brute_force_topk`."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     if _vector_dim(corpus, vec_col) == 0:
         return _empty_topk_result(corpus, id_col)
     with_vec = corpus.withColumn("_mlvec", array_to_vector(F.col(vec_col)))
-    km = KMeans(k=num_centroids, seed=seed, featuresCol="_mlvec", predictionCol="_cell")
-    model = km.fit(with_vec.select("_mlvec"))
+    km = KMeans(
+        k=num_centroids,
+        seed=seed,
+        featuresCol="_mlvec",
+        predictionCol="_cell",
+        initMode="random",
+        maxIter=10,
+        tol=1e-3,
+    )
+    fit_input = with_vec.select("_mlvec")
+    n = fit_input.count()
+    if n > fit_sample_rows:
+        fit_input = fit_input.sample(fraction=fit_sample_rows / n, seed=seed)
+    model = km.fit(fit_input.coalesce(8))
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
 
     c_assigned = model.transform(with_vec).select(
