@@ -164,3 +164,39 @@ def test_gopher_quality_single_scan(spark, sf_dir):
     # one Location line per scan node (the node name itself appears in
     # both the tree summary and the numbered detail)
     assert plan.count("InMemoryFileIndex") == 1, plan
+
+
+def test_round5_key_plan_shapes(spark, sf_dir):
+    """Plan hygiene for the round-5 keys: mixture sampling is a pure
+    scan-side projection+filter (no Exchange), profiling reads the
+    table once with partial aggregation, the funnel broadcasts no
+    corpus-sized side and never falls back to nested-loop, SCD2 keeps
+    all its shuffles on user-rooted keys."""
+    from machine_learning_algorithm_sparkml__spark.plans import (
+        formatted_plan,
+        has_partial_aggregation,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.analytics import (
+        q_event_funnel,
+        q_retention_cohort,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_mixture_weighted_sample,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_profile_table,
+        q_scd2_intervals,
+    )
+
+    spark.catalog.clearCache()
+    plan = formatted_plan(q_mixture_weighted_sample(spark, sf_dir))
+    assert ") Exchange" not in plan, f"mixture gate must be shuffle-free:\n{plan}"
+
+    df = q_profile_table(spark, sf_dir)
+    assert len(scan_read_schema_columns(df)) == 1, "profile must scan once"
+    assert has_partial_aggregation(df)
+
+    for fn in (q_event_funnel, q_retention_cohort, q_scd2_intervals):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "NestedLoop" not in plan, f"{fn.__name__}:\n{plan}"
+        assert "CartesianProduct" not in plan, f"{fn.__name__}:\n{plan}"
