@@ -545,6 +545,37 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution join (block -> verify): customer names that
+    near-duplicate each other, found by equi-joining on a blocking key
+    (last 3 name digits) and verifying candidates with edit distance
+    <= 2. The blocking join bounds the quadratic term to
+    per-block-size² — the standard record-linkage shape at scale
+    (all-pairs levenshtein over the corpus is never evaluated);
+    the verify filter runs JVM-side (levenshtein is a builtin)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.expr("right(c_name, 3)").alias("blk"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.expr("right(c_name, 3)").alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
 QUERIES = {
     "sink_csv": q_sink_csv_roundtrip,
     "sink_orc": q_sink_orc_roundtrip,
@@ -583,6 +614,7 @@ QUERIES = {
     "random_split": q_random_split,
     "profile_table": q_profile_table,
     "scd2_intervals": q_scd2_intervals,
+    "fuzzy_join_blocked": q_fuzzy_join_blocked,
 }
 
 ORACLE = {
@@ -812,5 +844,15 @@ ORACLE = {
                LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
                n_events
         FROM runs
+    """,
+    "fuzzy_join_blocked": """
+        WITH blocked AS (
+            SELECT c_custkey AS id, c_name AS name, right(c_name, 3) AS blk
+            FROM customer
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+        FROM blocked a JOIN blocked b ON a.blk = b.blk
+        WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 2
     """,
 }

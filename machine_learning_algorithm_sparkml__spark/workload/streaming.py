@@ -111,6 +111,51 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_static_join(spark, sf_dir)
 
 
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly grid per user between
+    that user's first and last event hour, zero-filled counts, and
+    last-observation-carried-forward for the hourly max value. Shapes:
+    one (user, hour) aggregate, a tiny per-user span aggregate whose
+    sequence-explode generates the grid (bounded by the time span, not
+    the event count), a co-keyed left join, one window pass for the
+    carry-forward — all shuffles on user-rooted keys. MAX passes raw
+    doubles through exactly (no accumulation), so no rounding is
+    needed anywhere. Bounded to user_id < 100 so the driver-compared
+    result stays a sane size (the pattern is identical unbounded)."""
+    from pyspark.sql import Window
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .select("user_id", "ts", "value")
+    )
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events_raw"),
+        F.max("value").alias("vmax"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour_ts"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("hour_ts"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "hour_ts",
+        F.coalesce("n_events_raw", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("vmax", ignorenulls=True).over(w).alias("vmax_ff"),
+    )
+
+
 QUERIES = {
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_sliding_counts": q_streaming_sliding_counts,
@@ -120,6 +165,7 @@ QUERIES = {
     "streaming_stateful_totals": q_streaming_stateful_totals,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
+    "timeseries_gapfill": q_timeseries_gapfill,
 }
 
 ORACLE = {
@@ -227,5 +273,27 @@ ORACLE = {
                epoch(MAX(ts)) - epoch(MIN(ts)) AS duration_sec
         FROM sessions
         GROUP BY user_id, session_id
+    """,
+    "timeseries_gapfill": """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+                   COUNT(*) AS n_events_raw, MAX(value) AS vmax
+            FROM events WHERE user_id < 100
+            GROUP BY user_id, date_trunc('hour', ts)
+        ), spans AS (
+            SELECT user_id, MIN(hour_ts) AS h0, MAX(hour_ts) AS h1
+            FROM hourly GROUP BY user_id
+        ), grid AS (
+            SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+            FROM spans
+        )
+        SELECT g.user_id, g.hour_ts,
+               CAST(COALESCE(h.n_events_raw, 0) AS BIGINT) AS n_events,
+               LAST_VALUE(h.vmax IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS vmax_ff
+        FROM grid g
+        LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
     """,
 }

@@ -104,3 +104,33 @@ def test_scd2_intervals_tile_each_user_timeline(spark, sf_dir):
         "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
     )
     assert consec.filter(F.col("event_type") == F.col("prev_type")).count() == 0
+
+
+def test_fuzzy_join_blocked_is_symmetric_free_and_verified(spark, sf_dir):
+    """Each pair appears once (id_a < id_b), every emitted distance
+    respects the threshold, and planted near-duplicate names in the
+    same block are found while cross-block near-dups are (by design)
+    not evaluated."""
+    import os
+    import tempfile
+
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_fuzzy_join_blocked,
+    )
+
+    rows = [
+        (1, "Customer#000000101"),
+        (2, "Customer#000010101"),  # same blk '101', dist 1 -> found
+        (3, "Customer#000000102"),  # blk '102': near-dup of 1 but other block
+        (4, "Customer#000999101"),  # same blk '101', dist 3 -> rejected by verify
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+        out = q_fuzzy_join_blocked(spark, d).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["dist"] for r in out}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == 1
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert 0 <= r["dist"] <= 2

@@ -99,3 +99,25 @@ def test_streaming_dedup_restores_uniqueness(spark, sf_dir):
     n_events = load_table(spark, sf_dir, "events").count()
     assert result.count() == n_events
     assert result.select("event_id").distinct().count() == n_events
+
+
+def test_timeseries_gapfill_grid_is_dense(spark, sf_dir):
+    """The per-user grid has no holes: row count per user equals the
+    hour span + 1; gap rows carry n_events=0 and a non-null
+    carried-forward value (first grid hour always has an event)."""
+    from pyspark.sql import functions as F
+    from machine_learning_algorithm_sparkml__spark.workload.streaming import (
+        q_timeseries_gapfill,
+    )
+
+    out = q_timeseries_gapfill(spark, sf_dir)
+    per_user = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        ((F.max("hour_ts").cast("long") - F.min("hour_ts").cast("long")) / 3600 + 1).alias("span_hours"),
+        F.sum(F.col("vmax_ff").isNull().cast("int")).alias("n_null_ff"),
+        F.min((F.col("n_events") >= 0).cast("int")).alias("nonneg"),
+    )
+    bad = per_user.filter(
+        (F.col("n_rows") != F.col("span_hours")) | (F.col("n_null_ff") > 0) | (F.col("nonneg") != 1)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
