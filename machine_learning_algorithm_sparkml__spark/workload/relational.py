@@ -576,6 +576,78 @@ def q_fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + map scalar pack (SURVEY §2.9): split, size, contains,
+    sort, slice, higher-order transform/aggregate, map construction +
+    key extraction — all JVM expressions in one codegen'd projection.
+    Array/map outputs are stringified (driver outputs stay atomic);
+    the integer aggregate stays exact."""
+    part = load_table(spark, sf_dir, "part")
+    arr = F.split("p_type", " ")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return part.select(
+        "p_partkey",
+        F.size(arr).alias("n_words"),
+        F.array_contains(arr, "BRUSHED").alias("has_brushed"),
+        F.concat_ws(",", F.array_sort(arr)).alias("words_sorted"),
+        F.concat_ws(",", F.slice(arr, 1, 2)).alias("first_two"),
+        F.concat_ws(",", F.transform(arr, lambda x: F.lower(x))).alias("words_lower"),
+        F.aggregate(F.transform(arr, F.length), F.lit(0), lambda a, x: a + x).alias("total_chars"),
+        F.element_at(m, "brand").alias("brand_val"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("map_keys_sorted"),
+    )
+
+
+def q_scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar pack (SURVEY §2.9): abs/ceil/floor/sign/mod/
+    greatest/least/sqrt and an exact square. Only IEEE-exact or
+    correctly-rounded single operations (sqrt is IEEE-754 correctly
+    rounded) — no libm-variant transcendentals (ln/exp/pow), no
+    engine-divergent ROUND-half modes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_ceil7"),
+        F.floor(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_floor7"),
+        F.signum(F.col("l_quantity") - 25.0).alias("qty_sign"),
+        (F.col("l_orderkey") % 97).alias("key_mod"),
+        F.greatest("l_quantity", "l_discount").alias("g"),
+        F.least("l_quantity", "l_discount").alias("l"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+    )
+
+
+def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end surface: TPC-H Q3 (shipping-priority) issued
+    as ONE ``spark.sql`` string over registered views — Catalyst does
+    predicate pushdown into all three scans, join ordering, and
+    partial aggregation from the declarative text alone. Revenue sums
+    as decimal (exact, associative — the module's order-insensitivity
+    rule) and casts to double after aggregation. Top-10 ties broken by
+    orderkey."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT l.l_orderkey AS orderkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(o.o_orderdate AS DATE) AS orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, orderkey ASC
+        LIMIT 10
+    """)
+
+
 QUERIES = {
     "sink_csv": q_sink_csv_roundtrip,
     "sink_orc": q_sink_orc_roundtrip,
@@ -615,6 +687,9 @@ QUERIES = {
     "profile_table": q_profile_table,
     "scd2_intervals": q_scd2_intervals,
     "fuzzy_join_blocked": q_fuzzy_join_blocked,
+    "scalar_array_map_funcs": q_scalar_array_map_funcs,
+    "scalar_math_funcs": q_scalar_math_funcs,
+    "sql_tpch_q3": q_sql_tpch_q3,
 }
 
 ORACLE = {
@@ -854,5 +929,49 @@ ORACLE = {
                CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
         FROM blocked a JOIN blocked b ON a.blk = b.blk
         WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 2
+    """,
+    "scalar_array_map_funcs": """
+        WITH arrs AS (
+            SELECT p_partkey, p_brand, p_type,
+                   string_split(p_type, ' ') AS arr
+            FROM part
+        )
+        SELECT p_partkey,
+               CAST(len(arr) AS INTEGER) AS n_words,
+               list_contains(arr, 'BRUSHED') AS has_brushed,
+               array_to_string(list_sort(arr), ',') AS words_sorted,
+               array_to_string(arr[1:2], ',') AS first_two,
+               array_to_string(list_transform(arr, x -> lower(x)), ',') AS words_lower,
+               CAST(list_aggregate(list_transform(arr, x -> length(x)), 'sum') AS INTEGER) AS total_chars,
+               p_brand AS brand_val,
+               'brand,type' AS map_keys_sorted
+        FROM arrs
+    """,
+    "scalar_math_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               abs(l_quantity - 25.0) AS qty_dev,
+               CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+               CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor7,
+               CAST(sign(l_quantity - 25.0) AS DOUBLE) AS qty_sign,
+               l_orderkey % 97 AS key_mod,
+               greatest(l_quantity, l_discount) AS g,
+               least(l_quantity, l_discount) AS l,
+               sqrt(l_quantity) AS qty_sqrt,
+               l_quantity * l_quantity AS qty_sq
+        FROM lineitem
+    """,
+    "sql_tpch_q3": """
+        SELECT l.l_orderkey AS orderkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(o.o_orderdate AS DATE) AS orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, orderkey ASC
+        LIMIT 10
     """,
 }
