@@ -237,6 +237,55 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_completion(spark, joined, output_mode="append")
 
 
+def run_stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_lag: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: every
+    click within ``max_lag`` after a view by the same user. Both sides
+    are watermarked — the watermark plus the time bound lets Spark
+    evict join state (without them a stream-stream join buffers both
+    streams forever); inner-join matches emit eagerly, so over a
+    bounded replay the result equals the batch range join the oracle
+    runs. The equi-key (user_id) carries the shuffle; the range
+    predicate is evaluated within matched key groups."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"interval {max_lag}")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("lag_us"),
+    )
+    return _run_to_completion(spark, joined, output_mode="append")
+
+
 def run_streaming_window_counts(
     spark: SparkSession,
     sf_dir: str,

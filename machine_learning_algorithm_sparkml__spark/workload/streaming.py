@@ -111,6 +111,17 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_static_join(spark, sf_dir)
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (view -> click within
+    30 min, same user). Over the bounded replay the append-mode
+    output equals the batch range join -> oracle-checked."""
+    from machine_learning_algorithm_sparkml__spark.streaming.events import (
+        run_stream_stream_join,
+    )
+
+    return run_stream_stream_join(spark, sf_dir)
+
+
 def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling: a dense hourly grid per user between
     that user's first and last event hour, zero-filled counts, and
@@ -166,6 +177,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
     "timeseries_gapfill": q_timeseries_gapfill,
+    "stream_stream_join": q_stream_stream_join,
 }
 
 ORACLE = {
@@ -295,5 +307,18 @@ ORACLE = {
                ) AS vmax_ff
         FROM grid g
         LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+    """,
+    "stream_stream_join": """
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               c.event_id AS click_id,
+               CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+        FROM events v
+        JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view'
+         AND c.event_type = 'click'
+         AND c.ts > v.ts
+         AND c.ts <= v.ts + INTERVAL 30 MINUTE
     """,
 }

@@ -121,3 +121,18 @@ def test_timeseries_gapfill_grid_is_dense(spark, sf_dir):
         (F.col("n_rows") != F.col("span_hours")) | (F.col("n_null_ff") > 0) | (F.col("nonneg") != 1)
     )
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_stream_stream_join_time_bounds(spark, sf_dir):
+    """Every emitted pair respects the (0, 30 min] lag bound and joins
+    the same user's events."""
+    from machine_learning_algorithm_sparkml__spark.workload.streaming import (
+        q_stream_stream_join,
+    )
+
+    rows = q_stream_stream_join(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 < r["lag_us"] <= 30 * 60 * 1_000_000, r
+    # distinct pairs only
+    pairs = [(r["view_id"], r["click_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
