@@ -1,4 +1,5 @@
-"""Connected components over a pair list — dedup clustering.
+"""Iterative graph operators: connected components (dedup clustering)
+and fixed-iteration PageRank.
 
 Near-duplicate detection yields PAIRS; keeping one representative per
 duplicate CLUSTER needs the transitive closure: connected components.
@@ -130,3 +131,73 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
     )
     return labels.unionAll(isolated)
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank with dangling-mass redistribution.
+    Output: (id, rank); sum(rank) == |V| up to float error.
+
+    Same iterative discipline as :func:`connected_components`:
+    - each round is ONE join (edge × rank) + ONE aggregation
+      (contributions per destination) — both shuffle on vertex keys,
+      so a 1000-executor run co-partitions them round over round;
+    - the rank frame is localCheckpoint'ed per round (lineage
+      truncation — the iterative-algorithm trap);
+    - the adjacency (with precomputed 1/out-degree) is materialized
+      once, outside the loop;
+    - the dangling-node mass is a one-scalar driver collect per round
+      (bounded, like the convergence sums above), redistributed
+      uniformly so total rank is conserved.
+    """
+    nodes = (
+        vertices.select(F.col(id_col).alias("id")).distinct().localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("rank"))
+    out_deg = (
+        edges.groupBy(src_col)
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col(src_col).alias("id"), "deg")
+    )
+    adjacency = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .join(out_deg.select(F.col("id").alias("src"), "deg"), "src")
+        .localCheckpoint(eager=True)
+    )
+    has_out = out_deg.select("id").localCheckpoint(eager=True)
+
+    ranks = nodes.select("id", F.lit(1.0).alias("rank")).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contribs = (
+            adjacency.join(ranks, adjacency["src"] == ranks["id"])
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("received"))
+        )
+        dangling = (
+            ranks.join(has_out, "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("s"))
+            .first()["s"]
+        )
+        base = (1.0 - damping) + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce("received", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

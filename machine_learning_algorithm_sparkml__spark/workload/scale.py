@@ -103,11 +103,46 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: fixed-iteration PageRank over a deterministic graph
+    derived from events (src = user_id, dst = a Knuth-hash spread of
+    event_id — reproducible, skewed like real link graphs). Second
+    iterative-operator key after connected components: per-round ONE
+    vertex-keyed join + ONE aggregation, localCheckpoint lineage
+    truncation, dangling mass redistributed.
+
+    Self-verdicts (rows-only driver check): ``rank_sum_ok`` — total
+    rank conserved at |V| within 1e-6 relative; ``rank_min_ok`` —
+    every rank >= (1-damping), the theoretical floor."""
+    from machine_learning_algorithm_sparkml__spark.operators.graph import pagerank
+
+    events = load_table(spark, sf_dir, "events")
+    edges = events.select(
+        F.col("user_id").alias("src"),
+        F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1024)).alias("dst"),
+    )
+    nodes = edges.select(F.col("src").alias("id")).unionAll(
+        edges.select(F.col("dst").alias("id"))
+    )
+    ranks = pagerank(nodes, edges, iterations=5, damping=0.85).localCheckpoint(
+        eager=True
+    )
+    n = ranks.count()
+    inv = ranks.agg(
+        (F.abs(F.sum("rank") - F.lit(float(n))) / F.lit(float(n)) < 1e-6).alias("rank_sum_ok"),
+        (F.min("rank") >= 0.15 - 1e-9).alias("rank_min_ok"),
+    )
+    return ranks.select("id", F.round("rank", 6).alias("rank")).crossJoin(
+        F.broadcast(inv)
+    )
+
+
 QUERIES = {
     "join_skew_salted": q_join_skew_salted,
     "sink_partitioned_scan": q_sink_partitioned_scan,
     "join_bucketed": q_join_bucketed,
     "sink_json": q_sink_json_roundtrip,
+    "graph_pagerank": q_graph_pagerank,
 }
 
 ORACLE = {

@@ -35,3 +35,28 @@ def test_components_long_chain_converges(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
     out = {r.id: r.component for r in connected_components(vertices, edges, max_iterations=15).collect()}
     assert set(out.values()) == {0}
+
+
+def test_pagerank_star_graph_center_dominates(spark):
+    """All leaves point at the center: center rank must dominate, total
+    rank conserved at |V|."""
+    from machine_learning_algorithm_sparkml__spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 11)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(11)], "id long")
+    ranks = {r["id"]: r["rank"] for r in pagerank(nodes, edges, iterations=10).collect()}
+    assert len(ranks) == 11
+    assert ranks[0] == max(ranks.values())
+    assert all(ranks[0] > ranks[i] for i in range(1, 11))
+    assert abs(sum(ranks.values()) - 11.0) < 1e-6
+    assert min(ranks.values()) >= 0.15 - 1e-9
+
+
+def test_pagerank_key_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from machine_learning_algorithm_sparkml__spark.workload.scale import q_graph_pagerank
+
+    out = q_graph_pagerank(spark, sf_dir)
+    row = out.select("rank_sum_ok", "rank_min_ok").limit(1).collect()[0]
+    assert row["rank_sum_ok"] and row["rank_min_ok"]
+    assert out.filter(F.col("rank").isNull()).count() == 0
