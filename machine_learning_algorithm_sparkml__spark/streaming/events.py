@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+def _events_schema(sf_dir: str, spark: SparkSession | None = None) -> tuple[T.StructType, bool]:
     """Streaming needs the schema up front; the generated events file
     has shipped with ``ts`` as both TIMESTAMP(NANOS) (Spark 4 rejects
     → read as long ns) and TIMESTAMP(MICROS, NTZ). Peek at the parquet
@@ -44,7 +44,14 @@ def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
 
         from machine_learning_algorithm_sparkml__spark.sources.io import _nanos_as_long
 
-        spark = SparkSession.getActiveSession()
+        # getActiveSession() is thread-local and can be None (ADVICE
+        # r5); prefer the caller's session, fall back for direct calls.
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "_events_schema needs a SparkSession when pyarrow is "
+                "unavailable — pass spark= (read_events_stream does)"
+            )
         with _nanos_as_long(spark):
             dt = dict(
                 spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
@@ -69,7 +76,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sources.io.load_table``."""
     from machine_learning_algorithm_sparkml__spark.sources.io import _nanos_as_long
 
-    schema, nanos = _events_schema(sf_dir)
+    schema, nanos = _events_schema(sf_dir, spark)
     # The file stream source lists a DIRECTORY; select just the events
     # file via glob (a production job points at a growing directory).
     with _nanos_as_long(spark):

@@ -21,23 +21,63 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 )
 
 # Order matters: the driver's correctness sweep records only the first
-# ~50 keys, so the rotation puts the least-recently-verified modules
-# FIRST each round. r4's window covered quality + relational + the
-# first 9 analytics keys; r5 leads with analytics (the 6 tail keys had
-# no r3/r4 row and the module changed in r3) + ml (all 10 keys stale
-# since r3's trim) + llm (tokens() changed in r4).
-ALL_QUERY_MODULES = [analytics, ml, llm, streaming, scale, quality, relational]
+# ~50 keys, in dict-insertion order, so the rotation puts the
+# least-recently-verified keys FIRST each round. r5's window covered
+# analytics + ml + llm; for r6 PRIORITY_KEYS pins the keys that have
+# NEVER had a driver correctness row (added late in r5, after the
+# window closed) plus any key new this round, then the module order
+# continues with relational (r4-stale) and streaming/scale/quality.
+PRIORITY_KEYS = [
+    # never driver-checked (added late in round 5):
+    "profile_table",
+    "scd2_intervals",
+    "fuzzy_join_blocked",
+    "scalar_array_map_funcs",
+    "scalar_math_funcs",
+    "sql_tpch_q3",
+    "timeseries_gapfill",
+    "stream_stream_join",
+    "graph_pagerank",
+    # new in round 6:
+    "ml_model_save_load",
+    # last driver-checked in round 3 (2 rounds stale — oldest rows):
+    "embedding_neardup",
+    "join_bucketed",
+    "join_skew_salted",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_meta",
+    "session_stats",
+    "sessionize",
+    "simsearch_brp",
+    "simsearch_ivf",
+    "simsearch_lsh",
+    "simsearch_topk",
+    "sink_json",
+    "sink_partitioned_scan",
+    "stream_static_join",
+    "streaming_dedup",
+    "streaming_session_window",
+    "streaming_sliding_counts",
+    "streaming_stateful_totals",
+    "streaming_window_counts",
+]
+
+ALL_QUERY_MODULES = [relational, streaming, scale, quality, analytics, ml, llm]
+
+
+def _merged(attr):
+    merged = {}
+    for mod in ALL_QUERY_MODULES:
+        merged.update(getattr(mod, attr))
+    out = {k: merged[k] for k in PRIORITY_KEYS if k in merged}
+    out.update((k, v) for k, v in merged.items() if k not in out)
+    return out
 
 
 def all_queries():
-    out = {}
-    for mod in ALL_QUERY_MODULES:
-        out.update(mod.QUERIES)
-    return out
+    return _merged("QUERIES")
 
 
 def all_oracles():
-    out = {}
-    for mod in ALL_QUERY_MODULES:
-        out.update(mod.ORACLE)
-    return out
+    return _merged("ORACLE")

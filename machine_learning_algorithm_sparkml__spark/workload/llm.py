@@ -11,6 +11,8 @@ tests/test_llm.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -342,6 +344,33 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated.filter(F.col("q") >= F.col("lang_median")).select("doc_id", "lang", "q")
 
 
+def self_verify_enabled() -> bool:
+    """In-query self-verification toggle (default ON).
+
+    Rows-only keys carry TRUE-pinned verdict columns (``recall_ok``,
+    ``frames_ok``) so the driver's rows-only check still records a
+    readable verdict — but the truth pass behind those columns is NOT
+    part of the operator a user would run (r5 benched
+    ``simsearch_lsh`` at 6.2 s of which ~4.4 s was the brute-force
+    truth scan). bench.py sets ``SPARK_GRAFT_SELF_VERIFY=0`` so BENCH
+    measures the bare operator; the driver's correctness run and the
+    pytest recall-floor tests keep the default and pin the invariant.
+    When disabled the verdict columns stay in the schema as NULL
+    booleans (honest "not checked", stable schema)."""
+    return os.environ.get("SPARK_GRAFT_SELF_VERIFY", "1") != "0"
+
+
+# Keys whose in-query invariant is gated by self_verify_enabled();
+# bench.py records this list so BENCH_FULL says which timings exclude
+# a truth pass that the correctness run still executes.
+SELF_VERIFIED_KEYS = [
+    "simsearch_lsh",
+    "simsearch_ivf",
+    "simsearch_brp",
+    "multimodal_frames",
+]
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: frame-sampling plumbing — payload split into 4
     deterministic byte windows, one row per frame. ``frames_ok`` is a
@@ -354,6 +383,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrapped = attach_binary_payload(docs, "doc_id", "text", mime="text/plain;fake")
     frames = frame_sample(wrapped, n_frames=4)
     out = frames.select("doc_id", "frame_idx", F.octet_length("frame_bytes").alias("n_bytes"))
+    if not self_verify_enabled():
+        return out.withColumn("frames_ok", F.lit(None).cast("boolean"))
     bad_docs = (
         out.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -369,13 +400,20 @@ def _query_vectors(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") < 10)
 
 
-def _with_recall_invariant(result: DataFrame, truth: DataFrame, floor: float) -> DataFrame:
+def _with_recall_invariant(result: DataFrame, truth, floor: float) -> DataFrame:
     """Append a broadcast single-row ``recall_ok`` column: TRUE iff the
     approximate result recovers >= ``floor`` of the exact top-k
     (query_id, neighbor_id) pairs. Rows-only driver checks can't see
     values, so each ANN key carries its own planted verdict (the
     ``semantic_dedup`` pattern). The truth side is a 10-query
-    broadcast brute-force pass — O(corpus) with no shuffle."""
+    broadcast brute-force pass — O(corpus) with no shuffle.
+
+    ``truth`` is a zero-arg thunk so the brute-force pass is never even
+    planned when self-verification is off (bench mode) — the benched
+    plan is exactly the operator, with ``recall_ok`` NULL."""
+    if not self_verify_enabled():
+        return result.withColumn("recall_ok", F.lit(None).cast("boolean"))
+    truth = truth()
     result = result.localCheckpoint(eager=True)  # invariant + output both read it
     hits = result.join(
         truth.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
@@ -402,7 +440,7 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 0.7 vs brute force (floor matches tests/test_llm.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     approx = hyperplane_lsh_topk(emb, _query_vectors(emb), k=5)
-    truth = brute_force_topk(emb, _query_vectors(emb), k=5)
+    truth = lambda: brute_force_topk(emb, _query_vectors(emb), k=5)
     return _with_recall_invariant(approx, truth, floor=0.7)
 
 
@@ -414,7 +452,7 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     approx = ivf_topk(emb, _query_vectors(emb), k=5, num_centroids=16, n_probe=6)
-    truth = brute_force_topk(emb, _query_vectors(emb), k=5)
+    truth = lambda: brute_force_topk(emb, _query_vectors(emb), k=5)
     return _with_recall_invariant(approx, truth, floor=0.6)
 
 
@@ -426,7 +464,7 @@ def q_simsearch_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     approx = brp_lsh_topk(emb, _query_vectors(emb), k=5)
-    truth = brute_force_topk(emb, _query_vectors(emb), k=5)
+    truth = lambda: brute_force_topk(emb, _query_vectors(emb), k=5)
     return _with_recall_invariant(approx, truth, floor=0.75)
 
 

@@ -267,6 +267,59 @@ def q_ml_evaluate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ml_model_save_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model persistence round-trip (VERDICT r5 #6): fit the MLA-stage
+    PipelineModel, ``save`` it, ``PipelineModel.load`` it back, score
+    the same frame with both, and pin exact prediction equality
+    (seed-determinism makes equality exact, not approximate).
+
+    The CV best model (`q_ml_cross_validate`) is itself a
+    PipelineModel, so this round-trip covers the identical save/load
+    path without re-paying the 12 CV fits inside a second query key.
+    Rows-only; ``roundtrip_ok`` carries the verdict. The save target is
+    a throwaway local temp dir (on a cluster this would be an HDFS/S3
+    URI — same `MLWriter` API); it is removed before returning, which
+    is safe because ``PipelineModel.load`` is eager (tree data lives in
+    JVM objects, not the files, by the time we transform)."""
+    import shutil
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+
+    df = covid_like_frame(spark, sf_dir).cache()
+    feature_cols = ["priority", "segment", "nation_name"]
+    pipeline = make_pipeline([
+        make_string_indexer("status", "label_index"),
+        make_string_indexer(feature_cols, [f"{c}_index" for c in feature_cols]),
+        make_vector_assembler([f"{c}_index" for c in feature_cols]),
+        make_random_forest(num_trees=10, max_depth=4),
+    ])
+    model = pipeline.fit(df)
+    path = tempfile.mkdtemp(prefix="sparkml_model_roundtrip_")
+    try:
+        model.write().overwrite().save(path)
+        reloaded = PipelineModel.load(path)
+        orig = model.transform(df).select("row_id", F.col("prediction").alias("p_saved"))
+        rel = reloaded.transform(df).select("row_id", F.col("prediction").alias("p_reloaded"))
+        row = (
+            orig.join(rel, "row_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(
+                    F.sum((F.col("p_saved") != F.col("p_reloaded")).cast("long")), F.lit(0)
+                ).alias("n_mismatch"),
+            )
+            .first()
+        )
+    finally:
+        df.unpersist()
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(row["n_rows"]), int(row["n_mismatch"]), row["n_mismatch"] == 0)],
+        "n_rows long, n_mismatch long, roundtrip_ok boolean",
+    )
+
+
 def q_ml_undersample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M12: undersampling rebalance (``A related code.txt:69-81``);
     returns per-class counts of the balanced frame; rows-only."""
@@ -286,6 +339,7 @@ QUERIES = {
     "ml_fit_predict_eval": q_ml_fit_predict_eval,
     "ml_evaluate_accuracy": q_ml_evaluate_accuracy,
     "ml_cross_validate": q_ml_cross_validate,
+    "ml_model_save_load": q_ml_model_save_load,
     "ml_undersample_balance": q_ml_undersample_balance,
 }
 

@@ -125,6 +125,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # their originals (vec_id = planted - 10M) must ALL be kept. The
     # sums are coalesced so an (impossible-today, but schema-safe) empty
     # planted set yields TRUE, not NULL.
+    #
+    # PRECONDITION (ADVICE r5): the originals-kept conjunct assumes the
+    # testdata embeddings have NO natural near-dups at tau=0.97 — an
+    # original could legitimately be dropped as a near-dup of a
+    # LOWER-id natural neighbor, and cluster boundaries shift with the
+    # corpus-size-derived k. Holds for the synthetic uniform-random
+    # embeddings (top-5 cosine ~0.32 << 0.97); revisit the invariant,
+    # not the operator, if testdata ever gains correlated vectors.
     kept = F.col("is_kept").cast("int")
     is_planted = F.col("vec_id") >= 10_000_000
     is_original = (F.col("vec_id") % 100 == 0) & ~is_planted

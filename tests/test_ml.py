@@ -85,3 +85,15 @@ def test_arc_pipeline_balanced_binary(covid_df):
     assert 0.0 <= result.accuracy <= 1.0
     # binary after class filter + balance
     assert result.predictions.select("label_index").distinct().count() == 2
+
+
+def test_model_save_load_roundtrip_exact(spark, sf_dir):
+    """Persistence: a saved+reloaded PipelineModel must reproduce the
+    in-memory model's predictions EXACTLY (seeded RF is deterministic,
+    so any drift means the writer/reader lost state)."""
+    from machine_learning_algorithm_sparkml__spark.workload.ml import q_ml_model_save_load
+
+    row = q_ml_model_save_load(spark, sf_dir).first()
+    assert row.n_rows > 0
+    assert row.n_mismatch == 0
+    assert row.roundtrip_ok is True
