@@ -333,10 +333,16 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-lang median is a tiny groupBy aggregate
     (|langs| rows) broadcast-joined back, NOT a Window.partitionBy(lang)
     — lang has ~5 distinct values, so a window would sort five
-    corpus-sized partitions at 100 TB."""
+    corpus-sized partitions at 100 TB. The scored projection is
+    localCheckpoint'ed so the full-text regex scoring runs ONCE: the
+    median aggregate and the gated join both read the materialized
+    (doc_id, lang, q) rows (~20 B/row) instead of re-scoring kilobytes
+    of text per document on each side."""
     docs = load_table(spark, sf_dir, "documents")
 
-    scored = docs.select("doc_id", "lang", quality_score(F.col("text")).alias("q"))
+    scored = docs.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("q")
+    ).localCheckpoint(eager=True)
     medians = scored.groupBy("lang").agg(
         F.expr("percentile(q, 0.5)").alias("lang_median")
     )
