@@ -40,6 +40,7 @@ PRIORITY_KEYS = [
     "graph_pagerank",
     # new in round 6:
     "ml_model_save_load",
+    "dedup_keep_best",
     # last driver-checked in round 3 (2 rounds stale — oldest rows):
     "embedding_neardup",
     "join_bucketed",

@@ -325,6 +325,57 @@ def q_dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unclustered.unionAll(representatives.select("doc_id"))
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup representative selection: real corpus
+    pipelines keep the HIGHEST-quality member of each duplicate
+    cluster, not the lowest id (min-id keeps whatever was crawled
+    first; quality-argmax keeps the cleanest copy). One row per
+    cluster: (component, kept_doc_id, kept_quality, n_members).
+    Oracle: pair SQL + recursive-CTE components + the bit-identical
+    quality expression + the same rank window.
+
+    Scale shape: the per-cluster argmax is a rank-then-filter window
+    over CLUSTER MEMBERS only (bounded by duplicate density, not
+    corpus size), so `InferWindowGroupLimit` truncates to one row per
+    component before the exchange; the quality scorer joins in by
+    doc_id AFTER clustering, so only clustered docs are scored here.
+    Ties (bit-equal quality) break to min doc_id — deterministic on
+    any engine."""
+    from pyspark.sql import Window
+
+    from machine_learning_algorithm_sparkml__spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_doc_freq=_SHINGLE_DF_CAP,
+    ).localCheckpoint(eager=True)
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    comps = connected_components(members, pairs, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    scored = docs.select("doc_id", quality_score(F.col("text")).alias("q"))
+    m = comps.join(scored, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    best = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("q").alias("kept_quality"),
+        )
+    )
+    counts = comps.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return best.join(counts, "component")
+
+
 def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality gate: keep documents whose quality score is
     >= their language's median — the relative-threshold filter pass of
@@ -585,6 +636,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_pipeline_keep": q_dedup_pipeline_keep,
     "text_zscore_by_lang": q_text_zscore_by_lang,
     "text_quality_filter": q_text_quality_filter,
@@ -877,6 +929,70 @@ ORACLE = {
             SELECT node, MIN(root) AS component FROM r GROUP BY node
         )
         SELECT node AS doc_id, component FROM reach
+    """,
+    "dedup_keep_best": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0) AS t
+            FROM documents
+        ), sh_raw AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
+                        ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                   END AS sh
+            FROM toks
+        ), shingles AS (
+            SELECT DISTINCT doc_id, u.shingle FROM sh_raw, UNNEST(sh) AS u(shingle)
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
+        ), cold AS (
+            SELECT shingle FROM shingles GROUP BY shingle
+            HAVING COUNT(*) <= {_SHINGLE_DF_CAP}
+        ), capped AS (
+            SELECT s.doc_id, s.shingle FROM shingles s JOIN cold c ON s.shingle = c.shingle
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.5
+        ), und AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ), members AS (
+            SELECT DISTINCT src AS doc_id FROM und
+        ), reach AS (
+            WITH RECURSIVE r(node, root) AS (
+                SELECT doc_id, doc_id FROM members
+                UNION
+                SELECT e.dst, r.root FROM r JOIN und e ON e.src = r.node
+            )
+            SELECT node, MIN(root) AS component FROM r GROUP BY node
+        ), qt AS (
+            SELECT doc_id,
+                   len({_TOKENS}) AS n_tok,
+                   length(COALESCE(text, '')) AS n_chars,
+                   length(regexp_replace(COALESCE(text, ''), '[^.,;:!?]', '', 'g')) AS n_punct,
+                   len(list_filter({_TOKENS}, x -> x IN ({_STOPWORD_LIST}))) AS n_stop
+            FROM documents
+        ), qual AS (
+            SELECT doc_id,
+                   LEAST(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 0.5
+                 + LEAST((CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tok END) * 4.0, 1.0) * 0.3
+                 + (0.2 - LEAST((CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 10.0, 1.0) * 0.2) AS q
+            FROM qt
+        ), ranked AS (
+            SELECT r.component, r.node AS doc_id, qual.q,
+                   ROW_NUMBER() OVER (PARTITION BY r.component ORDER BY qual.q DESC, r.node ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY r.component) AS n_members
+            FROM reach r JOIN qual ON qual.doc_id = r.node
+        )
+        SELECT component, doc_id AS kept_doc_id, q AS kept_quality,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
     """,
     "dedup_pipeline_keep": f"""
         WITH fp AS (

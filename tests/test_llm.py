@@ -324,3 +324,33 @@ def test_self_verify_off_keeps_schema_nulls_verdict(spark, sf_dir, monkeypatch):
     assert off.select("recall_ok").first().recall_ok is None
     frames = wl.q_multimodal_frames(spark, sf_dir)
     assert frames.select("frames_ok").first().frames_ok is None
+
+
+def test_dedup_keep_best_keeps_highest_quality_member(spark, monkeypatch, tmp_path):
+    """Constructed clusters: near-identical docs where the LOWER-id
+    copy is quality-degraded (no stopwords, heavy punctuation). The
+    min-id rule would keep the bad copy; quality-argmax must keep the
+    clean one. Ties break to min doc_id."""
+    from machine_learning_algorithm_sparkml__spark.workload.llm import q_dedup_keep_best
+
+    base = "the quick brown fox jumps over the lazy dog and runs to the river bank in the morning light"
+    # same token stream (high trigram overlap -> same cluster) with
+    # punctuation junk appended -> higher punct penalty, lower quality
+    degraded = base + " !!!! ;;;; ????"
+    rows = [
+        (1, "en", degraded),  # same cluster as 2, LOWER id, worse quality
+        (2, "en", base),
+        (3, "en", "completely unrelated text about distributed query engines and shuffle plans at scale"),
+    ]
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    sf = tmp_path / "sfx"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet", index=False)
+
+    out = {r.component: r for r in q_dedup_keep_best(spark, str(sf)).collect()}
+    # docs 1 and 2 form one cluster (3-gram Jaccard >= 0.5 after the shared suffix)
+    assert len(out) == 1, f"expected one cluster, got {out}"
+    row = next(iter(out.values()))
+    assert row.kept_doc_id == 2, "quality-argmax must keep the clean copy, not the min id"
+    assert row.n_members == 2
