@@ -43,6 +43,30 @@ def _self_verified_keys() -> list[str]:
     return list(SELF_VERIFIED_KEYS)
 
 
+REPEAT_BELOW_SEC = 2.0
+SPIKE_FACTOR = 1.5
+MAX_RUNS = 3
+
+
+def should_repeat(runs: list[float], prior: float | None) -> bool:
+    """Take another run? True while (a) the fastest run so far is in
+    noise territory (< REPEAT_BELOW_SEC), or (b) the latest run looks
+    like a spike vs the previously recorded timing (> SPIKE_FACTOR x
+    prior) — in both cases up to MAX_RUNS total. The old runs[0]-only
+    rule let a first-run spike on a normally-fast key skip its repeats
+    and get reported as a regression (ADVICE r5)."""
+    if len(runs) >= MAX_RUNS:
+        return False
+    spiking = prior is not None and runs[-1] > SPIKE_FACTOR * prior
+    return min(runs) < REPEAT_BELOW_SEC or spiking
+
+
+def report_stat(runs: list[float]) -> float:
+    """Lower median: for an even run count prefer the faster sample,
+    else a 2-run [normal, spike] pair would report the spike."""
+    return sorted(runs)[(len(runs) - 1) // 2]
+
+
 def main() -> None:
     # Reserve the real stdout for the one JSON result line; everything
     # else (JVM banners, Spark logs, warm-up chatter — including output
@@ -75,15 +99,10 @@ def main() -> None:
     # Sub-second timings from a single run are noise-dominated (r4's
     # two apparent >2x regressions vanished under isolated re-runs), so
     # keys whose fastest run so far is under REPEAT_BELOW_SEC get up to
-    # three runs and report the MEDIAN. Slow keys stay single-run —
-    # UNLESS the run is >1.5x the previously recorded BENCH_FULL
-    # timing, in which case it is re-run to separate a genuine
-    # regression from a one-off spike (ADVICE r5: the old runs[0]-only
-    # trigger let a first-run spike on a normally-fast key skip its
-    # repeats and report the spike; r5's streaming keys "regressed"
-    # 2.4x exactly this way).
-    REPEAT_BELOW_SEC = 2.0
-    SPIKE_FACTOR = 1.5
+    # three runs and report the lower median. Slow keys stay single-run
+    # UNLESS the run looks like a spike vs the previously recorded
+    # BENCH_FULL timing — see should_repeat()/report_stat() (pure,
+    # unit-tested in tests/test_bench_protocol.py).
     repo_root = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(repo_root, "BENCH_FULL.json")) as f:
@@ -103,15 +122,9 @@ def main() -> None:
                 # caches (LSH signatures, checkpoints) must not leak
                 # into the next run's timing or hog executor memory
                 spark.catalog.clearCache()
-                if len(runs) == 3:
+                if not should_repeat(runs, prior.get(name)):
                     break
-                p = prior.get(name)
-                spiking = p is not None and runs[-1] > SPIKE_FACTOR * p
-                if min(runs) >= REPEAT_BELOW_SEC and not spiking:
-                    break
-            # lower median: for an even run count prefer the faster
-            # sample, else a 2-run [normal, spike] pair reports the spike
-            timings[name] = round(sorted(runs)[(len(runs) - 1) // 2], 3)
+            timings[name] = round(report_stat(runs), 3)
         except Exception as exc:  # keep benching; report the failure
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             spark.catalog.clearCache()
@@ -138,7 +151,7 @@ def main() -> None:
         "protocol": {
             "repeat_below_sec": REPEAT_BELOW_SEC,
             "spike_factor_vs_prior": SPIKE_FACTOR,
-            "max_runs": 3,
+            "max_runs": MAX_RUNS,
             "stat": "lower_median",
         },
         # These keys carry an in-query truth pass (ANN recall /

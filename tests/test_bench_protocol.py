@@ -1,0 +1,50 @@
+"""Unit tests for bench.py's repeat/report protocol (pure functions —
+no Spark). The protocol exists because single-run timings produced
+phantom regressions in rounds 4 and 5:
+
+- r4: sub-second keys spiked 5-7x on their only run;
+- r5: slow streaming keys spiked 2.4x on their only run and the old
+  runs[0]-only trigger never re-ran them (ADVICE r5, bench.py:76).
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_fast_key_repeats_to_three_runs():
+    assert bench.should_repeat([0.4], prior=0.4)
+    assert bench.should_repeat([0.4, 0.5], prior=0.4)
+    assert not bench.should_repeat([0.4, 0.5, 0.4], prior=0.4)
+
+
+def test_slow_steady_key_single_run():
+    # 22 s key at its prior timing: no repeats, bench cost stays flat
+    assert not bench.should_repeat([22.0], prior=21.5)
+
+
+def test_slow_key_spike_triggers_rerun():
+    # r5 mode: streaming key at 3.6 s prior spikes to 9.6 on run 1
+    assert bench.should_repeat([9.6], prior=3.6)
+    # second run comes back normal -> stop (above noise floor, no spike)
+    assert not bench.should_repeat([9.6, 3.7], prior=3.6)
+
+
+def test_first_run_spike_on_fast_key_still_repeats():
+    # ADVICE r5: normally-sub-2s key spikes above 2 s on run 1; the old
+    # runs[0]-rule stopped, reporting the spike. min(runs) keeps going.
+    assert bench.should_repeat([2.4], prior=0.5)      # spike vs prior
+    assert bench.should_repeat([2.4, 0.5], prior=0.5)  # now fast -> 3rd run
+
+
+def test_new_key_without_prior():
+    assert bench.should_repeat([0.3], prior=None)      # fast: repeat
+    assert not bench.should_repeat([5.0], prior=None)  # slow, no prior: single
+
+
+def test_report_stat_lower_median():
+    assert bench.report_stat([5.0]) == 5.0
+    # 2-run [normal, spike]: report the normal one, not the spike
+    assert bench.report_stat([9.6, 3.7]) == 3.7
+    # 3 runs: true median
+    assert bench.report_stat([0.4, 0.5, 0.45]) == 0.45
