@@ -1,0 +1,59 @@
+"""Registry/rotation discipline (no Spark needed).
+
+The driver records ~50 correctness rows per round in registry order,
+so the ordering IS the verification plan: every key that has never
+had a driver correctness row must sit inside the first 50 positions,
+or it stays unverified another round (the round-5 failure mode — nine
+keys added after the window closed went a full round without a driver
+row)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from machine_learning_algorithm_sparkml__spark import workload
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def _last_checked() -> dict[str, int | None]:
+    rounds = {}
+    for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnum = int(p.rsplit("_r", 1)[1].split(".")[0])
+        with open(p) as f:
+            rounds[rnum] = json.load(f)
+    keys = list(workload.all_queries())
+    return {k: max((r for r in rounds if k in rounds[r]), default=None) for k in keys}
+
+
+def test_priority_keys_all_exist():
+    qs = workload.all_queries()
+    missing = [k for k in workload.PRIORITY_KEYS if k not in qs]
+    assert not missing, f"PRIORITY_KEYS not in registry: {missing}"
+
+
+def test_priority_keys_lead_the_registry():
+    keys = list(workload.all_queries())
+    n = len(workload.PRIORITY_KEYS)
+    assert keys[:n] == workload.PRIORITY_KEYS
+
+
+def test_never_checked_keys_inside_window():
+    last = _last_checked()
+    window = set(list(workload.all_queries())[:WINDOW])
+    stranded = [k for k, r in last.items() if r is None and k not in window]
+    assert not stranded, (
+        f"keys with no driver correctness row outside the ~{WINDOW}-key "
+        f"window: {stranded} — add them to PRIORITY_KEYS "
+        "(workload/__init__.py) or they stay unverified another round"
+    )
+
+
+def test_oracle_ordering_matches_query_ordering():
+    """The driver may iterate either dict; priority keys must lead both."""
+    qs, os_ = list(workload.all_queries()), list(workload.all_oracles())
+    oracle_priority = [k for k in workload.PRIORITY_KEYS if k in set(os_)]
+    assert os_[: len(oracle_priority)] == oracle_priority
