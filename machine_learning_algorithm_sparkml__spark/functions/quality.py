@@ -29,6 +29,11 @@ GOPHER_MIN_MEAN_WORD_LEN = 2.0
 GOPHER_MAX_MEAN_WORD_LEN = 12.0
 GOPHER_MIN_ALPHA_RATIO = 0.7
 GOPHER_MAX_REPETITION = 0.4
+#: Bigram-repetition acceptance bands (Gopher's n-gram repetition
+#: family, word-bigram variant; occurrence fractions, not char
+#: fractions — policy constants, not tuned claims).
+BIGRAM_MAX_TOP_FRAC = 0.20
+BIGRAM_MAX_DUP_FRAC = 0.90
 
 
 def word_repetition_ratio(text: Column) -> Column:
@@ -70,6 +75,64 @@ def alpha_word_ratio(text: Column) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(
         n_alpha.cast("double") / n.cast("double")
     )
+
+
+def bigram_signals(text: Column) -> dict[str, Column]:
+    """Word-bigram repetition signals as a SHUFFLE-FREE projection —
+    the n-gram cousin of :func:`word_repetition_ratio`.
+
+    Plan shape is the point: the naive formulation explodes bigrams
+    and aggregates twice (shuffling ~n_tokens rows per doc, twice);
+    here bigrams are built by zipping the token array with itself
+    shifted by one, the distinct count is ``array_distinct``, and the
+    top bigram's multiplicity is a single ``F.aggregate`` fold over
+    the SORTED bigram array (max run length == max multiplicity).
+    Zero shuffles, zero Python. Counts are ints; each fraction is one
+    final double division (bit-exact on any IEEE engine).
+    """
+    toks = tokens(text)
+    n_bg_len = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.array_sort(
+        F.zip_with(
+            F.slice(toks, 1, n_bg_len),
+            F.slice(toks, 2, n_bg_len),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+
+    def _step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(run, acc["best"]).alias("best")
+        )
+
+    top = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        _step,
+        lambda acc: acc["best"],
+    )
+    n = F.size(bigrams)
+    n_distinct = F.size(F.array_distinct(bigrams))
+    top_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        top.cast("double") / n.cast("double")
+    )
+    dup_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - n_distinct.cast("double") / n.cast("double")
+    )
+    return {
+        "n_bigrams": n,
+        "distinct_bigrams": n_distinct,
+        "top_bigram_count": top,
+        "top_bigram_frac": top_frac,
+        "dup_bigram_frac": dup_frac,
+        "bigram_repetition_ok": (top_frac <= BIGRAM_MAX_TOP_FRAC)
+        & (dup_frac <= BIGRAM_MAX_DUP_FRAC),
+    }
 
 
 def gopher_flags(text: Column) -> dict[str, Column]:

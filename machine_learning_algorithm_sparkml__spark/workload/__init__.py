@@ -41,6 +41,9 @@ PRIORITY_KEYS = [
     # new in round 6:
     "ml_model_save_load",
     "dedup_keep_best",
+    "sql_tpch_q5",
+    "sql_tpch_q18",
+    "text_repetition_bigram",
     # last driver-checked in round 3 (2 rounds stale — oldest rows):
     "embedding_neardup",
     "join_bucketed",

@@ -145,8 +145,39 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdicts.crossJoin(F.broadcast(invariant))
 
 
+def q_text_repetition_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-repetition signals (Gopher §A1.1's n-gram repetition
+    family, word-bigram variant): per doc, the number of bigram
+    occurrences, distinct bigrams, the most frequent bigram's count,
+    and the derived fractions. The scale story is the plan shape: this
+    is a PURE PROJECTION — bigrams are built by zipping the token
+    array with itself shifted, the top-bigram count is a single fold
+    (``F.aggregate``) over the SORTED bigram array (max run length ==
+    max multiplicity), and the distinct count is ``array_distinct``.
+    Zero shuffles, zero explodes: at 100 TB the naive
+    explode→groupBy(doc_id, bigram)→groupBy(doc_id) formulation
+    shuffles ~n_tokens rows twice; this shuffles nothing. All counts
+    are integers; each fraction is one final double division
+    (bit-exact on any IEEE engine). Thresholds (0.20 top / 0.90 dup)
+    are policy constants in the Gopher style, not tuned claims."""
+    from machine_learning_algorithm_sparkml__spark.functions.quality import bigram_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = bigram_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        sig["n_bigrams"].alias("n_bigrams"),
+        sig["distinct_bigrams"].alias("distinct_bigrams"),
+        sig["top_bigram_count"].alias("top_bigram_count"),
+        sig["top_bigram_frac"].alias("top_bigram_frac"),
+        sig["dup_bigram_frac"].alias("dup_bigram_frac"),
+        sig["bigram_repetition_ok"].alias("bigram_repetition_ok"),
+    )
+
+
 QUERIES = {
     "text_gopher_quality": q_text_gopher_quality,
+    "text_repetition_bigram": q_text_repetition_bigram,
     "text_unigram_familiarity": q_text_unigram_familiarity,
     "text_normalize": q_text_normalize,
     "domain_top_docs": q_domain_top_docs,
@@ -161,6 +192,44 @@ _TOKS = "list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> len
 _NTOK = f"len({_TOKS})"
 
 ORACLE = {
+    # text_repetition_bigram: the oracle rebuilds the same integer
+    # counts relationally (unnest → per-(doc, bigram) counts) — the
+    # Spark side's sorted-array fold and this GROUP BY agree exactly
+    # because both count multiplicities of identical string bigrams.
+    "text_repetition_bigram": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), b AS (
+            SELECT t.doc_id, t.toks[g.i] || ' ' || t.toks[g.i + 1] AS bg
+            FROM t, unnest(generate_series(1, len(t.toks) - 1)) AS g(i)
+        ), c AS (
+            SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg
+        ), p AS (
+            SELECT doc_id,
+                   SUM(c) AS n_bigrams,
+                   COUNT(*) AS distinct_bigrams,
+                   MAX(c) AS top_c
+            FROM c GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+               CAST(COALESCE(p.distinct_bigrams, 0) AS INTEGER) AS distinct_bigrams,
+               CAST(COALESCE(p.top_c, 0) AS INTEGER) AS top_bigram_count,
+               CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+                    ELSE CAST(p.top_c AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+               END AS top_bigram_frac,
+               CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(p.distinct_bigrams AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+               END AS dup_bigram_frac,
+               (CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+                     ELSE CAST(p.top_c AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+                END <= 0.20)
+               AND
+               (CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+                     ELSE 1.0 - CAST(p.distinct_bigrams AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+                END <= 0.90) AS bigram_repetition_ok
+        FROM documents d LEFT JOIN p USING (doc_id)
+    """,
     "text_gopher_quality": f"""
         WITH t AS (
             SELECT doc_id,

@@ -648,6 +648,71 @@ def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): the 6-table join — customer ⋈
+    orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region — issued as ONE
+    declarative ``spark.sql`` string. What Catalyst must get right, and
+    does, from the text alone: the ``r_name`` filter prunes region
+    BEFORE the join tree (predicate pushdown through three join hops),
+    region/nation/supplier are broadcast (all under the 10 MB
+    threshold at any SF — dims grow with nation count, not corpus
+    size), and only the big orders⋈lineitem edge shuffles. The
+    ``c_nationkey = s_nationkey`` conjunct is the interesting bit: a
+    second equi-condition on an already-joined pair, evaluated as part
+    of the supplier join, not a post-filter. Revenue sums decimal-
+    exact (order-insensitive), cast to double after aggregation."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, nation ASC
+    """)
+
+
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): aggregate lineitem per order,
+    HAVING-filter to the heavy orders, then join back to orders +
+    customer. The HAVING side is the scale story: the per-orderkey
+    aggregation runs FIRST with map-side partial aggregation, and the
+    surviving key set (a tiny fraction of orders) drives the joins —
+    at 100 TB the orders/customer probes see only qualifying keys, and
+    AQE converts the shrunken build side to a broadcast at runtime.
+    ``l_quantity`` is a double in the testdata, so the HAVING sum goes
+    through DECIMAL(18,2) (exact, order-insensitive — the module
+    rule); totalprice casts to double only in the projection."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT c.c_name AS name,
+               o.o_orderkey AS orderkey,
+               CAST(o.o_orderdate AS DATE) AS orderdate,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+               CAST(big.sum_qty AS DOUBLE) AS sum_qty
+        FROM (
+            SELECT l_orderkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+        ) big
+        JOIN orders o   ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY totalprice DESC, orderkey ASC
+        LIMIT 100
+    """)
+
+
 QUERIES = {
     "sink_csv": q_sink_csv_roundtrip,
     "sink_orc": q_sink_orc_roundtrip,
@@ -690,6 +755,8 @@ QUERIES = {
     "scalar_array_map_funcs": q_scalar_array_map_funcs,
     "scalar_math_funcs": q_scalar_math_funcs,
     "sql_tpch_q3": q_sql_tpch_q3,
+    "sql_tpch_q5": q_sql_tpch_q5,
+    "sql_tpch_q18": q_sql_tpch_q18,
 }
 
 ORACLE = {
@@ -973,5 +1040,38 @@ ORACLE = {
         GROUP BY l.l_orderkey, o.o_orderdate
         ORDER BY revenue DESC, orderkey ASC
         LIMIT 10
+    """,
+    "sql_tpch_q5": """
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, nation ASC
+    """,
+    "sql_tpch_q18": """
+        SELECT c.c_name AS name,
+               o.o_orderkey AS orderkey,
+               CAST(o.o_orderdate AS DATE) AS orderdate,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+               CAST(big.sum_qty AS DOUBLE) AS sum_qty
+        FROM (
+            SELECT l_orderkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+        ) big
+        JOIN orders o   ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY totalprice DESC, orderkey ASC
+        LIMIT 100
     """,
 }

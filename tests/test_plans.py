@@ -200,3 +200,31 @@ def test_round5_key_plan_shapes(spark, sf_dir):
         plan = formatted_plan(fn(spark, sf_dir))
         assert "NestedLoop" not in plan, f"{fn.__name__}:\n{plan}"
         assert "CartesianProduct" not in plan, f"{fn.__name__}:\n{plan}"
+
+
+def test_round6_sql_key_plan_shapes(spark, sf_dir):
+    """Plan hygiene for the round-6 SQL-front-end keys: Q5's dims must
+    broadcast (never shuffle lineitem against region/nation), its date
+    filter must reach the orders scan, and Q18's HAVING aggregation
+    must combine map-side before the join back to orders/customer."""
+    from machine_learning_algorithm_sparkml__spark.plans import (
+        formatted_plan,
+        has_broadcast_join,
+        has_partial_aggregation,
+        has_pushed_filters,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_tpch_q5,
+        q_sql_tpch_q18,
+    )
+
+    q5 = q_sql_tpch_q5(spark, sf_dir)
+    assert has_broadcast_join(q5), "q5 dim joins must broadcast"
+    assert has_pushed_filters(q5), "q5 date/region filters must reach the scans"
+    plan5 = formatted_plan(q5)
+    assert "CartesianProduct" not in plan5 and "NestedLoop" not in plan5, plan5
+
+    q18 = q_sql_tpch_q18(spark, sf_dir)
+    assert has_partial_aggregation(q18), "q18 HAVING sum must combine map-side"
+    plan18 = formatted_plan(q18)
+    assert "CartesianProduct" not in plan18 and "NestedLoop" not in plan18, plan18

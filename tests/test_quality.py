@@ -73,6 +73,56 @@ def test_gopher_scan_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan, "quality scoring must stay a projection"
 
 
+def test_bigram_signals_on_crafted_docs(spark):
+    from machine_learning_algorithm_sparkml__spark.functions.quality import bigram_signals
+
+    docs = _docs(spark, [
+        (1, None),             # no tokens -> no bigrams, fail-open ok
+        (2, "a"),              # one token -> no bigrams
+        (3, "a b a b a"),      # bigrams [a b, b a, a b, b a]
+        (4, " ".join(f"w{i}" for i in range(10))),  # all-distinct bigrams
+        (5, "x x x x"),        # one bigram repeated 3x
+        (6, "  a\tb\n a "),    # whitespace hardening: tokens [a, b, a]
+    ])
+    sig = bigram_signals(F.col("text"))
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *(sig[k].alias(k) for k in sig)
+    ).collect()}
+    for d in (1, 2):
+        assert rows[d]["n_bigrams"] == 0
+        assert rows[d]["top_bigram_count"] == 0
+        assert rows[d]["top_bigram_frac"] == 0.0
+        assert rows[d]["bigram_repetition_ok"] is True
+    r3 = rows[3]
+    assert (r3["n_bigrams"], r3["distinct_bigrams"], r3["top_bigram_count"]) == (4, 2, 2)
+    assert abs(r3["top_bigram_frac"] - 0.5) < 1e-15
+    assert abs(r3["dup_bigram_frac"] - 0.5) < 1e-15
+    assert r3["bigram_repetition_ok"] is False  # top 0.5 > 0.20
+    r4 = rows[4]
+    assert (r4["n_bigrams"], r4["distinct_bigrams"], r4["top_bigram_count"]) == (9, 9, 1)
+    assert r4["dup_bigram_frac"] == 0.0
+    assert r4["bigram_repetition_ok"] is True
+    r5 = rows[5]
+    assert (r5["n_bigrams"], r5["distinct_bigrams"], r5["top_bigram_count"]) == (3, 1, 3)
+    assert abs(r5["top_bigram_frac"] - 1.0) < 1e-15
+    r6 = rows[6]
+    assert (r6["n_bigrams"], r6["distinct_bigrams"], r6["top_bigram_count"]) == (2, 2, 1)
+
+
+def test_bigram_scan_is_shuffle_free(spark, sf_dir):
+    from machine_learning_algorithm_sparkml__spark.workload.quality import (
+        q_text_repetition_bigram,
+    )
+
+    spark.catalog.clearCache()
+    df = q_text_repetition_bigram(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, (
+        "bigram repetition scoring must stay a projection (the explode+"
+        "groupBy formulation shuffles ~n_tokens rows per doc, twice)"
+    )
+
+
 def test_gopher_filter_keeps_some_drops_some(spark, sf_dir):
     df = q_text_gopher_quality(spark, sf_dir)
     agg = df.agg(
