@@ -46,6 +46,28 @@ def exact_dedup_representatives(df: DataFrame, key_cols: list[str], id_col: str)
     )
 
 
+def incremental_exact_dedup(
+    existing: DataFrame, batch: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """Exact dedup of a NEW ingest batch against an already-deduped
+    corpus — the daily-crawl shape: the corpus only ever grows, so
+    re-deduping 100 TB per ingest is wrong; only the batch is new
+    work. Two steps: (1) in-batch representatives (min id per key,
+    map-side partial aggregation), (2) LEFT ANTI join of the batch
+    keys against the existing corpus keys. Returns surviving batch
+    rows (key cols + id + in-batch ``n_copies``).
+
+    Scale notes: the anti-join needs only ``key_cols`` from the
+    existing side — column pruning keeps the 100 TB scan to the key
+    column, and a production deployment stores a bucketed
+    ``xxhash64(key)`` fingerprint index so daily batches join
+    shuffle-free against it instead of rescanning text. No distinct
+    on the existing side: anti-join semantics ignore right-side
+    multiplicity, so the aggregation would be a pure extra shuffle."""
+    batch_rep = exact_dedup_representatives(batch, key_cols, id_col)
+    return batch_rep.join(existing.select(*key_cols), key_cols, "left_anti")
+
+
 # --- shingling -----------------------------------------------------------------
 
 def shingle_array(text: Column, n: int = 3) -> Column:

@@ -44,6 +44,7 @@ PRIORITY_KEYS = [
     "sql_tpch_q5",
     "sql_tpch_q18",
     "text_repetition_bigram",
+    "dedup_incremental",
     # last driver-checked in round 3 (2 rounds stale — oldest rows):
     "embedding_neardup",
     "join_bucketed",

@@ -30,6 +30,7 @@ from machine_learning_algorithm_sparkml__spark.functions.text import (
 )
 from machine_learning_algorithm_sparkml__spark.operators.dedup import (
     exact_dedup_representatives,
+    incremental_exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
@@ -212,6 +213,21 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup_representatives(docs.select("doc_id", "text"), ["text"], "doc_id")
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest exact dedup: docs with ``doc_id % 3 == 0`` play
+    the new batch, the rest the already-ingested corpus; a batch doc
+    survives iff its text is new to the corpus, keeping the min-id
+    representative of in-batch copies. Output drops ``text`` (at
+    100 TB the surviving-id list is the deliverable; the text rejoin
+    is a follow-up keyed join if needed)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    existing = docs.filter(F.col("doc_id") % 3 != 0)
+    return incremental_exact_dedup(existing, batch, ["text"], "doc_id").select(
+        "doc_id", "n_copies"
+    )
 
 
 # Hot-shingle doc-frequency cap for every wired Jaccard key: a shingle
@@ -633,6 +649,7 @@ QUERIES = {
     "mixture_weighted_sample": q_mixture_weighted_sample,
     "decontaminate_ngram": q_decontaminate_ngram,
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
@@ -847,6 +864,19 @@ ORACLE = {
     "dedup_exact": """
         SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text
+    """,
+    "dedup_incremental": """
+        WITH batch AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        ), existing AS (
+            SELECT text FROM documents WHERE doc_id % 3 <> 0
+        ), batch_rep AS (
+            SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM batch GROUP BY text
+        )
+        SELECT b.doc_id, b.n_copies
+        FROM batch_rep b
+        WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.text = b.text)
     """,
     "dedup_ngram_jaccard": f"""
         WITH toks AS (

@@ -203,6 +203,34 @@ def test_hot_shingle_cap_prunes_boilerplate_pairs(spark):
     assert capped == {(3, 4)}, capped
 
 
+def test_incremental_dedup_constructed_set(spark):
+    """Batch rows survive iff their text is new to the corpus; in-batch
+    copies collapse to the min id with the copy count."""
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "old news"), (2, "evergreen"), (3, "evergreen")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "old news"),     # dropped: already in corpus
+            (11, "fresh story"),  # kept
+            (12, "fresh story"),  # in-batch copy of 11
+            (13, "evergreen"),    # dropped: corpus has it (twice — multiplicity ignored)
+            (14, "brand new"),    # kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_copies"]
+        for r in incremental_exact_dedup(existing, batch, ["text"], "doc_id").collect()
+    }
+    assert out == {11: 2, 14: 1}
+
+
 def test_brute_force_topk_refuses_oversized_query_broadcast(emb):
     with pytest.raises(ValueError, match="max_broadcast_queries"):
         brute_force_topk(emb, emb, k=3, max_broadcast_queries=5)
