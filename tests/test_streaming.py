@@ -136,3 +136,63 @@ def test_stream_stream_join_time_bounds(spark, sf_dir):
     # distinct pairs only
     pairs = [(r["view_id"], r["click_id"]) for r in rows]
     assert len(pairs) == len(set(pairs))
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Append-mode contract the complete-mode keys can't show: once
+    the watermark passes a window's end, the window emits exactly once
+    and later-arriving events for it are DROPPED. Two micro-batches
+    through a file source: batch 1 closes [9,10) (watermark 0s, max ts
+    10:59); batch 2 carries an event at 9:20 — late, must not re-open
+    or re-emit the window — plus an on-time 11:30 event that advances
+    the watermark past [10,11)."""
+    import datetime as dt
+    import os
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from machine_learning_algorithm_sparkml__spark.streaming.events import (
+        windowed_event_counts,
+    )
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def ev(i, hh, mm):
+        return (i, dt.datetime(2024, 1, 1, hh, mm), 1, "view", 1.0)
+
+    src = os.path.join(str(tmp_path), "in")
+    spark.createDataFrame([ev(1, 9, 10), ev(2, 10, 59)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = windowed_event_counts(stream, window_duration="1 hour", watermark="0 seconds")
+    name = "late_" + uuid.uuid4().hex[:6]
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        first = {
+            (r["window_start"].hour, r["n_events"]) for r in spark.table(name).collect()
+        }
+        assert first == {(9, 1)}, first  # [9,10) closed and emitted once
+
+        spark.createDataFrame([ev(3, 9, 20), ev(4, 11, 30)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        final = {
+            (r["window_start"].hour, r["n_events"]) for r in spark.table(name).collect()
+        }
+    finally:
+        q.stop()
+    # late 9:20 dropped: [9,10) still shows 1 and was not re-emitted;
+    # [10,11) flushed by the no-data batch after the watermark advanced;
+    # [11,12) stays open (watermark has not passed 12:00)
+    assert final == {(9, 1), (10, 1)}, final
