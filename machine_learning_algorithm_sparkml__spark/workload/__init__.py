@@ -45,6 +45,7 @@ PRIORITY_KEYS = [
     "sql_tpch_q18",
     "text_repetition_bigram",
     "dedup_incremental",
+    "simsearch_pq",
     # last driver-checked in round 3 (2 rounds stale — oldest rows):
     "embedding_neardup",
     "join_bucketed",

@@ -440,6 +440,7 @@ SELF_VERIFIED_KEYS = [
     "simsearch_lsh",
     "simsearch_ivf",
     "simsearch_brp",
+    "simsearch_pq",
     "multimodal_frames",
 ]
 
@@ -527,6 +528,20 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk(emb, _query_vectors(emb), k=5, num_centroids=16, n_probe=6)
     truth = lambda: brute_force_topk(emb, _query_vectors(emb), k=5)
     return _with_recall_invariant(approx, truth, floor=0.6)
+
+
+def q_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: product-quantization ANN (compressed-code shortlist +
+    exact re-rank; operators/simsearch.pq_topk). ``recall_ok`` pins
+    recall >= 0.7 vs brute force — measured 0.94-1.0 on the
+    uniform-random (PQ-adversarial) testdata at the m=16/ks=16/
+    shortlist 20x defaults."""
+    from machine_learning_algorithm_sparkml__spark.operators.simsearch import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = pq_topk(emb, _query_vectors(emb), k=5)
+    truth = lambda: brute_force_topk(emb, _query_vectors(emb), k=5)
+    return _with_recall_invariant(approx, truth, floor=0.7)
 
 
 def q_simsearch_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,6 +677,7 @@ QUERIES = {
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
     "simsearch_ivf": q_simsearch_ivf,
+    "simsearch_pq": q_simsearch_pq,
     "simsearch_brp": q_simsearch_brp,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,

@@ -324,6 +324,35 @@ def test_ivf_topk_recall_floor(emb):
     assert recall >= 0.6, f"ivf recall {recall:.2f}"
 
 
+def test_pq_topk_recall_floor(emb):
+    """Product quantization at the m=16/ks=16/shortlist-20x defaults on
+    the uniform-random (PQ-adversarial) embeddings; the workload key
+    pins recall >= 0.7 — same floor here against exact brute force
+    (measured 0.94-1.0 across SFs). Exact re-rank means every returned
+    sim is the true cosine."""
+    from machine_learning_algorithm_sparkml__spark.operators.simsearch import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = pq_topk(emb, queries, k=5)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, f"pq recall {recall:.2f}"
+
+
+def test_pq_topk_rejects_indivisible_dim(spark):
+    from machine_learning_algorithm_sparkml__spark.operators.simsearch import pq_topk
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_topk(df, df, m=2)
+
+
 def test_workload_ann_invariants_pinned_true(spark, sf_dir, monkeypatch):
     """With self-verification ON (the driver-correctness default) every
     ANN workload key carries recall_ok=TRUE and multimodal_frames
@@ -332,7 +361,7 @@ def test_workload_ann_invariants_pinned_true(spark, sf_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SELF_VERIFY", "1")
     from machine_learning_algorithm_sparkml__spark.workload import llm as wl
 
-    for q in (wl.q_simsearch_lsh, wl.q_simsearch_ivf, wl.q_simsearch_brp):
+    for q in (wl.q_simsearch_lsh, wl.q_simsearch_ivf, wl.q_simsearch_brp, wl.q_simsearch_pq):
         assert q(spark, sf_dir).select("recall_ok").first().recall_ok is True, q.__name__
     assert wl.q_multimodal_frames(spark, sf_dir).select("frames_ok").first().frames_ok is True
 
