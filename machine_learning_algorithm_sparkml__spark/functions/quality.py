@@ -77,20 +77,36 @@ def alpha_word_ratio(text: Column) -> Column:
     )
 
 
-def bigram_signals(text: Column) -> dict[str, Column]:
-    """Word-bigram repetition signals as a SHUFFLE-FREE projection —
-    the n-gram cousin of :func:`word_repetition_ratio`.
+from pyspark.sql import DataFrame
 
-    Plan shape is the point: the naive formulation explodes bigrams
-    and aggregates twice (shuffling ~n_tokens rows per doc, twice);
-    here bigrams are built by zipping the token array with itself
-    shifted by one, the distinct count is ``array_distinct``, and the
-    top bigram's multiplicity is a single ``F.aggregate`` fold over
-    the SORTED bigram array (max run length == max multiplicity).
+
+def bigram_signals(df: DataFrame, id_cols: list[str], text_col: str = "text") -> DataFrame:
+    """Word-bigram repetition signals as a SHUFFLE-FREE projection —
+    the n-gram cousin of :func:`word_repetition_ratio`. Returns
+    ``id_cols`` + (n_bigrams, distinct_bigrams, top_bigram_count,
+    top_bigram_frac, dup_bigram_frac, bigram_repetition_ok).
+
+    Plan shape is the point, twice over:
+
+    1. No shuffle: the naive formulation explodes bigrams and
+       aggregates twice (shuffling ~n_tokens rows per doc, twice);
+       here bigrams are built by zipping the token array with itself
+       shifted by one, and all three integer stats come from ONE
+       ``F.aggregate`` fold over the SORTED bigram array — total
+       count, distinct count (= number of run starts), and the top
+       bigram's multiplicity (= max run length).
+    2. No re-evaluation: interpreted higher-order functions get no
+       common-subexpression elimination, so emitting each stat as its
+       own column would rebuild the tokenize→zip→sort pipeline per
+       column (measured 4× the single-column cost at sf0.1). The fold
+       returns one struct, materialized ONCE per row through
+       ``F.inline`` — a generator, which blocks projection collapse —
+       and the fractions then derive from plain attribute columns.
+
     Zero shuffles, zero Python. Counts are ints; each fraction is one
     final double division (bit-exact on any IEEE engine).
     """
-    toks = tokens(text)
+    toks = tokens(F.col(text_col))
     n_bg_len = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.array_sort(
         F.zip_with(
@@ -101,38 +117,53 @@ def bigram_signals(text: Column) -> dict[str, Column]:
     )
 
     def _step(acc, x):
-        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        is_run = x.eqNullSafe(acc["prev"])
+        run = F.when(is_run, acc["run"] + 1).otherwise(F.lit(1))
         return F.struct(
-            x.alias("prev"), run.alias("run"), F.greatest(run, acc["best"]).alias("best")
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(run, acc["best"]).alias("best"),
+            (acc["cnt"] + 1).alias("cnt"),
+            (acc["distinct"] + F.when(is_run, F.lit(0)).otherwise(F.lit(1))).alias(
+                "distinct"
+            ),
         )
 
-    top = F.aggregate(
+    stats = F.aggregate(
         bigrams,
         F.struct(
             F.lit(None).cast("string").alias("prev"),
             F.lit(0).alias("run"),
             F.lit(0).alias("best"),
+            F.lit(0).alias("cnt"),
+            F.lit(0).alias("distinct"),
         ),
         _step,
-        lambda acc: acc["best"],
+        lambda acc: F.struct(
+            acc["cnt"].alias("n_bigrams"),
+            acc["distinct"].alias("distinct_bigrams"),
+            acc["best"].alias("top_bigram_count"),
+        ),
     )
-    n = F.size(bigrams)
-    n_distinct = F.size(F.array_distinct(bigrams))
+    mid = df.select(*id_cols, F.inline(F.array(stats)))
+    n = F.col("n_bigrams")
     top_frac = F.when(n == 0, F.lit(0.0)).otherwise(
-        top.cast("double") / n.cast("double")
+        F.col("top_bigram_count").cast("double") / n.cast("double")
     )
     dup_frac = F.when(n == 0, F.lit(0.0)).otherwise(
-        F.lit(1.0) - n_distinct.cast("double") / n.cast("double")
+        F.lit(1.0) - F.col("distinct_bigrams").cast("double") / n.cast("double")
     )
-    return {
-        "n_bigrams": n,
-        "distinct_bigrams": n_distinct,
-        "top_bigram_count": top,
-        "top_bigram_frac": top_frac,
-        "dup_bigram_frac": dup_frac,
-        "bigram_repetition_ok": (top_frac <= BIGRAM_MAX_TOP_FRAC)
-        & (dup_frac <= BIGRAM_MAX_DUP_FRAC),
-    }
+    return mid.select(
+        *id_cols,
+        "n_bigrams",
+        "distinct_bigrams",
+        "top_bigram_count",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac <= BIGRAM_MAX_TOP_FRAC) & (dup_frac <= BIGRAM_MAX_DUP_FRAC)).alias(
+            "bigram_repetition_ok"
+        ),
+    )
 
 
 def gopher_flags(text: Column) -> dict[str, Column]:

@@ -149,30 +149,21 @@ def q_text_repetition_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-repetition signals (Gopher §A1.1's n-gram repetition
     family, word-bigram variant): per doc, the number of bigram
     occurrences, distinct bigrams, the most frequent bigram's count,
-    and the derived fractions. The scale story is the plan shape: this
-    is a PURE PROJECTION — bigrams are built by zipping the token
-    array with itself shifted, the top-bigram count is a single fold
-    (``F.aggregate``) over the SORTED bigram array (max run length ==
-    max multiplicity), and the distinct count is ``array_distinct``.
-    Zero shuffles, zero explodes: at 100 TB the naive
-    explode→groupBy(doc_id, bigram)→groupBy(doc_id) formulation
-    shuffles ~n_tokens rows twice; this shuffles nothing. All counts
-    are integers; each fraction is one final double division
-    (bit-exact on any IEEE engine). Thresholds (0.20 top / 0.90 dup)
+    and the derived fractions. The scale story is the plan shape: a
+    PURE PROJECTION — all three integer stats come from ONE
+    ``F.aggregate`` fold over the sorted zip-shifted bigram array,
+    materialized once per row through the ``F.inline`` generator (see
+    ``functions/quality.bigram_signals``). Zero shuffles: at 100 TB
+    the naive explode→groupBy(doc_id, bigram)→groupBy(doc_id)
+    formulation shuffles ~n_tokens rows twice; this shuffles nothing.
+    All counts are integers; each fraction is one final double
+    division (bit-exact on any IEEE engine). Thresholds (0.20 top /
+    0.90 dup)
     are policy constants in the Gopher style, not tuned claims."""
     from machine_learning_algorithm_sparkml__spark.functions.quality import bigram_signals
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = bigram_signals(F.col("text"))
-    return docs.select(
-        "doc_id",
-        sig["n_bigrams"].alias("n_bigrams"),
-        sig["distinct_bigrams"].alias("distinct_bigrams"),
-        sig["top_bigram_count"].alias("top_bigram_count"),
-        sig["top_bigram_frac"].alias("top_bigram_frac"),
-        sig["dup_bigram_frac"].alias("dup_bigram_frac"),
-        sig["bigram_repetition_ok"].alias("bigram_repetition_ok"),
-    )
+    return bigram_signals(docs, ["doc_id"], "text")
 
 
 QUERIES = {

@@ -84,10 +84,7 @@ def test_bigram_signals_on_crafted_docs(spark):
         (5, "x x x x"),        # one bigram repeated 3x
         (6, "  a\tb\n a "),    # whitespace hardening: tokens [a, b, a]
     ])
-    sig = bigram_signals(F.col("text"))
-    rows = {r["doc_id"]: r for r in docs.select(
-        "doc_id", *(sig[k].alias(k) for k in sig)
-    ).collect()}
+    rows = {r["doc_id"]: r for r in bigram_signals(docs, ["doc_id"], "text").collect()}
     for d in (1, 2):
         assert rows[d]["n_bigrams"] == 0
         assert rows[d]["top_bigram_count"] == 0
