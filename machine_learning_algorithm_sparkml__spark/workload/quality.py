@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from machine_learning_algorithm_sparkml__spark.functions.quality import gopher_flags
+from machine_learning_algorithm_sparkml__spark.functions.quality import gopher_signals
 from machine_learning_algorithm_sparkml__spark.operators.lm import unigram_familiarity
 from machine_learning_algorithm_sparkml__spark.operators.quantize import quantize_int8
 from machine_learning_algorithm_sparkml__spark.sources import load_table
@@ -25,22 +25,12 @@ from machine_learning_algorithm_sparkml__spark.sources import load_table
 
 def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Gopher rule metrics + verdicts — one shuffle-free
-    projection over the corpus (the shape of a first filtering pass
-    at 100 TB)."""
+    pass over the corpus (the shape of a first filtering pass at
+    100 TB): all four token statistics accumulate in ONE fold per row
+    (``functions/quality.gopher_signals``), value-identical to the
+    per-column ``gopher_flags`` spec."""
     docs = load_table(spark, sf_dir, "documents")
-    flags = gopher_flags(F.col("text"))
-    return docs.select(
-        "doc_id",
-        flags["n_words"].alias("n_words"),
-        flags["mean_word_len"].alias("mean_word_len"),
-        flags["alpha_ratio"].alias("alpha_ratio"),
-        flags["repetition_ratio"].alias("repetition_ratio"),
-        flags["len_ok"].alias("len_ok"),
-        flags["mean_word_len_ok"].alias("mean_word_len_ok"),
-        flags["alpha_ok"].alias("alpha_ok"),
-        flags["repetition_ok"].alias("repetition_ok"),
-        flags["gopher_ok"].alias("gopher_ok"),
-    )
+    return gopher_signals(docs, ["doc_id"], "text")
 
 
 def q_text_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:

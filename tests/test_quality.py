@@ -73,6 +73,22 @@ def test_gopher_scan_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan, "quality scoring must stay a projection"
 
 
+def test_gopher_signals_equals_gopher_flags(spark, sf_dir):
+    """The one-fold production path (gopher_signals) must be
+    value-identical to the per-column spec (gopher_flags) on the
+    corpus — drift guard for the CSE optimization."""
+    from machine_learning_algorithm_sparkml__spark.functions.quality import gopher_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_flags(F.col("text"))
+    spec = docs.select("doc_id", *(flags[k].alias(k) for k in flags))
+    prod = gopher_signals(docs, ["doc_id"], "text")
+    assert prod.columns == spec.columns
+    a = sorted(map(tuple, spec.collect()))
+    b = sorted(map(tuple, prod.collect()))
+    assert a == b
+
+
 def test_bigram_signals_on_crafted_docs(spark):
     from machine_learning_algorithm_sparkml__spark.functions.quality import bigram_signals
 
