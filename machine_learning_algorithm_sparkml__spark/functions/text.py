@@ -76,11 +76,22 @@ def punct_ratio(text: Column) -> Column:
 
 def stopword_ratio(text: Column) -> Column:
     """Fraction of tokens that are (English) stopwords — low values
-    flag keyword-stuffed or non-natural text."""
-    toks = tokens(text)
-    n = F.size(toks)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+    flag keyword-stuffed or non-natural text. One fold: count and hits
+    accumulate together and the ratio is computed in the finish over
+    the bound accumulator, so the token array is built and walked once
+    (the size+filter form built it twice — no CSE for interpreted
+    higher-order functions)."""
+    return F.aggregate(
+        tokens(text),
+        F.struct(F.lit(0).alias("cnt"), F.lit(0).alias("hits")),
+        lambda acc, t: F.struct(
+            (acc["cnt"] + 1).alias("cnt"),
+            (acc["hits"] + F.when(t.isin(*STOPWORDS), F.lit(1)).otherwise(F.lit(0))).alias("hits"),
+        ),
+        lambda acc: F.when(acc["cnt"] == 0, F.lit(0.0)).otherwise(
+            acc["hits"].cast("double") / acc["cnt"].cast("double")
+        ),
+    )
 
 
 def quality_score(text: Column) -> Column:
