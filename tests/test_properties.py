@@ -211,3 +211,86 @@ def test_quantize_int8_matches_python_reference(spark, vecs):
             )
             assert got == want, (x, scale, got, want)
             assert -127 <= got <= 127
+
+
+def _py_bigram_stats(text):
+    toks = [t for t in (text or "").split() if t]
+    bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    from collections import Counter
+
+    c = Counter(bgs)
+    n = len(bgs)
+    distinct = len(c)
+    top = max(c.values()) if c else 0
+    top_frac = top / n if n else 0.0
+    dup_frac = 1.0 - distinct / n if n else 0.0
+    return (n, distinct, top, top_frac, dup_frac)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=15),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bigram_signals_match_python_reference(spark, texts):
+    from machine_learning_algorithm_sparkml__spark.functions.quality import bigram_signals
+
+    docs = [(i, " ".join(words)) for i, words in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["distinct_bigrams"],
+            r["top_bigram_count"],
+            r["top_bigram_frac"],
+            r["dup_bigram_frac"],
+        )
+        for r in bigram_signals(df, ["doc_id"], "text").collect()
+    }
+    for i, t in docs:
+        exp = _py_bigram_stats(t)
+        assert got[i][:3] == exp[:3], (i, t, got[i], exp)
+        assert abs(got[i][3] - exp[3]) < 1e-15
+        assert abs(got[i][4] - exp[4]) < 1e-15
+
+
+def _py_lang_id(text):
+    from machine_learning_algorithm_sparkml__spark.functions.text import LANG_MARKERS
+
+    toks = [t for t in (text or "").split() if t]
+    hits = {
+        lang: sum(1 for t in toks if t in LANG_MARKERS[lang])
+        for lang in sorted(LANG_MARKERS)
+    }
+    mx = max(hits.values()) if hits else 0
+    if mx == 0:
+        return "und"
+    return min(l for l, h in hits.items() if h == mx)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["the", "der", "le", "el", "und", "zz", "est", "is"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_lang_id_matches_python_reference(spark, texts):
+    from machine_learning_algorithm_sparkml__spark.functions.text import lang_id
+
+    docs = [(i, " ".join(words)) for i, words in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["pred"]
+        for r in df.select("doc_id", lang_id(F.col("text")).alias("pred")).collect()
+    }
+    for i, t in docs:
+        assert got[i] == _py_lang_id(t), (i, t, got[i])
