@@ -216,16 +216,12 @@ def minhash_signatures(
     )
 
 
-def minhash_candidate_pairs(signatures: DataFrame, id_col: str, *, num_bands: int = 8) -> DataFrame:
-    """LSH banding: split each signature into bands, hash each band,
-    bucket-join. Docs sharing ANY band bucket become a candidate pair.
-    Output: distinct (id_a, id_b), id_a < id_b."""
-    sig_len_row = signatures.select(F.size("signature").alias("n")).limit(1).collect()
-    if not sig_len_row:
-        id_type = dict(signatures.dtypes)[id_col]  # schema-stable on empty input
-        return signatures.sparkSession.createDataFrame([], f"id_a {id_type}, id_b {id_type}")
-    rows_per_band = max(1, sig_len_row[0]["n"] // num_bands)
-    banded = signatures.select(
+def _band_buckets(signatures: DataFrame, id_col: str, num_bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) rows: signature split into ``num_bands``
+    slices, each hashed to a bucket. Shared by the self-join pair
+    generator and the cross-frame decontamination join — one banding
+    definition, no drift."""
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -237,6 +233,18 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str, *, num_bands: in
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_candidate_pairs(signatures: DataFrame, id_col: str, *, num_bands: int = 8) -> DataFrame:
+    """LSH banding: split each signature into bands, hash each band,
+    bucket-join. Docs sharing ANY band bucket become a candidate pair.
+    Output: distinct (id_a, id_b), id_a < id_b."""
+    sig_len_row = signatures.select(F.size("signature").alias("n")).limit(1).collect()
+    if not sig_len_row:
+        id_type = dict(signatures.dtypes)[id_col]  # schema-stable on empty input
+        return signatures.sparkSession.createDataFrame([], f"id_a {id_type}, id_b {id_type}")
+    rows_per_band = max(1, sig_len_row[0]["n"] // num_bands)
+    banded = _band_buckets(signatures, id_col, num_bands, rows_per_band)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -290,6 +298,74 @@ def minhash_near_dup_pairs(
         )
     )
     return est.filter(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+
+
+def decontaminate_by_minhash(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: drop every corpus document
+    whose MinHash-estimated Jaccard with ANY benchmark document is
+    >= ``threshold``. The paraphrase-tolerant complement to
+    :func:`decontaminate_by_shingle` — exact n-gram matching misses
+    contamination that was lightly rewritten; near-duplicate
+    similarity does not.
+
+    Scale design mirrors the exact path: the benchmark side (eval
+    suites — thousands of docs, not billions) is banded and BROADCAST;
+    corpus signatures come from one groupBy, its banded buckets probe
+    the broadcast map-side, candidates verify on signature overlap
+    (slot-match fraction, stderr ~1/sqrt(k)), and only the
+    contaminated id set shuffles for the final anti-join. The corpus
+    is never self-joined and never shuffled by shingle. Output:
+    surviving corpus rows, schema unchanged."""
+    c_sigs = minhash_signatures(
+        corpus, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    ).localCheckpoint(eager=True)  # read by banding AND the verify join
+    b_sigs = minhash_signatures(
+        benchmark, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    ).localCheckpoint(eager=True)
+    rows_per_band = max(1, num_hashes // num_bands)
+    c_band = _band_buckets(c_sigs, id_col, num_bands, rows_per_band).select(
+        F.col(id_col).alias("_cid"), "band", "bucket"
+    )
+    b_band = _band_buckets(b_sigs, id_col, num_bands, rows_per_band).select(
+        F.col(id_col).alias("_bid"), "band", "bucket"
+    )
+    cands = (
+        c_band.join(F.broadcast(b_band), ["band", "bucket"])
+        .select("_cid", "_bid")
+        .distinct()
+    )
+    est = (
+        cands.join(c_sigs.select(F.col(id_col).alias("_cid"), F.col("signature").alias("sig_c")), "_cid")
+        .join(
+            F.broadcast(
+                b_sigs.select(F.col(id_col).alias("_bid"), F.col("signature").alias("sig_b"))
+            ),
+            "_bid",
+        )
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(F.zip_with("sig_c", "sig_b", lambda x, y: x == y), lambda eq: eq)
+            ).cast("double")
+            / F.size("sig_c").cast("double"),
+        )
+    )
+    contaminated = (
+        est.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("_cid").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
 
 
 # --- SimHash ---------------------------------------------------------------------

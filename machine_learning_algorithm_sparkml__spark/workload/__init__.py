@@ -46,6 +46,7 @@ PRIORITY_KEYS = [
     "text_repetition_bigram",
     "dedup_incremental",
     "simsearch_pq",
+    "decontaminate_fuzzy",
     # last driver-checked in round 3 (2 rounds stale — oldest rows):
     "embedding_neardup",
     "join_bucketed",

@@ -208,6 +208,37 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: PARAPHRASE-tolerant decontamination (MinHash LSH
+    between corpus and benchmark; operators/dedup.py:
+    decontaminate_by_minhash). The benchmark is built as a perturbed
+    near-copy of every 50th corpus doc (first token dropped, re-id'd)
+    — exactly the lightly-rewritten contamination the exact 4-gram
+    path cannot express. ``planted_dropped_ok`` pins TRUE iff every
+    perturbed doc's original was dropped (3-gram Jaccard of the
+    perturbation ~0.97 ≫ the 0.8 threshold, so recall must be total).
+    Threshold 0.8 keeps the removal targeted on the self-similar
+    word-soup corpus; other corpus docs MAY still legitimately drop —
+    the invariant claims recall, not precision."""
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+        decontaminate_by_minhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.col("doc_id") % 50 == 0
+    benchmark = docs.filter(planted).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    survivors = decontaminate_by_minhash(
+        docs, benchmark, "doc_id", "text", threshold=0.8
+    ).select("doc_id").localCheckpoint(eager=True)  # invariant + output read it
+    inv = survivors.agg(
+        (F.coalesce(F.sum(F.when(planted, 1)), F.lit(0)) == 0).alias("planted_dropped_ok")
+    )
+    return survivors.crossJoin(F.broadcast(inv))
+
+
 # --- dedup ----------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -663,6 +694,7 @@ QUERIES = {
     "doc_hash_split": q_doc_hash_split,
     "mixture_weighted_sample": q_mixture_weighted_sample,
     "decontaminate_ngram": q_decontaminate_ngram,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

@@ -203,6 +203,37 @@ def test_hot_shingle_cap_prunes_boilerplate_pairs(spark):
     assert capped == {(3, 4)}, capped
 
 
+def test_fuzzy_decontamination_catches_paraphrase(spark):
+    """A corpus doc that is a light rewrite of a benchmark doc (every
+    ~8th token changed) shares high 3-gram Jaccard but can still be
+    caught; an unrelated doc survives. Recall-style check on a
+    constructed set (the workload key pins the planted invariant on
+    the real corpus)."""
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+        decontaminate_by_minhash,
+    )
+
+    base = [f"tok{i}" for i in range(64)]
+    rewrite = list(base)
+    for i in range(0, 64, 8):
+        rewrite[i] = f"alt{i}"  # 8 of 64 tokens changed
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(rewrite)),                      # paraphrased contamination
+            (2, " ".join(f"clean{i}" for i in range(64))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame([(100, " ".join(base))], "doc_id long, text string")
+    kept = {
+        r["doc_id"]
+        for r in decontaminate_by_minhash(
+            corpus, benchmark, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    assert kept == {2}, kept
+
+
 def test_incremental_dedup_constructed_set(spark):
     """Batch rows survive iff their text is new to the corpus; in-batch
     copies collapse to the min id with the copy count."""
