@@ -74,16 +74,22 @@ def shingle_array(text: Column, n: int = 3) -> Column:
     """Word n-gram array for one text column (null-safe via tokens()).
     Texts shorter than ``n`` tokens yield their whole token string as a
     single shingle. Shared by the custom MinHash/Jaccard operators and
-    the MLlib MinHashLSH wrapper — one definition, no drift."""
+    the MLlib MinHashLSH wrapper — one definition, no drift.
+
+    Built as a chain of ``zip_with`` over literal-offset slices (the
+    bigram-scorer idiom generalized to n): each pass walks the array
+    once. The earlier ``transform(sequence, i -> slice(toks, i, n))``
+    form called a variable-start ``slice`` per ELEMENT — O(tokens²)
+    interpreted work per document, which made shingling (3.6 s at
+    sf0.1) the dominant cost of every MinHash/Jaccard key."""
     toks = tokens(text)
-    return F.when(
-        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for i in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, i + 1, m), lambda a, b: F.concat_ws(" ", a, b)
         )
-    )
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(acc)
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
