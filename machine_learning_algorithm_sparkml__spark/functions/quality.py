@@ -16,7 +16,7 @@ engine regardless of row or partition order.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from machine_learning_algorithm_sparkml__spark.functions.text import tokens
@@ -75,9 +75,6 @@ def alpha_word_ratio(text: Column) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(
         n_alpha.cast("double") / n.cast("double")
     )
-
-
-from pyspark.sql import DataFrame
 
 
 def bigram_signals(df: DataFrame, id_cols: list[str], text_col: str = "text") -> DataFrame:

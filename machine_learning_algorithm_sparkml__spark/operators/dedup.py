@@ -241,6 +241,17 @@ def _band_buckets(signatures: DataFrame, id_col: str, num_bands: int, rows_per_b
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+def _signature_overlap(sig_a: Column, sig_b: Column) -> Column:
+    """MinHash-estimated Jaccard: fraction of matching signature slots
+    (unbiased, stderr ~ 1/sqrt(k)). ONE definition shared by the
+    self-join pair path and the cross-frame decontamination path — the
+    same no-drift rule as ``_band_buckets``."""
+    return (
+        F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda eq: eq)).cast("double")
+        / F.size(sig_a).cast("double")
+    )
+
+
 def minhash_candidate_pairs(signatures: DataFrame, id_col: str, *, num_bands: int = 8) -> DataFrame:
     """LSH banding: split each signature into bands, hash each band,
     bucket-join. Docs sharing ANY band bucket become a candidate pair.
@@ -291,16 +302,7 @@ def minhash_near_dup_pairs(
         .join(sb, "id_b")
         .withColumn(
             "est_jaccard",
-            F.round(
-                F.size(
-                    F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                        lambda eq: eq,
-                    )
-                ).cast("double")
-                / F.size("sig_a").cast("double"),
-                6,
-            ),
+            F.round(_signature_overlap(F.col("sig_a"), F.col("sig_b")), 6),
         )
     )
     return est.filter(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
@@ -358,13 +360,7 @@ def decontaminate_by_minhash(
             ),
             "_bid",
         )
-        .withColumn(
-            "est_jaccard",
-            F.size(
-                F.filter(F.zip_with("sig_c", "sig_b", lambda x, y: x == y), lambda eq: eq)
-            ).cast("double")
-            / F.size("sig_c").cast("double"),
-        )
+        .withColumn("est_jaccard", _signature_overlap(F.col("sig_c"), F.col("sig_b")))
     )
     contaminated = (
         est.filter(F.col("est_jaccard") >= threshold)
@@ -428,27 +424,31 @@ def simhash_near_dup_pairs(
     if num_bands is None:
         num_bands = max_hamming + 1
     assert num_bands > max_hamming, "pigeonhole requires num_bands > max_hamming"
-    # Pack the bit array into ONE bigint per doc (a 64-step fold, once
-    # per document): the candidate verify then costs a single
-    # codegen'd bit_count(xor) per PAIR instead of an interpreted
-    # 64-element zip/filter — on a loose threshold (max_hamming=8 →
+    # Pack the bit array into 64-bit WORDS (one fold per word, once
+    # per document): the candidate verify then costs one codegen'd
+    # bit_count(xor) per word per PAIR instead of an interpreted
+    # per-bit zip/filter — on a loose threshold (max_hamming=8 →
     # 9 narrow bands → ~1M candidates on the self-similar testdata)
     # the verify dominates, and this cut the key 10.4 → ~3 s at sf0.1.
+    # Word-wise, not one bigint: a single-long pack silently shifts
+    # bits 65+ out and mis-reports hamming for num_bits > 64.
     # Banding still slices the bit array (per-doc cost, tiny).
+    n_words = (num_bits + 63) // 64
+    def _pack_word(w: int) -> Column:
+        word_len = min(64, num_bits - w * 64)
+        # shiftleft|or, not acc*2+bit: the 64th bit lands in the
+        # sign position, and arithmetic overflow on bigint THROWS
+        # under ANSI mode (Spark 4 default in plain sessions);
+        # bit operations wrap by definition
+        return F.aggregate(
+            F.slice("simhash", w * 64 + 1, word_len),
+            F.lit(0).cast("bigint"),
+            lambda acc, bit: F.shiftleft(acc, 1).bitwiseOR(bit.cast("bigint")),
+        )
+
     sh = (
         simhash_bits(df, id_col, text_col, num_bits=num_bits)
-        .withColumn(
-            "packed",
-            # shiftleft|or, not acc*2+bit: the 64th bit lands in the
-            # sign position, and arithmetic overflow on bigint THROWS
-            # under ANSI mode (Spark 4 default in plain sessions);
-            # bit operations wrap by definition
-            F.aggregate(
-                "simhash",
-                F.lit(0).cast("bigint"),
-                lambda acc, bit: F.shiftleft(acc, 1).bitwiseOR(bit.cast("bigint")),
-            ),
-        )
+        .withColumn("packed", F.array(*[_pack_word(w) for w in range(n_words)]))
         .localCheckpoint(eager=True)
     )
     band_size = num_bits // num_bands
@@ -476,10 +476,22 @@ def simhash_near_dup_pairs(
     # and their distinct alone cost ~12 s of the key's 10-13 s.
     a = banded.select(F.col(id_col).alias("id_a"), F.col("packed").alias("pk_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("packed").alias("pk_b"), "band", "bucket")
+    # static per-word sum (literal indices), not a fold over the word
+    # array: the expression stays inside codegen for the 1-2 word case
+    # that dominates, and this runs once per candidate PAIR
+    hamming = sum(
+        (
+            F.bit_count(
+                F.element_at("pk_a", w + 1).bitwiseXOR(F.element_at("pk_b", w + 1))
+            )
+            for w in range(n_words)
+        ),
+        start=F.lit(0),
+    )
     out = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("pk_a").bitwiseXOR(F.col("pk_b"))))
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
     )
     return out.select("id_a", "id_b", "hamming").distinct()

@@ -303,6 +303,7 @@ def pq_topk(
     seed: int = 754,
     exclude_self: bool = True,
     fit_sample_rows: int = 100_000,
+    max_broadcast_queries: int = 10_000,
 ) -> DataFrame:
     """Product-quantization approximate top-k: asymmetric-distance
     shortlist over compressed codes, exact cosine re-rank.
@@ -333,6 +334,16 @@ def pq_topk(
     if dim % m != 0:
         raise ValueError(f"pq_topk: dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
+    # same broadcast contract as brute_force_topk: the query frame
+    # (ids + full float vectors) ships to every executor — fail fast
+    # instead of silently OOMing on an oversized query set
+    n_queries = queries.count()
+    if n_queries > max_broadcast_queries:
+        raise ValueError(
+            f"pq_topk broadcasts the query side: got {n_queries} query "
+            f"rows > max_broadcast_queries={max_broadcast_queries}; batch "
+            "the query set or raise the cap explicitly"
+        )
 
     n = corpus.count()
     sample_df = corpus.select(vec_col)

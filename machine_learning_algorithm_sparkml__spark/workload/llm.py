@@ -215,8 +215,12 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-copy of every 50th corpus doc (first token dropped, re-id'd)
     — exactly the lightly-rewritten contamination the exact 4-gram
     path cannot express. ``planted_dropped_ok`` pins TRUE iff every
-    perturbed doc's original was dropped (3-gram Jaccard of the
-    perturbation ~0.97 ≫ the 0.8 threshold, so recall must be total).
+    perturbed doc's original was dropped. The planted set is
+    restricted to docs of ≥200 chars (≈30+ tokens): dropping one token
+    from an m-token doc gives 3-gram Jaccard (m-3)/(m-2) — ≥0.96 at
+    30 tokens, so the 32-slot estimate clears the 0.8 threshold with
+    ~5σ margin, while a 10-token doc sits at 0.875 where estimator
+    noise could flip the pinned invariant on regenerated testdata.
     Threshold 0.8 keeps the removal targeted on the self-similar
     word-soup corpus; other corpus docs MAY still legitimately drop —
     the invariant claims recall, not precision."""
@@ -225,7 +229,7 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = F.col("doc_id") % 50 == 0
+    planted = (F.col("doc_id") % 50 == 0) & (F.length("text") >= 200)
     benchmark = docs.filter(planted).select(
         (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
@@ -233,8 +237,13 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = decontaminate_by_minhash(
         docs, benchmark, "doc_id", "text", threshold=0.8
     ).select("doc_id").localCheckpoint(eager=True)  # invariant + output read it
-    inv = survivors.agg(
-        (F.coalesce(F.sum(F.when(planted, 1)), F.lit(0)) == 0).alias("planted_dropped_ok")
+    # the planted predicate needs `text` (length filter), which the
+    # survivor projection no longer carries — check membership via a
+    # semi-join against the (tiny) planted id set instead
+    planted_ids = docs.filter(planted).select("doc_id")
+    inv = (
+        survivors.join(F.broadcast(planted_ids), "doc_id", "left_semi")
+        .agg((F.count(F.lit(1)) == 0).alias("planted_dropped_ok"))
     )
     return survivors.crossJoin(F.broadcast(inv))
 

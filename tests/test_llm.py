@@ -315,6 +315,38 @@ def test_hamming_distance_matches_packed_bitcount(spark):
     assert got == {1: (2, 2), 2: (0, 0), 3: (4, 4)}
 
 
+def test_simhash_hamming_exact_beyond_64_bits(spark):
+    """num_bits > 64 must not truncate: the word-wise packing has to
+    report the same hamming as the array-form distance (a single-long
+    pack silently shifts bits 65+ out and once reported hamming 33
+    for a true distance of 66)."""
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+        simhash_bits,
+        simhash_near_dup_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight nine"),
+        (3, "alpha beta gamma delta epsilon zeta eta thorn"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bits = {r["doc_id"]: r["simhash"] for r in simhash_bits(df, "doc_id", "text", num_bits=128).collect()}
+    expected = {
+        (a, b): sum(x != y for x, y in zip(bits[a], bits[b]))
+        for a in bits
+        for b in bits
+        if a < b
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            df, "doc_id", "text", num_bits=128, max_hamming=128, num_bands=129
+        ).collect()
+    }
+    assert got == expected, (got, expected)
+
+
 def test_simhash_full_recall_at_minimum_bands(spark):
     """Adversarial-parameter case (VERDICT r2 #7): the pigeonhole
     banding guarantee — num_bands = max_hamming + 1 (the MINIMUM) must
@@ -421,6 +453,10 @@ def test_workload_ann_invariants_pinned_true(spark, sf_dir, monkeypatch):
     for q in (wl.q_simsearch_lsh, wl.q_simsearch_ivf, wl.q_simsearch_brp, wl.q_simsearch_pq):
         assert q(spark, sf_dir).select("recall_ok").first().recall_ok is True, q.__name__
     assert wl.q_multimodal_frames(spark, sf_dir).select("frames_ok").first().frames_ok is True
+    assert (
+        wl.q_decontaminate_fuzzy(spark, sf_dir).select("planted_dropped_ok").first().planted_dropped_ok
+        is True
+    )
 
 
 def test_self_verify_off_keeps_schema_nulls_verdict(spark, sf_dir, monkeypatch):
