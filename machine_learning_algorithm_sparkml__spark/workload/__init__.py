@@ -47,6 +47,7 @@ PRIORITY_KEYS = [
     "dedup_incremental",
     "simsearch_pq",
     "decontaminate_fuzzy",
+    "sql_tpch_q10",
     # last driver-checked in round 3 (2 rounds stale — oldest rows):
     "embedding_neardup",
     "join_bucketed",

@@ -713,6 +713,35 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): customers ranked by revenue
+    lost to returns in one year. The plan Catalyst should derive, and
+    does: the ``l_returnflag = 'R'`` and order-date filters push into
+    the lineitem/orders scans BEFORE the joins, nation broadcasts, and
+    the top-20 plans as TakeOrderedAndProject (per-partition heaps —
+    the exchange carries 20 rows per task, not the aggregate). Revenue
+    decimal-exact; ties broken by custkey."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT c.c_custkey AS custkey,
+               c.c_name AS name,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+               n.n_name AS nation
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, custkey ASC
+        LIMIT 20
+    """)
+
+
 QUERIES = {
     "sink_csv": q_sink_csv_roundtrip,
     "sink_orc": q_sink_orc_roundtrip,
@@ -757,6 +786,7 @@ QUERIES = {
     "sql_tpch_q3": q_sql_tpch_q3,
     "sql_tpch_q5": q_sql_tpch_q5,
     "sql_tpch_q18": q_sql_tpch_q18,
+    "sql_tpch_q10": q_sql_tpch_q10,
 }
 
 ORACLE = {
@@ -1073,5 +1103,22 @@ ORACLE = {
         JOIN customer c ON c.c_custkey = o.o_custkey
         ORDER BY totalprice DESC, orderkey ASC
         LIMIT 100
+    """,
+    "sql_tpch_q10": """
+        SELECT c.c_custkey AS custkey,
+               c.c_name AS name,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+               n.n_name AS nation
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, custkey ASC
+        LIMIT 20
     """,
 }
