@@ -39,7 +39,15 @@ def chunk_fixed(
     document survives into the chunked corpus (droppable downstream).
 
     Output: (id, chunk_id, chunk_text, n_chunk_tokens), chunk_id
-    0-based. Row-local — no shuffle, scales linearly.
+    0-based. Row-local — no shuffle, scales linearly in chunk count.
+
+    Cost note: each chunk is cut with a variable-start ``slice``
+    (O(tokens) interpreted per chunk), so per-document work is
+    O(tokens²/stride). At the default stride (48) that is ~20 array
+    walks per 1k tokens — negligible next to the explode — but for
+    book-length documents (100k+ tokens) consider pre-splitting, or
+    an explode→(id, token_idx)→window formulation, which trades one
+    shuffle for linear per-token work.
     """
     if overlap >= chunk_tokens:
         raise ValueError(f"overlap={overlap} must be < chunk_tokens={chunk_tokens}")
