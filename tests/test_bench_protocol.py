@@ -48,3 +48,15 @@ def test_report_stat_lower_median():
     assert bench.report_stat([9.6, 3.7]) == 3.7
     # 3 runs: true median
     assert bench.report_stat([0.4, 0.5, 0.45]) == 0.45
+
+
+def test_bench_diff_classification():
+    from tools.bench_diff import diff
+
+    old = {"queries": {"a": 1.0, "b": 2.0, "c": 0.2, "gone": 1.0}}
+    new = {"queries": {"a": 1.6, "b": 1.0, "c": 1.0, "new": 3.0}}
+    d = diff(old, new, factor=1.5, min_sec=0.5)
+    assert [r[0] for r in d["regressed"]] == ["a"]       # 1.6x, above min_sec
+    assert [r[0] for r in d["improved"]] == ["b"]        # 2.0 -> 1.0
+    # c regressed 5x but old < min_sec -> noise band, not flagged
+    assert d["added"] == ["new"] and d["removed"] == ["gone"]
