@@ -227,3 +227,36 @@ def test_shingle_oracles_survive_null_and_blank_text(spark, sf_dir, tmp_path):
                 (r[cols.index("id_a")], r[cols.index("id_b")]) for r in rel.fetchall()
             )
         assert s_rows == d_rows, f"{name}: planted NULL/blank text diverges"
+
+
+def test_session2_ops_on_degenerate_frames(spark):
+    """Empty / degenerate inputs for the session-2 operators: fuzzy
+    decontamination with an empty benchmark keeps everything (and an
+    empty corpus yields nothing), incremental dedup with an empty
+    corpus keeps the whole batch, pq_topk returns a schema-stable
+    empty frame on an empty corpus."""
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+        decontaminate_by_minhash,
+        incremental_exact_dedup,
+    )
+    from machine_learning_algorithm_sparkml__spark.operators.simsearch import pq_topk
+
+    empty = _empty_docs(spark)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    # empty benchmark -> nothing contaminated
+    assert decontaminate_by_minhash(docs, empty, "doc_id", "text").count() == 2
+    # empty corpus -> nothing survives (vacuously)
+    assert decontaminate_by_minhash(empty, docs, "doc_id", "text").count() == 0
+    # empty existing corpus -> whole batch survives (post in-batch dedup)
+    assert incremental_exact_dedup(empty, docs, ["text"], "doc_id").count() == 2
+    # empty batch -> empty survivors, schema intact
+    out = incremental_exact_dedup(docs, _empty_docs(spark), ["text"], "doc_id")
+    assert out.count() == 0 and set(out.columns) == {"text", "doc_id", "n_copies"}
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    res = pq_topk(empty_emb, empty_emb, k=3)
+    assert res.count() == 0
+    assert res.columns == ["query_id", "neighbor_id", "rank", "sim"]
