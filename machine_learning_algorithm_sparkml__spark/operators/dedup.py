@@ -222,23 +222,33 @@ def minhash_signatures(
     )
 
 
-def _band_buckets(signatures: DataFrame, id_col: str, num_bands: int, rows_per_band: int) -> DataFrame:
-    """(id, band, bucket) rows: signature split into ``num_bands``
-    slices, each hashed to a bucket. Shared by the self-join pair
-    generator and the cross-frame decontamination join — one banding
-    definition, no drift."""
+def _band_buckets(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int,
+    rows_per_band: int,
+    *,
+    array_col: str = "signature",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *carry, band, bucket) rows: ``array_col`` split into
+    ``num_bands`` slices, each hashed to a bucket. Shared by the
+    MinHash self-join pair generator, the cross-frame decontamination
+    join, and the simhash Hamming-band path (``array_col='simhash'``,
+    ``carry=('packed',)``) — one banding definition, no drift."""
     return signatures.select(
         F.col(id_col),
+        *carry,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(j).alias("band"),
-                    F.hash(F.slice("signature", j * rows_per_band + 1, rows_per_band)).alias("bucket"),
+                    F.hash(F.slice(array_col, j * rows_per_band + 1, rows_per_band)).alias("bucket"),
                 )
                 for j in range(num_bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, *carry, "bb.band", "bb.bucket")
 
 
 def _signature_overlap(sig_a: Column, sig_b: Column) -> Column:
@@ -318,6 +328,7 @@ def decontaminate_by_minhash(
     num_bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_broadcast_benchmark: int = 100_000,
 ) -> DataFrame:
     """FUZZY benchmark decontamination: drop every corpus document
     whose MinHash-estimated Jaccard with ANY benchmark document is
@@ -333,7 +344,20 @@ def decontaminate_by_minhash(
     (slot-match fraction, stderr ~1/sqrt(k)), and only the
     contaminated id set shuffles for the final anti-join. The corpus
     is never self-joined and never shuffled by shingle. Output:
-    surviving corpus rows, schema unchanged."""
+    surviving corpus rows, schema unchanged.
+
+    The benchmark broadcast is the scale contract (same fail-fast rule
+    as ``brute_force_topk``/``pq_topk``): decontaminating one corpus
+    split against ANOTHER CORPUS is a different plan (signature-keyed
+    shuffle join) — refuse rather than silently OOM the broadcast."""
+    n_bench = benchmark.count()
+    if n_bench > max_broadcast_benchmark:
+        raise ValueError(
+            f"decontaminate_by_minhash broadcasts the benchmark side: got "
+            f"{n_bench} benchmark rows > max_broadcast_benchmark="
+            f"{max_broadcast_benchmark}; use a shuffled signature join for "
+            "corpus-vs-corpus comparison or raise the cap explicitly"
+        )
     c_sigs = minhash_signatures(
         corpus, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
     ).localCheckpoint(eager=True)  # read by banding AND the verify join
@@ -452,19 +476,9 @@ def simhash_near_dup_pairs(
         .localCheckpoint(eager=True)
     )
     band_size = num_bits // num_bands
-    banded = sh.select(
-        F.col(id_col),
-        F.col("packed"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.hash(F.slice("simhash", j * band_size + 1, band_size)).alias("bucket"),
-                )
-                for j in range(num_bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "packed", "bb.band", "bb.bucket")
+    banded = _band_buckets(
+        sh, id_col, num_bands, band_size, array_col="simhash", carry=("packed",)
+    )
     # Verify INSIDE the band join, deduplicate only survivors: the
     # packed values ride both join legs, so every collision is scored
     # with one codegen'd bit_count(xor) as it streams out of the join,

@@ -720,7 +720,11 @@ def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lineitem/orders scans BEFORE the joins, nation broadcasts, and
     the top-20 plans as TakeOrderedAndProject (per-partition heaps —
     the exchange carries 20 rows per task, not the aggregate). Revenue
-    decimal-exact; ties broken by custkey."""
+    decimal-exact; ties broken by custkey. Spec deviations (testdata
+    fit, both disclosed): a 1-year window instead of the spec's 3
+    months, and the address/phone/comment payload columns are omitted
+    (the testdata customer table does not carry them) — group-by width
+    and row payload therefore differ from canonical Q10 results."""
     for t in ("customer", "orders", "lineitem", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql("""

@@ -53,10 +53,13 @@ def test_report_stat_lower_median():
 def test_bench_diff_classification():
     from tools.bench_diff import diff
 
-    old = {"queries": {"a": 1.0, "b": 2.0, "c": 0.2, "gone": 1.0}}
-    new = {"queries": {"a": 1.6, "b": 1.0, "c": 1.0, "new": 3.0}}
+    old = {"queries": {"a": 1.0, "b": 2.0, "c": 0.2, "d": 2.0, "e": 0.2, "gone": 1.0}}
+    new = {"queries": {"a": 1.6, "b": 1.0, "c": 1.0, "d": 0.0, "e": 0.4, "new": 3.0}}
     d = diff(old, new, factor=1.5, min_sec=0.5)
-    assert [r[0] for r in d["regressed"]] == ["a"]       # 1.6x, above min_sec
-    assert [r[0] for r in d["improved"]] == ["b"]        # 2.0 -> 1.0
-    # c regressed 5x but old < min_sec -> noise band, not flagged
+    # a: plain 1.6x regression; c: old in the noise band but NEW time
+    # clears factor * min_sec -> still flagged (the 0.45s->60s hole)
+    assert {r[0] for r in d["regressed"]} == {"a", "c"}
+    # d: improved to a rounded 0.0 -> flagged, no ZeroDivisionError
+    assert {r[0] for r in d["improved"]} == {"b", "d"}
+    # e: 0.2 -> 0.4 stays inside the noise band, not flagged
     assert d["added"] == ["new"] and d["removed"] == ["gone"]

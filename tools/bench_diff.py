@@ -37,19 +37,26 @@ def load(ref: str) -> dict:
 def diff(old: dict, new: dict, *, factor: float, min_sec: float) -> dict:
     oq, nq = old.get("queries", {}), new.get("queries", {})
     common = sorted(set(oq) & set(nq))
+    # Regression test: new > factor * max(old, min_sec). Clamping the
+    # OLD side to the noise floor (instead of skipping sub-floor keys)
+    # still ignores 0.2s->0.4s jitter but DOES flag 0.45s->60s — a key
+    # whose old timing was noise can still regress into dominance.
     regressed = [
-        (k, oq[k], nq[k]) for k in common if oq[k] >= min_sec and nq[k] > factor * oq[k]
+        (k, oq[k], nq[k]) for k in common if nq[k] > factor * max(oq[k], min_sec)
     ]
     improved = [
-        (k, oq[k], nq[k]) for k in common if nq[k] >= 0 and oq[k] > factor * nq[k] and oq[k] >= min_sec
+        (k, oq[k], nq[k])
+        for k in common
+        if oq[k] >= min_sec and oq[k] > factor * max(nq[k], 0.0) and nq[k] < oq[k]
     ]
+    eps = 1e-9  # timings are rounded to 3 decimals and can be 0.0
     return {
         "old_total": round(sum(oq.values()), 2),
         "new_total": round(sum(nq.values()), 2),
         "common_old_sum": round(sum(oq[k] for k in common), 2),
         "common_new_sum": round(sum(nq[k] for k in common), 2),
-        "regressed": sorted(regressed, key=lambda t: -(t[2] / t[1])),
-        "improved": sorted(improved, key=lambda t: -(t[1] / t[2])),
+        "regressed": sorted(regressed, key=lambda t: -(t[2] / max(t[1], eps))),
+        "improved": sorted(improved, key=lambda t: -(t[1] / max(t[2], eps))),
         "added": sorted(set(nq) - set(oq)),
         "removed": sorted(set(oq) - set(nq)),
     }
