@@ -48,6 +48,7 @@ PRIORITY_KEYS = [
     "simsearch_pq",
     "decontaminate_fuzzy",
     "sql_tpch_q10",
+    "sql_tpch_q6",
     # last driver-checked in round 3 (2 rounds stale — oldest rows):
     "embedding_neardup",
     "join_bucketed",

@@ -746,6 +746,28 @@ def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical pure
+    scan-pushdown query — one table, three conjunctive predicates, one
+    sum, no join and no groupBy. All three filters reach the parquet
+    scan as PushedFilters (row-group statistics skip non-matching
+    chunks before decode), the aggregation is a single map-side
+    partial + one 1-row exchange, and the whole plan is one
+    WholeStageCodegen span. Discount band widened vs the spec's ±0.01
+    (testdata discounts are uniform on [0, 0.1]) — disclosed like the
+    other TPC-H keys' parameter fits."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.04 AND 0.06
+          AND l_quantity < 24
+    """)
+
+
 QUERIES = {
     "sink_csv": q_sink_csv_roundtrip,
     "sink_orc": q_sink_orc_roundtrip,
@@ -791,6 +813,7 @@ QUERIES = {
     "sql_tpch_q5": q_sql_tpch_q5,
     "sql_tpch_q18": q_sql_tpch_q18,
     "sql_tpch_q10": q_sql_tpch_q10,
+    "sql_tpch_q6": q_sql_tpch_q6,
 }
 
 ORACLE = {
@@ -1124,5 +1147,14 @@ ORACLE = {
         GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
         ORDER BY revenue DESC, custkey ASC
         LIMIT 20
+    """,
+    "sql_tpch_q6": """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.04 AND 0.06
+          AND l_quantity < 24
     """,
 }
