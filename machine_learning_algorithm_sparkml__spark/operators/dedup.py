@@ -63,9 +63,24 @@ def incremental_exact_dedup(
     ``xxhash64(key)`` fingerprint index so daily batches join
     shuffle-free against it instead of rescanning text. No distinct
     on the existing side: anti-join semantics ignore right-side
-    multiplicity, so the aggregation would be a pure extra shuffle."""
-    batch_rep = exact_dedup_representatives(batch, key_cols, id_col)
-    return batch_rep.join(existing.select(*key_cols), key_cols, "left_anti")
+    multiplicity, so the aggregation would be a pure extra shuffle.
+
+    NULL keys dedupe like any other value (ADVICE r6): the in-batch
+    groupBy already treats NULLs as one group, so the cross-batch join
+    uses null-safe equality (``<=>``) — a NULL-key batch row is
+    dropped when the corpus already holds a NULL-key doc, instead of
+    always surviving through non-null-safe '='. ``<=>`` stays an
+    equi-join key for the planner (hash/sort-merge, never
+    nested-loop)."""
+    # explicit aliases: batch and existing often share lineage (one
+    # table filtered two ways), so bare df[c] references are ambiguous
+    batch_rep = exact_dedup_representatives(batch, key_cols, id_col).alias("_b")
+    ex = existing.select(*key_cols).alias("_e")
+    cond = None
+    for c in key_cols:
+        term = F.col(f"_b.{c}").eqNullSafe(F.col(f"_e.{c}"))
+        cond = term if cond is None else cond & term
+    return batch_rep.join(ex, cond, "left_anti")
 
 
 # --- shingling -----------------------------------------------------------------
@@ -329,6 +344,7 @@ def decontaminate_by_minhash(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_broadcast_benchmark: int = 100_000,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """FUZZY benchmark decontamination: drop every corpus document
     whose MinHash-estimated Jaccard with ANY benchmark document is
@@ -337,27 +353,40 @@ def decontaminate_by_minhash(
     contamination that was lightly rewritten; near-duplicate
     similarity does not.
 
-    Scale design mirrors the exact path: the benchmark side (eval
-    suites — thousands of docs, not billions) is banded and BROADCAST;
-    corpus signatures come from one groupBy, its banded buckets probe
-    the broadcast map-side, candidates verify on signature overlap
-    (slot-match fraction, stderr ~1/sqrt(k)), and only the
-    contaminated id set shuffles for the final anti-join. The corpus
-    is never self-joined and never shuffled by shingle. Output:
-    surviving corpus rows, schema unchanged.
+    Two strategies, identical semantics (property-tested equal):
 
-    The benchmark broadcast is the scale contract (same fail-fast rule
-    as ``brute_force_topk``/``pq_topk``): decontaminating one corpus
-    split against ANOTHER CORPUS is a different plan (signature-keyed
-    shuffle join) — refuse rather than silently OOM the broadcast."""
-    n_bench = benchmark.count()
-    if n_bench > max_broadcast_benchmark:
-        raise ValueError(
-            f"decontaminate_by_minhash broadcasts the benchmark side: got "
-            f"{n_bench} benchmark rows > max_broadcast_benchmark="
-            f"{max_broadcast_benchmark}; use a shuffled signature join for "
-            "corpus-vs-corpus comparison or raise the cap explicitly"
-        )
+    - ``strategy='broadcast'`` (default — eval suites: thousands of
+      docs, not billions): the benchmark side is banded and BROADCAST;
+      corpus signatures come from one groupBy, its banded buckets
+      probe the broadcast map-side, candidates verify on signature
+      overlap (slot-match fraction, stderr ~1/sqrt(k)), and only the
+      contaminated id set shuffles for the final anti-join. The
+      broadcast is the scale contract (same fail-fast rule as
+      ``brute_force_topk``): refuses > ``max_broadcast_benchmark``
+      rows rather than silently OOMing every executor.
+    - ``strategy='shuffle'`` (corpus-vs-corpus — train-split
+      cross-contamination, eval-suite unions past the broadcast
+      ceiling): the banded buckets meet in a SHUFFLED equi-join on
+      (band, bucket), and the signature verify joins shuffle on the
+      candidate ids. No size cap: both sides scale out with the
+      cluster, cost follows bucket-collision density exactly like the
+      self-join pair generator (:func:`minhash_candidate_pairs`). Hot
+      buckets skew-split under AQE.
+
+    The corpus is never self-joined and never shuffled by shingle in
+    either strategy. Output: surviving corpus rows, schema unchanged."""
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"strategy must be 'broadcast' or 'shuffle', got {strategy!r}")
+    if strategy == "broadcast":
+        n_bench = benchmark.count()
+        if n_bench > max_broadcast_benchmark:
+            raise ValueError(
+                f"decontaminate_by_minhash broadcasts the benchmark side: got "
+                f"{n_bench} benchmark rows > max_broadcast_benchmark="
+                f"{max_broadcast_benchmark}; use strategy='shuffle' for "
+                "corpus-vs-corpus comparison or raise the cap explicitly"
+            )
+    _bench_side = F.broadcast if strategy == "broadcast" else (lambda df: df)
     c_sigs = minhash_signatures(
         corpus, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
     ).localCheckpoint(eager=True)  # read by banding AND the verify join
@@ -372,14 +401,14 @@ def decontaminate_by_minhash(
         F.col(id_col).alias("_bid"), "band", "bucket"
     )
     cands = (
-        c_band.join(F.broadcast(b_band), ["band", "bucket"])
+        c_band.join(_bench_side(b_band), ["band", "bucket"])
         .select("_cid", "_bid")
         .distinct()
     )
     est = (
         cands.join(c_sigs.select(F.col(id_col).alias("_cid"), F.col("signature").alias("sig_c")), "_cid")
         .join(
-            F.broadcast(
+            _bench_side(
                 b_sigs.select(F.col(id_col).alias("_bid"), F.col("signature").alias("sig_b"))
             ),
             "_bid",

@@ -261,6 +261,70 @@ def ivf_topk(
     return _topk_per_query(scored, k)
 
 
+def _partition_shortlister(qid_arr: np.ndarray, S: int, score_batch):
+    """mapInPandas generator factory: accumulate the per-partition
+    top-``S`` candidates per query, merged batch by batch, and emit
+    ONE small (query_id, neighbor_id, approx_sim) frame per partition.
+    ``score_batch(pdf) -> (ids, sims)`` returns the candidate ids and
+    an (n_queries, n) similarity matrix with -inf marking excluded
+    pairs (self-matches, unprobed cells). This is what keeps the
+    shuffle bounded: only local shortlists ever cross an exchange."""
+    n_queries = len(qid_arr)
+
+    def run(batches):
+        best_sims = np.full((n_queries, 0), 0.0)
+        best_ids = np.empty((n_queries, 0), dtype=qid_arr.dtype)
+        saw_rows = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            saw_rows = True
+            ids, sims = score_batch(pdf)
+            all_sims = np.concatenate([best_sims, sims], axis=1)
+            all_ids = np.concatenate(
+                [best_ids, np.broadcast_to(ids, (n_queries, len(ids)))], axis=1
+            )
+            # exact per-query top-S with (-sim, id) tie order: lexsort is
+            # O(width log width) on width <= S + batch — bounded
+            order = np.lexsort((all_ids, -all_sims), axis=1)[:, :S]
+            rows = np.arange(n_queries)[:, None]
+            best_sims = all_sims[rows, order]
+            best_ids = all_ids[rows, order]
+        if not saw_rows:
+            return
+        width = best_sims.shape[1]
+        keep = np.isfinite(best_sims).ravel()
+        yield pd.DataFrame(
+            {
+                "query_id": np.repeat(qid_arr, width)[keep],
+                "neighbor_id": best_ids.ravel()[keep],
+                "approx_sim": best_sims.ravel()[keep],
+            }
+        )
+
+    return run
+
+
+def _lloyd_kmeans(x: np.ndarray, k: int, rng: np.random.Generator, iters: int = 10) -> np.ndarray:
+    """Seeded Lloyd iterations on a bounded driver-side sample; returns
+    (k, dim) centers. Shared by the PQ per-subspace codebooks and the
+    IVF+PQ coarse quantizer — one tiny-kmeans definition, no drift."""
+    idx = rng.choice(len(x), size=min(k, len(x)), replace=False)
+    centers = x[idx].copy()
+    if len(centers) < k:
+        centers = np.vstack(
+            [centers, centers[rng.integers(0, len(centers), k - len(centers))]]
+        )
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            pts = x[assign == c]
+            if len(pts):
+                centers[c] = pts.mean(axis=0)
+    return centers
+
+
 def _pq_codebooks(sample: np.ndarray, m: int, ks: int, seed: int, iters: int = 10) -> np.ndarray:
     """Per-subspace codebooks, shape (m, ks, dim/m): seeded Lloyd
     iterations on the (bounded, driver-side) training sample. numpy
@@ -272,21 +336,7 @@ def _pq_codebooks(sample: np.ndarray, m: int, ks: int, seed: int, iters: int = 1
     rng = np.random.default_rng(seed)
     books = np.empty((m, ks, sub))
     for j in range(m):
-        x = sample[:, j * sub : (j + 1) * sub]
-        idx = rng.choice(n, size=min(ks, n), replace=False)
-        centers = x[idx].copy()
-        if len(centers) < ks:
-            centers = np.vstack(
-                [centers, centers[rng.integers(0, len(centers), ks - len(centers))]]
-            )
-        for _ in range(iters):
-            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(ks):
-                pts = x[assign == c]
-                if len(pts):
-                    centers[c] = pts.mean(axis=0)
-        books[j] = centers
+        books[j] = _lloyd_kmeans(sample[:, j * sub : (j + 1) * sub], ks, rng, iters)
     return books
 
 
@@ -394,55 +444,166 @@ def pq_topk(
     qid_arr = np.asarray(qids)
     S = shortlist_factor * k
 
-    def local_shortlist(batches):
-        # running per-(query, partition) top-S, merged batch by batch
-        best_sims = np.full((n_queries, 0), 0.0)
-        best_ids = np.empty((n_queries, 0), dtype=qid_arr.dtype)
-        saw_rows = False
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            saw_rows = True
-            codes = np.vstack(pdf["codes"].to_numpy())  # (n, m)
-            ids = pdf["neighbor_id"].to_numpy()
-            dots = np.zeros((n_queries, len(ids)))
-            rnorm2 = np.zeros(len(ids))
-            for j in range(m):
-                cj = codes[:, j]
-                dots += dot_lut[:, j, :][:, cj]
-                rnorm2 += norm2_lut[j, cj]
-            denom = qnorm[:, None] * np.sqrt(rnorm2)[None, :]
-            sims = np.where(denom == 0, 0.0, dots / np.where(denom == 0, 1.0, denom))
-            if exclude_self:
-                sims = np.where(qid_arr[:, None] == ids[None, :], -np.inf, sims)
-            all_sims = np.concatenate([best_sims, sims], axis=1)
-            all_ids = np.concatenate(
-                [best_ids, np.broadcast_to(ids, (n_queries, len(ids)))], axis=1
-            )
-            # exact per-query top-S with (-sim, id) tie order: lexsort is
-            # O(width log width) on width <= S + batch — bounded
-            order = np.lexsort((all_ids, -all_sims), axis=1)[:, :S]
-            rows = np.arange(n_queries)[:, None]
-            best_sims = all_sims[rows, order]
-            best_ids = all_ids[rows, order]
-        if not saw_rows:
-            return
-        width = best_sims.shape[1]
-        keep = np.isfinite(best_sims).ravel()
-        yield pd.DataFrame(
-            {
-                "query_id": np.repeat(qid_arr, width)[keep],
-                "neighbor_id": best_ids.ravel()[keep],
-                "approx_sim": best_sims.ravel()[keep],
-            }
-        )
+    def score_batch(pdf):
+        codes = np.vstack(pdf["codes"].to_numpy())  # (n, m)
+        ids = pdf["neighbor_id"].to_numpy()
+        dots = np.zeros((n_queries, len(ids)))
+        rnorm2 = np.zeros(len(ids))
+        for j in range(m):
+            cj = codes[:, j]
+            dots += dot_lut[:, j, :][:, cj]
+            rnorm2 += norm2_lut[j, cj]
+        denom = qnorm[:, None] * np.sqrt(rnorm2)[None, :]
+        sims = np.where(denom == 0, 0.0, dots / np.where(denom == 0, 1.0, denom))
+        if exclude_self:
+            sims = np.where(qid_arr[:, None] == ids[None, :], -np.inf, sims)
+        return ids, sims
 
+    local_shortlist = _partition_shortlister(qid_arr, S, score_batch)
     id_type = dict(corpus.dtypes)[id_col]
     codes_df = corpus.select(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
     )
     local = codes_df.mapInPandas(
         local_shortlist,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, approx_sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    shortlist = (
+        local.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= S)
+        .select("query_id", "neighbor_id")
+    )
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        shortlist.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    return _topk_per_query(scored, k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    ks: int = 16,
+    shortlist_factor: int = 20,
+    seed: int = 754,
+    exclude_self: bool = True,
+    fit_sample_rows: int = 100_000,
+    max_broadcast_queries: int = 10_000,
+) -> DataFrame:
+    """IVF+PQ composition (VERDICT r6 deferred #3): a coarse k-means
+    quantizer assigns every corpus vector to a cell AND the vector
+    compresses to ``m`` PQ codes — flat PQ's 32× memory win plus IVF's
+    candidate pruning, the standard index when the embeddings table
+    outgrows flat scans (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011 — the IVFADC structure).
+
+    Plan shape: both quantizers train driver-side on ONE bounded
+    seeded sample (`_lloyd_kmeans`); cell + codes come from ONE
+    Arrow-batched projection; the scan is pruned to the union of all
+    probed cells (at deployment the codes table is WRITTEN partitioned
+    by cell, making this partition pruning instead of a filter — see
+    SCALE.md); scoring uses the same per-query ADC lookup tables and
+    per-partition local top-S emission as :func:`pq_topk` (with
+    unprobed cells masked per query), so the exchange again carries
+    only local shortlists; exact cosine re-rank on the global top-S.
+    Output schema matches :func:`brute_force_topk`."""
+    dim = _vector_dim(corpus, vec_col)
+    if dim == 0:
+        return _empty_topk_result(corpus, id_col)
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    n_queries = len(q_rows)
+    if n_queries > max_broadcast_queries:
+        raise ValueError(
+            f"ivfpq_topk ships per-query lookup tables to every task: got "
+            f"{n_queries} query rows > max_broadcast_queries="
+            f"{max_broadcast_queries}; batch the query set or raise the cap"
+        )
+    if n_queries == 0:
+        return _empty_topk_result(corpus, id_col)
+    n_probe = min(n_probe, num_centroids)
+
+    n = corpus.count()
+    sample_df = corpus.select(vec_col)
+    if n > fit_sample_rows:
+        sample_df = sample_df.sample(fraction=fit_sample_rows / n, seed=seed)
+    sample = np.vstack(
+        [np.asarray(r[0], dtype="float64") for r in sample_df.collect()]
+    )
+    rng = np.random.default_rng(seed)
+    coarse = _lloyd_kmeans(sample, num_centroids, rng)  # (C, dim)
+    books = _pq_codebooks(sample, m, ks, seed + 1)
+
+    @F.pandas_udf("struct<cell:int, codes:array<int>>")
+    def assign_and_encode(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.vstack(vecs.to_numpy())
+        d2 = ((mat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+        cells = d2.argmin(axis=1).astype("int32")
+        codes = np.empty((len(mat), m), dtype="int32")
+        for j in range(m):
+            x = mat[:, j * sub : (j + 1) * sub]
+            d2j = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2j.argmin(axis=1)
+        return pd.DataFrame({"cell": cells, "codes": list(codes)})
+
+    qids = [r.qid for r in q_rows]
+    qmat = np.vstack([np.asarray(r.qv, dtype="float64") for r in q_rows])
+    qd2 = ((qmat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    probe_order = np.argsort(qd2, axis=1)[:, :n_probe]  # (nq, n_probe)
+    probe_mask = np.zeros((n_queries, num_centroids), dtype=bool)
+    probe_mask[np.arange(n_queries)[:, None], probe_order] = True
+    allowed_cells = sorted({int(c) for c in probe_order.ravel()})
+
+    dot_lut = np.einsum("qjs,jks->qjk", qmat.reshape(n_queries, m, sub), books)
+    norm2_lut = (books**2).sum(axis=2)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qid_arr = np.asarray(qids)
+    S = shortlist_factor * k
+
+    def score_batch(pdf):
+        codes = np.vstack(pdf["codes"].to_numpy())
+        ids = pdf["neighbor_id"].to_numpy()
+        cells = pdf["cell"].to_numpy()
+        dots = np.zeros((n_queries, len(ids)))
+        rnorm2 = np.zeros(len(ids))
+        for j in range(m):
+            cj = codes[:, j]
+            dots += dot_lut[:, j, :][:, cj]
+            rnorm2 += norm2_lut[j, cj]
+        denom = qnorm[:, None] * np.sqrt(rnorm2)[None, :]
+        sims = np.where(denom == 0, 0.0, dots / np.where(denom == 0, 1.0, denom))
+        # per-query IVF pruning: a row only competes for queries that
+        # probed its cell
+        sims = np.where(probe_mask[:, cells], sims, -np.inf)
+        if exclude_self:
+            sims = np.where(qid_arr[:, None] == ids[None, :], -np.inf, sims)
+        return ids, sims
+
+    id_type = dict(corpus.dtypes)[id_col]
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        assign_and_encode(F.col(vec_col)).alias("ce"),
+    ).select("neighbor_id", "ce.cell", "ce.codes")
+    # scan pruning to the union of probed cells (partition pruning once
+    # the codes table is written partitioned by cell)
+    coded = coded.filter(F.col("cell").isin(allowed_cells))
+    local = coded.mapInPandas(
+        _partition_shortlister(qid_arr, S, score_batch),
         schema=f"query_id {id_type}, neighbor_id {id_type}, approx_sim double",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))

@@ -22,54 +22,67 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
-# least-recently-verified keys FIRST each round. r5's window covered
-# analytics + ml + llm; for r6 PRIORITY_KEYS pins the keys that have
-# NEVER had a driver correctness row (added late in r5, after the
-# window closed) plus any key new this round, then the module order
-# continues with relational (r4-stale) and streaming/scale/quality.
+# least-recently-verified keys FIRST each round. After the r6 window
+# landed, the oldest rows are the 30 r4-stale relational/analytics
+# keys (VERDICT r6 #1); new r7 keys lead so none joins the
+# never-checked list, and the remaining slots start draining the r5
+# block (the rest of it rotates in r8). Regenerate the staleness table
+# with `python tools/staleness.py` after each round's CORRECTNESS
+# file lands.
 PRIORITY_KEYS = [
-    # never driver-checked (added late in round 5):
-    "profile_table",
-    "scd2_intervals",
-    "fuzzy_join_blocked",
-    "scalar_array_map_funcs",
-    "scalar_math_funcs",
-    "sql_tpch_q3",
-    "timeseries_gapfill",
-    "stream_stream_join",
-    "graph_pagerank",
-    # new in round 6:
-    "ml_model_save_load",
-    "dedup_keep_best",
-    "sql_tpch_q5",
-    "sql_tpch_q18",
-    "text_repetition_bigram",
-    "dedup_incremental",
-    "simsearch_pq",
-    "decontaminate_fuzzy",
-    "sql_tpch_q10",
-    "sql_tpch_q6",
-    # last driver-checked in round 3 (2 rounds stale — oldest rows):
-    "embedding_neardup",
-    "join_bucketed",
-    "join_skew_salted",
-    "multimodal_decode",
-    "multimodal_features",
-    "multimodal_meta",
-    "session_stats",
-    "sessionize",
-    "simsearch_brp",
-    "simsearch_ivf",
-    "simsearch_lsh",
-    "simsearch_topk",
-    "sink_json",
-    "sink_partitioned_scan",
-    "stream_static_join",
-    "streaming_dedup",
-    "streaming_session_window",
-    "streaming_sliding_counts",
-    "streaming_stateful_totals",
-    "streaming_window_counts",
+    # new in round 7 (never driver-checked):
+    "decontaminate_fuzzy_large",
+    "doc_chunk_long",
+    "sql_tpch_q4",
+    "sql_tpch_q16",
+    "simsearch_ivfpq",
+    # last driver-checked in round 4 (oldest rows):
+    "agg_count",
+    "agg_cube",
+    "agg_distinct_count",
+    "agg_groupby_count",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "asof_join",
+    "domain_top_docs",
+    "embedding_quantize_int8",
+    "join_anti",
+    "join_full_outer",
+    "join_left_outer",
+    "join_semi",
+    "json_extract",
+    "merge_upsert",
+    "pivot_status_by_priority",
+    "random_split",
+    "range_join",
+    "sample_fraction",
+    "semantic_dedup",
+    "set_except",
+    "set_intersect",
+    "sort_limit_topk",
+    "text_gopher_quality",
+    "text_normalize",
+    "text_unigram_familiarity",
+    "union_all",
+    "unpivot_wide_metrics",
+    "window_rank_topk",
+    # head of the r5-stale block (the rest rotates in round 8):
+    "agg_approx",
+    "agg_conditional",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_stats",
+    "agg_string_collect",
+    "decontaminate_ngram",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_minhash_mllib",
+    "dedup_ngram_jaccard",
+    "dedup_pipeline_keep",
+    "dedup_simhash",
+    "doc_chunk_fixed",
 ]
 
 ALL_QUERY_MODULES = [relational, streaming, scale, quality, analytics, ml, llm]

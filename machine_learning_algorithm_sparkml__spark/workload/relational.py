@@ -768,6 +768,69 @@ def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted to the testdata
+    schema: the spec's late-delivery predicate (l_commitdate <
+    l_receiptdate — columns the testdata lineitem does not carry)
+    becomes "some lineitem shipped after the order date". What this
+    key exercises is the SQL front-end's correlated EXISTS: Catalyst
+    must rewrite the subquery into a LEFT SEMI equi-join on
+    l_orderkey with the correlated l_shipdate > o_orderdate comparison
+    riding the join condition — never a per-row subquery or a
+    nested-loop. The date filter prunes the orders scan first, so the
+    semi-join probes a quarter's orders, and the tiny
+    priority-grouped aggregate combines map-side. Plan asserted in
+    tests/test_plans.py."""
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT o.o_orderpriority AS orderpriority,
+               COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY orderpriority
+    """)
+
+
+def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted to the
+    testdata schema: the spec's partsupp table does not exist, so
+    lineitem's (l_partkey, l_suppkey) pairs play the part-supplier
+    relation, and the complaint-supplier exclusion (s_comment LIKE
+    '%Customer%Complaints%') becomes s_acctbal < 0. What this key
+    exercises: NOT IN over a subquery — Catalyst plans it as a
+    null-aware ANTI join (broadcast: the excluded-supplier set is
+    tiny) — combined with COUNT(DISTINCT) over a grouped join, which
+    plans as the two-shuffle distinct-aggregate expansion. Filters on
+    part push into its scan before the join. Plan asserted in
+    tests/test_plans.py."""
+    for t in ("lineitem", "part", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT p.p_brand AS brand,
+               p.p_type AS type,
+               p.p_size AS size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#13'
+          AND p.p_type NOT LIKE 'MEDIUM%'
+          AND p.p_size IN (1, 4, 7, 10, 14, 19, 23, 45)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, brand ASC, type ASC, size ASC
+    """)
+
+
 QUERIES = {
     "sink_csv": q_sink_csv_roundtrip,
     "sink_orc": q_sink_orc_roundtrip,
@@ -814,6 +877,8 @@ QUERIES = {
     "sql_tpch_q18": q_sql_tpch_q18,
     "sql_tpch_q10": q_sql_tpch_q10,
     "sql_tpch_q6": q_sql_tpch_q6,
+    "sql_tpch_q4": q_sql_tpch_q4,
+    "sql_tpch_q16": q_sql_tpch_q16,
 }
 
 ORACLE = {
@@ -1156,5 +1221,35 @@ ORACLE = {
           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount BETWEEN 0.04 AND 0.06
           AND l_quantity < 24
+    """,
+    "sql_tpch_q4": """
+        SELECT o.o_orderpriority AS orderpriority,
+               COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY orderpriority
+    """,
+    "sql_tpch_q16": """
+        SELECT p.p_brand AS brand,
+               p.p_type AS type,
+               p.p_size AS size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#13'
+          AND p.p_type NOT LIKE 'MEDIUM%'
+          AND p.p_size IN (1, 4, 7, 10, 14, 19, 23, 45)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, brand ASC, type ASC, size ASC
     """,
 }

@@ -37,6 +37,19 @@ def test_first_run_spike_on_fast_key_still_repeats():
     assert bench.should_repeat([2.4, 0.5], prior=0.5)  # now fast -> 3rd run
 
 
+def test_heavy_key_moderate_swing_triggers_confirmation_run():
+    # VERDICT r6 #5: ml_cross_validate's 22.3 -> 31.4 s (1.41x) swing
+    # escaped the 1.5x trigger; heavy keys (prior >= 10 s) confirm at
+    # 1.25x instead.
+    assert bench.should_repeat([31.4], prior=22.3)
+    # second run back near prior -> stop (slow key, no further repeats)
+    assert not bench.should_repeat([31.4, 23.0], prior=22.3)
+    # light keys keep the looser 1.5x rule: 1.41x on a 3 s key is noise
+    assert not bench.should_repeat([4.2], prior=3.0)
+    # a genuinely slow heavy key within 1.25x stays single-run
+    assert not bench.should_repeat([24.0], prior=22.3)
+
+
 def test_new_key_without_prior():
     assert bench.should_repeat([0.3], prior=None)      # fast: repeat
     assert not bench.should_repeat([5.0], prior=None)  # slow, no prior: single

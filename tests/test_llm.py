@@ -262,6 +262,33 @@ def test_incremental_dedup_constructed_set(spark):
     assert out == {11: 2, 14: 1}
 
 
+def test_incremental_dedup_null_keys_are_null_safe(spark):
+    """NULL keys dedupe like any other value (ADVICE r6): a NULL-text
+    batch rep must be DROPPED when the corpus already holds a
+    NULL-text doc, and must survive when it does not — and the
+    null-safe condition must stay an equi-join (no nested-loop)."""
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+
+    batch = spark.createDataFrame(
+        [(10, None), (11, None), (12, "fresh")], "doc_id long, text string"
+    )
+    with_null = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    out = incremental_exact_dedup(with_null, batch, ["text"], "doc_id")
+    assert {r["doc_id"] for r in out.collect()} == {12}
+    plan = formatted_plan(out)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+    without_null = spark.createDataFrame([(1, "old")], "doc_id long, text string")
+    survivors = {
+        r["doc_id"]: r["n_copies"]
+        for r in incremental_exact_dedup(without_null, batch, ["text"], "doc_id").collect()
+    }
+    assert survivors == {10: 2, 12: 1}
+
+
 def test_brute_force_topk_refuses_oversized_query_broadcast(emb):
     with pytest.raises(ValueError, match="max_broadcast_queries"):
         brute_force_topk(emb, emb, k=3, max_broadcast_queries=5)
@@ -542,3 +569,93 @@ def test_zscore_grouped_map_pattern_matches_window_plan(spark, sf_dir):
     assert grouped_map.keys() == window.keys()
     for doc_id, z in window.items():
         assert abs(grouped_map[doc_id] - z) < 1e-9, doc_id
+
+
+def test_fuzzy_decontamination_shuffle_strategy_matches_broadcast(spark):
+    """The shuffled signature-join strategy is semantically identical
+    to the broadcast one — same survivors on the same inputs — and
+    lifts the benchmark size cap the broadcast path enforces."""
+    import pytest as _pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+        decontaminate_by_minhash,
+    )
+
+    base = [f"tok{i}" for i in range(64)]
+    rewrite = list(base)
+    for i in range(0, 64, 8):
+        rewrite[i] = f"alt{i}"
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(rewrite)),
+            (2, " ".join(f"clean{i}" for i in range(64))),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame([(100, " ".join(base))], "doc_id long, text string")
+    kw = dict(threshold=0.3)
+    bc = {r.doc_id for r in decontaminate_by_minhash(corpus, benchmark, "doc_id", "text", **kw).collect()}
+    sh = {
+        r.doc_id
+        for r in decontaminate_by_minhash(
+            corpus, benchmark, "doc_id", "text", strategy="shuffle", **kw
+        ).collect()
+    }
+    assert bc == sh == {2}
+
+    # broadcast path refuses an oversized benchmark; shuffle path runs it
+    big_bench = benchmark.unionAll(
+        spark.range(30).select(
+            (F.col("id") + 1000).alias("doc_id"),
+            F.concat(F.lit("fill"), F.col("id")).alias("text"),
+        )
+    )
+    with _pytest.raises(ValueError, match="max_broadcast_benchmark"):
+        decontaminate_by_minhash(
+            corpus, big_bench, "doc_id", "text", max_broadcast_benchmark=10, **kw
+        )
+    sh_big = {
+        r.doc_id
+        for r in decontaminate_by_minhash(
+            corpus, big_bench, "doc_id", "text",
+            strategy="shuffle", max_broadcast_benchmark=10, **kw
+        ).collect()
+    }
+    assert sh_big == {2}
+
+    with _pytest.raises(ValueError, match="strategy"):
+        decontaminate_by_minhash(corpus, benchmark, "doc_id", "text", strategy="bogus")
+
+
+def test_decontaminate_fuzzy_large_invariants(spark, sf_dir):
+    """The corpus-scale key's pinned invariants: every planted original
+    dropped AND the benchmark side really exceeded the 100k broadcast
+    cap (so the run exercised the shuffled plan's size class)."""
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_decontaminate_fuzzy_large,
+    )
+
+    row = q_decontaminate_fuzzy_large(spark, sf_dir).limit(1).collect()[0]
+    assert row.planted_dropped_ok is True
+    assert row.bench_over_broadcast_cap is True
+
+
+def test_ivfpq_topk_recall_floor(emb):
+    """IVF+PQ composed ANN: coarse-cell pruning (n_probe=6/16) plus
+    PQ-coded shortlist must keep recall >= the IVF floor (0.6) on the
+    adversarial uniform-random embeddings; every returned sim is the
+    exact re-ranked cosine."""
+    from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
+        ivfpq_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = ivfpq_topk(emb, queries, k=5, num_centroids=16, n_probe=6).collect()
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"ivfpq recall {recall:.2f}"
+    assert all(r.rank >= 1 and -1.0 <= r.sim <= 1.0 for r in approx)

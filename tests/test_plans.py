@@ -230,6 +230,36 @@ def test_round6_sql_key_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan18 and "NestedLoop" not in plan18, plan18
 
 
+def test_round7_sql_key_plan_shapes(spark, sf_dir):
+    """Q4's correlated EXISTS must plan as a LEFT SEMI equi-join (never
+    a per-row subquery or nested-loop) with the date filter pushed to
+    the orders scan; Q16's NOT IN must plan as a (null-aware) ANTI
+    join, again never nested-loop, with the part filters pushed down
+    and the distinct aggregate combining partially."""
+    from machine_learning_algorithm_sparkml__spark.plans import (
+        formatted_plan,
+        has_partial_aggregation,
+        has_pushed_filters,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_tpch_q4,
+        q_sql_tpch_q16,
+    )
+
+    q4 = q_sql_tpch_q4(spark, sf_dir)
+    plan4 = formatted_plan(q4)
+    assert "LeftSemi" in plan4, plan4
+    assert "NestedLoop" not in plan4 and "CartesianProduct" not in plan4, plan4
+    assert has_pushed_filters(q4), "q4 date filter must reach the orders scan"
+    assert has_partial_aggregation(q4)
+
+    q16 = q_sql_tpch_q16(spark, sf_dir)
+    plan16 = formatted_plan(q16)
+    assert "LeftAnti" in plan16, plan16
+    assert "NestedLoop" not in plan16 and "CartesianProduct" not in plan16, plan16
+    assert has_pushed_filters(q16), "q16 part filters must reach the scan"
+
+
 def test_pq_topk_no_global_cross_product_shuffle(spark, sf_dir):
     """pq_topk must score inside each corpus partition and emit only
     local top-S candidates: the plan may not contain the
