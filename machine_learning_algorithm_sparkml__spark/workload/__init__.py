@@ -36,6 +36,12 @@ PRIORITY_KEYS = [
     "sql_tpch_q4",
     "sql_tpch_q16",
     "simsearch_ivfpq",
+    "sql_tpch_q7",
+    "sql_tpch_q14",
+    "sql_tpch_q19",
+    "sql_tpch_q22",
+    "sql_tpch_q13",
+    "agg_hll_sketch_merge",
     # last driver-checked in round 4 (oldest rows):
     "agg_count",
     "agg_cube",
@@ -77,12 +83,6 @@ PRIORITY_KEYS = [
     "decontaminate_ngram",
     "dedup_clusters",
     "dedup_exact",
-    "dedup_minhash",
-    "dedup_minhash_mllib",
-    "dedup_ngram_jaccard",
-    "dedup_pipeline_keep",
-    "dedup_simhash",
-    "doc_chunk_fixed",
 ]
 
 ALL_QUERY_MODULES = [relational, streaming, scale, quality, analytics, ml, llm]

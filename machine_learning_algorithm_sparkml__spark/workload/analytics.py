@@ -197,6 +197,34 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the pattern `agg_approx`'s
+    one-shot HLL doesn't show: build one Datasketches HLL per group
+    (per returnflag here; per day/partition in a real pipeline), then
+    UNION the serialized sketches and estimate the global cardinality
+    WITHOUT rescanning the data. At 100 TB this is how incremental
+    distinct counts work: daily jobs persist tiny sketch blobs, and
+    any rollup (week, month, all-time) is a sketch union — no second
+    pass over the corpus, fixed memory at every level. Oracle checks
+    the exact count and pins ``sketch_merge_ok`` TRUE (estimate within
+    10% — default lgConfigK=12 gives ~1.6% rsd, so the margin is ~6σ)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sketches = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("n_parts_exact"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "n_parts_exact",
+        (
+            F.abs(F.col("_est") - F.col("n_parts_exact"))
+            <= 0.10 * F.col("n_parts_exact")
+        ).alias("sketch_merge_ok"),
+    )
+
+
 def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of order totals: bucket = floor(x/50000).
     One hash aggregate (map-side combine) — the profiling primitive."""
@@ -398,6 +426,7 @@ QUERIES = {
     "agg_stats": q_agg_stats,
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_approx": q_agg_approx,
+    "agg_hll_sketch_merge": q_agg_hll_sketch_merge,
     "agg_histogram": q_agg_histogram,
     "filter_outlier_iqr": q_filter_outlier_iqr,
     "scalar_string_funcs": q_scalar_string_funcs,
@@ -486,6 +515,11 @@ ORACLE = {
         SELECT COUNT(DISTINCT l_partkey) AS n_parts_exact,
                TRUE AS approx_distinct_ok,
                TRUE AS approx_p50_ok
+        FROM lineitem
+    """,
+    "agg_hll_sketch_merge": """
+        SELECT COUNT(DISTINCT l_partkey) AS n_parts_exact,
+               TRUE AS sketch_merge_ok
         FROM lineitem
     """,
     "agg_histogram": """

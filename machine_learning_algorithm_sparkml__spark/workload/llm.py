@@ -1309,4 +1309,23 @@ ORACLE = {
                sha256(text) AS sha256
         FROM documents
     """,
+    # sha256-derived stub decode/features are fully SQL-expressible:
+    # DuckDB's hex sha256 + '0x' casts reproduce the python digest
+    # bytes exactly, and the float32 feature slots round-trip through
+    # CAST(REAL) identically (upgraded from rows-only, round 7)
+    "multimodal_decode": """
+        SELECT doc_id, 'text/plain;fake' AS mime,
+               CAST(64 + (CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192) AS INTEGER) AS width,
+               CAST(64 + (CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192) AS INTEGER) AS height,
+               CAST(1 + (CAST('0x' || substr(sha256(text), 5, 2) AS INT) % 3) AS INTEGER) AS n_channels
+        FROM documents
+    """,
+    "multimodal_features": """
+        WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
+        SELECT doc_id,
+               CAST(16 AS INTEGER) AS feat_dim,
+               ROUND(0.0 + CAST(CAST(CAST('0x'||substr(hx,1,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,3,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,5,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,7,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,9,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,11,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,13,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,15,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,17,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,19,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,21,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,23,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,25,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,27,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,29,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,31,2) AS INT)/255.0 AS REAL) AS DOUBLE), 4) AS feat_l1,
+               CAST(CAST(CAST('0x'||substr(hx,1,2) AS INT)/255.0 AS REAL) AS DOUBLE) AS feat_0
+        FROM h
+    """,
 }

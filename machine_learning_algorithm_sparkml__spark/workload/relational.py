@@ -831,6 +831,152 @@ def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations): the symmetric
+    nation-pair predicate — (supp=A AND cust=B) OR (supp=B AND
+    cust=A) — over a 6-table join, grouped by both nation names and
+    ship year. What Catalyst must get right: nation broadcasts on BOTH
+    legs (two aliases of the same dim), the disjunctive pair filter
+    evaluates post-join on the two tiny name columns while the date
+    range pushes into the lineitem scan, and the 3-column aggregate
+    combines map-side. Nation names adapted to the synthetic testdata
+    (NATION_3 / NATION_7). Revenue decimal-exact, cast after
+    aggregation."""
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               YEAR(l.l_shipdate) AS l_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n1.n_name, n2.n_name, YEAR(l.l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year
+    """)
+
+
+def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional aggregation — the
+    CASE-gated promo revenue over total revenue for one ship month.
+    Both sums run decimal-exact in ONE pass (no second scan for the
+    denominator), cast to double only for the final ratio, whose
+    single IEEE division + multiply is bit-deterministic across
+    engines. Date filter pushes into the lineitem scan; part
+    broadcasts. p_type is a flat category in the testdata, so the
+    spec's LIKE 'PROMO%' degenerates to equality — kept as LIKE to
+    exercise the predicate form."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                    / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                    AS DOUBLE) AS promo_revenue_pct,
+               COUNT(*) AS n_rows
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """)
+
+
+def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the disjunction-of-conjunctions
+    join predicate — three (brand, size-range, quantity-range) clause
+    groups OR'd together, spanning BOTH join sides. The plan property
+    this pins: Catalyst's CNF conversion derives the common
+    single-side implications (p_brand IN (...), p_size >= 1,
+    l_quantity bounds) and pushes them below the join into both scans,
+    so the join probes pre-filtered rows instead of evaluating the
+    full disjunction against the raw cross section. p_container
+    clauses from the spec are dropped (column absent from the
+    testdata)."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """)
+
+
+def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): customers with
+    above-average balances and NO orders. Exercises two SQL constructs
+    the front-end hadn't covered: an uncorrelated SCALAR subquery (the
+    average-balance threshold — planned once as its own tiny aggregate
+    and broadcast into the filter) and NOT EXISTS → LEFT ANTI join
+    against orders (only o_custkey is read — column pruning on the
+    anti side). The spec's phone-prefix country code is adapted to
+    c_nationkey (column absent), and — because every testdata customer
+    has at least one order — "no orders" becomes "no orders since
+    1999" (inactive customers), keeping the anti-join non-degenerate
+    (0-row results verify nothing). The threshold is computed as
+    SUM(decimal)/COUNT — one deterministic IEEE division — and
+    totacctbal sums decimal-exact; both engines then compare/aggregate
+    identical values."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT c.c_nationkey AS cntrycode,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE c.c_nationkey IN (3, 7, 11, 15, 19, 23)
+          AND c.c_acctbal > (
+              SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+              FROM customer c2
+              WHERE c2.c_acctbal > 0.0
+                AND c2.c_nationkey IN (3, 7, 11, 15, 19, 23)
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          )
+        GROUP BY c.c_nationkey
+        ORDER BY cntrycode
+    """)
+
+
+def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): the double aggregation —
+    per-customer order counts from a LEFT OUTER join (customers with
+    no orders must survive with count 0), then a histogram of those
+    counts. Plan-wise the LEFT join keeps every customer row, the
+    first COUNT ignores NULL order keys by definition, and both
+    aggregations combine map-side. The spec's o_comment NOT LIKE
+    filter is dropped (column absent from the testdata orders table;
+    disclosed)."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """)
+
+
 QUERIES = {
     "sink_csv": q_sink_csv_roundtrip,
     "sink_orc": q_sink_orc_roundtrip,
@@ -879,6 +1025,11 @@ QUERIES = {
     "sql_tpch_q6": q_sql_tpch_q6,
     "sql_tpch_q4": q_sql_tpch_q4,
     "sql_tpch_q16": q_sql_tpch_q16,
+    "sql_tpch_q7": q_sql_tpch_q7,
+    "sql_tpch_q14": q_sql_tpch_q14,
+    "sql_tpch_q19": q_sql_tpch_q19,
+    "sql_tpch_q22": q_sql_tpch_q22,
+    "sql_tpch_q13": q_sql_tpch_q13,
 }
 
 ORACLE = {
@@ -1251,5 +1402,75 @@ ORACLE = {
           )
         GROUP BY p.p_brand, p.p_type, p.p_size
         ORDER BY supplier_cnt DESC, brand ASC, type ASC, size ASC
+    """,
+    "sql_tpch_q7": """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               YEAR(l.l_shipdate) AS l_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n1.n_name, n2.n_name, YEAR(l.l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "sql_tpch_q14": """
+        SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                    / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                    AS DOUBLE) AS promo_revenue_pct,
+               COUNT(*) AS n_rows
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    "sql_tpch_q19": """
+        SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "sql_tpch_q22": """
+        SELECT c.c_nationkey AS cntrycode,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE c.c_nationkey IN (3, 7, 11, 15, 19, 23)
+          AND c.c_acctbal > (
+              SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+              FROM customer c2
+              WHERE c2.c_acctbal > 0.0
+                AND c2.c_nationkey IN (3, 7, 11, 15, 19, 23)
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          )
+        GROUP BY c.c_nationkey
+        ORDER BY cntrycode
+    """,
+    "sql_tpch_q13": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
     """,
 }

@@ -146,6 +146,48 @@ QUERIES = {
 }
 
 ORACLE = {
+
+    # fixed-iteration PageRank IS SQL-expressible: DuckDB recursive CTE
+    # (aggregation + multiple recursive references are supported), same
+    # float expression shapes as operators/graph.pagerank so the
+    # round(6) values agree (upgraded from rows-only, round 7)
+    "graph_pagerank": """
+        WITH RECURSIVE
+        e AS (
+            SELECT user_id AS src, (event_id * 2654435761) % 1024 AS dst FROM events
+        ),
+        nodes AS (
+            SELECT DISTINCT id
+            FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) u
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        it(i, id, rank) AS (
+            SELECT 0, id, CAST(1.0 AS DOUBLE) FROM nodes
+            UNION ALL
+            SELECT cur.i + 1, cur.id,
+                   ((1.0 - 0.85)
+                    + 0.85 * (SELECT COALESCE(SUM(d.rank), 0.0) FROM it d
+                              WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = d.id))
+                           / (SELECT n FROM nn))
+                   + 0.85 * COALESCE(c.received, 0.0)
+            FROM it cur
+            LEFT JOIN (
+                SELECT e.dst AS id, SUM(p.rank / deg.deg) AS received
+                FROM it p JOIN e ON p.id = e.src JOIN deg ON deg.src = p.id
+                GROUP BY e.dst
+            ) c ON c.id = cur.id
+            WHERE cur.i < 5
+        ),
+        final AS (SELECT id, rank FROM it WHERE i = 5),
+        inv AS (
+            SELECT (ABS(SUM(rank) - (SELECT n FROM nn)) / (SELECT n FROM nn) < 1e-6) AS rank_sum_ok,
+                   (MIN(rank) >= 0.15 - 1e-9) AS rank_min_ok
+            FROM final
+        )
+        SELECT f.id, ROUND(f.rank, 6) AS rank, inv.rank_sum_ok, inv.rank_min_ok
+        FROM final f CROSS JOIN inv
+    """,
     "join_skew_salted": """
         SELECT p.p_brand,
                COUNT(*) AS n_items,

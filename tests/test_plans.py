@@ -260,6 +260,53 @@ def test_round7_sql_key_plan_shapes(spark, sf_dir):
     assert has_pushed_filters(q16), "q16 part filters must reach the scan"
 
 
+def test_round7_sql_wave2_plan_shapes(spark, sf_dir):
+    """Q7: nation broadcasts on both legs, no nested-loop despite the
+    disjunctive pair predicate. Q14: one scan pass (conditional agg,
+    no self-join), date filter pushed. Q19: the CNF rewrite must push
+    derived single-side predicates into the part scan below the join.
+    Q22: the NOT EXISTS plans as an anti join and the scalar-subquery
+    threshold never forces a nested-loop."""
+    from machine_learning_algorithm_sparkml__spark.plans import (
+        formatted_plan,
+        has_broadcast_join,
+        has_partial_aggregation,
+        has_pushed_filters,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_tpch_q7,
+        q_sql_tpch_q14,
+        q_sql_tpch_q19,
+        q_sql_tpch_q22,
+    )
+
+    q7 = q_sql_tpch_q7(spark, sf_dir)
+    assert has_broadcast_join(q7)
+    plan7 = formatted_plan(q7)
+    assert "NestedLoop" not in plan7 and "CartesianProduct" not in plan7, plan7
+    assert has_partial_aggregation(q7)
+
+    q14 = q_sql_tpch_q14(spark, sf_dir)
+    assert has_pushed_filters(q14), "q14 shipdate filter must reach the scan"
+    plan14 = formatted_plan(q14)
+    assert plan14.count("InMemoryFileIndex") == 2, "one lineitem + one part scan"
+
+    q19 = q_sql_tpch_q19(spark, sf_dir)
+    plan19 = formatted_plan(q19)
+    assert "NestedLoop" not in plan19 and "CartesianProduct" not in plan19, plan19
+    # CNF conversion: derived single-side implications reach BOTH
+    # scans' pushed filters (quantity bounds -> lineitem, brand/size
+    # disjunction -> part)
+    pushed = plan19.split("PushedFilters")[1:]
+    assert any("p_brand" in seg[:500] for seg in pushed), plan19
+    assert any("l_quantity" in seg[:500] for seg in pushed), plan19
+
+    q22 = q_sql_tpch_q22(spark, sf_dir)
+    plan22 = formatted_plan(q22)
+    assert "LeftAnti" in plan22, plan22
+    assert "NestedLoop" not in plan22 and "CartesianProduct" not in plan22, plan22
+
+
 def test_pq_topk_no_global_cross_product_shuffle(spark, sf_dir):
     """pq_topk must score inside each corpus partition and emit only
     local top-S candidates: the plan may not contain the
