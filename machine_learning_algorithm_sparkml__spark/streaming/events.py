@@ -183,6 +183,13 @@ def _run_to_completion(spark: SparkSession, agg: DataFrame, *, output_mode: str)
         q.stop()
     result = spark.table(query_name)
     rows = result.collect()
+    # drop the memory-sink table: it pins the FULL result in driver
+    # memory and `clearCache()` does not release it — in a long-lived
+    # session running many streaming queries (the bench loop: ~20
+    # streams) the leaked sinks compound into GC pressure that showed
+    # up as a 3x micro-batch slowdown on the last streaming keys of
+    # the r7 bench (ROUND7.md §13)
+    spark.catalog.dropTempView(query_name)
     return spark.createDataFrame(rows, result.schema)
 
 

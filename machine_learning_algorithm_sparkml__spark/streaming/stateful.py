@@ -73,4 +73,7 @@ def run_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_events", "sum_value")
     )
     rows = latest.collect()
+    # release the memory sink (same leak as events._run_to_completion:
+    # the sink table pins the per-batch emissions in driver memory)
+    spark.catalog.dropTempView(query_name)
     return spark.createDataFrame(rows, latest.schema)
