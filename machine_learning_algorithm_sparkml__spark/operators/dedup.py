@@ -538,3 +538,88 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return out.select("id_a", "id_b", "hamming").distinct()
+
+
+# --- passage-level exact dedup -------------------------------------------------
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    passage_tokens: int = 32,
+) -> DataFrame:
+    """Passage-granularity exact dedup — the line-dedup pattern of web
+    corpus pipelines (C4 / RefinedWeb drop every repeated LINE except
+    one global copy) at fixed token-window granularity: each document
+    splits into consecutive non-overlapping ``passage_tokens``-token
+    passages, a passage repeated anywhere in the corpus survives only
+    at its first occurrence (min ``(id, position)``), and every
+    document is rebuilt from its kept passages.
+
+    Returns one row per input document:
+    ``id | n_passages | n_kept | n_dropped | rebuilt_md5`` (md5 of the
+    kept passages re-joined with single spaces; documents with no
+    tokens rebuild to ``md5('')``).
+
+    Scale design (the reason this shape, not a window over raw text):
+    - passage split is a pure projection (non-overlapping ``slice``
+      calls: O(tokens) per document total, no shuffle);
+    - the global first-occurrence is ONE hash aggregation keyed on the
+      passage string (``min(struct(id, pos))`` — map-side combinable,
+      so a boilerplate passage repeated in millions of docs partially
+      aggregates before the exchange; a window over ``passage`` would
+      instead sort every copy of the hot passage in one task);
+    - the keep-verdict joins back on the same passage key (shuffle
+      join, linear in corpus passages), and the rebuild is one
+      aggregation per document whose state is bounded by the
+      document's own passage count.
+    """
+    toks = tokens(F.col(text_col))
+    n_passages = F.ceil(F.size(toks) / F.lit(float(passage_tokens))).cast("int")
+    # sequence(0, -1) would count DOWN; guard the token-less case.
+    passage_arr = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_passages - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * passage_tokens + 1, passage_tokens), " "
+            ),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(passage_arr).alias("pidx", "passage")
+    )
+    first_occurrence = exploded.groupBy("passage").agg(
+        F.min(F.struct(F.col(id_col), F.col("pidx"))).alias("keeper")
+    )
+    flagged = exploded.join(first_occurrence, "passage").withColumn(
+        "kept",
+        (F.col("keeper")[id_col] == F.col(id_col))
+        & (F.col("keeper")["pidx"] == F.col("pidx")),
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("pidx", "passage"))
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["passage"]
+                ),
+                " ",
+            )
+        ).alias("rebuilt_md5"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_passages", F.lit(0)).cast("bigint").alias("n_passages"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.coalesce("n_passages", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.coalesce("rebuilt_md5", F.md5(F.lit(""))).alias("rebuilt_md5"),
+        )
+    )

@@ -33,6 +33,7 @@ from machine_learning_algorithm_sparkml__spark.operators.dedup import (
     incremental_exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
+    passage_dedup,
     simhash_near_dup_pairs,
 )
 from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
@@ -345,6 +346,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_exact_dedup(existing, batch, ["text"], "doc_id").select(
         "doc_id", "n_copies"
     )
+
+
+def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-granularity exact dedup (the C4/RefinedWeb line-dedup
+    pattern at 32-token windows): a passage repeated anywhere in the
+    corpus survives only at its first (doc_id, position) occurrence;
+    every doc reports kept/dropped counts and the md5 of its rebuilt
+    text. On this corpus the repeated passages are exactly the planted
+    exact-duplicate documents, so later copies rebuild to md5('')."""
+    docs = load_table(spark, sf_dir, "documents")
+    return passage_dedup(docs, "doc_id", "text", passage_tokens=32)
 
 
 # Hot-shingle doc-frequency cap for every wired Jaccard key: a shingle
@@ -808,6 +820,7 @@ QUERIES = {
     "decontaminate_fuzzy_large": q_decontaminate_fuzzy_large,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_passage": q_dedup_passage,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
@@ -1056,6 +1069,34 @@ ORACLE = {
         WHERE NOT EXISTS (
             SELECT 1 FROM existing e WHERE e.text IS NOT DISTINCT FROM b.text
         )
+    """,
+    "dedup_passage": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0) AS t
+            FROM documents
+        ), pas AS (
+            SELECT doc_id, CAST(u.i AS INTEGER) AS pidx,
+                   array_to_string(t[(CAST(u.i AS INTEGER) * 32 + 1):(CAST(u.i AS INTEGER) * 32 + 32)], ' ') AS passage
+            FROM toks, UNNEST(range(0, CAST(ceil(len(t) / 32.0) AS BIGINT))) AS u(i)
+        ), flagged AS (
+            -- first global (doc_id, pidx) occurrence of each passage wins
+            SELECT doc_id, pidx, passage,
+                   ROW_NUMBER() OVER (PARTITION BY passage ORDER BY doc_id, pidx) = 1 AS kept
+            FROM pas
+        ), rebuilt AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_passages,
+                   COUNT(*) FILTER (WHERE kept) AS n_kept,
+                   md5(COALESCE(string_agg(passage, ' ' ORDER BY pidx) FILTER (WHERE kept), '')) AS rebuilt_md5
+            FROM flagged GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(r.n_passages, 0) AS n_passages,
+               COALESCE(r.n_kept, 0) AS n_kept,
+               COALESCE(r.n_passages, 0) - COALESCE(r.n_kept, 0) AS n_dropped,
+               COALESCE(r.rebuilt_md5, md5('')) AS rebuilt_md5
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id)
     """,
     "dedup_ngram_jaccard": f"""
         WITH toks AS (

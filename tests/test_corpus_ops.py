@@ -99,3 +99,39 @@ def test_mixture_weighted_sample_respects_thresholds(spark, sf_dir):
     # deterministic: second run identical
     kept2 = {r["doc_id"] for r in q_mixture_weighted_sample(spark, sf_dir).collect()}
     assert kept2 == {r["doc_id"] for r in kept.collect()}
+
+
+def test_passage_dedup_constructed_set(spark):
+    """Hand-built corpus: a 64-token doc (2 passages), an exact copy
+    (later id -> both passages dropped), a doc sharing only the FIRST
+    passage (drops 1, keeps 1), a unique doc, and empty/NULL docs."""
+    import hashlib
+
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import passage_dedup
+
+    p1 = " ".join(f"w{i}" for i in range(32))           # passage A
+    p2 = " ".join(f"x{i}" for i in range(32))           # passage B
+    p3 = " ".join(f"y{i}" for i in range(32))           # passage C
+    rows = [
+        (1, f"{p1} {p2}"),      # original: keeps A+B
+        (2, f"{p1} {p2}"),      # exact copy: drops both
+        (3, f"{p1} {p3}"),      # shares A only: keeps C
+        (4, "unique short doc"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    out = {r["doc_id"]: r for r in passage_dedup(df, "doc_id", "text", passage_tokens=32).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+
+    assert (out[1]["n_passages"], out[1]["n_kept"], out[1]["n_dropped"]) == (2, 2, 0)
+    assert out[1]["rebuilt_md5"] == md5(f"{p1} {p2}")
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (0, 2)
+    assert out[2]["rebuilt_md5"] == md5("")
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (1, 1)
+    assert out[3]["rebuilt_md5"] == md5(p3)
+    assert (out[4]["n_passages"], out[4]["n_kept"]) == (1, 1)
+    assert out[4]["rebuilt_md5"] == md5("unique short doc")
+    for empty_id in (5, 6):  # token-less docs: zero passages, md5('')
+        assert (out[empty_id]["n_passages"], out[empty_id]["n_kept"]) == (0, 0)
+        assert out[empty_id]["rebuilt_md5"] == md5("")
