@@ -137,12 +137,46 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over a deterministic sparse hash graph
+    derived from events (two independent md5 spreads of event_id over
+    4096 nodes — reproducible, Erdős–Rényi-shaped; LINEAR spreads like
+    ``k*event_id % 4096`` would make dst an affine function of src —
+    a functional graph with zero triangles). Third graph-algorithm key
+    after connected components and PageRank; the operator is the
+    degree-ordered wedge join (out-degree bounded by O(sqrt(m)) — see
+    ``operators.graph.triangles``), so no hub node can make the
+    self-join quadratic."""
+    from machine_learning_algorithm_sparkml__spark.operators.graph import triangles
+
+    def node(salt: str):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("event_id").cast("string"), F.lit(salt))), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(4096),
+        )
+
+    events = load_table(spark, sf_dir, "events")
+    edges = events.select(node("a").alias("src"), node("b").alias("dst"))
+    tri = triangles(edges)
+    corners = (
+        tri.select(F.col("id_a").alias("id"))
+        .unionAll(tri.select(F.col("id_b").alias("id")))
+        .unionAll(tri.select(F.col("id_c").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 QUERIES = {
     "join_skew_salted": q_join_skew_salted,
     "sink_partitioned_scan": q_sink_partitioned_scan,
     "join_bucketed": q_join_bucketed,
     "sink_json": q_sink_json_roundtrip,
     "graph_pagerank": q_graph_pagerank,
+    "graph_triangle_count": q_graph_triangle_count,
 }
 
 ORACLE = {
@@ -208,5 +242,43 @@ ORACLE = {
     """,
     "sink_json": """
         SELECT doc_id, lang, text FROM documents
+    """,
+    # degree-ordered triangle enumeration, mirrored step for step:
+    # canonical undirected edges -> degrees -> (deg, id)-orientation ->
+    # wedge join + closing-edge semi-join -> corner counts
+    "graph_triangle_count": """
+        WITH raw AS (
+            SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'a'), 1, 8)) AS BIGINT) % 4096 AS src,
+                   CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'b'), 1, 8)) AS BIGINT) % 4096 AS dst
+            FROM events
+        ), canon AS (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM raw WHERE src <> dst
+        ), deg AS (
+            SELECT id, COUNT(*) AS deg
+            FROM (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon) u
+            GROUP BY id
+        ), oriented AS (
+            SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND c.a < c.b)
+                        THEN c.a ELSE c.b END AS u,
+                   CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND c.a < c.b)
+                        THEN c.b ELSE c.a END AS v
+            FROM canon c
+            JOIN deg da ON da.id = c.a
+            JOIN deg db ON db.id = c.b
+        ), tri AS (
+            SELECT e1.u AS id_a, e1.v AS id_b, e2.v AS id_c
+            FROM oriented e1 JOIN oriented e2 ON e1.v = e2.u
+            WHERE EXISTS (
+                SELECT 1 FROM oriented e3 WHERE e3.u = e1.u AND e3.v = e2.v
+            )
+        )
+        SELECT id, COUNT(*) AS n_triangles
+        FROM (
+            SELECT id_a AS id FROM tri
+            UNION ALL SELECT id_b FROM tri
+            UNION ALL SELECT id_c FROM tri
+        ) corners
+        GROUP BY id
     """,
 }

@@ -60,3 +60,59 @@ def test_pagerank_key_invariants(spark, sf_dir):
     row = out.select("rank_sum_ok", "rank_min_ok").limit(1).collect()[0]
     assert row["rank_sum_ok"] and row["rank_min_ok"]
     assert out.filter(F.col("rank").isNull()).count() == 0
+
+
+def test_triangles_constructed_graph(spark):
+    """K4 on {0,1,2,3} (4 triangles) + a pendant edge (no triangle) +
+    a disjoint triangle {10,11,12}; edges fed duplicated, reversed,
+    and with a self-loop to prove canonicalization. Every triangle
+    enumerated exactly once, corners in (degree, id) order."""
+    from machine_learning_algorithm_sparkml__spark.operators.graph import triangles
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = (
+        k4
+        + [(b, a) for a, b in k4]      # reversed duplicates
+        + [(3, 4), (5, 5)]             # pendant + self-loop
+        + [(10, 11), (11, 12), (12, 10)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    tri = {tuple(r) for r in triangles(df).collect()}
+    assert len(tri) == 5  # C(4,3) + 1
+    assert (10, 11, 12) in tri
+    # K4 triangles present regardless of corner order
+    assert {frozenset(t) for t in tri} == {
+        frozenset(s) for s in ([0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3], [10, 11, 12])
+    }
+
+
+def test_triangles_hub_out_degree_bounded(spark):
+    """Star hub (degree 40) + one rim edge: degree orientation must
+    point rim->hub, so the hub's out-degree is 0 and the only triangle
+    is (rim_a, rim_b, hub) — the skew guarantee, and no
+    cartesian/nested-loop node in the physical plan."""
+    from machine_learning_algorithm_sparkml__spark.operators.graph import triangles
+
+    edges = [(i, 100) for i in range(1, 41)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = triangles(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert [tuple(r) for r in out.collect()] == [(1, 2, 100)]
+
+
+def test_triangle_count_key_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        ORACLE,
+        q_graph_triangle_count,
+    )
+
+    got = {r["id"]: r["n_triangles"] for r in q_graph_triangle_count(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = dict(con.sql(ORACLE["graph_triangle_count"]).fetchall())
+    assert got == want
