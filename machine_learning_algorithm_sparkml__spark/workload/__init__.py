@@ -22,67 +22,68 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
-# least-recently-verified keys FIRST each round. After the r6 window
-# landed, the oldest rows are the 30 r4-stale relational/analytics
-# keys (VERDICT r6 #1); new r7 keys lead so none joins the
-# never-checked list, and the remaining slots start draining the r5
-# block (the rest of it rotates in r8). Regenerate the staleness table
-# with `python tools/staleness.py` after each round's CORRECTNESS
-# file lands.
+# least-recently-verified keys FIRST each round. Round-8 window
+# (VERDICT r7 #1-#3): the two keys added after the r7 window froze
+# (never driver-checked), then the three keys whose oracles were
+# upgraded in r7 but whose latest driver rows predate the upgrade,
+# then the entire remaining r5-stale block (41 keys) — after this
+# sweep no key's latest row is older than r6. New r8 keys slot in
+# right after the never-checked pair so they get a first row this
+# round. Regenerate the staleness table with
+# `python tools/staleness.py` after each round's CORRECTNESS file
+# lands.
 PRIORITY_KEYS = [
-    # new in round 7 (never driver-checked):
-    "decontaminate_fuzzy_large",
-    "doc_chunk_long",
-    "sql_tpch_q4",
-    "sql_tpch_q16",
-    "simsearch_ivfpq",
-    "sql_tpch_q7",
-    "sql_tpch_q14",
-    "sql_tpch_q19",
-    "sql_tpch_q22",
-    "sql_tpch_q13",
-    "agg_hll_sketch_merge",
-    # last driver-checked in round 4 (oldest rows):
-    "agg_count",
-    "agg_cube",
-    "agg_distinct_count",
-    "agg_groupby_count",
-    "agg_percentiles",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "asof_join",
-    "domain_top_docs",
-    "embedding_quantize_int8",
-    "join_anti",
-    "join_full_outer",
-    "join_left_outer",
-    "join_semi",
-    "json_extract",
-    "merge_upsert",
-    "pivot_status_by_priority",
-    "random_split",
-    "range_join",
-    "sample_fraction",
-    "semantic_dedup",
-    "set_except",
-    "set_intersect",
-    "sort_limit_topk",
-    "text_gopher_quality",
-    "text_normalize",
-    "text_unigram_familiarity",
-    "union_all",
-    "unpivot_wide_metrics",
-    "window_rank_topk",
-    # head of the r5-stale block (the rest rotates in round 8):
-    "agg_approx",
-    "agg_conditional",
-    "agg_grouping_sets",
-    "agg_histogram",
-    "agg_stats",
-    "agg_string_collect",
-    "decontaminate_ngram",
-    "dedup_clusters",
-    "dedup_exact",
+    # never driver-checked (added after the r7 window froze):
+    "dedup_passage",
+    "graph_triangle_count",
+    # new in round 8 (never driver-checked):
+    # (inserted here as they are added)
+    # oracle upgraded in r7, driver row still r6 rows-only:
+    "multimodal_decode",
+    "multimodal_features",
+    "graph_pagerank",
+    # the full r5-stale block (oldest remaining rows):
+    "dedup_minhash",
+    "dedup_minhash_mllib",
+    "dedup_ngram_jaccard",
+    "dedup_pipeline_keep",
+    "dedup_simhash",
+    "doc_chunk_fixed",
+    "doc_fingerprint",
+    "doc_hash_split",
+    "doc_pack_sequences",
+    "doc_tokens_explode",
+    "event_funnel",
+    "filter_outlier_iqr",
+    "mixture_weighted_sample",
+    "ml_cross_validate",
+    "ml_evaluate_accuracy",
+    "ml_fit_predict_eval",
+    "ml_one_hot",
+    "ml_pipeline",
+    "ml_random_forest",
+    "ml_string_index",
+    "ml_string_index_multi",
+    "ml_text_features",
+    "ml_undersample_balance",
+    "ml_vector_assemble",
+    "multimodal_frames",
+    "retention_cohort",
+    "sample_stratified",
+    "scalar_date_funcs",
+    "scalar_string_funcs",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_quality",
+    "text_quality_filter",
+    "text_token_count",
+    "text_top_terms",
+    "text_zscore_by_lang",
+    "window_first_last",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_ntile_cume",
+    "window_range_time",
 ]
 
 ALL_QUERY_MODULES = [relational, streaming, scale, quality, analytics, ml, llm]
