@@ -37,7 +37,8 @@ PRIORITY_KEYS = [
     "dedup_passage",
     "graph_triangle_count",
     # new in round 8 (never driver-checked):
-    # (inserted here as they are added)
+    "sql_tpch_q17",
+    "session_window_native",
     # oracle upgraded in r7, driver row still r6 rows-only:
     "multimodal_decode",
     "multimodal_features",

@@ -29,6 +29,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "session_id")
 
 
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE event-time session window (`F.session_window`,
+    the same operator the streaming path uses) run in batch mode and
+    cross-checked against an independent lag+cumsum sessionization in
+    DuckDB — closing the loop between the two sessionization forms
+    (VERDICT r7 #8). Boundary semantics differ from `sessionize`:
+    session_window's range is [start, last_event + gap), END-exclusive,
+    so an event arriving at exactly last_event + gap opens a NEW
+    session — the oracle therefore breaks on gap >= 1800, where the
+    lag-based `sessionize` key breaks on gap > 1800. At scale this is
+    one shuffle on user_id; Spark merges overlapping session windows
+    inside the aggregation, no window-function sort pass needed."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session aggregate — the downstream consumer shape: events
     per session and session length in seconds."""
@@ -175,6 +200,7 @@ QUERIES = {
     "stream_static_join": q_stream_static_join,
     "streaming_stateful_totals": q_streaming_stateful_totals,
     "sessionize": q_sessionize,
+    "session_window_native": q_session_window_native,
     "session_stats": q_session_stats,
     "timeseries_gapfill": q_timeseries_gapfill,
     "stream_stream_join": q_stream_stream_join,
@@ -264,6 +290,29 @@ ORACLE = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) - 1 AS BIGINT) AS session_id
         FROM flagged
+    """,
+    "session_window_native": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR (epoch(ts) - epoch(LAG(ts) OVER w)) >= 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, sid
     """,
     "session_stats": """
         WITH flagged AS (

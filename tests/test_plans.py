@@ -339,3 +339,35 @@ def test_zscore_by_lang_stays_jvm_side(spark, sf_dir):
     assert "FlatMapGroupsInPandas" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert ") Window" in plan, plan
+
+
+def test_q17_decorrelates_to_hash_join(spark, sf_dir):
+    """The Q17 correlated scalar-aggregate subquery must be
+    de-correlated by Catalyst into a per-partkey aggregate hash-joined
+    back to lineitem — never a nested-loop per-row re-scan of
+    lineitem, which would be |lineitem| x |lineitem| at 100 TB."""
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_tpch_q17,
+    )
+
+    plan = formatted_plan(q_sql_tpch_q17(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_session_window_native_single_shuffle(spark, sf_dir):
+    """Native session_window aggregates after ONE shuffle on user_id;
+    there must be no window-function sort-pass or Python worker in
+    the plan."""
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+    from machine_learning_algorithm_sparkml__spark.workload.streaming import (
+        q_session_window_native,
+    )
+
+    plan = formatted_plan(q_session_window_native(spark, sf_dir))
+    assert plan.count("Exchange") <= 2, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "SessionWindow" in plan or "session_window" in plan, plan
