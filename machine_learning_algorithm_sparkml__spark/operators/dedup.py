@@ -216,6 +216,41 @@ def decontaminate_by_shingle(
 
 # --- MinHash + LSH -----------------------------------------------------------------
 
+#: Mersenne prime 2^61 - 1: modulus of the portable universal-hash
+#: family. Products a*h stay < 2^122 < 10^37, exact in Spark
+#: DECIMAL(38,0) and DuckDB HUGEINT — the two engines compute
+#: bit-identical slot values, which is what makes the `dedup_minhash`
+#: key oracle-checkable.
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def minhash_params(num_hashes: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """The (a_i, b_i) coefficients of the portable hash family
+    h_i(x) = (a_i*x + b_i) mod (2^61-1), drawn from a seeded PRNG so
+    the Spark operator and the DuckDB oracle share ONE definition."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, MINHASH_PRIME), rnd.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def portable_hash60(col: Column) -> Column:
+    """Engine-neutral 60-bit hash: first 15 hex chars of md5, parsed
+    as an integer. DuckDB spells the same thing
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _affine_mod(h: Column, a: int, b: int) -> Column:
+    """(a*h + b) mod P computed in DECIMAL(38,0) — exact (no int64
+    overflow, no FP), mirroring the oracle's HUGEINT arithmetic."""
+    prod = F.lit(a).cast("decimal(38,0)") * h + F.lit(b)
+    return (prod % F.lit(MINHASH_PRIME)).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -223,15 +258,35 @@ def minhash_signatures(
     *,
     num_hashes: int = 32,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signatures: k independent hash functions realized as
-    ``xxhash64(shingle, seed_i)``; the k per-document minima come from
-    ONE groupBy (one shuffle, map-side combine). Output: (id,
-    signature array<bigint> of length k)."""
+    """MinHash signatures: k independent hash functions; the k
+    per-document minima come from ONE groupBy (one shuffle, map-side
+    combine). Output: (id, signature array<bigint> of length k).
+
+    ``hash_family='xxhash64'`` (default) realizes slot i as
+    ``xxhash64(shingle, seed_i)`` — the fast path (one JVM hash per
+    slot, no string work). ``'portable'`` hashes each shingle ONCE
+    with :func:`portable_hash60` and derives the k slots by the
+    (a_i*h+b_i) mod 2^61-1 universal family — reproducible in any
+    engine with md5 + 128-bit integers, so the result is
+    DuckDB-checkable. Same shuffle shape either way."""
     pairs = shingle_sets(df, id_col, text_col, shingle_n)
-    mins = pairs.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
-    )
+    if hash_family == "portable":
+        h = portable_hash60(F.col("shingle"))
+        mins = pairs.groupBy(id_col).agg(
+            *[
+                F.min(_affine_mod(h, a, b)).alias(f"h{i}")
+                for i, (a, b) in enumerate(minhash_params(num_hashes))
+            ]
+        )
+    else:
+        mins = pairs.groupBy(id_col).agg(
+            *[
+                F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
     return mins.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
     )
@@ -245,21 +300,29 @@ def _band_buckets(
     *,
     array_col: str = "signature",
     carry: tuple[str, ...] = (),
+    portable: bool = False,
 ) -> DataFrame:
     """(id, *carry, band, bucket) rows: ``array_col`` split into
     ``num_bands`` slices, each hashed to a bucket. Shared by the
     MinHash self-join pair generator, the cross-frame decontamination
     join, and the simhash Hamming-band path (``array_col='simhash'``,
-    ``carry=('packed',)``) — one banding definition, no drift."""
+    ``carry=('packed',)``) — one banding definition, no drift.
+    ``portable=True`` swaps the Murmur3 bucket hash for
+    :func:`portable_hash60` over the '|'-joined slice (the DuckDB
+    oracle's ``md5(h0||'|'||h1||...)``)."""
+
+    def _bucket(j: int) -> Column:
+        sl = F.slice(array_col, j * rows_per_band + 1, rows_per_band)
+        if portable:
+            return portable_hash60(F.concat_ws("|", F.transform(sl, lambda x: x.cast("string"))))
+        return F.hash(sl)
+
     return signatures.select(
         F.col(id_col),
         *carry,
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.hash(F.slice(array_col, j * rows_per_band + 1, rows_per_band)).alias("bucket"),
-                )
+                F.struct(F.lit(j).alias("band"), _bucket(j).alias("bucket"))
                 for j in range(num_bands)
             ])
         ).alias("bb"),
@@ -277,7 +340,9 @@ def _signature_overlap(sig_a: Column, sig_b: Column) -> Column:
     )
 
 
-def minhash_candidate_pairs(signatures: DataFrame, id_col: str, *, num_bands: int = 8) -> DataFrame:
+def minhash_candidate_pairs(
+    signatures: DataFrame, id_col: str, *, num_bands: int = 8, portable: bool = False
+) -> DataFrame:
     """LSH banding: split each signature into bands, hash each band,
     bucket-join. Docs sharing ANY band bucket become a candidate pair.
     Output: distinct (id_a, id_b), id_a < id_b."""
@@ -286,7 +351,7 @@ def minhash_candidate_pairs(signatures: DataFrame, id_col: str, *, num_bands: in
         id_type = dict(signatures.dtypes)[id_col]  # schema-stable on empty input
         return signatures.sparkSession.createDataFrame([], f"id_a {id_type}, id_b {id_type}")
     rows_per_band = max(1, sig_len_row[0]["n"] // num_bands)
-    banded = _band_buckets(signatures, id_col, num_bands, rows_per_band)
+    banded = _band_buckets(signatures, id_col, num_bands, rows_per_band, portable=portable)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -306,6 +371,7 @@ def minhash_near_dup_pairs(
     num_bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-dup detection: candidates from banding, then a
     signature-estimated Jaccard (fraction of matching minhash slots)
@@ -313,13 +379,20 @@ def minhash_near_dup_pairs(
 
     The estimate is unbiased with stderr ~ 1/sqrt(k); tests validate
     recall against :func:`ngram_jaccard_pairs` ground truth.
+    ``hash_family='portable'`` makes the whole program engine-neutral
+    (see :func:`minhash_signatures`) at the cost of one md5 per
+    shingle — the `dedup_minhash` key runs this so DuckDB can replay
+    it exactly; the banding/join shape is identical.
     """
     # localCheckpoint, not cache: read by banding AND both verify legs;
     # blocks are released on GC rather than pinned for the session
     sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n,
+        hash_family=hash_family,
     ).localCheckpoint(eager=True)
-    cands = minhash_candidate_pairs(sigs, id_col, num_bands=num_bands)
+    cands = minhash_candidate_pairs(
+        sigs, id_col, num_bands=num_bands, portable=hash_family == "portable"
+    )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = (

@@ -29,9 +29,11 @@ from machine_learning_algorithm_sparkml__spark.functions.text import (
     word_token_count,
 )
 from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+    MINHASH_PRIME,
     exact_dedup_representatives,
     incremental_exact_dedup,
     minhash_near_dup_pairs,
+    minhash_params,
     ngram_jaccard_pairs,
     passage_dedup,
     simhash_near_dup_pairs,
@@ -377,10 +379,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: LSH banding is Spark-hash-specific. Recall vs the
-    exact Jaccard operator is asserted in tests."""
+    """Oracle-exact since r8: the key runs the PORTABLE hash family
+    (md5 -> 60-bit int, then (a*x+b) mod 2^61-1 slots; band buckets
+    via md5 of the '|'-joined slice), which DuckDB replays
+    bit-identically with HUGEINT arithmetic — so the full
+    signature -> banding -> candidate -> estimate program is
+    value-checked, not just recall-bounded. The xxhash64 family
+    remains the operator default / fast path; recall vs exact Jaccard
+    is still asserted for it in tests."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    return minhash_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5, hash_family="portable"
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,7 +866,73 @@ def _marker_list(lang: str) -> str:
 # strips only spaces, same as Spark)
 _TOKENS = "list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0)"
 
+
+def _minhash_portable_oracle_sql(
+    num_hashes: int = 32, num_bands: int = 8, threshold: float = 0.5
+) -> str:
+    """DuckDB replay of the portable MinHash program: the (a_i, b_i)
+    coefficients come from the SAME seeded generator as the Spark
+    operator (`operators.dedup.minhash_params`), the per-shingle base
+    hash is the same md5-prefix 60-bit parse, and the modular
+    arithmetic runs in HUGEINT (exact, like Spark's DECIMAL(38,0)) —
+    so every signature slot, band bucket, candidate pair and
+    estimated Jaccard is bit-identical across the two engines."""
+    params = minhash_params(num_hashes)
+    rows_per_band = num_hashes // num_bands
+    slots = ",\n                   ".join(
+        f"MIN(CAST((CAST({a} AS HUGEINT) * h + {b}) % {MINHASH_PRIME} AS BIGINT)) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    bands = "\n            UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, CAST(('0x' || substr(md5(concat_ws('|', {cols})), 1, 15)) AS BIGINT) AS bucket FROM sigs".format(
+            j=j,
+            cols=", ".join(
+                f"h{j * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for j in range(num_bands)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents
+        ), sh_raw AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
+                        ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                   END AS sh
+            FROM toks
+        ), shingles AS (
+            SELECT DISTINCT doc_id, u.shingle
+            FROM sh_raw, UNNEST(sh) AS u(shingle)
+        ), hbase AS (
+            SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+            FROM shingles
+        ), sigs AS (
+            SELECT doc_id,
+                   {slots}
+            FROM hbase GROUP BY doc_id
+        ), banded AS (
+            {bands}
+        ), cands AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), est AS (
+            SELECT id_a, id_b,
+                   ROUND(CAST({eq_sum} AS DOUBLE) / {num_hashes}.0, 6) AS est_jaccard
+            FROM cands
+            JOIN sigs sa ON sa.doc_id = id_a
+            JOIN sigs sb ON sb.doc_id = id_b
+        )
+        SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
 ORACLE = {
+    "dedup_minhash": _minhash_portable_oracle_sql(),
     "text_token_count": f"""
         SELECT doc_id,
                CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,

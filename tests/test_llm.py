@@ -54,6 +54,61 @@ def test_minhash_recall_vs_exact_jaccard(docs):
     assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(truth)} true pairs"
 
 
+def test_portable_hash_family_cross_engine_pins(spark):
+    """The portable MinHash primitives must agree bit-for-bit with
+    DuckDB (the r8 oracle upgrade rests on this): md5-prefix 60-bit
+    parse and (a*h+b) mod 2^61-1 in exact wide arithmetic. Pinned
+    against values computed independently in DuckDB."""
+    import duckdb
+
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+        MINHASH_PRIME,
+        _affine_mod,
+        minhash_params,
+        portable_hash60,
+    )
+
+    a, b = minhash_params(2)[1]  # exercise a non-first coefficient pair
+    row = (
+        spark.range(1)
+        .select(
+            portable_hash60(F.lit("abc")).alias("h"),
+            _affine_mod(portable_hash60(F.lit("abc")), a, b).alias("m"),
+        )
+        .collect()[0]
+    )
+    con = duckdb.connect()  # keep a live ref: .sql() on a temporary closes early
+    duck = con.sql(
+        f"""SELECT CAST(('0x' || substr(md5('abc'), 1, 15)) AS BIGINT) AS h,
+                   CAST((CAST({a} AS HUGEINT)
+                         * CAST(('0x' || substr(md5('abc'), 1, 15)) AS BIGINT)
+                         + {b}) % {MINHASH_PRIME} AS BIGINT) AS m"""
+    ).fetchone()
+    assert (row.h, row.m) == duck
+    assert row.h == 648541476951500027  # frozen: md5 prefix parse
+
+
+def test_portable_minhash_recall_matches_xxhash_family(docs):
+    """The portable family is a different RNG, not a different
+    algorithm: at the same (k, bands, threshold) it must recall the
+    same high-similarity truth set at the same >=80% floor."""
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7).collect()
+    }
+    if not truth:
+        pytest.skip("no high-similarity pairs at this scale factor")
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", num_hashes=32, num_bands=8, threshold=0.5,
+            hash_family="portable",
+        ).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.8, f"portable recall {recall:.2f} over {len(truth)} true pairs"
+
+
 def test_simhash_flags_near_identical_docs(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog again and again today"),
