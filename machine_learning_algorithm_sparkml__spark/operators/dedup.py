@@ -661,11 +661,16 @@ def passage_dedup(
     )
     exploded = df.select(
         F.col(id_col), F.posexplode(passage_arr).alias("pidx", "passage")
-    )
-    first_occurrence = exploded.groupBy("passage").agg(
+    ).withColumn("pkey", F.xxhash64("passage"))
+    # First-occurrence keys on the 64-bit fingerprint, not the raw
+    # passage string: the aggregate's exchange carries 8 bytes per key
+    # instead of up-to-32 tokens of text, and the verdict join probes
+    # ints (ADVICE r7). Collision odds at 64 bits are ~n^2/2^65 —
+    # negligible against corpus-scale passage counts.
+    first_occurrence = exploded.groupBy("pkey").agg(
         F.min(F.struct(F.col(id_col), F.col("pidx"))).alias("keeper")
     )
-    flagged = exploded.join(first_occurrence, "passage").withColumn(
+    flagged = exploded.join(first_occurrence, "pkey").withColumn(
         "kept",
         (F.col("keeper")[id_col] == F.col(id_col))
         & (F.col("keeper")["pidx"] == F.col("pidx")),

@@ -146,7 +146,14 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     after connected components and PageRank; the operator is the
     degree-ordered wedge join (out-degree bounded by O(sqrt(m)) — see
     ``operators.graph.triangles``), so no hub node can make the
-    self-join quadratic."""
+    self-join quadratic.
+
+    Contract (ADVICE r7): nodes in ZERO triangles emit NO row — the
+    result enumerates triangle corners, unlike GraphX's
+    ``triangleCount`` which reports 0 per vertex. Consumers wanting
+    the dense form should left-join against their node frame with
+    ``coalesce(n_triangles, 0)``; the DuckDB oracle checks the sparse
+    contract as stated."""
     from machine_learning_algorithm_sparkml__spark.operators.graph import triangles
 
     def node(salt: str):

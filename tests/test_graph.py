@@ -95,8 +95,10 @@ def test_triangles_hub_out_degree_bounded(spark):
 
     edges = [(i, 100) for i in range(1, 41)] + [(1, 2)]
     df = spark.createDataFrame(edges, "src long, dst long")
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+
     out = triangles(df)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = formatted_plan(out)  # public explain output, Connect-safe
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert [tuple(r) for r in out.collect()] == [(1, 2, 100)]
 
