@@ -39,6 +39,8 @@ PRIORITY_KEYS = [
     # new in round 8 (never driver-checked):
     "sql_tpch_q17",
     "session_window_native",
+    "sql_tpch_q8",
+    "sql_tpch_q15",
     # oracle upgraded in r7, driver row still r6 rows-only:
     "multimodal_decode",
     "multimodal_features",

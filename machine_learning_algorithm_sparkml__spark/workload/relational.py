@@ -1016,6 +1016,80 @@ _TPCH_Q17_SQL = """
     """
 
 
+def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the 8-table star — lineitem
+    at the center, nation joined TWICE (supplier's nation names the
+    share bucket, customer's nation restricts through region), and a
+    conditional-over-total ratio per order year. Plan properties: all
+    five dims (part, supplier, customer, nation x2, region) broadcast;
+    the date range and p_type push into the scans; both sums compute
+    decimal-exact in one aggregation pass, so the final ratio is a
+    single IEEE division — deterministic across engines."""
+    for t in ("part", "supplier", "lineitem", "orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q8_SQL)
+
+
+_TPCH_Q8_SQL = """
+        SELECT o_year,
+               CAST(CAST(SUM(CASE WHEN nation = 'NATION_19' THEN volume
+                                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                    / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share,
+               COUNT(*) AS n_rows
+        FROM (
+            SELECT YEAR(o.o_orderdate) AS o_year,
+                   CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
+                   n2.n_name AS nation
+            FROM lineitem l
+            JOIN part p     ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+            JOIN region r   ON r.r_regionkey = n1.n_regionkey
+            JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+            WHERE r.r_name = 'ASIA'
+              AND p.p_type = 'ECONOMY'
+              AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """
+
+
+def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the derived-aggregate-reused-twice
+    shape — per-supplier quarterly revenue computed ONCE (the spec's
+    CREATE VIEW), then both filtered against its own MAX (uncorrelated
+    scalar subquery) and joined to supplier for the name. Revenue
+    stays DECIMAL through the aggregate, the max, and the equality
+    compare — exact in both engines — and casts to double only in the
+    output projection. Catalyst plans the view once per consumer; the
+    max side collapses to a broadcast scalar."""
+    for t in ("supplier", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q15_SQL)
+
+
+_TPCH_Q15_SQL = """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s.s_suppkey
+    """
+
+
 QUERIES = {
     "sink_csv": q_sink_csv_roundtrip,
     "sink_orc": q_sink_orc_roundtrip,
@@ -1070,6 +1144,8 @@ QUERIES = {
     "sql_tpch_q22": q_sql_tpch_q22,
     "sql_tpch_q13": q_sql_tpch_q13,
     "sql_tpch_q17": q_sql_tpch_q17,
+    "sql_tpch_q8": q_sql_tpch_q8,
+    "sql_tpch_q15": q_sql_tpch_q15,
 }
 
 ORACLE = {
@@ -1518,4 +1594,6 @@ ORACLE = {
     # check is that two independent engines agree on the spec, not
     # that two copies of our logic agree with each other.
     "sql_tpch_q17": _TPCH_Q17_SQL,
+    "sql_tpch_q8": _TPCH_Q8_SQL,
+    "sql_tpch_q15": _TPCH_Q15_SQL,
 }

@@ -371,3 +371,29 @@ def test_session_window_native_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") <= 2, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "SessionWindow" in plan or "session_window" in plan, plan
+
+
+def test_q8_dims_broadcast(spark, sf_dir):
+    """Q8's five dimension joins (part, supplier, customer, nation x2,
+    region) must all broadcast — only lineitem/orders may shuffle."""
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_tpch_q8,
+    )
+
+    plan = formatted_plan(q_sql_tpch_q8(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_q15_max_subquery_not_nested_loop(spark, sf_dir):
+    """Q15's MAX(total_revenue) filter must plan as a scalar
+    broadcast/subquery result, never a per-row re-aggregation."""
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_tpch_q15,
+    )
+
+    plan = formatted_plan(q_sql_tpch_q15(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "Subquery" in plan or "ReusedSubquery" in plan, plan
