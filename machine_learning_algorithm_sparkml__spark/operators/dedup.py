@@ -216,17 +216,20 @@ def decontaminate_by_shingle(
 
 # --- MinHash + LSH -----------------------------------------------------------------
 
-#: Mersenne prime 2^61 - 1: modulus of the portable universal-hash
-#: family. Products a*h stay < 2^122 < 10^37, exact in Spark
-#: DECIMAL(38,0) and DuckDB HUGEINT — the two engines compute
-#: bit-identical slot values, which is what makes the `dedup_minhash`
-#: key oracle-checkable.
-MINHASH_PRIME = (1 << 61) - 1
+#: Mersenne prime 2^31 - 1: modulus of the portable universal-hash
+#: family. With a, b, h all < 2^31, a*h + b < 2^63 — every slot
+#: computes in EXACT 64-bit integer arithmetic (whole-stage-codegen
+#: long math on Spark, BIGINT on DuckDB), so the two engines produce
+#: bit-identical values, which is what makes the `dedup_minhash` key
+#: oracle-checkable. (A first cut used 2^61-1 with DECIMAL(38,0)
+#: products — exact too, but BigDecimal per shingle-slot made the key
+#: 5x slower; 31-bit slots are the standard MinHash width anyway.)
+MINHASH_PRIME = (1 << 31) - 1
 
 
 def minhash_params(num_hashes: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
     """The (a_i, b_i) coefficients of the portable hash family
-    h_i(x) = (a_i*x + b_i) mod (2^61-1), drawn from a seeded PRNG so
+    h_i(x) = (a_i*x + b_i) mod (2^31-1), drawn from a seeded PRNG so
     the Spark operator and the DuckDB oracle share ONE definition."""
     import random
 
@@ -245,10 +248,10 @@ def portable_hash60(col: Column) -> Column:
 
 
 def _affine_mod(h: Column, a: int, b: int) -> Column:
-    """(a*h + b) mod P computed in DECIMAL(38,0) — exact (no int64
-    overflow, no FP), mirroring the oracle's HUGEINT arithmetic."""
-    prod = F.lit(a).cast("decimal(38,0)") * h + F.lit(b)
-    return (prod % F.lit(MINHASH_PRIME)).cast("long")
+    """(a*h + b) mod P in plain 64-bit longs — exact because
+    a, h < P < 2^31 keeps the product under 2^62. Stays inside
+    whole-stage codegen; the oracle runs the same BIGINT math."""
+    return (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
 
 
 def minhash_signatures(
@@ -268,12 +271,12 @@ def minhash_signatures(
     ``xxhash64(shingle, seed_i)`` — the fast path (one JVM hash per
     slot, no string work). ``'portable'`` hashes each shingle ONCE
     with :func:`portable_hash60` and derives the k slots by the
-    (a_i*h+b_i) mod 2^61-1 universal family — reproducible in any
+    (a_i*h+b_i) mod 2^31-1 universal family — reproducible in any
     engine with md5 + 128-bit integers, so the result is
     DuckDB-checkable. Same shuffle shape either way."""
     pairs = shingle_sets(df, id_col, text_col, shingle_n)
     if hash_family == "portable":
-        h = portable_hash60(F.col("shingle"))
+        h = portable_hash60(F.col("shingle")) % F.lit(MINHASH_PRIME)
         mins = pairs.groupBy(id_col).agg(
             *[
                 F.min(_affine_mod(h, a, b)).alias(f"h{i}")

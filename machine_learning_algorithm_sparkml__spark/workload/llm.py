@@ -380,9 +380,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-exact since r8: the key runs the PORTABLE hash family
-    (md5 -> 60-bit int, then (a*x+b) mod 2^61-1 slots; band buckets
+    (md5 -> 60-bit int reduced mod 2^31-1, then (a*x+b) mod 2^31-1
+    slots in exact 64-bit longs; band buckets
     via md5 of the '|'-joined slice), which DuckDB replays
-    bit-identically with HUGEINT arithmetic — so the full
+    bit-identically with BIGINT arithmetic — so the full
     signature -> banding -> candidate -> estimate program is
     value-checked, not just recall-bounded. The xxhash64 family
     remains the operator default / fast path; recall vs exact Jaccard
@@ -874,13 +875,14 @@ def _minhash_portable_oracle_sql(
     coefficients come from the SAME seeded generator as the Spark
     operator (`operators.dedup.minhash_params`), the per-shingle base
     hash is the same md5-prefix 60-bit parse, and the modular
-    arithmetic runs in HUGEINT (exact, like Spark's DECIMAL(38,0)) —
+    arithmetic runs in BIGINT (exact: a, h < 2^31 keeps products
+    under 2^62, same as Spark's codegen long math) —
     so every signature slot, band bucket, candidate pair and
     estimated Jaccard is bit-identical across the two engines."""
     params = minhash_params(num_hashes)
     rows_per_band = num_hashes // num_bands
     slots = ",\n                   ".join(
-        f"MIN(CAST((CAST({a} AS HUGEINT) * h + {b}) % {MINHASH_PRIME} AS BIGINT)) AS h{i}"
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS h{i}"
         for i, (a, b) in enumerate(params)
     )
     bands = "\n            UNION ALL ".join(
@@ -908,7 +910,7 @@ def _minhash_portable_oracle_sql(
             SELECT DISTINCT doc_id, u.shingle
             FROM sh_raw, UNNEST(sh) AS u(shingle)
         ), hbase AS (
-            SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+            SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_PRIME} AS h
             FROM shingles
         ), sigs AS (
             SELECT doc_id,

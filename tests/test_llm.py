@@ -57,7 +57,7 @@ def test_minhash_recall_vs_exact_jaccard(docs):
 def test_portable_hash_family_cross_engine_pins(spark):
     """The portable MinHash primitives must agree bit-for-bit with
     DuckDB (the r8 oracle upgrade rests on this): md5-prefix 60-bit
-    parse and (a*h+b) mod 2^61-1 in exact wide arithmetic. Pinned
+    parse and (a*h+b) mod 2^31-1 in exact 64-bit arithmetic. Pinned
     against values computed independently in DuckDB."""
     import duckdb
 
@@ -69,20 +69,19 @@ def test_portable_hash_family_cross_engine_pins(spark):
     )
 
     a, b = minhash_params(2)[1]  # exercise a non-first coefficient pair
+    base = portable_hash60(F.lit("abc")) % F.lit(MINHASH_PRIME)  # as the operator does
     row = (
         spark.range(1)
         .select(
             portable_hash60(F.lit("abc")).alias("h"),
-            _affine_mod(portable_hash60(F.lit("abc")), a, b).alias("m"),
+            _affine_mod(base, a, b).alias("m"),
         )
         .collect()[0]
     )
     con = duckdb.connect()  # keep a live ref: .sql() on a temporary closes early
     duck = con.sql(
-        f"""SELECT CAST(('0x' || substr(md5('abc'), 1, 15)) AS BIGINT) AS h,
-                   CAST((CAST({a} AS HUGEINT)
-                         * CAST(('0x' || substr(md5('abc'), 1, 15)) AS BIGINT)
-                         + {b}) % {MINHASH_PRIME} AS BIGINT) AS m"""
+        f"""WITH t AS (SELECT CAST(('0x' || substr(md5('abc'), 1, 15)) AS BIGINT) AS h)
+            SELECT h, ({a} * (h % {MINHASH_PRIME}) + {b}) % {MINHASH_PRIME} AS m FROM t"""
     ).fetchone()
     assert (row.h, row.m) == duck
     assert row.h == 648541476951500027  # frozen: md5 prefix parse
