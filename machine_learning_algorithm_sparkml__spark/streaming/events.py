@@ -167,16 +167,44 @@ def session_window_counts(
     )
 
 
-def _run_to_completion(spark: SparkSession, agg: DataFrame, *, output_mode: str) -> DataFrame:
+def _run_to_completion(
+    spark: SparkSession,
+    agg: DataFrame,
+    *,
+    output_mode: str,
+    num_state_partitions: int | None = None,
+) -> DataFrame:
     """Drive a bounded streaming query to completion through a memory
-    sink and return the materialized result."""
+    sink and return the materialized result.
+
+    ``num_state_partitions`` right-sizes the STATE STORE width for
+    stateful queries: Spark freezes ``spark.sql.shuffle.partitions``
+    into the query's state layout at start, and each micro-batch then
+    commits one checkpoint per (partition x store); a stream-stream
+    join keeps 4 stores per partition, so inheriting a batch-tuned
+    width (32 here) costs 128 small-file commits per batch — commit
+    time, not the join, dominated the r7 `stream_stream_join` bench
+    (stateOperators.commitTimeMs ~= 7x addBatch). Size it to keyed
+    state VOLUME (rows per partition), not CPU count: the bounded
+    replay holds ~40k state rows, so 8 partitions keeps partitions
+    ~5k rows while quartering commit traffic. A production deployment
+    at 1000x the rate sizes it up the same way. The session config is
+    restored immediately after start (it is only read at query
+    start)."""
     query_name = f"stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    shuffle_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(shuffle_key)
+    if num_state_partitions is not None:
+        spark.conf.set(shuffle_key, str(num_state_partitions))
+    try:
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+    finally:
+        spark.conf.set(shuffle_key, old_parts)
     try:
         q.processAllAvailable()
     finally:
@@ -199,6 +227,7 @@ def run_streaming_sliding_counts(
     *,
     window_duration: str = "1 hour",
     slide_duration: str = "30 minutes",
+    num_state_partitions: int | None = None,
 ) -> DataFrame:
     """Sliding-window counts over the bounded events stream; complete
     mode => equals the batch overlap expansion the oracle computes."""
@@ -206,21 +235,31 @@ def run_streaming_sliding_counts(
     agg = sliding_event_counts(
         events, window_duration=window_duration, slide_duration=slide_duration
     )
-    return _run_to_completion(spark, agg, output_mode="complete")
+    return _run_to_completion(
+        spark, agg, output_mode="complete", num_state_partitions=num_state_partitions
+    )
 
 
 def run_streaming_session_windows(
-    spark: SparkSession, sf_dir: str, *, gap: str = "30 minutes"
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    gap: str = "30 minutes",
+    num_state_partitions: int | None = None,
 ) -> DataFrame:
     """Session-window counts over the bounded events stream; complete
     mode => the final state equals the batch session_window result
     (and the oracle's gap-island SQL)."""
     events = read_events_stream(spark, sf_dir)
     agg = session_window_counts(events, gap=gap)
-    return _run_to_completion(spark, agg, output_mode="complete")
+    return _run_to_completion(
+        spark, agg, output_mode="complete", num_state_partitions=num_state_partitions
+    )
 
 
-def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_streaming_dedup(
+    spark: SparkSession, sf_dir: str, *, num_state_partitions: int | None = None
+) -> DataFrame:
     """Streaming exact dedup: the bounded events stream is doubled
     (every row planted twice via explode) and
     ``dropDuplicatesWithinWatermark`` must restore exactly one row per
@@ -231,7 +270,9 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = events.withColumn("_copy", F.explode(F.array(F.lit(0), F.lit(1)))).drop("_copy")
     deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
     out = deduped.select("event_id", "user_id", "ts", "event_type", "value")
-    return _run_to_completion(spark, out, output_mode="append")
+    return _run_to_completion(
+        spark, out, output_mode="append", num_state_partitions=num_state_partitions
+    )
 
 
 def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,6 +298,7 @@ def run_stream_stream_join(
     *,
     max_lag: str = "30 minutes",
     watermark: str = "1 hour",
+    num_state_partitions: int | None = None,
 ) -> DataFrame:
     """Stream-stream inner join with a time-range condition: every
     click within ``max_lag`` after a view by the same user. Both sides
@@ -297,7 +339,9 @@ def run_stream_stream_join(
         "click_id",
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("lag_us"),
     )
-    return _run_to_completion(spark, joined, output_mode="append")
+    return _run_to_completion(
+        spark, joined, output_mode="append", num_state_partitions=num_state_partitions
+    )
 
 
 def run_streaming_window_counts(
@@ -305,6 +349,7 @@ def run_streaming_window_counts(
     sf_dir: str,
     *,
     window_duration: str = "1 hour",
+    num_state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive the streaming window-count query to completion over the
     bounded events source and return the final result as a DataFrame.
@@ -315,4 +360,6 @@ def run_streaming_window_counts(
     """
     events = read_events_stream(spark, sf_dir)
     agg = windowed_event_counts(events, window_duration=window_duration)
-    return _run_to_completion(spark, agg, output_mode="complete")
+    return _run_to_completion(
+        spark, agg, output_mode="complete", num_state_partitions=num_state_partitions
+    )

@@ -43,9 +43,15 @@ def _update_totals(
     )
 
 
-def run_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_stateful_running_totals(
+    spark: SparkSession, sf_dir: str, *, num_state_partitions: int | None = None
+) -> DataFrame:
     """Drive the stateful totals over the bounded events source; the
-    final emission per key is the complete total."""
+    final emission per key is the complete total.
+    ``num_state_partitions`` right-sizes the state-store width exactly
+    as ``events._run_to_completion`` does (see its docstring) — here
+    state has only |event_type| keys, so wide layouts are pure
+    commit overhead."""
     query_name = f"ev_state_{uuid.uuid4().hex[:8]}"
     events = read_events_stream(spark, sf_dir)
     totals = events.groupBy("event_type").applyInPandasWithState(
@@ -55,7 +61,14 @@ def run_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = totals.writeStream.outputMode("update").format("memory").queryName(query_name).start()
+    shuffle_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(shuffle_key)
+    if num_state_partitions is not None:
+        spark.conf.set(shuffle_key, str(num_state_partitions))
+    try:
+        q = totals.writeStream.outputMode("update").format("memory").queryName(query_name).start()
+    finally:
+        spark.conf.set(shuffle_key, old_parts)
     try:
         q.processAllAvailable()
     finally:

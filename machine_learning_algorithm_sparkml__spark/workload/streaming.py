@@ -20,7 +20,12 @@ from machine_learning_algorithm_sparkml__spark.streaming import run_streaming_wi
 
 
 def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_streaming_window_counts(spark, sf_dir, window_duration="1 hour")
+    # num_state_partitions=8: state keys ~ (windows x event_types) at
+    # this replay — size state width to key volume, not CPU count
+    # (streaming.events._run_to_completion docstring)
+    return run_streaming_window_counts(
+        spark, sf_dir, window_duration="1 hour", num_state_partitions=8
+    )
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,11 +39,13 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same operator the streaming path uses) run in batch mode and
     cross-checked against an independent lag+cumsum sessionization in
     DuckDB — closing the loop between the two sessionization forms
-    (VERDICT r7 #8). Boundary semantics differ from `sessionize`:
-    session_window's range is [start, last_event + gap), END-exclusive,
-    so an event arriving at exactly last_event + gap opens a NEW
-    session — the oracle therefore breaks on gap >= 1800, where the
-    lag-based `sessionize` key breaks on gap > 1800. At scale this is
+    (VERDICT r7 #8). Boundary semantics verified by construction
+    (tests/test_streaming.py): Spark MERGES an event arriving at
+    exactly last_event + gap into the running session (merge condition
+    is new_start <= current_end, both inclusive), i.e. a new session
+    opens only when the gap is STRICTLY greater — the same `> 1800`
+    boundary as the lag-based `sessionize` key, and the oracle
+    breaks sessions on `> 1800` accordingly. At scale this is
     one shuffle on user_id; Spark merges overlapping session windows
     inside the aggregation, no window-function sort pass needed."""
     events = load_table(spark, sf_dir, "events")
@@ -76,7 +83,7 @@ def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stateful_running_totals,
     )
 
-    return run_stateful_running_totals(spark, sf_dir)
+    return run_stateful_running_totals(spark, sf_dir, num_state_partitions=8)
 
 
 def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,7 +95,8 @@ def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_sliding_counts(
-        spark, sf_dir, window_duration="1 hour", slide_duration="30 minutes"
+        spark, sf_dir, window_duration="1 hour", slide_duration="30 minutes",
+        num_state_partitions=8,
     )
 
 
@@ -105,7 +113,9 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_streaming_session_windows,
     )
 
-    out = run_streaming_session_windows(spark, sf_dir, gap="30 minutes")
+    out = run_streaming_session_windows(
+        spark, sf_dir, gap="30 minutes", num_state_partitions=8
+    )
     return out.withColumn(
         "valid_session", F.col("session_end") > F.col("session_start")
     )
@@ -121,7 +131,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     even if the hash compare is skipped."""
     from machine_learning_algorithm_sparkml__spark.streaming import run_streaming_dedup
 
-    out = run_streaming_dedup(spark, sf_dir)
+    out = run_streaming_dedup(spark, sf_dir, num_state_partitions=8)
     invariant = out.agg(
         (F.count(F.lit(1)) == F.countDistinct("event_id")).alias("dedup_ok")
     )
@@ -144,7 +154,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_stream_join,
     )
 
-    return run_stream_stream_join(spark, sf_dir)
+    return run_stream_stream_join(spark, sf_dir, num_state_partitions=8)
 
 
 def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,7 +305,7 @@ ORACLE = {
         WITH flagged AS (
             SELECT user_id, ts,
                    CASE WHEN LAG(ts) OVER w IS NULL
-                          OR (epoch(ts) - epoch(LAG(ts) OVER w)) >= 1800
+                          OR (epoch(ts) - epoch(LAG(ts) OVER w)) > 1800
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -196,3 +196,28 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     # [10,11) flushed by the no-data batch after the watermark advanced;
     # [11,12) stays open (watermark has not passed 12:00)
     assert final == {(9, 1), (10, 1)}, final
+
+
+def test_session_window_merges_at_exact_gap_boundary(spark):
+    """An event at exactly last_event + gap MERGES into the running
+    session (Spark's merge condition is new_start <= current_end,
+    inclusive) — the boundary the session_window_native oracle must
+    reproduce with a STRICT > gap break. Verified by construction
+    because the testdata has no exact-gap pairs to catch a drift."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2020, 1, 1, 0, 0, 0)),
+        (1, dt.datetime(2020, 1, 1, 0, 30, 0)),  # exactly gap later
+        (2, dt.datetime(2020, 1, 1, 0, 0, 0)),
+        (2, dt.datetime(2020, 1, 1, 0, 30, 1)),  # one second beyond
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "n")
+        .collect()
+    )
+    per_user = sorted((r.user_id, r.n) for r in out)
+    assert per_user == [(1, 2), (2, 1), (2, 1)], per_user
