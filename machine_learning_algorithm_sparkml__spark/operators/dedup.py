@@ -501,7 +501,22 @@ def decontaminate_by_minhash(
 
 # --- SimHash ---------------------------------------------------------------------
 
-def simhash_bits(df: DataFrame, id_col: str, text_col: str, *, num_bits: int = 64) -> DataFrame:
+def portable_hash60b(col: Column) -> Column:
+    """Second independent engine-neutral 60-bit hash: hex chars 16-30
+    of the same md5 (the digest's other half). Together with
+    :func:`portable_hash60` it yields 120 reproducible bits per
+    value — enough for the default 64-bit SimHash."""
+    return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
+
+
+def simhash_bits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """SimHash: per document, the sign pattern of per-bit weighted sums
     over token hashes. One explode + one groupBy with ``num_bits`` sum
     aggregates — all JVM-side with map-side partial aggregation. (A
@@ -509,18 +524,36 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str, *, num_bits: int = 6
     the per-doc hash shuffle and Arrow transfer cost more than the 64
     codegen'd aggregates save.) Output: (id, simhash array<int> of
     0/1, length num_bits).
+
+    ``hash_family='portable'`` (num_bits <= 120) draws bit i from the
+    md5-derived 60-bit halves (:func:`portable_hash60` for bits 0-59,
+    :func:`portable_hash60b` above) — DuckDB replays the identical
+    bits, which is what makes `dedup_simhash` oracle-checkable.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    hashed = tok.withColumn("h", F.xxhash64("tok"))
+    if hash_family == "portable":
+        if num_bits > 120:
+            raise ValueError("portable simhash supports at most 120 bits (one md5)")
+        hashed = tok.withColumn("h", portable_hash60(F.col("tok"))).withColumn(
+            "h2", portable_hash60b(F.col("tok"))
+        )
+
+        def _bit(i: int) -> Column:
+            src, off = ("h", i) if i < 60 else ("h2", i - 60)
+            return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
+    else:
+        hashed = tok.withColumn("h", F.xxhash64("tok"))
+
+        def _bit(i: int) -> Column:
+            return F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+
     # branch-free per-bit aggregate: sum of the raw bit (0/1) plus one
     # shared token count; the ±1 weighted sum b_i = 2*ones_i - n, so the
     # sign test "b_i > 0" is exactly "2*ones_i > n"
     bit_sums = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_"),
-        *[
-            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-            for i in range(num_bits)
-        ],
+        *[F.sum(_bit(i)).alias(f"b{i}") for i in range(num_bits)],
     )
     return bit_sums.select(
         F.col(id_col),
@@ -544,12 +577,21 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     num_bits: int = 64,
     num_bands: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: band the bit array (pigeonhole — any
     pair within ``max_hamming`` shares at least one of
     ``num_bands > max_hamming`` bands), bucket-join, exact Hamming
     check. ``num_bands`` defaults to ``max_hamming + 1`` (the minimum
-    guaranteeing full recall). Output: (id_a, id_b, hamming)."""
+    guaranteeing full recall). Output: (id_a, id_b, hamming).
+
+    Because verification is exact and pigeonhole recall is total,
+    banding affects COST only, never the result — the output is
+    exactly "all pairs with hamming <= max_hamming" (Murmur3 bucket
+    collisions only add candidates, which the verify then rejects).
+    That is why the portable family makes this oracle-checkable with
+    a plain all-pairs oracle: only the per-token bits
+    (:func:`simhash_bits`) must match the other engine."""
     if num_bands is None:
         num_bands = max_hamming + 1
     assert num_bands > max_hamming, "pigeonhole requires num_bands > max_hamming"
@@ -576,7 +618,7 @@ def simhash_near_dup_pairs(
         )
 
     sh = (
-        simhash_bits(df, id_col, text_col, num_bits=num_bits)
+        simhash_bits(df, id_col, text_col, num_bits=num_bits, hash_family=hash_family)
         .withColumn("packed", F.array(*[_pack_word(w) for w in range(n_words)]))
         .localCheckpoint(eager=True)
     )

@@ -395,9 +395,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: xxhash64 bit patterns are Spark-specific."""
+    """Oracle-exact since r8 via the portable (md5-derived) token
+    bits: banding is cost-only — pigeonhole recall is total and the
+    Hamming verify exact, so the result set is precisely "all pairs
+    with hamming <= 8", which DuckDB checks with bit-packed
+    bit_count(xor) over an all-pairs join (fine at oracle scale;
+    Spark side keeps the banded join for real scale)."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8)
+    return simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=8, hash_family="portable"
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,8 +940,70 @@ def _minhash_portable_oracle_sql(
     """
 
 
+def _simhash_portable_oracle_sql(num_bits: int = 64, max_hamming: int = 8) -> str:
+    """DuckDB replay of portable SimHash: identical md5-derived token
+    bits (two 60-bit digest halves), the same 2*ones > n sign rule,
+    then ALL-PAIRS hamming via bit-packed bit_count(xor) — sound
+    because the Spark side's banding provably never changes the
+    result set (see simhash_near_dup_pairs docstring), only its cost.
+    All-pairs is fine at oracle scale (<= ~5k docs)."""
+    assert num_bits <= 120
+    sums = ",\n                   ".join(
+        (
+            f"SUM((h1 >> {i}) & 1) AS b{i}"
+            if i < 60
+            else f"SUM((h2 >> {i - 60}) & 1) AS b{i}"
+        )
+        for i in range(num_bits)
+    )
+    n_words = (num_bits + 63) // 64
+    words = []
+    for w in range(n_words):
+        lo, hi = w * 64, min(num_bits, (w + 1) * 64)
+        # bit 63 is the BIGINT sign bit: 1<<63 overflows DuckDB's
+        # checked shift, so emit its two's-complement value literally;
+        # ascending order keeps every partial sum in range.
+        terms = " + ".join(
+            "CASE WHEN 2*b{i} > n THEN {v} ELSE 0 END".format(
+                i=i,
+                v="(-9223372036854775808)::BIGINT"
+                if i - lo == 63
+                else f"({1 << (i - lo)}::BIGINT)",
+            )
+            for i in range(lo, hi)
+        )
+        words.append(f"({terms}) AS w{w}")
+    packed_cols = ",\n                   ".join(words)
+    ham = " + ".join(f"bit_count(xor(a.w{w}, b.w{w}))" for w in range(n_words))
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents
+        ), toks AS (
+            SELECT doc_id, u.tok FROM tk, UNNEST(t) AS u(tok)
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h1,
+                   CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) AS h2
+            FROM toks
+        ), sums AS (
+            SELECT doc_id, COUNT(*) AS n,
+                   {sums}
+            FROM hashed GROUP BY doc_id
+        ), packed AS (
+            SELECT doc_id,
+                   {packed_cols}
+            FROM sums
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST({ham} AS INTEGER) AS hamming
+        FROM packed a JOIN packed b ON a.doc_id < b.doc_id
+        WHERE {ham} <= {max_hamming}
+    """
+
+
 ORACLE = {
     "dedup_minhash": _minhash_portable_oracle_sql(),
+    "dedup_simhash": _simhash_portable_oracle_sql(),
     "text_token_count": f"""
         SELECT doc_id,
                CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
