@@ -421,6 +421,7 @@ def decontaminate_by_minhash(
     threshold: float = 0.5,
     max_broadcast_benchmark: int = 100_000,
     strategy: str = "broadcast",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """FUZZY benchmark decontamination: drop every corpus document
     whose MinHash-estimated Jaccard with ANY benchmark document is
@@ -463,17 +464,20 @@ def decontaminate_by_minhash(
                 "corpus-vs-corpus comparison or raise the cap explicitly"
             )
     _bench_side = F.broadcast if strategy == "broadcast" else (lambda df: df)
+    portable = hash_family == "portable"
     c_sigs = minhash_signatures(
-        corpus, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        corpus, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n,
+        hash_family=hash_family,
     ).localCheckpoint(eager=True)  # read by banding AND the verify join
     b_sigs = minhash_signatures(
-        benchmark, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        benchmark, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n,
+        hash_family=hash_family,
     ).localCheckpoint(eager=True)
     rows_per_band = max(1, num_hashes // num_bands)
-    c_band = _band_buckets(c_sigs, id_col, num_bands, rows_per_band).select(
+    c_band = _band_buckets(c_sigs, id_col, num_bands, rows_per_band, portable=portable).select(
         F.col(id_col).alias("_cid"), "band", "bucket"
     )
-    b_band = _band_buckets(b_sigs, id_col, num_bands, rows_per_band).select(
+    b_band = _band_buckets(b_sigs, id_col, num_bands, rows_per_band, portable=portable).select(
         F.col(id_col).alias("_bid"), "band", "bucket"
     )
     cands = (

@@ -227,9 +227,12 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: PARAPHRASE-tolerant decontamination (MinHash LSH
-    between corpus and benchmark; operators/dedup.py:
-    decontaminate_by_minhash). The benchmark is built as a perturbed
+    """PARAPHRASE-tolerant decontamination (MinHash LSH between corpus
+    and benchmark; operators/dedup.py: decontaminate_by_minhash).
+    Oracle-exact since r8: the portable hash family lets DuckDB replay
+    the full program including banding (which shapes LSH results, so
+    the replay must be bit-exact — it is, see
+    _decontaminate_fuzzy_oracle_sql). The benchmark is built as a perturbed
     near-copy of every 50th corpus doc (first token dropped, re-id'd)
     — exactly the lightly-rewritten contamination the exact 4-gram
     path cannot express. ``planted_dropped_ok`` pins TRUE iff every
@@ -253,7 +256,7 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     )
     survivors = decontaminate_by_minhash(
-        docs, benchmark, "doc_id", "text", threshold=0.8
+        docs, benchmark, "doc_id", "text", threshold=0.8, hash_family="portable"
     ).select("doc_id").localCheckpoint(eager=True)  # invariant + output read it
     # the planted predicate needs `text` (length filter), which the
     # survivor projection no longer carries — check membership via a
@@ -875,17 +878,17 @@ def _marker_list(lang: str) -> str:
 _TOKENS = "list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0)"
 
 
-def _minhash_portable_oracle_sql(
-    num_hashes: int = 32, num_bands: int = 8, threshold: float = 0.5
-) -> str:
-    """DuckDB replay of the portable MinHash program: the (a_i, b_i)
-    coefficients come from the SAME seeded generator as the Spark
-    operator (`operators.dedup.minhash_params`), the per-shingle base
-    hash is the same md5-prefix 60-bit parse, and the modular
-    arithmetic runs in BIGINT (exact: a, h < 2^31 keeps products
-    under 2^62, same as Spark's codegen long math) —
-    so every signature slot, band bucket, candidate pair and
-    estimated Jaccard is bit-identical across the two engines."""
+def _portable_sig_ctes(src: str, prefix: str, num_hashes: int, num_bands: int) -> str:
+    """CTE chain ``{prefix}sigs`` / ``{prefix}banded`` replaying the
+    portable MinHash program over CTE ``src`` (columns doc_id, text):
+    the (a_i, b_i) coefficients come from the SAME seeded generator as
+    the Spark operator (`operators.dedup.minhash_params`), the
+    per-shingle base hash is the same md5-prefix 60-bit parse reduced
+    mod 2^31-1, and the modular arithmetic runs in BIGINT (exact:
+    a, h < 2^31 keeps products under 2^62, same as Spark's codegen
+    long math) — every signature slot and band bucket is bit-identical
+    across the two engines. Shared by the `dedup_minhash` and
+    `decontaminate_fuzzy` oracles so the replay cannot drift."""
     params = minhash_params(num_hashes)
     rows_per_band = num_hashes // num_bands
     slots = ",\n                   ".join(
@@ -893,39 +896,50 @@ def _minhash_portable_oracle_sql(
         for i, (a, b) in enumerate(params)
     )
     bands = "\n            UNION ALL ".join(
-        "SELECT doc_id, {j} AS band, CAST(('0x' || substr(md5(concat_ws('|', {cols})), 1, 15)) AS BIGINT) AS bucket FROM sigs".format(
+        "SELECT doc_id, {j} AS band, CAST(('0x' || substr(md5(concat_ws('|', {cols})), 1, 15)) AS BIGINT) AS bucket FROM {p}sigs".format(
             j=j,
-            cols=", ".join(
-                f"h{j * rows_per_band + r}" for r in range(rows_per_band)
-            ),
+            p=prefix,
+            cols=", ".join(f"h{j * rows_per_band + r}" for r in range(rows_per_band)),
         )
         for j in range(num_bands)
     )
-    eq_sum = " + ".join(
-        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
-    )
-    return f"""
-        WITH toks AS (
-            SELECT doc_id, {_TOKENS} AS t FROM documents
-        ), sh_raw AS (
+    return f"""{prefix}toks AS (
+            SELECT doc_id, {_TOKENS} AS t FROM {src}
+        ), {prefix}sh_raw AS (
             SELECT doc_id,
                    CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
                         ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
                    END AS sh
-            FROM toks
-        ), shingles AS (
+            FROM {prefix}toks
+        ), {prefix}shingles AS (
             SELECT DISTINCT doc_id, u.shingle
-            FROM sh_raw, UNNEST(sh) AS u(shingle)
-        ), hbase AS (
+            FROM {prefix}sh_raw, UNNEST(sh) AS u(shingle)
+        ), {prefix}hbase AS (
             SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_PRIME} AS h
-            FROM shingles
-        ), sigs AS (
+            FROM {prefix}shingles
+        ), {prefix}sigs AS (
             SELECT doc_id,
                    {slots}
-            FROM hbase GROUP BY doc_id
-        ), banded AS (
+            FROM {prefix}hbase GROUP BY doc_id
+        ), {prefix}banded AS (
             {bands}
-        ), cands AS (
+        )"""
+
+
+def _minhash_eq_sum(a: str, b: str, num_hashes: int) -> str:
+    return " + ".join(
+        f"CASE WHEN {a}.h{i} = {b}.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+
+
+def _minhash_portable_oracle_sql(
+    num_hashes: int = 32, num_bands: int = 8, threshold: float = 0.5
+) -> str:
+    """DuckDB replay of the portable MinHash self-join program — see
+    :func:`_portable_sig_ctes` for the bit-identity argument."""
+    eq_sum = _minhash_eq_sum("sa", "sb", num_hashes)
+    return f"""
+        WITH {_portable_sig_ctes("documents", "", num_hashes, num_bands)}, cands AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -937,6 +951,50 @@ def _minhash_portable_oracle_sql(
             JOIN sigs sb ON sb.doc_id = id_b
         )
         SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
+def _decontaminate_fuzzy_oracle_sql(
+    num_hashes: int = 32, num_bands: int = 8, threshold: float = 0.8
+) -> str:
+    """DuckDB replay of the FULL fuzzy-decontamination program for the
+    `decontaminate_fuzzy` key: perturbed-benchmark construction,
+    portable signatures for both frames, the (band, bucket) candidate
+    join, the slot-overlap estimate, the contaminated-id anti-join,
+    and the planted-recall invariant bit. Banding here DOES shape the
+    result (LSH recall is probabilistic), so unlike `dedup_simhash`
+    the oracle must — and does — replay the banding bit-for-bit."""
+    eq_sum = _minhash_eq_sum("sc", "sb", num_hashes)
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+        ), bench AS (
+            SELECT doc_id + 10000000 AS doc_id,
+                   substring(text, strpos(text, ' ') + 1) AS text
+            FROM documents
+            WHERE doc_id % 50 = 0 AND length(text) >= 200
+        ), {_portable_sig_ctes("corpus", "c_", num_hashes, num_bands)},
+        {_portable_sig_ctes("bench", "b_", num_hashes, num_bands)}, cands AS (
+            SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+            FROM c_banded c JOIN b_banded b
+              ON c.band = b.band AND c.bucket = b.bucket
+        ), contaminated AS (
+            SELECT DISTINCT cid AS doc_id
+            FROM cands
+            JOIN c_sigs sc ON sc.doc_id = cid
+            JOIN b_sigs sb ON sb.doc_id = bid
+            WHERE CAST({eq_sum} AS DOUBLE) / {num_hashes}.0 >= {threshold}
+        ), survivors AS (
+            SELECT c.doc_id FROM corpus c
+            WHERE NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = c.doc_id)
+        ), inv AS (
+            SELECT NOT EXISTS (
+                SELECT 1 FROM survivors s
+                JOIN documents d ON d.doc_id = s.doc_id
+                WHERE d.doc_id % 50 = 0 AND length(d.text) >= 200
+            ) AS planted_dropped_ok
+        )
+        SELECT s.doc_id, i.planted_dropped_ok FROM survivors s CROSS JOIN inv i
     """
 
 
@@ -1004,6 +1062,7 @@ def _simhash_portable_oracle_sql(num_bits: int = 64, max_hamming: int = 8) -> st
 ORACLE = {
     "dedup_minhash": _minhash_portable_oracle_sql(),
     "dedup_simhash": _simhash_portable_oracle_sql(),
+    "decontaminate_fuzzy": _decontaminate_fuzzy_oracle_sql(),
     "text_token_count": f"""
         SELECT doc_id,
                CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
