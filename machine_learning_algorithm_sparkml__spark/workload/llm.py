@@ -603,11 +603,13 @@ SELF_VERIFIED_KEYS = [
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: frame-sampling plumbing — payload split into 4
-    deterministic byte windows, one row per frame. ``frames_ok`` is a
-    TRUE-pinned invariant: every document emitted exactly 4 frames
-    (the rows-only driver check can't see values, so the key carries
-    its own verdict, same pattern as ``semantic_dedup``)."""
+    """Frame-sampling plumbing — payload split into 4 deterministic
+    byte windows, one row per frame. Oracle-exact since r8: the
+    windows are pure byte arithmetic over the utf-8 payload length
+    (width = trunc(greatest(n/4, 1)); frame i carries
+    clamp(n - i*width, 0, width) bytes), which DuckDB replays from
+    octet_length(encode(text)). ``frames_ok`` remains a TRUE-pinned
+    invariant (every document emitted exactly 4 frames)."""
     from machine_learning_algorithm_sparkml__spark.operators.multimodal import frame_sample
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1580,5 +1582,23 @@ ORACLE = {
                ROUND(0.0 + CAST(CAST(CAST('0x'||substr(hx,1,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,3,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,5,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,7,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,9,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,11,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,13,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,15,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,17,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,19,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,21,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,23,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,25,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,27,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,29,2) AS INT)/255.0 AS REAL) AS DOUBLE) + CAST(CAST(CAST('0x'||substr(hx,31,2) AS INT)/255.0 AS REAL) AS DOUBLE), 4) AS feat_l1,
                CAST(CAST(CAST('0x'||substr(hx,1,2) AS INT)/255.0 AS REAL) AS DOUBLE) AS feat_0
         FROM h
+    """,
+    # frame windows are pure byte arithmetic over the utf-8 payload:
+    # width = trunc(greatest(n/4, 1)); frame i holds
+    # clamp(n - i*width, 0, width) bytes (Spark substring truncates at
+    # the payload end; wholly-out-of-range windows are empty)
+    "multimodal_frames": """
+        WITH base AS (
+            SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        ), w AS (
+            SELECT doc_id, n,
+                   CAST(TRUNC(GREATEST(n / 4.0, 1.0)) AS INTEGER) AS width
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               CAST(LEAST(GREATEST(n - i * width, 0), width) AS INTEGER) AS n_bytes,
+               TRUE AS frames_ok
+        FROM w, UNNEST([0, 1, 2, 3]) AS u(i)
     """,
 }
