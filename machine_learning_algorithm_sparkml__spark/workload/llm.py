@@ -270,9 +270,12 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decontaminate_fuzzy_large(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: CORPUS-SCALE fuzzy decontamination — the shuffled
+    """CORPUS-SCALE fuzzy decontamination — the shuffled
     signature-join strategy that lifts the broadcast path's 100k-row
-    benchmark refusal (VERDICT r6 missing #1). The even-id half of
+    benchmark refusal (VERDICT r6 missing #1). Oracle-exact since r8:
+    DuckDB replays the whole program — benchmark construction
+    included — via the portable hash family
+    (_decontaminate_fuzzy_large_oracle_sql). The even-id half of
     documents plays the training split; the benchmark side is (a) the
     odd-id half (train-vs-train cross-contamination shape), (b) a
     perturbed near-copy of every 10th even doc ≥240 chars (first token
@@ -314,7 +317,8 @@ def q_decontaminate_fuzzy_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     benchmark = odd_half.unionAll(perturbed).unionAll(filler)
     survivors = decontaminate_by_minhash(
-        corpus, benchmark, "doc_id", "text", threshold=0.7, strategy="shuffle"
+        corpus, benchmark, "doc_id", "text", threshold=0.7, strategy="shuffle",
+        hash_family="portable",
     ).select("doc_id")
     if not self_verify_enabled():
         return survivors.withColumn(
@@ -1061,10 +1065,60 @@ def _simhash_portable_oracle_sql(num_bits: int = 64, max_hamming: int = 8) -> st
     """
 
 
+def _decontaminate_fuzzy_large_oracle_sql(num_hashes: int = 32, num_bands: int = 8) -> str:
+    """DuckDB replay of the corpus-scale (shuffled-strategy) fuzzy
+    decontamination key, including the full 107k-row benchmark
+    construction (odd half + perturbed planted docs + 105k synthetic
+    filler). Strategy choice changes the PLAN, not the semantics
+    (property-tested equal), so one oracle covers the shuffled path;
+    the `bench_over_broadcast_cap` witness is recomputed, not assumed."""
+    eq_sum = _minhash_eq_sum("sc", "sb", num_hashes)
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        ), bench AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT doc_id + 20000000 AS doc_id,
+                   substring(text, strpos(text, ' ') + 1) AS text
+            FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id % 10 = 0 AND length(text) >= 240
+            UNION ALL
+            SELECT id + 30000000 AS doc_id,
+                   'fillxa' || id || ' fillxb' || id || ' fillxc' || id AS text
+            FROM range(105000) AS r(id)
+        ), {_portable_sig_ctes("corpus", "c_", num_hashes, num_bands)},
+        {_portable_sig_ctes("bench", "b_", num_hashes, num_bands)}, cands AS (
+            SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+            FROM c_banded c JOIN b_banded b
+              ON c.band = b.band AND c.bucket = b.bucket
+        ), contaminated AS (
+            SELECT DISTINCT cid AS doc_id
+            FROM cands
+            JOIN c_sigs sc ON sc.doc_id = cid
+            JOIN b_sigs sb ON sb.doc_id = bid
+            WHERE CAST({eq_sum} AS DOUBLE) / {num_hashes}.0 >= 0.7
+        ), survivors AS (
+            SELECT c.doc_id FROM corpus c
+            WHERE NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = c.doc_id)
+        ), inv AS (
+            SELECT NOT EXISTS (
+                SELECT 1 FROM survivors s
+                JOIN documents d ON d.doc_id = s.doc_id
+                WHERE d.doc_id % 10 = 0 AND length(d.text) >= 240
+            ) AS planted_dropped_ok,
+            (SELECT COUNT(*) FROM bench) > 100000 AS bench_over_broadcast_cap
+        )
+        SELECT s.doc_id, i.planted_dropped_ok, i.bench_over_broadcast_cap
+        FROM survivors s CROSS JOIN inv i
+    """
+
+
 ORACLE = {
     "dedup_minhash": _minhash_portable_oracle_sql(),
     "dedup_simhash": _simhash_portable_oracle_sql(),
     "decontaminate_fuzzy": _decontaminate_fuzzy_oracle_sql(),
+    "decontaminate_fuzzy_large": _decontaminate_fuzzy_large_oracle_sql(),
     "text_token_count": f"""
         SELECT doc_id,
                CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
