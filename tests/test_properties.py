@@ -294,3 +294,59 @@ def test_lang_id_matches_python_reference(spark, texts):
     }
     for i, t in docs:
         assert got[i] == _py_lang_id(t), (i, t, got[i])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FF),
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=16,
+        unique=True,
+    )
+)
+def test_portable_hash_family_matches_duckdb_on_random_strings(spark, vals):
+    """Every oracle upgrade of the r8 round rests on the portable hash
+    primitives agreeing across engines for ARBITRARY input strings
+    (incl. non-ASCII; md5 operates on utf-8 bytes in both). Replay
+    the md5-prefix parses and one affine slot in DuckDB for random
+    strings and require bit equality."""
+    import duckdb
+
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+        MINHASH_PRIME,
+        _affine_mod,
+        minhash_params,
+        portable_hash60,
+        portable_hash60b,
+    )
+
+    a, b = minhash_params(3)[2]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r.s: (r.h1, r.h2, r.m)
+        for r in df.select(
+            "s",
+            portable_hash60(F.col("s")).alias("h1"),
+            portable_hash60b(F.col("s")).alias("h2"),
+            _affine_mod(portable_hash60(F.col("s")) % F.lit(MINHASH_PRIME), a, b).alias("m"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = {
+        row[0]: (row[1], row[2], row[3])
+        for row in con.sql(
+            f"""SELECT s,
+                   CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT),
+                   CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT),
+                   ({a} * (CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_PRIME}) + {b}) % {MINHASH_PRIME}
+                FROM t"""
+        ).fetchall()
+    }
+    assert got == want
