@@ -81,3 +81,83 @@ def unigram_familiarity(
             .alias("familiarity"),
         )
     )
+
+
+def exploded_bigrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, w1, w2) rows — one per bigram OCCURRENCE. Projection-only
+    construction (two literal-offset slices zipped), no shuffle; docs
+    with <2 tokens contribute no rows."""
+    toks = tokens(F.col(text_col))
+    m = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return docs.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+
+def bigram_familiarity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document bigram familiarity — the conditional-structure
+    step up from :func:`unigram_familiarity` (a document of common
+    words in an uncommon ORDER scores high on unigrams but low here).
+
+    Two corpus tables: bigram counts C2(w1,w2) and unigram counts
+    C1(w). Per document, over its bigram occurrences:
+
+    - ``bigram_familiarity = sum(C2) / (n_bigrams * total_bigrams)``
+      — mean corpus relative-frequency of the document's bigrams;
+    - ``conditional_score = sum(C2) / sum(C1(w1))`` — ratio-of-sums
+      estimate of next-token predictability given the observed
+      first-token mass (the log-free, oracle-exact stand-in for a
+      KenLM-style conditional perplexity: numerator and denominator
+      are exact integer sums, one IEEE division each — no ``ln``
+      whose libm rounding differs across engines).
+
+    Scale shape: both count tables are hash-aggregates with map-side
+    combine (zipf-bounded output); the score joins shuffle on the
+    bigram and on w1 — hot tokens are AQE-skew-split; the per-doc
+    re-aggregate combines map-side. Docs with <2 tokens score zeros
+    via the spine left-join.
+    """
+    bg = exploded_bigrams(docs, id_col, text_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("big_count"))
+    c1 = unigram_vocab(docs, id_col, text_col).withColumnRenamed("token", "w1")
+    total = c2.agg(F.sum("big_count").alias("n_total_bigrams"))
+    per_doc = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.sum("big_count").cast("bigint").alias("sum_bigram_count"),
+            F.sum("tok_count").cast("bigint").alias("sum_first_count"),
+        )
+    )
+    n_big = F.coalesce("n_bigrams", F.lit(0))
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            n_big.alias("n_bigrams"),
+            F.coalesce("sum_bigram_count", F.lit(0)).cast("bigint").alias("sum_bigram_count"),
+            F.when(n_big == 0, F.lit(0.0))
+            .otherwise(
+                F.col("sum_bigram_count").cast("double")
+                / (n_big.cast("double") * F.col("n_total_bigrams").cast("double"))
+            )
+            .alias("bigram_familiarity"),
+            F.when(n_big == 0, F.lit(0.0))
+            .otherwise(
+                F.col("sum_bigram_count").cast("double")
+                / F.col("sum_first_count").cast("double")
+            )
+            .alias("conditional_score"),
+        )
+    )

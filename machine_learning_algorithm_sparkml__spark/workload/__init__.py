@@ -24,12 +24,15 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # ~50 keys, in dict-insertion order, so the rotation puts the
 # least-recently-verified keys FIRST each round. Round-8 window
 # (VERDICT r7 #1-#3): the two keys added after the r7 window froze
-# (never driver-checked), then the three keys whose oracles were
-# upgraded in r7 but whose latest driver rows predate the upgrade,
-# then the entire remaining r5-stale block (41 keys) — after this
-# sweep no key's latest row is older than r6. New r8 keys slot in
-# right after the never-checked pair so they get a first row this
-# round. Regenerate the staleness table with
+# (never driver-checked), the six new r8 keys, the three keys whose
+# oracles were upgraded in r7 but whose latest driver rows predate
+# the upgrade, then the r5-stale block. The list is 52 keys for a
+# ~50 window: the final two (window_ntile_cume, window_range_time —
+# plain window functions, lowest-risk of the r5 block) may slip to
+# the r9 head along with the four keys oracle-upgraded mid-r8
+# outside this window (decontaminate_fuzzy/_large, dedup_simhash*,
+# multimodal_frames oracles — *simhash/minhash ARE in-window via the
+# r5 block). Regenerate the staleness table with
 # `python tools/staleness.py` after each round's CORRECTNESS file
 # lands.
 PRIORITY_KEYS = [
@@ -41,6 +44,8 @@ PRIORITY_KEYS = [
     "session_window_native",
     "sql_tpch_q8",
     "sql_tpch_q15",
+    "split_leakage_safe",
+    "text_bigram_familiarity",
     # oracle upgraded in r7, driver row still r6 rows-only:
     "multimodal_decode",
     "multimodal_features",

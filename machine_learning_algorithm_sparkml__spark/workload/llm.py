@@ -439,6 +439,50 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate CLUSTERS are
+    the assignment unit, so near-copies can never straddle train and
+    test (the standard eval-hygiene failure `doc_hash_split` only
+    prevents for byte-identical docs). Program: exact-Jaccard pairs ->
+    connected components -> group_id = component (min reachable
+    doc_id) for clustered docs, own doc_id otherwise -> md5-bucket
+    split of the GROUP id (engine-neutral; same 12/2/2 hex-bucket rule
+    as `doc_hash_split`). At 100 TB the extra cost over a plain hash
+    split is exactly the dedup-pairs program the pipeline runs anyway
+    — the split reuses those edges, adding one left join and a
+    projection."""
+    from machine_learning_algorithm_sparkml__spark.functions.text import (
+        hash_split_label,
+    )
+    from machine_learning_algorithm_sparkml__spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_doc_freq=_SHINGLE_DF_CAP,
+    ).localCheckpoint(eager=True)
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components(members, pairs, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    group = F.coalesce("component", F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            group.cast("bigint").alias("group_id"),
+            hash_split_label(group).alias("split"),
+        )
+    )
+
+
 def q_text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language z-score of document length as a built-in window
     plan: AVG/STDDEV_SAMP over ``lang``, all JVM-side. The earlier
@@ -851,6 +895,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
+    "split_leakage_safe": q_split_leakage_safe,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_pipeline_keep": q_dedup_pipeline_keep,
     "text_zscore_by_lang": q_text_zscore_by_lang,
@@ -1441,6 +1486,59 @@ ORACLE = {
             SELECT node, MIN(root) AS component FROM r GROUP BY node
         )
         SELECT node AS doc_id, component FROM reach
+    """,
+    "split_leakage_safe": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0) AS t
+            FROM documents
+        ), sh_raw AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
+                        ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                   END AS sh
+            FROM toks
+        ), shingles AS (
+            SELECT DISTINCT doc_id, u.shingle FROM sh_raw, UNNEST(sh) AS u(shingle)
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
+        ), cold AS (
+            SELECT shingle FROM shingles GROUP BY shingle
+            HAVING COUNT(*) <= {_SHINGLE_DF_CAP}
+        ), capped AS (
+            SELECT s.doc_id, s.shingle FROM shingles s JOIN cold c ON s.shingle = c.shingle
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), prs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.5
+        ), und AS (
+            SELECT id_a AS src, id_b AS dst FROM prs
+            UNION SELECT id_b, id_a FROM prs
+        ), members AS (
+            SELECT DISTINCT src AS doc_id FROM und
+        ), reach AS (
+            WITH RECURSIVE r(node, root) AS (
+                SELECT doc_id, doc_id FROM members
+                UNION
+                SELECT e.dst, r.root FROM r JOIN und e ON e.src = r.node
+            )
+            SELECT node, MIN(root) AS component FROM r GROUP BY node
+        ), grouped AS (
+            SELECT d.doc_id,
+                   CAST(COALESCE(rc.component, d.doc_id) AS BIGINT) AS group_id
+            FROM documents d LEFT JOIN reach rc ON rc.node = d.doc_id
+        )
+        SELECT doc_id, group_id,
+               CASE WHEN substring(md5(CAST(group_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                    WHEN substring(md5(CAST(group_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                    ELSE 'test' END AS split
+        FROM grouped
     """,
     "dedup_keep_best": f"""
         WITH toks AS (

@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from machine_learning_algorithm_sparkml__spark.functions.quality import gopher_signals
-from machine_learning_algorithm_sparkml__spark.operators.lm import unigram_familiarity
+from machine_learning_algorithm_sparkml__spark.operators.lm import (
+    bigram_familiarity,
+    unigram_familiarity,
+)
 from machine_learning_algorithm_sparkml__spark.operators.quantize import quantize_int8
 from machine_learning_algorithm_sparkml__spark.sources import load_table
 
@@ -39,6 +42,16 @@ def q_text_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     final division."""
     docs = load_table(spark, sf_dir, "documents")
     return unigram_familiarity(docs, "doc_id", "text")
+
+
+def q_text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM score per doc (operators/lm.py:
+    bigram_familiarity): the conditional-structure signal —
+    common-words-in-uncommon-order scores low here while passing the
+    unigram check. Integer sums + one division per output column, so
+    oracle-exact without rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_familiarity(docs, "doc_id", "text")
 
 
 def q_domain_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,6 +173,7 @@ QUERIES = {
     "text_gopher_quality": q_text_gopher_quality,
     "text_repetition_bigram": q_text_repetition_bigram,
     "text_unigram_familiarity": q_text_unigram_familiarity,
+    "text_bigram_familiarity": q_text_bigram_familiarity,
     "text_normalize": q_text_normalize,
     "domain_top_docs": q_domain_top_docs,
     "embedding_quantize_int8": q_embedding_quantize_int8,
@@ -259,6 +273,45 @@ ORACLE = {
                     ELSE CAST(p.sum_count AS DOUBLE)
                          / (CAST(p.n_tok AS DOUBLE) * CAST(total.n_total AS DOUBLE)) END
                    AS familiarity
+        FROM documents d
+        LEFT JOIN per_doc p USING (doc_id)
+        CROSS JOIN total
+    """,
+    "text_bigram_familiarity": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ), bg AS (
+            SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+            FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        ), c2 AS (
+            SELECT w1, w2, COUNT(*) AS big_count FROM bg GROUP BY w1, w2
+        ), tok AS (
+            SELECT doc_id, unnest(t) AS token FROM toks
+        ), c1 AS (
+            SELECT token AS w1, COUNT(*) AS tok_count FROM tok GROUP BY token
+        ), total AS (
+            SELECT SUM(big_count) AS n_total_bigrams FROM c2
+        ), per_doc AS (
+            SELECT b.doc_id,
+                   COUNT(*) AS n_bigrams,
+                   SUM(c2.big_count) AS sum_bigram_count,
+                   SUM(c1.tok_count) AS sum_first_count
+            FROM bg b
+            JOIN c2 USING (w1, w2)
+            JOIN c1 USING (w1)
+            GROUP BY b.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+               CAST(COALESCE(p.sum_bigram_count, 0) AS BIGINT) AS sum_bigram_count,
+               CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+                    ELSE CAST(p.sum_bigram_count AS DOUBLE)
+                         / (CAST(p.n_bigrams AS DOUBLE) * CAST(total.n_total_bigrams AS DOUBLE)) END
+                   AS bigram_familiarity,
+               CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+                    ELSE CAST(p.sum_bigram_count AS DOUBLE)
+                         / CAST(p.sum_first_count AS DOUBLE) END
+                   AS conditional_score
         FROM documents d
         LEFT JOIN per_doc p USING (doc_id)
         CROSS JOIN total

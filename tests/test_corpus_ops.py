@@ -135,3 +135,45 @@ def test_passage_dedup_constructed_set(spark):
     for empty_id in (5, 6):  # token-less docs: zero passages, md5('')
         assert (out[empty_id]["n_passages"], out[empty_id]["n_kept"]) == (0, 0)
         assert out[empty_id]["rebuilt_md5"] == md5("")
+
+
+def test_bigram_familiarity_hand_computed(spark):
+    """Semantic anchor independent of the oracle (which mirrors the
+    implementation): 3-doc corpus small enough to hand-compute.
+    Corpus bigrams: d0 'a b', 'b a'; d1 'a b', 'b c'; d2: none.
+    C2: (a,b)=2, (b,a)=1, (b,c)=1; total_bigrams=4.
+    C1 (unigrams): a=3, b=3, c=1 (d2 contributes 'a').
+    d0: sum_big = C2(a,b)+C2(b,a) = 3; sum_first = C1(a)+C1(b) = 6
+        familiarity = 3/(2*4) = 0.375; conditional = 3/6 = 0.5
+    d1: sum_big = 2+1 = 3; sum_first = C1(a)+C1(b) = 6 -> same values
+    d2: single token -> zeros."""
+    from machine_learning_algorithm_sparkml__spark.operators.lm import bigram_familiarity
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "a b c"), (2, "a")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in bigram_familiarity(df).collect()}
+    assert (got[0].n_bigrams, got[0].sum_bigram_count) == (2, 3)
+    assert got[0].bigram_familiarity == 3 / 8 and got[0].conditional_score == 0.5
+    assert (got[1].n_bigrams, got[1].sum_bigram_count) == (2, 3)
+    assert got[1].bigram_familiarity == 3 / 8 and got[1].conditional_score == 0.5
+    assert (got[2].n_bigrams, got[2].sum_bigram_count) == (0, 0)
+    assert got[2].bigram_familiarity == 0.0 and got[2].conditional_score == 0.0
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark, sf_dir):
+    """The defining property, checked directly (not via the oracle):
+    every near-duplicate pair ends up in ONE split, and group_id is a
+    member of its own group (a real doc_id)."""
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_split_leakage_safe,
+        q_dedup_ngram_jaccard,
+    )
+
+    split = {r.doc_id: (r.group_id, r.split) for r in q_split_leakage_safe(spark, sf_dir).collect()}
+    pairs = [(r.id_a, r.id_b) for r in q_dedup_ngram_jaccard(spark, sf_dir).collect()]
+    assert pairs, "testdata should contain near-dup pairs"
+    for a, b in pairs:
+        assert split[a][1] == split[b][1], (a, b, split[a], split[b])
+        assert split[a][0] == split[b][0]
+    assert all(g in split for g, _ in split.values())
