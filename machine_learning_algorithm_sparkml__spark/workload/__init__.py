@@ -46,6 +46,7 @@ PRIORITY_KEYS = [
     "sql_tpch_q15",
     "split_leakage_safe",
     "text_bigram_familiarity",
+    "layout_zorder",
     # oracle upgraded in r7, driver row still r6 rows-only:
     "multimodal_decode",
     "multimodal_features",

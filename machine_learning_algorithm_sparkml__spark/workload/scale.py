@@ -18,6 +18,8 @@ from pyspark.sql import types as T
 from machine_learning_algorithm_sparkml__spark.operators.layout import (
     write_bucketed,
     write_partitioned,
+    write_zordered,
+    zorder_value,
 )
 from machine_learning_algorithm_sparkml__spark.operators.skew import salted_join
 from machine_learning_algorithm_sparkml__spark.sources import (
@@ -58,6 +60,31 @@ def q_sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_partitioned(orders, path, ["o_orderpriority"])
     back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
     return back.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering round trip: orders rewritten
+    range-partitioned + sorted by the bit-interleaved
+    (o_custkey, o_orderkey) curve value, then scanned back with a 2-D
+    range predicate. Output: the matching rows + their curve value
+    (exact integer bit-math — DuckDB replays the interleave
+    bit-for-bit). The LAYOUT claim — a small 2-D box lands in few
+    files because each file covers a compact curve tile — is asserted
+    physically in tests/test_scale_features.py via input_file_name();
+    at 100 TB that is the difference between multi-dimensional scans
+    pruning on parquet min/max stats and scanning the whole table
+    (single-column sort only prunes its leading column)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    path = scratch_sink_path(sf_dir, "orders_zordered")
+    write_zordered(orders, path, "o_custkey", "o_orderkey", num_files=8)
+    back = spark.read.parquet(path).filter(
+        (F.col("o_custkey") < 64) & (F.col("o_orderkey") < 512)
+    )
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        zorder_value(F.col("o_custkey"), F.col("o_orderkey")).alias("z_value"),
+    )
 
 
 def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,6 +207,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "join_skew_salted": q_join_skew_salted,
     "sink_partitioned_scan": q_sink_partitioned_scan,
+    "layout_zorder": q_layout_zorder,
     "join_bucketed": q_join_bucketed,
     "sink_json": q_sink_json_roundtrip,
     "graph_pagerank": q_graph_pagerank,
@@ -235,6 +263,15 @@ ORACLE = {
                ROUND(SUM(l.l_extendedprice), 2) AS sum_price
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
+    """,
+    "layout_zorder": """
+        -- bit-interleaved Morton value, replayed as plain integer
+        -- bit ops; the write round-trip is semantics-preserving so
+        -- the oracle reads the original table
+        SELECT o_orderkey, o_custkey,
+               CAST(((((o_custkey & 65535) >> 0) & 1) << 0) + ((((o_orderkey & 65535) >> 0) & 1) << 1) + ((((o_custkey & 65535) >> 1) & 1) << 2) + ((((o_orderkey & 65535) >> 1) & 1) << 3) + ((((o_custkey & 65535) >> 2) & 1) << 4) + ((((o_orderkey & 65535) >> 2) & 1) << 5) + ((((o_custkey & 65535) >> 3) & 1) << 6) + ((((o_orderkey & 65535) >> 3) & 1) << 7) + ((((o_custkey & 65535) >> 4) & 1) << 8) + ((((o_orderkey & 65535) >> 4) & 1) << 9) + ((((o_custkey & 65535) >> 5) & 1) << 10) + ((((o_orderkey & 65535) >> 5) & 1) << 11) + ((((o_custkey & 65535) >> 6) & 1) << 12) + ((((o_orderkey & 65535) >> 6) & 1) << 13) + ((((o_custkey & 65535) >> 7) & 1) << 14) + ((((o_orderkey & 65535) >> 7) & 1) << 15) + ((((o_custkey & 65535) >> 8) & 1) << 16) + ((((o_orderkey & 65535) >> 8) & 1) << 17) + ((((o_custkey & 65535) >> 9) & 1) << 18) + ((((o_orderkey & 65535) >> 9) & 1) << 19) + ((((o_custkey & 65535) >> 10) & 1) << 20) + ((((o_orderkey & 65535) >> 10) & 1) << 21) + ((((o_custkey & 65535) >> 11) & 1) << 22) + ((((o_orderkey & 65535) >> 11) & 1) << 23) + ((((o_custkey & 65535) >> 12) & 1) << 24) + ((((o_orderkey & 65535) >> 12) & 1) << 25) + ((((o_custkey & 65535) >> 13) & 1) << 26) + ((((o_orderkey & 65535) >> 13) & 1) << 27) + ((((o_custkey & 65535) >> 14) & 1) << 28) + ((((o_orderkey & 65535) >> 14) & 1) << 29) + ((((o_custkey & 65535) >> 15) & 1) << 30) + ((((o_orderkey & 65535) >> 15) & 1) << 31) AS BIGINT) AS z_value
+        FROM orders
+        WHERE o_custkey < 64 AND o_orderkey < 512
     """,
     "sink_partitioned_scan": """
         SELECT o_orderkey, o_totalprice, o_orderpriority

@@ -142,3 +142,60 @@ def test_wired_salted_join_key_spreads_salt(spark, sf_dir):
     pt = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
     plan = formatted_plan(salted_join(li, pt, "partkey", salt_buckets=16))
     assert "_salt" in plan
+
+
+def test_zorder_write_clusters_2d_box_into_few_files(spark, sf_dir):
+    """The physical claim behind layout_zorder: after the Z-order
+    rewrite, a small 2-D box (a compact tile of the Morton curve)
+    lands in a small fraction of the 8 output files — single-column
+    sorting cannot do this for BOTH dimensions. The box (custkey<64,
+    orderkey<512) covers curve values < 2^18 = the lowest tile, so
+    its rows are a contiguous curve range ~ 1 file."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_algorithm_sparkml__spark.operators.layout import write_zordered
+    from machine_learning_algorithm_sparkml__spark.sources import (
+        load_table,
+        scratch_sink_path,
+    )
+
+    from machine_learning_algorithm_sparkml__spark.operators.layout import zorder_value
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    path = scratch_sink_path(sf_dir, "orders_zordered_test")
+    write_zordered(orders, path, "o_custkey", "o_orderkey", num_files=8)
+    back = spark.read.parquet(path)
+    # THE layout property: files tile the curve — per-file z ranges
+    # are pairwise DISJOINT, so any z-contiguous box reads exactly
+    # ceil(box_fraction * files) + boundary files, never all of them
+    spans = (
+        back.withColumn("z", zorder_value(F.col("o_custkey"), F.col("o_orderkey")))
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .collect()
+    )
+    assert len(spans) >= 4, spans
+    ordered = sorted(spans, key=lambda r: r.lo)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.hi < b.lo, (a, b)
+    # and the consequence for a 2-D box (~15% of rows at sf0.001):
+    # a contiguous low-z tile -> a minority of files, not all 8
+    box = back.filter((F.col("o_custkey") < 64) & (F.col("o_orderkey") < 512))
+    assert box.count() > 0, "box must be non-empty for the test to mean anything"
+    n_files_box = box.select(F.input_file_name()).distinct().count()
+    assert n_files_box <= len(spans) // 2, (n_files_box, len(spans))
+
+
+def test_zorder_value_interleaves_bits(spark):
+    """Hand-computed Morton pins: (x=0b11, y=0b01) -> 0b0111 = 7;
+    (x=1, y=1) -> 3; (x=2, y=0) -> 0b100 = 4 (x rides the EVEN bit
+    positions); masking keeps only the low 16 bits of each input."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_algorithm_sparkml__spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(3, 1), (1, 1), (2, 0), (65536 + 3, 65536 * 4 + 1)], "x long, y long"
+    )
+    got = [r.z for r in df.select(zorder_value(F.col("x"), F.col("y")).alias("z")).collect()]
+    assert got == [7, 3, 4, 7], got
