@@ -397,3 +397,38 @@ def test_q15_max_subquery_not_nested_loop(spark, sf_dir):
     plan = formatted_plan(q_sql_tpch_q15(spark, sf_dir))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     assert "Subquery" in plan or "ReusedSubquery" in plan, plan
+
+
+def test_bigram_familiarity_partial_aggregation(spark, sf_dir):
+    """Both count tables and the per-doc re-aggregate must combine
+    map-side; no Python workers anywhere in the plan."""
+    from machine_learning_algorithm_sparkml__spark.plans import (
+        formatted_plan,
+        has_partial_aggregation,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.quality import (
+        q_text_bigram_familiarity,
+    )
+
+    df = q_text_bigram_familiarity(spark, sf_dir)
+    assert has_partial_aggregation(df)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_zorder_value_stays_in_codegen(spark, sf_dir):
+    """The Morton projection is pure bit-math — it must live inside a
+    WholeStageCodegen span, no Python, no shuffle of its own."""
+    from machine_learning_algorithm_sparkml__spark.operators.layout import zorder_value
+    from machine_learning_algorithm_sparkml__spark.plans import (
+        formatted_plan,
+        whole_stage_codegen_spans,
+    )
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+    df = load_table(spark, sf_dir, "orders").select(
+        zorder_value(F.col("o_custkey"), F.col("o_orderkey")).alias("z")
+    )
+    assert whole_stage_codegen_spans(df) >= 1
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
