@@ -928,6 +928,39 @@ def _marker_list(lang: str) -> str:
 # strips only spaces, same as Spark)
 _TOKENS = "list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0)"
 
+# Shared 3-gram Jaccard candidate program (toks -> shingles -> sizes
+# -> hot-shingle cap -> intersection counts): FIVE oracles compose on
+# top of it (pair list, clusters, keep-best, pipeline, leakage-safe
+# split). ONE definition so the replayed semantics cannot drift
+# between them — the same no-drift rule as _portable_sig_ctes.
+_JACCARD_INTER_CTES = f"""toks AS (
+            SELECT doc_id,
+                   -- guarded like the Spark tokens(): NULL/blank text -> []
+                   -- (the len(t)<n branch then yields the same single \'\' shingle)
+                   list_filter(regexp_split_to_array(COALESCE(text, \'\'), \'\\s+\'), x -> length(x) > 0) AS t
+            FROM documents
+        ), sh_raw AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, \' \'), \'\')]
+                        ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], \' \'))
+                   END AS sh
+            FROM toks
+        ), shingles AS (
+            SELECT DISTINCT doc_id, u.shingle
+            FROM sh_raw, UNNEST(sh) AS u(shingle)
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
+        ), cold AS (
+            SELECT shingle FROM shingles GROUP BY shingle
+            HAVING COUNT(*) <= {_SHINGLE_DF_CAP}
+        ), capped AS (
+            SELECT s.doc_id, s.shingle FROM shingles s JOIN cold c ON s.shingle = c.shingle
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )"""
+
 
 def _portable_sig_ctes(src: str, prefix: str, num_hashes: int, num_bands: int) -> str:
     """CTE chain ``{prefix}sigs`` / ``{prefix}banded`` replaying the
@@ -1406,33 +1439,7 @@ ORACLE = {
         FROM documents d LEFT JOIN rebuilt r USING (doc_id)
     """,
     "dedup_ngram_jaccard": f"""
-        WITH toks AS (
-            SELECT doc_id,
-                   -- guarded like the Spark tokens(): NULL/blank text -> []
-                   -- (the len(t)<n branch then yields the same single '' shingle)
-                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0) AS t
-            FROM documents
-        ), sh_raw AS (
-            SELECT doc_id,
-                   CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
-                        ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-                   END AS sh
-            FROM toks
-        ), shingles AS (
-            SELECT DISTINCT doc_id, u.shingle
-            FROM sh_raw, UNNEST(sh) AS u(shingle)
-        ), sizes AS (
-            SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
-        ), cold AS (
-            SELECT shingle FROM shingles GROUP BY shingle
-            HAVING COUNT(*) <= {_SHINGLE_DF_CAP}
-        ), capped AS (
-            SELECT s.doc_id, s.shingle FROM shingles s JOIN cold c ON s.shingle = c.shingle
-        ), inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-            FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
+        WITH {_JACCARD_INTER_CTES}
         SELECT id_a, id_b,
                CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) AS jaccard
         FROM inter
@@ -1441,33 +1448,7 @@ ORACLE = {
         WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.5
     """,
     "dedup_clusters": f"""
-        WITH toks AS (
-            SELECT doc_id,
-                   -- guarded like the Spark tokens(): NULL/blank text -> []
-                   -- (the len(t)<n branch then yields the same single '' shingle)
-                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0) AS t
-            FROM documents
-        ), sh_raw AS (
-            SELECT doc_id,
-                   CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
-                        ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-                   END AS sh
-            FROM toks
-        ), shingles AS (
-            SELECT DISTINCT doc_id, u.shingle
-            FROM sh_raw, UNNEST(sh) AS u(shingle)
-        ), sizes AS (
-            SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
-        ), cold AS (
-            SELECT shingle FROM shingles GROUP BY shingle
-            HAVING COUNT(*) <= {_SHINGLE_DF_CAP}
-        ), capped AS (
-            SELECT s.doc_id, s.shingle FROM shingles s JOIN cold c ON s.shingle = c.shingle
-        ), inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-            FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), pairs AS (
+        WITH {_JACCARD_INTER_CTES}, pairs AS (
             SELECT id_a, id_b FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
@@ -1488,30 +1469,7 @@ ORACLE = {
         SELECT node AS doc_id, component FROM reach
     """,
     "split_leakage_safe": f"""
-        WITH toks AS (
-            SELECT doc_id,
-                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0) AS t
-            FROM documents
-        ), sh_raw AS (
-            SELECT doc_id,
-                   CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
-                        ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-                   END AS sh
-            FROM toks
-        ), shingles AS (
-            SELECT DISTINCT doc_id, u.shingle FROM sh_raw, UNNEST(sh) AS u(shingle)
-        ), sizes AS (
-            SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
-        ), cold AS (
-            SELECT shingle FROM shingles GROUP BY shingle
-            HAVING COUNT(*) <= {_SHINGLE_DF_CAP}
-        ), capped AS (
-            SELECT s.doc_id, s.shingle FROM shingles s JOIN cold c ON s.shingle = c.shingle
-        ), inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-            FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), prs AS (
+        WITH {_JACCARD_INTER_CTES}, prs AS (
             SELECT id_a, id_b FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
@@ -1541,30 +1499,7 @@ ORACLE = {
         FROM grouped
     """,
     "dedup_keep_best": f"""
-        WITH toks AS (
-            SELECT doc_id,
-                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0) AS t
-            FROM documents
-        ), sh_raw AS (
-            SELECT doc_id,
-                   CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
-                        ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-                   END AS sh
-            FROM toks
-        ), shingles AS (
-            SELECT DISTINCT doc_id, u.shingle FROM sh_raw, UNNEST(sh) AS u(shingle)
-        ), sizes AS (
-            SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
-        ), cold AS (
-            SELECT shingle FROM shingles GROUP BY shingle
-            HAVING COUNT(*) <= {_SHINGLE_DF_CAP}
-        ), capped AS (
-            SELECT s.doc_id, s.shingle FROM shingles s JOIN cold c ON s.shingle = c.shingle
-        ), inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-            FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), pairs AS (
+        WITH {_JACCARD_INTER_CTES}, pairs AS (
             SELECT id_a, id_b FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
