@@ -260,3 +260,60 @@ def test_session2_ops_on_degenerate_frames(spark):
     res = pq_topk(empty_emb, empty_emb, k=3)
     assert res.count() == 0
     assert res.columns == ["query_id", "neighbor_id", "rank", "sim"]
+
+
+def test_bigram_familiarity_all_docs_too_short(spark):
+    """A corpus with no doc of >= 2 tokens has an EMPTY bigram table
+    (total is NULL): every doc must still come back with exact zeros,
+    not NULLs or a division error."""
+    from machine_learning_algorithm_sparkml__spark.operators.lm import bigram_familiarity
+
+    df = spark.createDataFrame(
+        [(0, "one"), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bigram_familiarity(df).collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert (r.n_bigrams, r.sum_bigram_count) == (0, 0)
+        assert r.bigram_familiarity == 0.0 and r.conditional_score == 0.0
+
+
+def test_leakage_safe_split_no_near_dups(spark):
+    """With zero near-dup pairs every doc is its own group and the
+    split degenerates to the plain hash split — no crash on the empty
+    edge list, full coverage, group_id == doc_id."""
+    from machine_learning_algorithm_sparkml__spark.workload.llm import q_split_leakage_safe
+
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, f"utterly unique text number {i} {'x'*i}") for i in range(6)],
+            "doc_id long, text string",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = q_split_leakage_safe(spark, d).collect()
+    assert {r.doc_id for r in out} == set(range(6))
+    assert all(r.group_id == r.doc_id for r in out)
+    assert all(r.split in ("train", "val", "test") for r in out)
+
+
+def test_zorder_value_null_and_empty_input(spark):
+    """NULL dimension -> NULL curve value (never a crash); an empty
+    frame survives the clustered write round trip."""
+    import os, tempfile
+
+    from pyspark.sql import functions as F
+
+    from machine_learning_algorithm_sparkml__spark.operators.layout import (
+        write_zordered,
+        zorder_value,
+    )
+
+    df = spark.createDataFrame([(None, 5), (3, None), (1, 2)], "x long, y long")
+    got = df.select(zorder_value(F.col("x"), F.col("y")).alias("z")).collect()
+    assert [r.z for r in got] == [None, None, 9]  # x=1 even bit0, y=2 odd bit3
+    empty = spark.createDataFrame([], "x long, y long")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "z")
+        write_zordered(empty, p, "x", "y", num_files=2)
+        assert spark.read.parquet(p).count() == 0
