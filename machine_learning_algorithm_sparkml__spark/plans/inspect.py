@@ -48,13 +48,14 @@ def scan_read_schema_columns(df: DataFrame) -> list[list[str]]:
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
-    """Number of distinct WholeStageCodegen stages (the ``*(N)``
-    markers). EXECUTES the frame: with AQE the physical plan is only
-    final after at least one run, so this helper collects first and
-    reads the executed plan."""
+    """Number of distinct WholeStageCodegen stages (the
+    ``[codegen id : N]`` markers of formatted explain). EXECUTES the
+    frame: with AQE the physical plan is only final after at least one
+    run, so this helper collects first and re-explains — public
+    explain output only, no ``_jdf`` bridge (ADVICE r7; formatted
+    explain shows ``isFinalPlan=true`` after the run)."""
     df.collect()
-    executed = df._jdf.queryExecution().executedPlan().toString()
-    return len(set(re.findall(r"\*\((\d+)\)", executed)))
+    return len(set(re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df))))
 
 
 def has_partial_aggregation(df: DataFrame) -> bool:

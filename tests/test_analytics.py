@@ -10,7 +10,10 @@ from machine_learning_algorithm_sparkml__spark.workload import analytics
 
 
 def _physical_plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    # public explain output, Connect-safe (ADVICE r7 — no _jdf bridge)
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+
+    return formatted_plan(df)
 
 
 def test_stratified_sample_rates_and_determinism(spark, sf_dir):
@@ -64,9 +67,13 @@ def test_moving_avg_first_row_equals_value(spark, sf_dir):
 def test_window_keys_single_shuffle(spark, sf_dir):
     """Both window keys must shuffle exactly once: all their window
     expressions share one partitioning."""
+    import re
+
     for fn in (analytics.q_window_lag_lead, analytics.q_window_moving_avg):
         plan = _physical_plan(fn(spark, sf_dir))
-        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # formatted explain names shuffle exchanges "(N) Exchange"
+        # (broadcast ones are "BroadcastExchange" — excluded by \b)
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
 
 
 def test_outlier_iqr_no_spend_shuffle_for_fences(spark, sf_dir):
