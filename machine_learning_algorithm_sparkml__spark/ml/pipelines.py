@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 
 from machine_learning_algorithm_sparkml__spark.ml.balance import undersample_balance
 from machine_learning_algorithm_sparkml__spark.ml.classify import (
-    REFERENCE_RF_SEED,
     REFERENCE_SPLIT_SEED,
     fit_transform,
     make_pipeline,
@@ -47,7 +46,6 @@ from machine_learning_algorithm_sparkml__spark.ml.tune import (
     make_param_grid,
 )
 from machine_learning_algorithm_sparkml__spark.operators import (
-    filter_eq,
     inner_equi_join,
     seeded_random_split,
 )

@@ -22,8 +22,6 @@ from pyspark.sql import functions as F
 from machine_learning_algorithm_sparkml__spark.ml import (
     fit_predict_evaluate,
     make_accuracy_evaluator,
-    make_cross_validator,
-    make_param_grid,
     make_pipeline,
     make_random_forest,
     make_string_indexer,
