@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from machine_learning_algorithm_sparkml__spark.functions.text import tokens
+from machine_learning_algorithm_sparkml__spark.functions.text import token_bigrams, tokens
 
 #: Gopher-style acceptance bands (policy constants; the engine
 #: guarantees determinism, the bands are tunable).
@@ -104,13 +104,8 @@ def bigram_signals(df: DataFrame, id_cols: list[str], text_col: str = "text") ->
     final double division (bit-exact on any IEEE engine).
     """
     toks = tokens(F.col(text_col))
-    n_bg_len = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.array_sort(
-        F.zip_with(
-            F.slice(toks, 1, n_bg_len),
-            F.slice(toks, 2, n_bg_len),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
+        token_bigrams(toks, combine=lambda a, b: F.concat_ws(" ", a, b))
     )
 
     def _step(acc, x):

@@ -41,6 +41,21 @@ def tokens(text: Column) -> Column:
     return F.filter(parts, lambda t: F.length(t) > 0)
 
 
+def token_bigrams(toks: Column, combine=None) -> Column:
+    """Adjacent-token bigram array from a token array: two
+    literal-offset slices zipped ONCE (O(tokens), projection-only);
+    <2 tokens -> empty array. ``combine(a, b)`` builds each bigram
+    cell — default a (w1, w2) struct; the repetition scorer passes a
+    concat for sortable strings. ONE definition of "word bigram"
+    shared by functions/quality.bigram_signals and
+    operators/lm.exploded_bigrams, so the two can never drift."""
+    if combine is None:
+        def combine(a, b):
+            return F.struct(a.alias("w1"), b.alias("w2"))
+    m = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    return F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m), combine)
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count — the cheap "how long is this document"
     signal (int). Counts maximal non-whitespace runs directly via

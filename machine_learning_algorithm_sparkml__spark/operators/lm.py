@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from machine_learning_algorithm_sparkml__spark.functions.text import tokens
+from machine_learning_algorithm_sparkml__spark.functions.text import token_bigrams, tokens
 
 
 def exploded_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -87,13 +87,7 @@ def exploded_bigrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """(id, w1, w2) rows — one per bigram OCCURRENCE. Projection-only
     construction (two literal-offset slices zipped), no shuffle; docs
     with <2 tokens contribute no rows."""
-    toks = tokens(F.col(text_col))
-    m = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
-    pairs = F.zip_with(
-        F.slice(toks, 1, m),
-        F.slice(toks, 2, m),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
+    pairs = token_bigrams(tokens(F.col(text_col)))
     return docs.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
         id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )

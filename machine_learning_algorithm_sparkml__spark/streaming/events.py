@@ -17,10 +17,29 @@ emits each window once its watermark passes.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@contextmanager
+def frozen_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Set ``spark.sql.shuffle.partitions`` for the duration of a
+    streaming-query START (Spark freezes the value into the query's
+    state layout at start — see ``_run_to_completion``), restoring the
+    session value on exit. ONE definition shared by every stateful
+    runner (events + stateful.py) so the freeze/restore rule cannot
+    drift. ``n=None`` is a no-op (inherit the session width)."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if n is not None:
+        spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 def _events_schema(sf_dir: str, spark: SparkSession | None = None) -> tuple[T.StructType, bool]:
     """Streaming needs the schema up front; the generated events file
@@ -192,19 +211,13 @@ def _run_to_completion(
     restored immediately after start (it is only read at query
     start)."""
     query_name = f"stream_{uuid.uuid4().hex[:8]}"
-    shuffle_key = "spark.sql.shuffle.partitions"
-    old_parts = spark.conf.get(shuffle_key)
-    if num_state_partitions is not None:
-        spark.conf.set(shuffle_key, str(num_state_partitions))
-    try:
+    with frozen_shuffle_partitions(spark, num_state_partitions):
         q = (
             agg.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(query_name)
             .start()
         )
-    finally:
-        spark.conf.set(shuffle_key, old_parts)
     try:
         q.processAllAvailable()
     finally:

@@ -61,14 +61,12 @@ def run_stateful_running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    shuffle_key = "spark.sql.shuffle.partitions"
-    old_parts = spark.conf.get(shuffle_key)
-    if num_state_partitions is not None:
-        spark.conf.set(shuffle_key, str(num_state_partitions))
-    try:
+    from machine_learning_algorithm_sparkml__spark.streaming.events import (
+        frozen_shuffle_partitions,
+    )
+
+    with frozen_shuffle_partitions(spark, num_state_partitions):
         q = totals.writeStream.outputMode("update").format("memory").queryName(query_name).start()
-    finally:
-        spark.conf.set(shuffle_key, old_parts)
     try:
         q.processAllAvailable()
     finally:

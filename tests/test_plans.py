@@ -381,8 +381,13 @@ def test_q8_dims_broadcast(spark, sf_dir):
         q_sql_tpch_q8,
     )
 
+    import re
+
     plan = formatted_plan(q_sql_tpch_q8(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 5, plan
+    # count tree NODES ("(N) BroadcastHashJoin"), not substring hits:
+    # formatted explain repeats each operator in the detail block, so a
+    # plain .count() would still pass after join demotions
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 5, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
 
 
