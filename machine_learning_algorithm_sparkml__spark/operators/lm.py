@@ -155,3 +155,54 @@ def bigram_familiarity(
             .alias("conditional_score"),
         )
     )
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    *,
+    default_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Greedy per-source token-budget fill — the final mixture-
+    construction step of a training-data pipeline: each source
+    contributes documents (in a deterministic, unbiased md5-of-id
+    order) until its token budget is reached; the first document that
+    would overshoot, and everything after it, is excluded.
+
+    Output: one row per input document —
+    ``(id, source, n_tokens, cum_tokens, kept)`` where ``cum_tokens``
+    is the running total INCLUDING the row, in mixture order, and
+    ``kept = cum_tokens <= budget(source)``. All integer arithmetic
+    (token counts + cumulative sums), so the verdict is exact on any
+    engine — no sampling noise, rerun-identical.
+
+    Scale shape: ONE hash-partition shuffle on the source plus a sort
+    within each source partition for the running sum (bounded window
+    state; sources are coarse, so AQE's skew handling covers a
+    dominant source). The md5 order makes the greedy fill unbiased by
+    ingest order and stable under repartitioning — the properties a
+    reproducible mixture needs.
+    """
+    from pyspark.sql import Window
+
+    order_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(source_col).orderBy(order_key).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    budget = F.coalesce(
+        *[
+            F.when(F.col(source_col) == src, F.lit(b))
+            for src, b in sorted(budgets.items())
+        ],
+        F.lit(default_budget),
+    ) if budgets else F.lit(default_budget)
+    n_tokens = F.size(tokens(F.col(text_col)))
+    out = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        n_tokens.cast("int").alias("n_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+    return out.withColumn("kept", F.col("cum_tokens") <= budget)

@@ -26,11 +26,11 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # (VERDICT r7 #1-#3): the two keys added after the r7 window froze
 # (never driver-checked), the six new r8 keys, the three keys whose
 # oracles were upgraded in r7 but whose latest driver rows predate
-# the upgrade, then the r5-stale block. The list is 53 keys for a
-# ~50 window: the final THREE (window_moving_avg, window_ntile_cume,
-# window_range_time — plain window functions, lowest-risk of the r5
-# block) may slip to the r9 head along with the two keys
-# oracle-upgraded mid-r8 outside this window
+# the upgrade, then the r5-stale block. The list is 54 keys for a
+# ~50 window: the final FOUR (window_lag_lead, window_moving_avg,
+# window_ntile_cume, window_range_time — plain window functions,
+# lowest-risk of the r5 block) may slip to the r9 head along with the
+# two keys oracle-upgraded mid-r8 outside this window
 # (decontaminate_fuzzy/_large; the minhash/simhash/frames upgrades
 # ARE in-window via the r5 block). Regenerate the staleness table with
 # `python tools/staleness.py` after each round's CORRECTNESS file
@@ -47,6 +47,7 @@ PRIORITY_KEYS = [
     "split_leakage_safe",
     "text_bigram_familiarity",
     "layout_zorder",
+    "mixture_token_budget",
     # oracle upgraded in r7, driver row still r6 rows-only:
     "multimodal_decode",
     "multimodal_features",

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from machine_learning_algorithm_sparkml__spark.functions.quality import gopher_signals
 from machine_learning_algorithm_sparkml__spark.operators.lm import (
     bigram_familiarity,
+    token_budget_mixture,
     unigram_familiarity,
 )
 from machine_learning_algorithm_sparkml__spark.operators.quantize import quantize_int8
@@ -52,6 +53,18 @@ def q_text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-exact without rounding."""
     docs = load_table(spark, sf_dir, "documents")
     return bigram_familiarity(docs, "doc_id", "text")
+
+
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token-budget mixture construction
+    (operators/lm.py: token_budget_mixture): premium sources
+    (src0-src4) fill to an 800-token budget, the rest to 400 — both
+    bind at every SF, so the key always exercises partial fills. The
+    md5-of-id mixture order and integer cumulative sums make every
+    cell exact; ``kept`` is the mixture membership verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    budgets = {f"src{i}": 800 for i in range(5)}
+    return token_budget_mixture(docs, budgets, default_budget=400)
 
 
 def q_domain_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,6 +187,7 @@ QUERIES = {
     "text_repetition_bigram": q_text_repetition_bigram,
     "text_unigram_familiarity": q_text_unigram_familiarity,
     "text_bigram_familiarity": q_text_bigram_familiarity,
+    "mixture_token_budget": q_mixture_token_budget,
     "text_normalize": q_text_normalize,
     "domain_top_docs": q_domain_top_docs,
     "embedding_quantize_int8": q_embedding_quantize_int8,
@@ -276,6 +290,25 @@ ORACLE = {
         FROM documents d
         LEFT JOIN per_doc p USING (doc_id)
         CROSS JOIN total
+    """,
+    "mixture_token_budget": f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens, cum_tokens,
+               cum_tokens <= CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                                  THEN 800 ELSE 400 END AS kept
+        FROM c
     """,
     "text_bigram_familiarity": f"""
         WITH toks AS (

@@ -177,3 +177,25 @@ def test_leakage_safe_split_keeps_near_dups_together(spark, sf_dir):
         assert split[a][1] == split[b][1], (a, b, split[a], split[b])
         assert split[a][0] == split[b][0]
     assert all(g in split for g, _ in split.values())
+
+
+def test_token_budget_mixture_greedy_semantics(spark):
+    """Hand-checked greedy fill: docs ordered by md5(doc_id) within
+    the source; the first doc whose cumulative tokens exceed the
+    budget is excluded along with everything after it — even if a
+    LATER, smaller doc would still have fit (greedy prefix, not
+    knapsack: reproducibility beats packing efficiency)."""
+    import hashlib
+
+    from machine_learning_algorithm_sparkml__spark.operators.lm import (
+        token_budget_mixture,
+    )
+
+    rows = [(i, "s", "tok " * 4) for i in range(5)]  # 4 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in token_budget_mixture(df, {}, default_budget=10).collect()}
+    order = sorted(range(5), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    # cumulative 4, 8, 12, ... -> exactly the first two in md5 order fit
+    kept = [i for i in order if out[i].kept]
+    assert kept == order[:2], (order, {i: out[i].cum_tokens for i in order})
+    assert [out[i].cum_tokens for i in order] == [4, 8, 12, 16, 20]
