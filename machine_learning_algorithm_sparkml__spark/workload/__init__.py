@@ -24,7 +24,7 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # ~50 keys, in dict-insertion order, so the rotation puts the
 # least-recently-verified keys FIRST each round. Round-8 window
 # (VERDICT r7 #1-#3): the two keys added after the r7 window froze
-# (never driver-checked), the six new r8 keys, the three keys whose
+# (never driver-checked), the eight new r8 keys, the three keys whose
 # oracles were upgraded in r7 but whose latest driver rows predate
 # the upgrade, then the r5-stale block. The list is 54 keys for a
 # ~50 window: the final FOUR (window_lag_lead, window_moving_avg,
