@@ -317,3 +317,49 @@ def test_zorder_value_null_and_empty_input(spark):
         p = os.path.join(d, "z")
         write_zordered(empty, p, "x", "y", num_files=2)
         assert spark.read.parquet(p).count() == 0
+
+
+def test_events_loader_handles_all_three_ts_physical_forms(spark):
+    """The driver has regenerated events.parquet in three physical ts
+    forms across rounds: TIMESTAMP(NANOS), TIMESTAMP(MICROS, NTZ),
+    and plain TIMESTAMP(MICROS, UTC). Only the current testdata shape
+    gets exercised by the suite, so pin ALL THREE against constructed
+    files — load_table and the streaming scan must normalize each to
+    identical timestamp (LTZ) values."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+    from machine_learning_algorithm_sparkml__spark.streaming.events import (
+        read_events_stream,
+    )
+
+    base = dt.datetime(2021, 6, 1, 12, 0, 0)
+    times = [base, base + dt.timedelta(minutes=1, microseconds=250)]
+
+    def _write(dirname, unit, tz):
+        arr = pa.array(times, type=pa.timestamp(unit, tz=tz))
+        table = pa.table({
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": arr,
+            "user_id": pa.array([7, 7], type=pa.int64()),
+            "event_type": pa.array(["view", "click"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        })
+        pq.write_table(table, os.path.join(dirname, "events.parquet"))
+
+    expected = [t.replace(tzinfo=None) for t in times]
+    for unit, tz in (("ns", None), ("us", None), ("us", "UTC")):
+        with tempfile.TemporaryDirectory() as d:
+            _write(d, unit, tz)
+            batch = load_table(spark, d, "events")
+            assert dict(batch.dtypes)["ts"] == "timestamp", (unit, tz, batch.dtypes)
+            got = sorted(r.ts for r in batch.select("ts").collect())
+            assert got == expected, (unit, tz, got)
+            stream_df = read_events_stream(spark, d)
+            assert dict(stream_df.dtypes)["ts"] == "timestamp", (unit, tz)
