@@ -350,3 +350,56 @@ def test_portable_hash_family_matches_duckdb_on_random_strings(spark, vals):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),          # user
+            st.integers(min_value=0, max_value=40),         # minutes offset
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_session_window_matches_python_reference(spark, events):
+    """Fuzz Spark's native session_window (10-minute gap) against a
+    python reference that MERGES on gap <= 600 s — the exact-boundary
+    semantics the r8 oracle fix pinned. Offsets are whole minutes, so
+    exact-gap collisions (10 minutes apart) occur constantly; a
+    strictly-less-than merge rule would fail immediately."""
+    import datetime as dt
+
+    base = dt.datetime(2020, 1, 1)
+    rows = [(u, base + dt.timedelta(minutes=m)) for u, m in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(
+        (r.user_id, r.s, r.e, r.n)
+        for r in df.groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n",
+        )
+        .collect()
+    )
+    # python reference: sort per user, break when gap > 600 s (merge
+    # AT exactly 600), end = last event + gap
+    ref = []
+    per_user = {}
+    for u, ts in rows:
+        per_user.setdefault(u, []).append(ts)
+    for u, tss in per_user.items():
+        tss.sort()
+        start, prev, n = tss[0], tss[0], 1
+        for ts in tss[1:]:
+            if (ts - prev).total_seconds() > 600:
+                ref.append((u, start, prev + dt.timedelta(minutes=10), n))
+                start, n = ts, 0
+            prev = ts
+            n += 1
+        ref.append((u, start, prev + dt.timedelta(minutes=10), n))
+    assert got == sorted(ref), (got, sorted(ref))
