@@ -57,3 +57,40 @@ def test_oracle_ordering_matches_query_ordering():
     qs, os_ = list(workload.all_queries()), list(workload.all_oracles())
     oracle_priority = [k for k in workload.PRIORITY_KEYS if k in set(os_)]
     assert os_[: len(oracle_priority)] == oracle_priority
+
+
+def test_rotation_tool_orders_never_then_oldest():
+    """tools/rotation.py is the rotation planner: never-checked keys
+    must lead its proposal, followed by strictly non-decreasing
+    last-checked rounds (registry order breaking ties)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "rotation.py"), "200"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    keys = [
+        line.strip().strip('",')
+        for line in out.splitlines()
+        if line.strip().startswith('"')
+    ]
+    qs = workload.all_queries()
+    assert set(keys) == set(qs), "proposal must cover the whole registry"
+    last = _last_checked()
+    rounds_seq = [-1 if last[k] is None else last[k] for k in keys]
+    assert rounds_seq == sorted(rounds_seq), "must be never-first then oldest-first"
+
+
+def test_staleness_tool_runs_and_flags_nothing_stranded():
+    """tools/staleness.py must execute and, given the current
+    PRIORITY_KEYS, report no never-checked key outside the window."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "staleness.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert "| last driver row |" in out
+    assert "WARNING" not in out, out
