@@ -94,3 +94,24 @@ def test_staleness_tool_runs_and_flags_nothing_stranded():
     ).stdout
     assert "| last driver row |" in out
     assert "WARNING" not in out, out
+
+
+def test_doc_counts_match_registry():
+    """README.md and PARITY.md state the key/oracle totals; they must
+    equal the live registry (the r7 verdict's doc-drift item, made
+    permanent). Update both files when adding keys."""
+    import re
+
+    qs, os_ = workload.all_queries(), workload.all_oracles()
+    readme = open(os.path.join(REPO, "README.md")).read()
+    m = re.search(r"(\d+) driver-contract query keys, (\d+) of them checked value-exact", readme)
+    assert m, "README totals line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (len(qs), len(os_)), (
+        f"README says {m.groups()}, registry has {len(qs)}/{len(os_)}"
+    )
+    parity = open(os.path.join(REPO, "PARITY.md")).read()
+    m = re.search(r"Totals: (\d+) query keys, (\d+) DuckDB-oracle-checked, (\d+) rows-only", parity)
+    assert m, "PARITY totals line missing"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        len(qs), len(os_), len(qs) - len(os_),
+    ), f"PARITY says {m.groups()}, registry has {len(qs)}/{len(os_)}/{len(qs)-len(os_)}"
