@@ -476,6 +476,130 @@ def q_scan_csv_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, path)  # names from header, all-string values
 
 
+def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 robustness (VERDICT r8 #3): the dirty-row contract of the
+    typed CSV scan. The reference loads raw CSVs with no malformed-row
+    story (``MarchineLearningAlgorithm.txt:38-41``); real corpora hit
+    broken rows before anything else, so this key plants them
+    deterministically and pins BOTH standard parser modes:
+
+    - corruption plan (derived from orders, keyed on o_orderkey so the
+      oracle can replay it): ``o_orderkey % 100 == 7`` -> bad numeric
+      cast (o_custkey token replaced by ``NOT_A_NUMBER``);
+      ``% 100 == 13`` -> short row (last field missing);
+      ``% 100 == 21`` -> long row (one extra trailing token);
+    - PERMISSIVE + ``columnNameOfCorruptRecord``: every row survives,
+      broken fields null out, the raw line lands in _corrupt_record;
+    - DROPMALFORMED: broken rows vanish; the clean remainder's exact
+      integer aggregate matches the oracle's NOT IN (7,13,21) subset.
+
+    Both reads run with ``spark.sql.csv.parser.columnPruning.enabled``
+    scoped OFF: with pruning on (the default), a column the plan never
+    references is never parsed, so a wrong-arity row can silently pass
+    as well-formed whenever the aggregate happens not to touch the
+    missing field — measured here: the short rows went entirely
+    undetected under a pruned aggregate. Robustness accounting must
+    see every declared column; at 100 TB flip the flag only for the
+    validation pass, not the extraction pass. One-row result, all
+    counts exact integers."""
+    from pyspark.sql import types as T
+
+    from machine_learning_algorithm_sparkml__spark.sources import scratch_sink_path
+
+    orders = load_table(spark, sf_dir, "orders")
+    key_mod = F.col("o_orderkey") % 100
+    line = (
+        F.when(
+            key_mod == 7,
+            F.concat_ws(
+                ",", F.col("o_orderkey"), F.lit("NOT_A_NUMBER"), F.col("o_orderstatus")
+            ),
+        )
+        .when(key_mod == 13, F.concat_ws(",", F.col("o_orderkey"), F.col("o_custkey")))
+        .when(
+            key_mod == 21,
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                F.col("o_orderstatus"),
+                F.lit("EXTRA"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",", F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus")
+            )
+        )
+    )
+    path = scratch_sink_path(sf_dir, "orders_csv_dirty")
+    orders.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    fields = [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+    ]
+    schema = T.StructType(list(fields))
+    # separate instance: StructType.add mutates in place
+    perm_schema = T.StructType(list(fields) + [T.StructField("_corrupt_record", T.StringType())])
+
+    prune_key = "spark.sql.csv.parser.columnPruning.enabled"
+    prior = spark.conf.get(prune_key, None)
+    spark.conf.set(prune_key, "false")
+    try:
+        permissive = (
+            spark.read.schema(perm_schema)
+            .option("header", "false")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(path)
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "_corrupt_record")
+        )
+        # the aggregate must reference at least one REAL parsed column:
+        # Spark disallows plans whose only reference is the internal
+        # corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+        # RECORD_COLUMN). count(o_custkey) doubles as per-field signal —
+        # custkey parses in every row except the planted bad-cast ones
+        # (the wrong-arity lines still carry a valid custkey token).
+        perm_row = permissive.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("_corrupt_record").alias("n_corrupt"),
+            F.sum(F.col("_corrupt_record").isNull().cast("bigint")).alias("n_clean_permissive"),
+            F.count("o_custkey").alias("n_custkey_parsed"),
+        ).first()
+        dropped = (
+            spark.read.schema(schema)
+            .option("header", "false")
+            .option("mode", "DROPMALFORMED")
+            .csv(path)
+            .select("o_orderkey", "o_custkey", "o_orderstatus")
+        )
+        drop_row = dropped.agg(
+            F.count(F.lit(1)).alias("n_dropmalformed"),
+            F.sum("o_custkey").alias("sum_custkey_clean"),
+            F.sum(F.length("o_orderstatus").cast("bigint")).alias("sum_status_len"),
+        ).first()
+    finally:
+        if prior is None:
+            spark.conf.unset(prune_key)
+        else:
+            spark.conf.set(prune_key, prior)
+    return spark.createDataFrame(
+        [(
+            int(perm_row["n_total"]),
+            int(perm_row["n_corrupt"]),
+            int(perm_row["n_clean_permissive"]),
+            int(perm_row["n_custkey_parsed"]),
+            int(drop_row["n_dropmalformed"]),
+            int(drop_row["sum_custkey_clean"]),
+            int(drop_row["sum_status_len"]),
+        )],
+        "n_total long, n_corrupt long, n_clean_permissive long, n_custkey_parsed long,"
+        " n_dropmalformed long, sum_custkey_clean long, sum_status_len long",
+    )
+
+
 # --- warehouse utilities --------------------------------------------------------
 
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1090,10 +1214,64 @@ _TPCH_Q15_SQL = """
     """
 
 
+def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    DOUBLY-correlated EXISTS + NOT-EXISTS construct — the last TPC-H
+    SQL shape the suite hadn't covered (VERDICT r8 #2). A lineitem
+    qualifies when its own supplier shipped late on a finished order,
+    at least one OTHER supplier contributed to the same order
+    (correlated EXISTS), and NO other supplier on that order was also
+    late (correlated NOT EXISTS). Lateness proxy: l_shipdate more than
+    365 days after o_orderdate — the spec's l_receiptdate/l_commitdate
+    columns are absent from the driver testdata (ROUND8.md §2), and
+    the proxy preserves the construct exactly.
+
+    Plan: Catalyst de-correlates both subqueries into a LeftSemi and a
+    LeftAnti hash join on l_orderkey (pinned in tests/test_plans.py —
+    no nested-loop anywhere), over ONE shared `flagged` frame that
+    joins lineitem to orders once. At 100 TB all three `flagged`
+    consumers shuffle on l_orderkey — one exchange shape reused — and
+    the supplier dim broadcasts; cost is 3 lineitem-sized hash joins,
+    never a per-row re-scan."""
+    for t in ("supplier", "lineitem", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q21_SQL)
+
+
+_TPCH_Q21_SQL = """
+        WITH flagged AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL '365' DAY
+                        THEN 1 ELSE 0 END AS is_late
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN flagged l1 ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.is_late = 1
+          AND EXISTS (
+              SELECT 1 FROM flagged l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM flagged l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.is_late = 1
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+    """
+
+
 QUERIES = {
     "sink_csv": q_sink_csv_roundtrip,
     "sink_orc": q_sink_orc_roundtrip,
     "scan_csv_header": q_scan_csv_header,
+    "scan_csv_malformed": q_scan_csv_malformed,
     "scan_parquet": scan_parquet,
     "project_select": project_select,
     "project_alias_cast": project_alias_cast,
@@ -1146,6 +1324,7 @@ QUERIES = {
     "sql_tpch_q17": q_sql_tpch_q17,
     "sql_tpch_q8": q_sql_tpch_q8,
     "sql_tpch_q15": q_sql_tpch_q15,
+    "sql_tpch_q21": q_sql_tpch_q21,
 }
 
 ORACLE = {
@@ -1155,6 +1334,21 @@ ORACLE = {
         SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
                o_orderstatus, o_orderpriority
         FROM orders
+    """,
+    "scan_csv_malformed": """
+        SELECT (SELECT COUNT(*) FROM orders) AS n_total,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderkey % 100 IN (7, 13, 21)) AS n_corrupt,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderkey % 100 NOT IN (7, 13, 21)) AS n_clean_permissive,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderkey % 100 <> 7) AS n_custkey_parsed,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderkey % 100 NOT IN (7, 13, 21)) AS n_dropmalformed,
+               (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM orders
+                WHERE o_orderkey % 100 NOT IN (7, 13, 21)) AS sum_custkey_clean,
+               (SELECT CAST(SUM(LENGTH(o_orderstatus)) AS BIGINT) FROM orders
+                WHERE o_orderkey % 100 NOT IN (7, 13, 21)) AS sum_status_len
     """,
     "scan_parquet": "SELECT r_regionkey, r_name FROM region",
     "project_select": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
@@ -1596,4 +1790,5 @@ ORACLE = {
     "sql_tpch_q17": _TPCH_Q17_SQL,
     "sql_tpch_q8": _TPCH_Q8_SQL,
     "sql_tpch_q15": _TPCH_Q15_SQL,
+    "sql_tpch_q21": _TPCH_Q21_SQL,
 }

@@ -437,3 +437,20 @@ def test_zorder_value_stays_in_codegen(spark, sf_dir):
     assert whole_stage_codegen_spans(df) >= 1
     plan = formatted_plan(df)
     assert "Exchange" not in plan, plan
+
+
+def test_q21_decorrelates_to_semi_and_anti_join(spark, sf_dir):
+    """The Q21-shape doubly-correlated EXISTS + NOT EXISTS must be
+    de-correlated by Catalyst into one LeftSemi and one LeftAnti join
+    on l_orderkey — never a nested-loop per-row re-scan of lineitem,
+    which would be |lineitem| x |lineitem| at 100 TB."""
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_tpch_q21,
+    )
+
+    plan = formatted_plan(q_sql_tpch_q21(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
