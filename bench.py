@@ -50,6 +50,42 @@ HEAVY_SPIKE_FACTOR = 1.25
 MAX_RUNS = 3
 
 
+def foreign_workloads() -> list[str]:
+    """Other live Spark JVMs / pytest runs on this machine — each one
+    contaminates timings (a concurrent 15 s Spark pytest drifted
+    UNTOUCHED keys +1-3 s in r8; two bench attempts were discarded).
+    Scans /proc cmdlines for java-with-spark and pytest processes,
+    excluding this process and its ancestry (the invoking driver).
+    Best-effort: unreadable /proc entries are skipped."""
+    me = os.getpid()
+    ancestors = set()
+    pid = me
+    for _ in range(32):
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().split()[3])
+        except Exception:
+            break
+        if pid <= 1:
+            break
+        ancestors.add(pid)
+    offenders = []
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit() or int(entry) == me or int(entry) in ancestors:
+            continue
+        try:
+            with open(f"/proc/{entry}/cmdline", "rb") as f:
+                cmd = f.read().decode("utf-8", "replace").replace("\0", " ").strip()
+        except Exception:
+            continue
+        low = cmd.lower()
+        is_spark_jvm = "java" in low.split(" ")[0] and "spark" in low
+        is_pytest = "pytest" in low
+        if is_spark_jvm or is_pytest:
+            offenders.append(f"pid {entry}: {cmd[:120]}")
+    return offenders
+
+
 def should_repeat(runs: list[float], prior: float | None) -> bool:
     """Take another run? True while (a) the fastest run so far is in
     noise territory (< REPEAT_BELOW_SEC), or (b) the latest run looks
@@ -94,6 +130,19 @@ def main() -> None:
     # + pytest invariants instead (VERDICT r5 #2). The gated keys are
     # recorded in BENCH_FULL.json under "self_verify".
     os.environ["SPARK_GRAFT_SELF_VERIFY"] = "0"
+
+    # Isolation stamp (VERDICT r8 #7): timing runs need the machine to
+    # themselves. Checked before the session starts and again after the
+    # last key, so a mid-bench arrival is caught too. The run proceeds
+    # either way (the driver may schedule around us), but the record
+    # carries the evidence — a non-clean stamp means "re-run before
+    # adjudicating regressions", no discarded-run narratives needed.
+    offenders_start = foreign_workloads()
+    if offenders_start:
+        print(
+            f"[bench] WARNING: machine not idle at start: {offenders_start}",
+            file=sys.stderr, flush=True,
+        )
 
     from machine_learning_algorithm_sparkml__spark import get_session
     import __spark_entry__ as entrymod
@@ -171,6 +220,17 @@ def main() -> None:
         # driver correctness run and tests/test_llm.py execute it.
         "self_verify": {"enabled": False, "gated_keys": _self_verified_keys()},
     }
+    offenders_end = foreign_workloads()
+    if offenders_end:
+        print(
+            f"[bench] WARNING: machine not idle at end: {offenders_end}",
+            file=sys.stderr, flush=True,
+        )
+    full["isolation"] = {
+        "clean": not offenders_start and not offenders_end,
+        "offenders_at_start": offenders_start,
+        "offenders_at_end": offenders_end,
+    }
     if failures:
         full["failures"] = failures
 
@@ -201,6 +261,7 @@ def main() -> None:
             "sf": full["sf"],
             "n_queries": len(timings),
             "full": "BENCH_FULL.json",
+            "isolated": full["isolation"]["clean"],
         }
         if omitted_n:
             result["omitted"] = {"n": omitted_n, "sec": round(omitted_sec, 2)}

@@ -22,78 +22,82 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
-# least-recently-verified keys FIRST each round. Round-8 window
-# (VERDICT r7 #1-#3): the two keys added after the r7 window froze
-# (never driver-checked), the eight new r8 keys, the three keys whose
-# oracles were upgraded in r7 but whose latest driver rows predate
-# the upgrade, then the r5-stale block. The list is 54 keys for a
-# ~50 window: the final FOUR (window_lag_lead, window_moving_avg,
-# window_ntile_cume, window_range_time — plain window functions,
-# lowest-risk of the r5 block) may slip to the r9 head along with the
-# two keys oracle-upgraded mid-r8 outside this window
-# (decontaminate_fuzzy/_large; the minhash/simhash/frames upgrades
-# ARE in-window via the r5 block). Regenerate the staleness table with
+# least-recently-verified keys FIRST each round. Round-9 window
+# (VERDICT r8 #1): the three new r9 keys (never driver-checked), the
+# four r5-stale window functions, the three keys whose current
+# oracle/output postdates their latest driver row
+# (decontaminate_fuzzy/_large — mid-r8 oracle upgrades;
+# dedup_minhash_mllib — pair-set-equality witness columns added in
+# r9), then the r6-stale block. The list is 56 keys for a ~50 window:
+# the final SIX (project_select, project_alias_cast, filter_eq,
+# filter_and_not, filter_dropna — plain projections/filters, the
+# lowest-risk keys in the repo, unchanged since r6 — plus
+# embedding_neardup, rows-only with its recall invariant pinned in
+# pytest) may slip to the r10 head. Regenerate the staleness table with
 # `python tools/staleness.py` after each round's CORRECTNESS file
 # lands.
 PRIORITY_KEYS = [
-    # never driver-checked (added after the r7 window froze):
-    "dedup_passage",
-    "graph_triangle_count",
-    # new in round 8 (never driver-checked):
-    "sql_tpch_q17",
-    "session_window_native",
-    "sql_tpch_q8",
-    "sql_tpch_q15",
-    "split_leakage_safe",
-    "text_bigram_familiarity",
-    "layout_zorder",
-    "mixture_token_budget",
-    # oracle upgraded in r7, driver row still r6 rows-only:
-    "multimodal_decode",
-    "multimodal_features",
-    "graph_pagerank",
-    # the full r5-stale block (oldest remaining rows):
-    "dedup_minhash",
-    "dedup_minhash_mllib",
-    "dedup_ngram_jaccard",
-    "dedup_pipeline_keep",
-    "dedup_simhash",
-    "doc_chunk_fixed",
-    "doc_fingerprint",
-    "doc_hash_split",
-    "doc_pack_sequences",
-    "doc_tokens_explode",
-    "event_funnel",
-    "filter_outlier_iqr",
-    "mixture_weighted_sample",
-    "ml_cross_validate",
-    "ml_evaluate_accuracy",
-    "ml_fit_predict_eval",
-    "ml_one_hot",
-    "ml_pipeline",
-    "ml_random_forest",
-    "ml_string_index",
-    "ml_string_index_multi",
-    "ml_text_features",
-    "ml_undersample_balance",
-    "ml_vector_assemble",
-    "multimodal_frames",
-    "retention_cohort",
-    "sample_stratified",
-    "scalar_date_funcs",
-    "scalar_string_funcs",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_quality",
-    "text_quality_filter",
-    "text_token_count",
-    "text_top_terms",
-    "text_zscore_by_lang",
-    "window_first_last",
+    # new in round 9 (never driver-checked):
+    "sql_tpch_q21",
+    "scan_csv_malformed",
+    "ml_confusion",
+    # the r5-stale block (oldest remaining rows; VERDICT r8 #1):
     "window_lag_lead",
     "window_moving_avg",
     "window_ntile_cume",
     "window_range_time",
+    # latest driver row predates the current oracle/output contract:
+    "decontaminate_fuzzy",
+    "decontaminate_fuzzy_large",
+    "dedup_minhash_mllib",
+    # the r6-stale block:
+    "sink_csv",
+    "sink_orc",
+    "scan_csv_header",
+    "scan_parquet",
+    "join_inner_equi",
+    "join_drop_dup_key",
+    "profile_table",
+    "scd2_intervals",
+    "fuzzy_join_blocked",
+    "scalar_array_map_funcs",
+    "scalar_math_funcs",
+    "sql_tpch_q3",
+    "sql_tpch_q5",
+    "sql_tpch_q18",
+    "sql_tpch_q10",
+    "sql_tpch_q6",
+    "streaming_window_counts",
+    "streaming_sliding_counts",
+    "streaming_session_window",
+    "streaming_dedup",
+    "stream_static_join",
+    "streaming_stateful_totals",
+    "sessionize",
+    "session_stats",
+    "timeseries_gapfill",
+    "stream_stream_join",
+    "join_skew_salted",
+    "sink_partitioned_scan",
+    "join_bucketed",
+    "sink_json",
+    "text_repetition_bigram",
+    "ml_model_save_load",
+    "multimodal_meta",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "simsearch_topk",
+    "simsearch_lsh",
+    "simsearch_ivf",
+    "simsearch_pq",
+    "simsearch_brp",
+    # pre-declared r10-head slip candidates (window is ~50 of 56):
+    "embedding_neardup",
+    "project_select",
+    "project_alias_cast",
+    "filter_eq",
+    "filter_and_not",
+    "filter_dropna",
 ]
 
 ALL_QUERY_MODULES = [relational, streaming, scale, quality, analytics, ml, llm]

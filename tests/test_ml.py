@@ -39,9 +39,46 @@ def test_rf_predictions_are_valid_classes(spark, sf_dir):
 
 
 def test_rf_seed_determinism(spark, sf_dir):
+    """Two INDEPENDENT fits (memo cleared in between) must agree
+    exactly — the property that makes sharing one fitted model across
+    the ml_* keys a pure cost optimization."""
+    from machine_learning_algorithm_sparkml__spark.workload import ml as ml_workload
+
     a = q_ml_random_forest(spark, sf_dir).collect()
+    ml_workload._RF_PREDS_CACHE.clear()
     b = q_ml_random_forest(spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_rf_fit_is_memoized_per_session(spark, sf_dir):
+    """Within one session, the ml_random_forest / ml_evaluate_accuracy /
+    ml_confusion keys share ONE fitted model (VERDICT r8 #4)."""
+    from machine_learning_algorithm_sparkml__spark.workload.ml import _rf_predictions
+
+    assert _rf_predictions(spark, sf_dir) is _rf_predictions(spark, sf_dir)
+
+
+def test_ml_confusion_ties_to_accuracy_and_labels(spark, sf_dir):
+    """The confusion matrix must partition the corpus (row sums =
+    label distribution) and its diagonal must reproduce the evaluator
+    accuracy — both carried as invariant columns in the key output."""
+    from machine_learning_algorithm_sparkml__spark.workload.ml import (
+        q_ml_confusion,
+        q_ml_evaluate_accuracy,
+    )
+
+    rows = q_ml_confusion(spark, sf_dir).collect()
+    assert rows, "confusion matrix must be non-empty"
+    assert all(r.diag_matches_accuracy for r in rows)
+    assert all(r.rowsums_match_labels for r in rows)
+    total = sum(r.n_rows for r in rows)
+    diag = sum(r.n_rows for r in rows if r.label_index == r.prediction)
+    acc = q_ml_evaluate_accuracy(spark, sf_dir).first().accuracy
+    assert abs(diag / total - acc) < 1e-12
+    # per-class recall is the cell count over the class row-sum
+    for r in rows:
+        assert abs(r.recall - r.n_rows / r.label_total) < 1e-15
+        assert 0.0 <= r.recall <= 1.0
 
 
 def test_fit_predict_eval_accuracy_beats_majority(spark, sf_dir):

@@ -199,3 +199,19 @@ def test_zorder_value_interleaves_bits(spark):
     )
     got = [r.z for r in df.select(zorder_value(F.col("x"), F.col("y")).alias("z")).collect()]
     assert got == [7, 3, 4, 7], got
+
+
+def test_mllib_minhash_pair_set_equality_invariant(spark, sf_dir):
+    """The `dedup_minhash_mllib` key's standing witness (VERDICT r8
+    #6): MLlib MinHashLSH and the hand-rolled banded MinHash emit the
+    SAME pair set at threshold 0.5, pinned per-run via the key's
+    invariant columns."""
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_dedup_minhash_mllib,
+    )
+
+    rows = q_dedup_minhash_mllib(spark, sf_dir).collect()
+    assert rows, "planted near-dups must produce pairs"
+    assert all(r.pair_sets_equal for r in rows)
+    assert rows[0].n_only_mllib == 0
+    assert rows[0].n_only_handrolled == 0
