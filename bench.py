@@ -55,23 +55,34 @@ def foreign_workloads() -> list[str]:
     contaminates timings (a concurrent 15 s Spark pytest drifted
     UNTOUCHED keys +1-3 s in r8; two bench attempts were discarded).
     Scans /proc cmdlines for java-with-spark and pytest processes,
-    excluding this process and its ancestry (the invoking driver).
+    excluding this process's own tree: its ancestry (the invoking
+    driver) AND its descendants (the bench's own Spark JVM is a child
+    of this process — the end-of-run check must not flag it).
     Best-effort: unreadable /proc entries are skipped."""
     me = os.getpid()
-    ancestors = set()
-    pid = me
-    for _ in range(32):
-        try:
-            with open(f"/proc/{pid}/stat") as f:
-                pid = int(f.read().split()[3])
-        except Exception:
-            break
-        if pid <= 1:
-            break
-        ancestors.add(pid)
+
+    def _ancestry(pid: int) -> set[int]:
+        chain = set()
+        for _ in range(64):
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    # field 4 is ppid; comm (field 2) may contain spaces,
+                    # so parse from after the closing paren
+                    pid = int(f.read().rsplit(")", 1)[1].split()[1])
+            except Exception:
+                break
+            if pid <= 1:
+                break
+            chain.add(pid)
+        return chain
+
+    ancestors = _ancestry(me)
     offenders = []
     for entry in os.listdir("/proc"):
         if not entry.isdigit() or int(entry) == me or int(entry) in ancestors:
+            continue
+        # skip our own descendants (the bench-spawned JVM and its workers)
+        if me in _ancestry(int(entry)):
             continue
         try:
             with open(f"/proc/{entry}/cmdline", "rb") as f:

@@ -28,18 +28,20 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # oracle/output postdates their latest driver row
 # (decontaminate_fuzzy/_large — mid-r8 oracle upgrades;
 # dedup_minhash_mllib — pair-set-equality witness columns added in
-# r9), then the r6-stale block. The list is 56 keys for a ~50 window:
-# the final SIX (project_select, project_alias_cast, filter_eq,
-# filter_and_not, filter_dropna — plain projections/filters, the
-# lowest-risk keys in the repo, unchanged since r6 — plus
-# embedding_neardup, rows-only with its recall invariant pinned in
-# pytest) may slip to the r10 head. Regenerate the staleness table with
+# r9), then the r6-stale block. The list is 57 keys for a ~50 window:
+# the final SEVEN (simsearch_brp + embedding_neardup — rows-only with
+# recall invariants pinned in pytest — and project_select,
+# project_alias_cast, filter_eq, filter_and_not, filter_dropna —
+# plain projections/filters, the lowest-risk keys in the repo,
+# unchanged since r6) may slip to the r10 head. Regenerate the
+# staleness table with
 # `python tools/staleness.py` after each round's CORRECTNESS file
 # lands.
 PRIORITY_KEYS = [
     # new in round 9 (never driver-checked):
     "sql_tpch_q21",
     "scan_csv_malformed",
+    "scan_json_malformed",
     "ml_confusion",
     # the r5-stale block (oldest remaining rows; VERDICT r8 #1):
     "window_lag_lead",
@@ -90,8 +92,8 @@ PRIORITY_KEYS = [
     "simsearch_lsh",
     "simsearch_ivf",
     "simsearch_pq",
+    # pre-declared r10-head slip candidates (window is ~50 of 57):
     "simsearch_brp",
-    # pre-declared r10-head slip candidates (window is ~50 of 56):
     "embedding_neardup",
     "project_select",
     "project_alias_cast",

@@ -130,6 +130,95 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def q_scan_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL dirty-row contract — the interchange format of every LLM
+    corpus pipeline gets the same robustness treatment as the CSV scan
+    (`scan_csv_malformed`): planted breakage, both standard parser
+    modes, exact-count oracle. Corruption plan (keyed on doc_id so
+    DuckDB replays it from the documents table):
+
+    - ``doc_id % 100 == 7`` -> type mismatch (``n_chars`` serialized
+      as a non-numeric string): JSON PERMISSIVE nulls the whole row's
+      fields and fills ``_corrupt_record``;
+    - ``doc_id % 100 == 13`` -> truncated object (closing brace cut):
+      syntactically invalid, corrupt in every mode;
+    - ``doc_id % 100 == 21`` -> MISSING ``lang`` field: NOT corrupt —
+      JSON is schema-flexible, absent fields read as null. The key
+      counts these separately (``n_missing_field_valid``) to pin the
+      asymmetry against CSV, where a missing token is wrong arity.
+
+    DROPMALFORMED keeps the missing-field rows and drops only the two
+    genuinely corrupt classes. The aggregates reference every schema
+    column (same pruning discipline as the CSV key). One-row result,
+    exact integers."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    key_mod = F.col("doc_id") % 100
+    clean_json = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    line = (
+        F.when(
+            key_mod == 7,
+            F.to_json(
+                F.struct(
+                    F.col("doc_id"),
+                    F.col("lang"),
+                    F.lit("NOT_A_NUMBER").alias("n_chars"),
+                )
+            ),
+        )
+        .when(key_mod == 13, F.expr("substring(to_json(struct(doc_id, lang, n_chars)), 1, length(to_json(struct(doc_id, lang, n_chars))) - 1)"))
+        .when(key_mod == 21, F.to_json(F.struct("doc_id", "n_chars")))
+        .otherwise(clean_json)
+    )
+    path = scratch_sink_path(sf_dir, "documents_jsonl_dirty")
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    fields = [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+    perm_schema = T.StructType(
+        list(fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    permissive = (
+        spark.read.schema(perm_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .select("doc_id", "lang", "n_chars", "_corrupt_record")
+    )
+    perm_row = permissive.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum(
+            (F.col("_corrupt_record").isNull() & F.col("lang").isNull()).cast("bigint")
+        ).alias("n_missing_field_valid"),
+        F.count("n_chars").alias("n_nchars_parsed"),
+    ).first()
+    dropped = (
+        spark.read.schema(T.StructType(fields))
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+        .select("doc_id", "lang", "n_chars")
+    )
+    drop_row = dropped.agg(
+        F.count(F.lit(1)).alias("n_dropmalformed"),
+        F.sum("n_chars").alias("sum_nchars_clean"),
+    ).first()
+    return spark.createDataFrame(
+        [(
+            int(perm_row["n_total"]),
+            int(perm_row["n_corrupt"]),
+            int(perm_row["n_missing_field_valid"]),
+            int(perm_row["n_nchars_parsed"]),
+            int(drop_row["n_dropmalformed"]),
+            int(drop_row["sum_nchars_clean"]),
+        )],
+        "n_total long, n_corrupt long, n_missing_field_valid long,"
+        " n_nchars_parsed long, n_dropmalformed long, sum_nchars_clean long",
+    )
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: fixed-iteration PageRank over a deterministic graph
     derived from events (src = user_id, dst = a Knuth-hash spread of
@@ -210,6 +299,7 @@ QUERIES = {
     "layout_zorder": q_layout_zorder,
     "join_bucketed": q_join_bucketed,
     "sink_json": q_sink_json_roundtrip,
+    "scan_json_malformed": q_scan_json_malformed,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangle_count": q_graph_triangle_count,
 }
@@ -286,6 +376,19 @@ ORACLE = {
     """,
     "sink_json": """
         SELECT doc_id, lang, text FROM documents
+    """,
+    "scan_json_malformed": """
+        SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+               (SELECT COUNT(*) FROM documents
+                WHERE doc_id % 100 IN (7, 13)) AS n_corrupt,
+               (SELECT COUNT(*) FROM documents
+                WHERE doc_id % 100 = 21) AS n_missing_field_valid,
+               (SELECT COUNT(*) FROM documents
+                WHERE doc_id % 100 NOT IN (7, 13)) AS n_nchars_parsed,
+               (SELECT COUNT(*) FROM documents
+                WHERE doc_id % 100 NOT IN (7, 13)) AS n_dropmalformed,
+               (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+                WHERE doc_id % 100 NOT IN (7, 13)) AS sum_nchars_clean
     """,
     # degree-ordered triangle enumeration, mirrored step for step:
     # canonical undirected edges -> degrees -> (deg, id)-orientation ->

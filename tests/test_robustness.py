@@ -388,3 +388,26 @@ def test_scan_csv_malformed_pins_both_parser_modes(spark, sf_dir):
     # per-field signal: custkey parses everywhere except bad-cast rows
     n_badcast = orders.filter(F.col("o_orderkey") % 100 == 7).count()
     assert row["n_custkey_parsed"] == n_total - n_badcast
+
+
+def test_scan_json_malformed_pins_modes_and_schema_flexibility(spark, sf_dir):
+    """JSONL dirty-row contract: type-mismatch and truncated objects
+    are corrupt in both modes; a MISSING field is NOT corrupt (JSON is
+    schema-flexible — the asymmetry vs CSV arity this key exists to
+    pin). Counts derived independently from documents."""
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_scan_json_malformed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    n_corrupt = docs.filter((F.col("doc_id") % 100).isin(7, 13)).count()
+    n_missing = docs.filter(F.col("doc_id") % 100 == 21).count()
+    assert n_corrupt > 0 and n_missing > 0
+
+    row = q_scan_json_malformed(spark, sf_dir).first()
+    assert row["n_total"] == n_total
+    assert row["n_corrupt"] == n_corrupt
+    assert row["n_missing_field_valid"] == n_missing
+    assert row["n_dropmalformed"] == n_total - n_corrupt  # missing-field rows survive
+    assert row["n_nchars_parsed"] == n_total - n_corrupt
