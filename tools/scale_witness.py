@@ -1,23 +1,37 @@
-"""sf1 scale witness for the dedup family (VERDICT r8 #8).
+"""sf1 (10x) scale witness across operator families (VERDICT r8 #8).
 
-Generates a synthetic 10x documents corpus ("sf1": 50k docs from the
-sf0.1 5k-doc table) and times the three headline dedup-family keys at
-sf0.1 vs sf1, recording the scaling factor the 100 TB claims rest on:
-banded/bucketed plans whose cost tracks duplicate density, not n^2.
+Generates synthetic 10x tables from sf0.1 and times headline keys at
+both scales, recording the scaling factors the 100 TB claims rest on.
+Families (pass any subset as argv; default = all):
 
-Corpus construction: 10 replicas of sf0.1 documents, replica k
-shifting doc_id by k*|docs| and suffixing EVERY word with ``_rk``.
-Token renaming is injective per replica, so within-replica Jaccard
-structure (and thus the planted near-dup pairs) is preserved exactly,
-while cross-replica shingle sets are disjoint — duplicate density
-stays constant as the corpus grows 10x, the organic-crawl shape. A
-naive 10x copy WITHOUT renaming would instead give every doc 9 clones
-(pair count x45, not x10) and measure a different workload.
+- ``dedup``: documents 10x as 10 isomorphic replicas, replica k
+  shifting doc_id by k*|docs| and suffixing EVERY word with ``_rk``.
+  Token renaming is injective per replica, so within-replica Jaccard
+  structure (and thus the planted near-dup pairs) is preserved
+  exactly, while cross-replica shingle sets are disjoint — duplicate
+  density stays constant as the corpus grows 10x, the organic-crawl
+  shape. A naive 10x copy WITHOUT renaming would instead give every
+  doc 9 clones (pair count x45, not x10) and measure a different
+  workload. Claim under test: banded plans' cost tracks duplicate
+  density, not n^2.
+- ``relational``: orders+lineitem 10x (replica k shifts
+  o_orderkey/l_orderkey by k*1e6, so join keys stay consistent and
+  unique; custkey/partkey/suppkey untouched — the same dimension
+  population serves 10x the facts, the how-warehouses-grow shape);
+  dims copied through unchanged. Claim under test: scan-bound
+  aggregates and broadcast-join + shuffle-agg plans grow ~linearly
+  in fact volume, never super-linearly.
+- ``ann``: embeddings 10x (vec_id shifted k*1e5; vectors reused —
+  cluster-size distribution scales uniformly, which is what a timing
+  witness needs). The query set is FIXED (the keys take vec_id < 10,
+  all in replica 0), so this measures corpus-side scan growth.
+  Claim under test: IVF's probed-fraction advantage over brute force
+  persists as the corpus grows.
 
 Usage:
-    python tools/scale_witness.py            # writes JSON lines to stdout
+    python tools/scale_witness.py [dedup] [relational] [ann]
 Timing protocol: bench.py's (lower median of 3, machine idle —
-the foreign-workload stamp is reused).
+the foreign-workload stamp is reused; self-verify truth passes off).
 """
 
 from __future__ import annotations
@@ -29,12 +43,77 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-KEYS = ["dedup_minhash", "decontaminate_fuzzy_large", "split_leakage_safe"]
+FAMILY_KEYS = {
+    "dedup": ["dedup_minhash", "decontaminate_fuzzy_large", "split_leakage_safe"],
+    "relational": [
+        "agg_pricing_summary",
+        "sql_tpch_q3",
+        "sql_tpch_q18",
+        "window_rank_topk",
+    ],
+    "ann": ["simsearch_topk", "simsearch_ivf"],
+}
 REPLICAS = 10
+ANN_REPLICAS = 100
 SF01 = "/root/testdata/sf0.1"
 
 
-def build_sf1(spark, out_dir: str) -> None:
+def build_sf1_relational(spark, out_dir: str) -> None:
+    """orders/lineitem x10 with consistent shifted join keys; the
+    customer dim passes through unchanged (10x facts per customer)."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+    orders = load_table(spark, SF01, "orders")
+    lineitem = load_table(spark, SF01, "lineitem")
+    shift = 1_000_000
+
+    def rep(df, keycol):
+        parts = [
+            df.withColumn(keycol, F.col(keycol) + F.lit(k * shift))
+            for k in range(REPLICAS)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    rep(orders, "o_orderkey").repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
+    )
+    rep(lineitem, "l_orderkey").repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+    load_table(spark, SF01, "customer").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "customer.parquet")
+    )
+
+
+def build_sf1_embeddings(spark, out_dir: str) -> None:
+    """embeddings x ANN_REPLICAS (100x, not 10x: at 20k vectors both
+    ANN paths are fixed-overhead-dominated and a 10x witness measured
+    noise — 200k x 64-dim is where corpus-side scan cost is visible),
+    vec_id shifted per replica; the fixed query ids (vec_id < 10)
+    exist only in replica 0."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+    emb = load_table(spark, SF01, "embeddings")
+    parts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * 100_000))
+        for k in range(ANN_REPLICAS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+def build_sf1_documents(spark, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
     from machine_learning_algorithm_sparkml__spark.sources import load_table
@@ -87,6 +166,8 @@ def main() -> int:
 
     import bench
 
+    families = [a for a in sys.argv[1:] if a in FAMILY_KEYS] or list(FAMILY_KEYS)
+
     offenders = bench.foreign_workloads()
     if offenders:
         print(f"machine not idle, refusing to time: {offenders}", file=sys.stderr)
@@ -101,28 +182,35 @@ def main() -> int:
     qs = entry.queries()
 
     sf1_dir = os.path.join(tempfile.gettempdir(), "spark_graft_sf1")
-    build_sf1(spark, sf1_dir)
+    builders = {
+        "dedup": build_sf1_documents,
+        "relational": build_sf1_relational,
+        "ann": build_sf1_embeddings,
+    }
+    for fam in families:
+        builders[fam](spark, sf1_dir)
     from machine_learning_algorithm_sparkml__spark.sources import load_table
 
-    n1 = load_table(spark, sf1_dir, "documents").count()
-    print(json.dumps({"sf1_docs": n1, "replicas": REPLICAS}), flush=True)
+    print(json.dumps({"families": families, "replicas": REPLICAS}), flush=True)
 
     # warm-up
-    load_table(spark, SF01, "documents").count()
-    for key in KEYS:
-        t01 = time_key(spark, qs, key, SF01)
-        t1 = time_key(spark, qs, key, sf1_dir)
-        print(
-            json.dumps(
-                {
-                    "key": key,
-                    "sf0.1_sec": round(t01, 2),
-                    "sf1_sec": round(t1, 2),
-                    "scale_factor": round(t1 / t01, 2),
-                }
-            ),
-            flush=True,
-        )
+    load_table(spark, SF01, "lineitem").count()
+    for fam in families:
+        for key in FAMILY_KEYS[fam]:
+            t01 = time_key(spark, qs, key, SF01)
+            t1 = time_key(spark, qs, key, sf1_dir)
+            print(
+                json.dumps(
+                    {
+                        "family": fam,
+                        "key": key,
+                        "sf0.1_sec": round(t01, 2),
+                        "sf1_sec": round(t1, 2),
+                        "scale_factor": round(t1 / t01, 2),
+                    }
+                ),
+                flush=True,
+            )
     return 0
 
 
