@@ -49,6 +49,15 @@ HEAVY_PRIOR_SEC = 10.0
 HEAVY_SPIKE_FACTOR = 1.25
 MAX_RUNS = 3
 
+#: Keys whose FIRST run warms a session-level memo (the shared seeded
+#: RF fit, workload/ml._rf_predictions). Their repeats are structurally
+#: cheaper, not less noisy — a lower-median over [fit+query, query]
+#: would price the fit at zero ANYWHERE in the sweep total. These keys
+#: get exactly one timed run: whichever runs first in the sweep carries
+#: the one fit (exactly what a user's single pass through the workload
+#: pays), the rest report their true memoized cost.
+SESSION_MEMO_KEYS = {"ml_confusion", "ml_evaluate_accuracy", "ml_random_forest"}
+
 
 def foreign_workloads() -> list[str]:
     """Other live Spark JVMs / pytest runs on this machine — each one
@@ -192,6 +201,8 @@ def main() -> None:
                 # caches (LSH signatures, checkpoints) must not leak
                 # into the next run's timing or hog executor memory
                 spark.catalog.clearCache()
+                if name in SESSION_MEMO_KEYS:
+                    break  # repeats would hit the warmed memo, not noise
                 if not should_repeat(runs, prior.get(name)):
                     break
             timings[name] = round(report_stat(runs), 3)
@@ -225,6 +236,7 @@ def main() -> None:
             "heavy_spike_factor": HEAVY_SPIKE_FACTOR,
             "max_runs": MAX_RUNS,
             "stat": "lower_median",
+            "session_memo_keys_single_run": sorted(SESSION_MEMO_KEYS),
         },
         # These keys carry an in-query truth pass (ANN recall /
         # frame-count audit) that is DISABLED for bench timings; the
