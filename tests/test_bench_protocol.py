@@ -76,3 +76,29 @@ def test_bench_diff_classification():
     assert {r[0] for r in d["improved"]} == {"b", "d"}
     # e: 0.2 -> 0.4 stays inside the noise band, not flagged
     assert d["added"] == ["new"] and d["removed"] == ["gone"]
+
+
+def test_session_memo_keys_exist_and_share_one_fit():
+    """SESSION_MEMO_KEYS must stay in sync with the registry and with
+    the set of keys that actually consume workload.ml._rf_predictions
+    — a rename on either side would silently restore the
+    unpriced-fit / double-fit pricing bug."""
+    import bench
+    from machine_learning_algorithm_sparkml__spark import workload
+
+    qs = workload.all_queries()
+    missing = bench.SESSION_MEMO_KEYS - set(qs)
+    assert not missing, f"SESSION_MEMO_KEYS not in registry: {missing}"
+    import inspect
+
+    from machine_learning_algorithm_sparkml__spark.workload import ml as ml_workload
+
+    consumers = {
+        name[2:]
+        for name, fn in vars(ml_workload).items()
+        if name.startswith("q_") and "_rf_predictions(" in inspect.getsource(fn)
+    }
+    assert consumers == bench.SESSION_MEMO_KEYS, (
+        f"memoized-fit consumers {consumers} != SESSION_MEMO_KEYS "
+        f"{bench.SESSION_MEMO_KEYS}"
+    )
