@@ -160,10 +160,10 @@ def _majority_baseline(counts: list[int]) -> tuple[float, float]:
 #: session identity, sf_dir). The fit is deterministic (fixed seed,
 #: fixed frame), so `ml_random_forest` / `ml_evaluate_accuracy` /
 #: `ml_confusion` sharing ONE fitted model changes cost, never results
-#: (prediction determinism is pinned by
-#: tests/test_ml.py::test_model_save_load_roundtrip_exact and the
-#: cross-key confusion/accuracy tie below) — VERDICT r8 #4: the ml
-#: block was paying the identical RF fit once per key.
+#: (two INDEPENDENT fits compare exactly in
+#: tests/test_ml.py::test_rf_seed_determinism, which clears this memo
+#: between them) — VERDICT r8 #4: the ml block was paying the
+#: identical RF fit once per key.
 _RF_PREDS_CACHE: dict[tuple[str, int, str], DataFrame] = {}
 
 
