@@ -130,6 +130,51 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the multimodal INGESTION step the
+    in-frame keys stop short of: `multimodal_*` fabricate the binary
+    column from text (`attach_binary_payload`), but a real corpus
+    starts as loose media files in object storage, and
+    ``spark.read.format("binaryFile")`` is Spark's built-in scan for
+    exactly that (rows of path/modificationTime/length/content, with
+    a directory listing that distributes across executors and a
+    ``pathGlobFilter`` that prunes at listing time — at 100 TB the
+    listing, not the bytes, is the first bottleneck).
+
+    Fixture: the first 10 documents' utf-8 bytes written as one file
+    each (driver-side, bounded — fixture construction, same class as
+    codebook training samples). The projection keeps only pure
+    functions of file NAME and CONTENT (leaf name, byte length,
+    sha256), so host-dependent path prefixes and modification times
+    never cross the driver-compare boundary. Oracle: DuckDB replays
+    name/length/digest from the documents table."""
+    import os
+    import shutil
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id", "text")
+        .collect()
+    )
+    dirpath = scratch_sink_path(sf_dir, "docs_binary")
+    shutil.rmtree(dirpath, ignore_errors=True)
+    os.makedirs(dirpath, exist_ok=True)
+    for r in rows:
+        with open(os.path.join(dirpath, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(dirpath)
+    )
+    return scanned.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha256"),
+    )
+
+
 def q_scan_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL dirty-row contract — the interchange format of every LLM
     corpus pipeline gets the same robustness treatment as the CSV scan
@@ -300,6 +345,7 @@ QUERIES = {
     "join_bucketed": q_join_bucketed,
     "sink_json": q_sink_json_roundtrip,
     "scan_json_malformed": q_scan_json_malformed,
+    "scan_binary_files": q_scan_binary_files,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangle_count": q_graph_triangle_count,
 }
@@ -376,6 +422,12 @@ ORACLE = {
     """,
     "sink_json": """
         SELECT doc_id, lang, text FROM documents
+    """,
+    "scan_binary_files": """
+        SELECT 'doc_' || doc_id || '.bin' AS fname,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha256
+        FROM documents WHERE doc_id < 10
     """,
     "scan_json_malformed": """
         SELECT (SELECT COUNT(*) FROM documents) AS n_total,

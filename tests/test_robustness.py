@@ -411,3 +411,49 @@ def test_scan_json_malformed_pins_modes_and_schema_flexibility(spark, sf_dir):
     assert row["n_missing_field_valid"] == n_missing
     assert row["n_dropmalformed"] == n_total - n_corrupt  # missing-field rows survive
     assert row["n_nchars_parsed"] == n_total - n_corrupt
+
+
+def test_scan_binary_files_glob_prunes_and_preserves_bytes(spark, sf_dir):
+    """binaryFile-source contract: pathGlobFilter prunes non-matching
+    files AT LISTING time (a planted .tmp decoy never appears in the
+    output), and `content` is byte-exact (sha256 of the scanned bytes
+    equals sha256 of the source text computed JVM-side from the
+    documents table — no codec, no re-encoding)."""
+    import hashlib
+
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_scan_binary_files,
+        scratch_sink_path,
+    )
+
+    got = {r["fname"]: r for r in q_scan_binary_files(spark, sf_dir).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10)
+        .collect()
+    }
+    assert set(got) == {f"doc_{i}.bin" for i in docs}
+    for i, text in docs.items():
+        raw = text.encode("utf-8")
+        row = got[f"doc_{i}.bin"]
+        assert row["n_bytes"] == len(raw)
+        assert row["sha256"] == hashlib.sha256(raw).hexdigest()
+
+    # decoy outside the glob: present on disk, absent from the scan.
+    # Scan the already-populated fixture dir directly (the key itself
+    # rebuilds the dir per call, which would delete the decoy).
+    dirpath = scratch_sink_path(sf_dir, "docs_binary")
+    decoy = os.path.join(dirpath, "decoy.tmp")
+    with open(decoy, "wb") as f:
+        f.write(b"not a corpus file")
+    try:
+        globbed = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(dirpath)
+        )
+        assert globbed.count() == len(docs)
+        assert spark.read.format("binaryFile").load(dirpath).count() == len(docs) + 1
+    finally:
+        os.unlink(decoy)
