@@ -413,6 +413,50 @@ def q_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_hash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable sibling of `sample_fraction` (U2): the same 25% keep
+    rate, but gated on md5(seed:o_orderkey) instead of Spark's
+    per-partition RNG — so membership is a pure projection, identical
+    under ANY partitioning and replayable on any engine (the property
+    that makes this the sampling form a 100 TB pipeline should prefer,
+    and the reason this key is oracle-exact while `sample_fraction`
+    is rows-only; pre-adjudicated in ROUND9.md §9)."""
+    from machine_learning_algorithm_sparkml__spark.operators.setops import hash_gate_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return hash_gate_sample(orders, "o_orderkey", 0.25, seed=754).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def q_sample_stratified_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable sibling of `sample_stratified`: the same per-status
+    rates (F 0.3 / O 0.1 / P 0.5) via one CASE over the hash gate —
+    class-targeted undersampling whose membership any engine replays
+    exactly."""
+    from machine_learning_algorithm_sparkml__spark.operators.setops import (
+        hash_gate_sample_by,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return hash_gate_sample_by(
+        orders, "o_orderkey", "o_orderstatus", {"F": 0.3, "O": 0.1, "P": 0.5}, seed=754
+    ).select("o_orderkey", "o_orderstatus")
+
+
+def q_random_split_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable sibling of `random_split` (U3): the 80/20 split as
+    cumulative hash-gate bands. Unlike RNG randomSplit, the labels
+    PARTITION the input exactly (no row dropped or double-assigned
+    under source nondeterminism) and survive repartitioning."""
+    from machine_learning_algorithm_sparkml__spark.operators.setops import hash_gate_split
+
+    orders = load_table(spark, sf_dir, "orders")
+    return hash_gate_split(orders, "o_orderkey", (0.8, 0.2), seed=754).select(
+        "o_orderkey", "split"
+    )
+
+
 def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: header-CSV sink (``MarchineLearningAlgorithm.txt:283-293``)
     proven by round-trip: project -> write csv -> read back with an
@@ -1304,6 +1348,9 @@ QUERIES = {
     "set_except": q_set_except,
     "sample_fraction": q_sample_fraction,
     "random_split": q_random_split,
+    "sample_hash_portable": q_sample_hash_portable,
+    "sample_stratified_portable": q_sample_stratified_portable,
+    "random_split_portable": q_random_split_portable,
     "profile_table": q_profile_table,
     "scd2_intervals": q_scd2_intervals,
     "fuzzy_join_blocked": q_fuzzy_join_blocked,
@@ -1351,6 +1398,25 @@ ORACLE = {
                 WHERE o_orderkey % 100 NOT IN (7, 13, 21)) AS sum_status_len
     """,
     "scan_parquet": "SELECT r_regionkey, r_name FROM region",
+    # portable hash-gate sampling trio: thresholds are int(f * 2^24)
+    # over u24 = first 6 hex chars of md5('754:' || key) — the exact
+    # integers the Spark operator computes (operators/setops.py)
+    "sample_hash_portable": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE CAST('0x' || substring(md5('754:' || CAST(o_orderkey AS VARCHAR)), 1, 6) AS BIGINT) < 4194304
+    """,
+    "sample_stratified_portable": """
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE CAST('0x' || substring(md5('754:' || CAST(o_orderkey AS VARCHAR)), 1, 6) AS BIGINT)
+              < CASE o_orderstatus WHEN 'F' THEN 5033164 WHEN 'O' THEN 1677721
+                                   WHEN 'P' THEN 8388608 ELSE 0 END
+    """,
+    "random_split_portable": """
+        SELECT o_orderkey,
+               CASE WHEN CAST('0x' || substring(md5('754:' || CAST(o_orderkey AS VARCHAR)), 1, 6) AS BIGINT) < 13421772
+                    THEN 's0' ELSE 's1' END AS split
+        FROM orders
+    """,
     "project_select": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     "project_alias_cast": """
         SELECT o_orderkey AS order_id,

@@ -50,6 +50,77 @@ def test_random_split_partitions_whole_frame(spark, sf_dir):
     orders.unpersist()
 
 
+def test_hash_gate_sample_invariant_under_repartitioning(spark, sf_dir):
+    """The portable sampler's defining property — the one Spark's RNG
+    sample() lacks: membership is a pure function of the row key, so
+    ANY physical layout yields the identical row set (at 100 TB an AQE
+    coalesce or source re-split must not change which rows survive).
+    Also: disjoint seeds gate independently (samples differ), and the
+    realized rate sits near the nominal fraction."""
+    from machine_learning_algorithm_sparkml__spark.operators.setops import (
+        hash_gate_sample,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys_a = {
+        r.o_orderkey
+        for r in hash_gate_sample(orders.repartition(3), "o_orderkey", 0.25).select("o_orderkey").collect()
+    }
+    keys_b = {
+        r.o_orderkey
+        for r in hash_gate_sample(orders.repartition(17), "o_orderkey", 0.25).select("o_orderkey").collect()
+    }
+    assert keys_a == keys_b
+    total = orders.count()
+    assert 0.2 * total < len(keys_a) < 0.3 * total
+    keys_other_seed = {
+        r.o_orderkey
+        for r in hash_gate_sample(orders, "o_orderkey", 0.25, seed=99).select("o_orderkey").collect()
+    }
+    assert keys_other_seed != keys_a  # independent gate, not a threshold shift
+
+
+def test_hash_gate_sample_by_rates_per_stratum(spark, sf_dir):
+    from machine_learning_algorithm_sparkml__spark.operators.setops import (
+        hash_gate_sample_by,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").cache()
+    fractions = {"F": 0.3, "O": 0.1, "P": 0.5}
+    kept = hash_gate_sample_by(orders, "o_orderkey", "o_orderstatus", fractions)
+    per_stratum = {r["o_orderstatus"]: r["n"] for r in kept.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    base = {r["o_orderstatus"]: r["n"] for r in orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    assert set(per_stratum) <= set(fractions)  # unlisted strata dropped
+    for status, frac in fractions.items():
+        rate = per_stratum.get(status, 0) / base[status]
+        assert abs(rate - frac) < 0.1, (status, rate)
+    orders.unpersist()
+
+
+def test_hash_gate_split_partitions_exactly_and_portably(spark, sf_dir):
+    """Every row gets exactly one label; 80/20 weights respected; the
+    labeling is identical under a different partitioning (the
+    train/test contamination failure mode of RNG randomSplit on a
+    re-shuffled source cannot happen here)."""
+    from machine_learning_algorithm_sparkml__spark.operators.setops import (
+        hash_gate_split,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").cache()
+    total = orders.count()
+    labeled = hash_gate_split(orders, "o_orderkey", (0.8, 0.2))
+    counts = {r["split"]: r["n"] for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"s0", "s1"}
+    assert sum(counts.values()) == total  # exact partition of the input
+    assert abs(counts["s0"] / total - 0.8) < 0.05
+    again = {
+        (r.o_orderkey, r.split)
+        for r in hash_gate_split(orders.repartition(11), "o_orderkey", (0.8, 0.2)).select("o_orderkey", "split").collect()
+    }
+    assert again == {(r.o_orderkey, r.split) for r in labeled.select("o_orderkey", "split").collect()}
+    orders.unpersist()
+
+
 def test_flagship_one_winner_per_customer(spark, sf_dir):
     from machine_learning_algorithm_sparkml__spark.workload.relational import (
         flagship_top_order_per_customer,
