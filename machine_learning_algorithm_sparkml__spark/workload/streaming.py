@@ -19,6 +19,24 @@ from machine_learning_algorithm_sparkml__spark.sources import load_table
 from machine_learning_algorithm_sparkml__spark.streaming import run_streaming_window_counts
 
 
+def q_streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a query restart: append-mode hourly windows
+    through a durable checkpoint + transactional parquet sink, run as
+    two `availableNow` incarnations over a growing source (ts-median
+    split). The final sink must equal the batch aggregation of ALL
+    events restricted to watermark-finalized windows — each window
+    exactly once, no phase-1 reprocessing, no partial files (see
+    streaming/events.py:run_streaming_checkpoint_recovery)."""
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_checkpoint_recovery,
+    )
+
+    return run_streaming_checkpoint_recovery(
+        spark, sf_dir, window_duration="1 hour", watermark="30 minutes",
+        num_state_partitions=8,
+    )
+
+
 def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # num_state_partitions=8: state keys ~ (windows x event_types) at
     # this replay — size state width to key volume, not CPU count
@@ -214,9 +232,24 @@ QUERIES = {
     "session_stats": q_session_stats,
     "timeseries_gapfill": q_timeseries_gapfill,
     "stream_stream_join": q_stream_stream_join,
+    "streaming_checkpoint_recovery": q_streaming_checkpoint_recovery,
 }
 
 ORACLE = {
+    # append-mode emission = windows the FINAL watermark (max ts -
+    # 30 min) has passed; the two-run restart must reproduce exactly
+    # the single-pass batch answer over those windows
+    "streaming_checkpoint_recovery": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+              <= (SELECT max(ts) - INTERVAL '30 minutes' FROM events)
+        GROUP BY 1, 2, 3
+    """,
     "streaming_stateful_totals": """
         SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM events GROUP BY event_type

