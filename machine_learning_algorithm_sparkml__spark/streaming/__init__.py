@@ -2,6 +2,7 @@ from machine_learning_algorithm_sparkml__spark.streaming.events import (
     read_events_stream,
     run_stream_static_join,
     run_streaming_checkpoint_recovery,
+    run_streaming_foreach_batch_upsert,
     run_streaming_dedup,
     run_streaming_session_windows,
     run_streaming_sliding_counts,
@@ -21,5 +22,6 @@ __all__ = [
     "run_streaming_session_windows",
     "run_streaming_dedup",
     "run_streaming_checkpoint_recovery",
+    "run_streaming_foreach_batch_upsert",
     "run_stream_static_join",
 ]

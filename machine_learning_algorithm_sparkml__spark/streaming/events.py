@@ -463,3 +463,133 @@ def run_streaming_checkpoint_recovery(
     )
     _one_run()
     return spark.read.parquet(out)
+
+
+def run_streaming_foreach_batch_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_source_files: int = 3,
+    num_state_partitions: int | None = None,
+) -> DataFrame:
+    """``foreachBatch`` keyed-upsert sink — the canonical production
+    pattern for targets without a streaming writer: each micro-batch
+    MERGEs into a per-user "current state" table (latest event +
+    additive event count) instead of appending rows.
+
+    The merge target here is a snapshot-versioned parquet table with
+    an atomic current-pointer file — a minimal stand-in for the
+    transactional MERGE a lakehouse table format provides; the
+    foreachBatch body is exactly what a production job would run with
+    ``MERGE INTO`` swapped in. Two properties carry the 100 TB
+    deployment story:
+
+    - **Retry-idempotent by construction**: version ``v{batch_id}`` is
+      derived from ``v{batch_id - 1}`` (never from the mutable
+      pointer), so Spark's at-least-once foreachBatch contract
+      (a batch may be re-run after a failure) still yields
+      exactly-once STATE — replaying batch k rewrites the identical
+      ``v{k}``. This is the documented recipe for non-transactional
+      sinks: key side effects on ``batch_id``.
+    - **Order-independent result**: per-user argmax by (ts, event_id)
+      and additive counts commute across batches, so the final state
+      is the same whichever order the file source lists its input.
+
+    The bounded replay splits events into ``n_source_files`` files and
+    drives them one per micro-batch (``maxFilesPerTrigger=1`` +
+    ``availableNow``), so the merge path executes across several real
+    batches, not one. Returns the final state: one row per user —
+    SQL-replayable as a per-user window argmax + count."""
+    import shutil
+
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = scratch_sink_path(sf_dir, "febatch_src")
+    ckpt = scratch_sink_path(sf_dir, "febatch_ckpt")
+    state = scratch_sink_path(sf_dir, "febatch_state")
+    for d in (src, ckpt, state):
+        shutil.rmtree(d, ignore_errors=True)
+    for i in range(n_source_files):
+        events.filter(F.col("event_id") % n_source_files == i).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"part={i}"))
+
+    def _summarize(df: DataFrame) -> DataFrame:
+        """Reduce event-shaped rows (optionally carrying an ``n_events``
+        weight) to one state row per user: the (ts, event_id)-argmax
+        event plus the additive event count. Used identically for a
+        raw batch and for (previous state ∪ batch summary) — keeping
+        the real event_id in the state makes the reduction genuinely
+        associative, including on exact ts ties."""
+        by_recency = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        weight = (
+            F.col("n_events") if "n_events" in df.columns else F.lit(1).cast("long")
+        )
+        return (
+            df.withColumn("_w", weight)
+            .withColumn("rn", F.row_number().over(by_recency))
+            .withColumn("n_total", F.sum("_w").over(Window.partitionBy("user_id")))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+                F.col("n_total").alias("n_events"),
+            )
+        )
+
+    def _as_events(state_df: DataFrame) -> DataFrame:
+        """Inverse rename so prior state re-enters the same reduction."""
+        return state_df.select(
+            F.col("last_event_id").alias("event_id"),
+            F.col("last_ts").alias("ts"),
+            "user_id",
+            F.col("last_event_type").alias("event_type"),
+            F.col("last_value").alias("value"),
+            "n_events",
+        )
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        summary = _summarize(batch_df)
+        prev_dir = os.path.join(state, f"v{batch_id - 1}")
+        if os.path.isdir(prev_dir):
+            prev = bspark.read.parquet(prev_dir)
+            merged = _summarize(_as_events(prev).unionByName(_as_events(summary)))
+        else:
+            merged = summary
+        vdir = os.path.join(state, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(vdir)
+        # atomic pointer swap: rename is the commit point
+        tmp = os.path.join(state, f"_CURRENT.{batch_id}.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"v{batch_id}")
+        os.replace(tmp, os.path.join(state, "_CURRENT"))
+
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with frozen_shuffle_partitions(spark, num_state_partitions):
+        q = (
+            stream.writeStream.foreachBatch(_upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    with open(os.path.join(state, "_CURRENT")) as f:
+        current = f.read().strip()
+    return spark.read.parquet(os.path.join(state, current))

@@ -23,13 +23,14 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
 # least-recently-verified keys FIRST each round. Round-9 window
-# (VERDICT r8 #1): the nine new r9 keys (never driver-checked), the
+# (VERDICT r8 #1): the ten new r9 keys (never driver-checked), the
 # four r5-stale window functions, the three keys whose current
 # oracle/output postdates their latest driver row
 # (decontaminate_fuzzy/_large — mid-r8 oracle upgrades;
 # dedup_minhash_mllib — pair-set-equality witness columns added in
-# r9), then the r6-stale block. The list is 62 keys for a ~50 window:
-# the final TWELVE (sink_json + simsearch_lsh/ivf/pq/brp + embedding_neardup —
+# r9), then the r6-stale block. The list is 63 keys for a ~50 window:
+# the final THIRTEEN (sink_json, text_repetition_bigram +
+# simsearch_lsh/ivf/pq/brp + embedding_neardup —
 # rows-only with recall invariants pinned in pytest — and
 # project_select, project_alias_cast, filter_eq, filter_and_not,
 # filter_dropna — plain projections/filters, the lowest-risk keys in
@@ -48,6 +49,7 @@ PRIORITY_KEYS = [
     "sample_stratified_portable",
     "random_split_portable",
     "streaming_checkpoint_recovery",
+    "streaming_foreach_batch_upsert",
     # the r5-stale block (oldest remaining rows; VERDICT r8 #1):
     "window_lag_lead",
     "window_moving_avg",
@@ -87,15 +89,15 @@ PRIORITY_KEYS = [
     "join_skew_salted",
     "sink_partitioned_scan",
     "join_bucketed",
-    "text_repetition_bigram",
     "ml_model_save_load",
     "multimodal_meta",
     "dedup_incremental",
     "dedup_keep_best",
     "simsearch_topk",
-    # pre-declared r10-head slip candidates (window is ~50 of 62;
-    # lsh/ivf and the sink_json roundtrip slip ahead of topk):
+    # pre-declared r10-head slip candidates (window is ~50 of 63;
+    # lsh/ivf and two low-risk pure-function keys slip ahead of topk):
     "sink_json",
+    "text_repetition_bigram",
     "simsearch_lsh",
     "simsearch_ivf",
     "simsearch_pq",

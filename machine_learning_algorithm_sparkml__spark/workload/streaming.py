@@ -37,6 +37,23 @@ def q_streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch keyed-upsert sink: per-user latest-event state +
+    additive counts MERGEd batch-by-batch (3 micro-batches via
+    maxFilesPerTrigger=1) into a snapshot-versioned table with an
+    atomic current-pointer — the retry-idempotent pattern for targets
+    without a streaming writer. Final state is order-independent, so
+    it replays as a batch per-user argmax + count (see
+    streaming/events.py:run_streaming_foreach_batch_upsert)."""
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_foreach_batch_upsert,
+    )
+
+    return run_streaming_foreach_batch_upsert(
+        spark, sf_dir, n_source_files=3, num_state_partitions=8
+    )
+
+
 def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # num_state_partitions=8: state keys ~ (windows x event_types) at
     # this replay — size state width to key volume, not CPU count
@@ -233,9 +250,26 @@ QUERIES = {
     "timeseries_gapfill": q_timeseries_gapfill,
     "stream_stream_join": q_stream_stream_join,
     "streaming_checkpoint_recovery": q_streaming_checkpoint_recovery,
+    "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
 }
 
 ORACLE = {
+    # the merged keyed state must equal a single-pass per-user argmax
+    # (ties broken by event_id) + count — the order-independence of the
+    # batch-by-batch MERGE stated in SQL
+    "streaming_foreach_batch_upsert": """
+        WITH r AS (
+            SELECT user_id, event_id, ts, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events
+        )
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+               event_type AS last_event_type, value AS last_value, n_events
+        FROM r WHERE rn = 1
+    """,
     # append-mode emission = windows the FINAL watermark (max ts -
     # 30 min) has passed; the two-run restart must reproduce exactly
     # the single-pass batch answer over those windows

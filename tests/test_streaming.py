@@ -269,3 +269,43 @@ def test_checkpoint_recovery_exactly_once_and_no_reprocessing(spark, sf_dir):
     # run 1's batches saw only phase-1 files; run 2's only phase-2
     assert phase1_batches and phase2_batches
     assert max(phase1_batches) < min(phase2_batches)
+
+
+def test_foreach_batch_upsert_merges_across_batches_deterministically(spark, sf_dir):
+    """The foreachBatch MERGE witness: (1) the run really executes
+    multiple micro-batches (one snapshot version per batch, pointer at
+    the last); (2) the final state is one row per user with counts
+    summing to the corpus; (3) a full re-run reproduces the state
+    byte-for-byte — the determinism that makes the per-batch
+    version-from-previous-version derivation retry-idempotent."""
+    import os
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_foreach_batch_upsert,
+    )
+
+    first = run_streaming_foreach_batch_upsert(spark, sf_dir, n_source_files=3).collect()
+
+    state = scratch_sink_path(sf_dir, "febatch_state")
+    versions = sorted(v for v in os.listdir(state) if v.startswith("v"))
+    assert versions == ["v0", "v1", "v2"]  # one merge per micro-batch
+    with open(os.path.join(state, "_CURRENT")) as f:
+        assert f.read().strip() == "v2"
+
+    events = load_table(spark, sf_dir, "events")
+    assert len(first) == events.select("user_id").distinct().count()
+    assert sum(r.n_events for r in first) == events.count()
+    # every state row is a real event, with its true per-user count
+    latest = {
+        (r.user_id, r.last_event_id, r.last_ts, r.last_event_type, r.last_value)
+        for r in first
+    }
+    raw = {
+        (r.user_id, r.event_id, r.ts, r.event_type, r.value)
+        for r in events.collect()
+    }
+    assert latest <= raw
+
+    again = run_streaming_foreach_batch_upsert(spark, sf_dir, n_source_files=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
