@@ -3,6 +3,7 @@ from machine_learning_algorithm_sparkml__spark.streaming.events import (
     run_stream_static_join,
     run_streaming_checkpoint_recovery,
     run_streaming_foreach_batch_upsert,
+    run_streaming_late_data,
     run_streaming_dedup,
     run_streaming_session_windows,
     run_streaming_sliding_counts,
@@ -23,5 +24,6 @@ __all__ = [
     "run_streaming_dedup",
     "run_streaming_checkpoint_recovery",
     "run_streaming_foreach_batch_upsert",
+    "run_streaming_late_data",
     "run_stream_static_join",
 ]

@@ -413,6 +413,74 @@ def run_streaming_checkpoint_recovery(
     committed files are visible (a torn run cannot leak partial
     output).
     """
+    return _two_phase_windowed_restart(
+        spark,
+        sf_dir,
+        leaf="ckpt_recovery",
+        window_duration=window_duration,
+        watermark=watermark,
+        num_state_partitions=num_state_partitions,
+    )
+
+
+def run_streaming_late_data(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+    num_state_partitions: int | None = None,
+) -> DataFrame:
+    """Watermark late-data semantics across a restart: phase 2 carries
+    the second half of events PLUS re-delivered copies of events more
+    than 2 hours older than the split point — all far below the
+    watermark the restarted query recovers from its checkpoint, so
+    every copy must be DROPPED before aggregation. The final sink must
+    therefore equal the batch aggregation of the ORIGINAL events only
+    (restricted to watermark-finalized windows): if the engine failed
+    to drop the re-delivery, the old windows would double-count and
+    the oracle compare would fail.
+
+    This is the at-least-once upstream reality (a kafka producer
+    retries, a file lands twice) that watermarking exists to bound:
+    state for finalized windows is GONE, so late rows cannot be merged
+    — they are filtered by the recovered watermark, keeping state
+    size and result correctness independent of redelivery volume.
+    """
+
+    def _replayed_copies(events: DataFrame, mid) -> DataFrame:
+        return events.filter(
+            F.col("ts") < F.lit(mid) - F.expr("INTERVAL 2 HOURS")
+        )
+
+    return _two_phase_windowed_restart(
+        spark,
+        sf_dir,
+        leaf="late_data",
+        window_duration=window_duration,
+        watermark=watermark,
+        num_state_partitions=num_state_partitions,
+        phase2_extra=_replayed_copies,
+    )
+
+
+def _two_phase_windowed_restart(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    leaf: str,
+    window_duration: str,
+    watermark: str,
+    num_state_partitions: int | None,
+    phase2_extra=None,
+) -> DataFrame:
+    """Shared scaffolding for the restart witnesses: split events at
+    the exact median event time, run the append-mode windowed
+    aggregation as two ``availableNow`` incarnations over a growing
+    source dir with a durable checkpoint and a transactional parquet
+    sink, and read the committed sink back. ``phase2_extra(events,
+    mid)`` optionally injects extra rows into the phase-2 file (the
+    late-redelivery witness)."""
     import shutil
 
     from machine_learning_algorithm_sparkml__spark.sources import load_table
@@ -426,9 +494,9 @@ def run_streaming_checkpoint_recovery(
         F.expr("timestamp_seconds(percentile(cast(ts as double), 0.5))").alias("m")
     ).first()["m"]
 
-    src = scratch_sink_path(sf_dir, "ckpt_recovery_src")
-    ckpt = scratch_sink_path(sf_dir, "ckpt_recovery_ckpt")
-    out = scratch_sink_path(sf_dir, "ckpt_recovery_out")
+    src = scratch_sink_path(sf_dir, f"{leaf}_src")
+    ckpt = scratch_sink_path(sf_dir, f"{leaf}_ckpt")
+    out = scratch_sink_path(sf_dir, f"{leaf}_out")
     for d in (src, ckpt, out):  # a stale checkpoint would replay nothing
         shutil.rmtree(d, ignore_errors=True)
 
@@ -458,9 +526,10 @@ def run_streaming_checkpoint_recovery(
         os.path.join(src, "phase=1")
     )
     _one_run()
-    events.filter(F.col("ts") > F.lit(mid)).write.mode("overwrite").parquet(
-        os.path.join(src, "phase=2")
-    )
+    phase2 = events.filter(F.col("ts") > F.lit(mid))
+    if phase2_extra is not None:
+        phase2 = phase2.unionByName(phase2_extra(events, mid))
+    phase2.write.mode("overwrite").parquet(os.path.join(src, "phase=2"))
     _one_run()
     return spark.read.parquet(out)
 

@@ -54,6 +54,23 @@ def q_streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-drop semantics: phase 2 re-delivers every event
+    >2h older than the split point; all copies sit below the recovered
+    watermark and must be dropped before aggregation, so the sink
+    equals the batch answer over the ORIGINAL events only — the oracle
+    fails if even one re-delivered row is double-counted (see
+    streaming/events.py:run_streaming_late_data)."""
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_late_data,
+    )
+
+    return run_streaming_late_data(
+        spark, sf_dir, window_duration="1 hour", watermark="30 minutes",
+        num_state_partitions=8,
+    )
+
+
 def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # num_state_partitions=8: state keys ~ (windows x event_types) at
     # this replay — size state width to key volume, not CPU count
@@ -251,9 +268,24 @@ QUERIES = {
     "stream_stream_join": q_stream_stream_join,
     "streaming_checkpoint_recovery": q_streaming_checkpoint_recovery,
     "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
+    "streaming_late_data": q_streaming_late_data,
 }
 
 ORACLE = {
+    # identical SQL to streaming_checkpoint_recovery BY DESIGN: the
+    # re-delivered copies must leave no trace, so the oracle sees only
+    # the original events over watermark-finalized windows
+    "streaming_late_data": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+              <= (SELECT max(ts) - INTERVAL '30 minutes' FROM events)
+        GROUP BY 1, 2, 3
+    """,
     # the merged keyed state must equal a single-pass per-user argmax
     # (ties broken by event_id) + count — the order-independence of the
     # batch-by-batch MERGE stated in SQL

@@ -309,3 +309,49 @@ def test_foreach_batch_upsert_merges_across_batches_deterministically(spark, sf_
 
     again = run_streaming_foreach_batch_upsert(spark, sf_dir, n_source_files=3).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+
+
+def test_late_data_copies_are_dropped_not_counted(spark, sf_dir):
+    """Non-vacuousness witness for `streaming_late_data`: the planted
+    re-delivery is large (>0 rows by construction), and HAD the copies
+    been aggregated, the affected old windows would double-count — so
+    the key's output must equal the originals-only batch answer and
+    differ from the with-copies one on every re-delivered window."""
+    import datetime
+
+    from machine_learning_algorithm_sparkml__spark.workload.streaming import (
+        q_streaming_late_data,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    mid_s = events.agg(
+        F.expr("percentile(cast(ts as double), 0.5)").alias("m")
+    ).first()["m"]
+    mid = datetime.datetime.fromtimestamp(mid_s, datetime.timezone.utc).replace(tzinfo=None)
+    copies = events.filter(F.col("ts") < F.lit(mid) - F.expr("INTERVAL 2 HOURS"))
+    n_copies = copies.count()
+    assert n_copies > 0  # the witness is not vacuous
+
+    out = {
+        (r.window_start, r.window_end, r.event_type): r.n_events
+        for r in q_streaming_late_data(spark, sf_dir).collect()
+    }
+    # originals-only counts for the re-delivered windows must match;
+    # with-copies counts (2x) must NOT appear anywhere
+    cutoff = mid - datetime.timedelta(hours=2)
+    replayed = (
+        copies.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("ws"), F.col("win.end").alias("we"),
+            "event_type", "n",
+        )
+        # the window straddling the cutoff is only PARTIALLY copied;
+        # fully-copied windows are where copies == original count
+        .filter(F.col("we") <= F.lit(cutoff))
+        .collect()
+    )
+    assert replayed
+    for r in replayed:
+        key = (r.ws, r.we, r.event_type)
+        assert out[key] == r.n  # original count, not 2 * n
