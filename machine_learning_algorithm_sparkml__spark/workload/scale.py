@@ -9,6 +9,7 @@ mechanism changes only the PLAN, never the answer.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -173,6 +174,39 @@ def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("sha256"),
     )
+
+
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet file generations — the most
+    common format drift in a long-lived corpus: a column added later
+    exists only in newer files. Generation 1 (even orderkeys) is
+    written WITHOUT ``o_totalprice``; generation 2 (odd orderkeys)
+    carries it. ``mergeSchema`` + ``recursiveFileLookup`` (the latter
+    deliberately disables partition-style dir inference) reads both
+    under the unified schema, with the missing column NULL for gen-1
+    rows — exactly replayable in SQL as a CASE over the parity split.
+
+    Scale note: ``mergeSchema`` reconciles schemas by reading EVERY
+    file footer — fine per-directory, pathological over millions of
+    files. The 100 TB deployment pins the unified schema explicitly
+    (``.schema(...)`` on read, missing columns still null-filled) or
+    keeps schema in table-format metadata; this key pins the
+    SEMANTICS both paths must honor."""
+    orders = load_table(spark, sf_dir, "orders")
+    dirpath = scratch_sink_path(sf_dir, "orders_schema_evo")
+    even = F.col("o_orderkey") % 2 == 0
+    orders.filter(even).select("o_orderkey", "o_orderstatus").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dirpath, "gen1"))
+    orders.filter(~even).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(dirpath, "gen2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(dirpath)
+    )
+    return merged.select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
 def q_scan_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,6 +380,7 @@ QUERIES = {
     "sink_json": q_sink_json_roundtrip,
     "scan_json_malformed": q_scan_json_malformed,
     "scan_binary_files": q_scan_binary_files,
+    "scan_schema_evolution": q_scan_schema_evolution,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangle_count": q_graph_triangle_count,
 }
@@ -428,6 +463,11 @@ ORACLE = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS sha256
         FROM documents WHERE doc_id < 10
+    """,
+    "scan_schema_evolution": """
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 2 <> 0 THEN o_totalprice END AS o_totalprice
+        FROM orders
     """,
     "scan_json_malformed": """
         SELECT (SELECT COUNT(*) FROM documents) AS n_total,

@@ -457,3 +457,41 @@ def test_scan_binary_files_glob_prunes_and_preserves_bytes(spark, sf_dir):
         assert spark.read.format("binaryFile").load(dirpath).count() == len(docs) + 1
     finally:
         os.unlink(decoy)
+
+
+def test_scan_schema_evolution_null_fills_and_explicit_schema_agrees(spark, sf_dir):
+    """Column-added-later drift: gen-1 files lack o_totalprice, so the
+    merged read must null-fill exactly the even-orderkey rows — and
+    the explicit-schema read (the 100 TB path that skips the
+    footer-sweep mergeSchema does) must produce the identical frame."""
+    from pyspark.sql import types as T
+
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_scan_schema_evolution,
+    )
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+
+    merged = q_scan_schema_evolution(spark, sf_dir)
+    assert dict(merged.dtypes)["o_totalprice"] == "double"
+    n_even = merged.filter(F.col("o_orderkey") % 2 == 0).count()
+    n_null = merged.filter(F.col("o_totalprice").isNull()).count()
+    n_even_null = merged.filter(
+        (F.col("o_orderkey") % 2 == 0) & F.col("o_totalprice").isNull()
+    ).count()
+    assert n_even == n_null == n_even_null  # nulls are exactly the gen-1 rows
+    assert merged.count() == load_table(spark, sf_dir, "orders").count()
+
+    explicit = (
+        spark.read.schema(
+            T.StructType([
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_orderstatus", T.StringType()),
+                T.StructField("o_totalprice", T.DoubleType()),
+            ])
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(scratch_sink_path(sf_dir, "orders_schema_evo"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    assert explicit.exceptAll(merged).count() == 0
+    assert merged.exceptAll(explicit).count() == 0
