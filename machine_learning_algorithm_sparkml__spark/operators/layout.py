@@ -98,3 +98,45 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory
+    into files near ``target_file_bytes``. Returns the number of
+    output files chosen.
+
+    The small-files problem is a first-order 100 TB cost: every file
+    is a listing round-trip, a scheduler task, an open/seek, and a
+    footer parse — a table of 10 KB files is often slower to SCAN
+    than to fully rewrite. The compactor sizes the output from the
+    SOURCE listing (metadata only, no data read): n_out =
+    ceil(total_bytes / target), then one round-robin
+    ``repartition(n_out)`` pass — a single all-to-all shuffle that
+    yields balanced files regardless of input skew. ``coalesce`` would
+    avoid the shuffle but only merges (never splits) partitions and
+    inherits their skew, so a hot input file survives compaction;
+    repartition is the correct default and the shuffle is the price
+    of balance. At deployment scale this runs per-partition-directory
+    (compact yesterday's hour/day dirs), so the shuffle is bounded by
+    the partition, not the table.
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_path).repartition(n_out).write.mode("overwrite").parquet(
+        dst_path
+    )
+    return n_out

@@ -176,6 +176,33 @@ def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip: orders deliberately
+    fragmented into 64 tiny parquet files, then rewritten to
+    target-size files by `operators/layout.py:compact_small_files`
+    (output count sized from the source LISTING — metadata only —
+    then one balanced round-robin repartition pass). The answer is
+    layout-invariant, so the oracle is the plain projection; the
+    physical claims (file count = ceil(total/target), balanced sizes,
+    no row lost) are pinned in tests/test_scale_features.py. At
+    100 TB this is the nightly housekeeping that keeps scan cost
+    proportional to BYTES instead of FILE COUNT."""
+    from machine_learning_algorithm_sparkml__spark.operators.layout import (
+        compact_small_files,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    frag = scratch_sink_path(sf_dir, "orders_fragmented")
+    dst = scratch_sink_path(sf_dir, "orders_compacted")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_small_files(spark, frag, dst, target_file_bytes=256 * 1024)
+    return spark.read.parquet(dst).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
 def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across parquet file generations — the most
     common format drift in a long-lived corpus: a column added later
@@ -381,6 +408,7 @@ QUERIES = {
     "scan_json_malformed": q_scan_json_malformed,
     "scan_binary_files": q_scan_binary_files,
     "scan_schema_evolution": q_scan_schema_evolution,
+    "layout_compaction": q_layout_compaction,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangle_count": q_graph_triangle_count,
 }
@@ -463,6 +491,9 @@ ORACLE = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS sha256
         FROM documents WHERE doc_id < 10
+    """,
+    "layout_compaction": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
     """,
     "scan_schema_evolution": """
         SELECT o_orderkey, o_orderstatus,

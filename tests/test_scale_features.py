@@ -215,3 +215,44 @@ def test_mllib_minhash_pair_set_equality_invariant(spark, sf_dir):
     assert all(r.pair_sets_equal for r in rows)
     assert rows[0].n_only_mllib == 0
     assert rows[0].n_only_handrolled == 0
+
+
+def test_compaction_hits_target_file_count_balanced_and_lossless(spark, sf_dir):
+    """compact_small_files physical claims: the fragmented fixture
+    really has 64 files; the compacted output has exactly
+    ceil(total_bytes / target) files; round-robin repartition makes
+    them size-balanced (no file more than 3x another when multiple);
+    and not a row is lost or changed."""
+    import math
+    import os
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_layout_compaction,
+    )
+
+    compacted = q_layout_compaction(spark, sf_dir)
+
+    def parquet_files(path):
+        return [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    frag = parquet_files(scratch_sink_path(sf_dir, "orders_fragmented"))
+    out = parquet_files(scratch_sink_path(sf_dir, "orders_compacted"))
+    assert len(frag) == 64
+    total = sum(os.path.getsize(f) for f in frag)
+    assert len(out) == max(1, math.ceil(total / (256 * 1024)))
+    assert len(out) < len(frag)
+    if len(out) > 1:
+        sizes = sorted(os.path.getsize(f) for f in out)
+        assert sizes[-1] < 3 * sizes[0], sizes
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    assert compacted.count() == orders.count()
+    assert compacted.exceptAll(orders).count() == 0
