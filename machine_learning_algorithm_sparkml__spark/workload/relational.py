@@ -180,6 +180,33 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal money aggregation — the correctness-at-scale
+    counterpart to the double-summing aggregates: double accumulation
+    error grows with row count and summation ORDER (every money sum
+    elsewhere needs a ROUND crutch to oracle-match), while
+    decimal(18,2) accumulation is associative and exact, so a 100 TB
+    ledger sums to the identical cent on any partitioning and any
+    engine. Each price is cast to decimal(18,2) first (exact: the
+    generated values are 2-decimal quantities, so the nearest-2-dec
+    cast is unambiguous on both engines), then summed per status —
+    NO rounding anywhere in the program or the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.sum(price).alias("sum_price_exact"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("sum_price_exact").cast("decimal(38,2)").alias("sum_price_exact"),
+            "n_orders",
+        )
+    )
+
+
 # --- joins beyond the reference (engine completeness) ---------------------------
 
 def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1343,6 +1370,7 @@ QUERIES = {
     "agg_count": q_agg_count,
     "agg_groupby_count": q_agg_groupby_count,
     "agg_pricing_summary": q_agg_pricing_summary,
+    "agg_decimal_exact": q_agg_decimal_exact,
     "union_all": q_union_all,
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
@@ -1401,6 +1429,12 @@ ORACLE = {
     # portable hash-gate sampling trio: thresholds are int(f * 2^24)
     # over u24 = first 6 hex chars of md5('754:' || key) — the exact
     # integers the Spark operator computes (operators/setops.py)
+    "agg_decimal_exact": """
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price_exact,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """,
     "sample_hash_portable": """
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         WHERE CAST('0x' || substring(md5('754:' || CAST(o_orderkey AS VARCHAR)), 1, 6) AS BIGINT) < 4194304

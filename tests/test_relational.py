@@ -205,3 +205,33 @@ def test_fuzzy_join_blocked_is_symmetric_free_and_verified(spark, sf_dir):
     for r in out:
         assert r["id_a"] < r["id_b"]
         assert 0 <= r["dist"] <= 2
+
+
+def test_agg_decimal_exact_is_partitioning_invariant_and_matches_ledger(spark, sf_dir):
+    """The decimal claim: the same frame summed under different
+    physical partitionings yields the IDENTICAL decimal (double sums
+    only promise this after rounding), and the result equals an
+    exact driver-side Decimal ledger of the cast values."""
+    from decimal import Decimal
+
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_agg_decimal_exact,
+    )
+
+    base = {r.o_orderstatus: r.sum_price_exact for r in q_agg_decimal_exact(spark, sf_dir).collect()}
+
+    orders = load_table(spark, sf_dir, "orders")
+    for n in (1, 17):
+        redo = {
+            r.o_orderstatus: r.s
+            for r in orders.repartition(n)
+            .groupBy("o_orderstatus")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+            .collect()
+        }
+        assert redo == base, n
+
+    ledger: dict[str, Decimal] = {}
+    for r in orders.select("o_orderstatus", F.col("o_totalprice").cast("decimal(18,2)").alias("p")).collect():
+        ledger[r.o_orderstatus] = ledger.get(r.o_orderstatus, Decimal(0)) + r.p
+    assert ledger == base
