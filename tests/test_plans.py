@@ -454,3 +454,59 @@ def test_q21_decorrelates_to_semi_and_anti_join(spark, sf_dir):
     assert "NestedLoop" not in plan, plan
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_aqe_coalesces_overprovisioned_shuffle_partitions(spark, sf_dir):
+    """The deployment contract in session.py: leave shuffle.partitions
+    high and let AQE coalesce at runtime. Witness: the same aggregate
+    under a 200-partition setting executes with AQEShuffleRead
+    'coalesced' and lands on a small final partition count — the
+    mechanism that makes the static setting an upper bound, not a tax,
+    at any scale."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "200")
+    try:
+        agg = load_table(spark, sf_dir, "orders").groupBy("o_orderstatus").count()
+        agg.collect()
+        executed = agg._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in executed and "coalesced" in executed, executed
+        assert agg.rdd.getNumPartitions() < 20
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark, sf_dir):
+    """When a selective dim filter feeds a SHUFFLE join (no broadcast),
+    Spark can inject a runtime bloom filter on the fact side so
+    non-matching rows die before the exchange — at 100 TB that is the
+    difference between shuffling the whole fact table and shuffling
+    the ~matching slice. Thresholds are scoped down here (the feature
+    gates on multi-GB scans by default); the assertion is that the
+    injected `bloom_filter_agg`/`might_contain` pair reaches the
+    optimized plan and the physical fact-side scan."""
+    scoped = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        sel = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        joined = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in optimized or "might_contain" in optimized, optimized
+        from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+
+        assert "might_contain" in formatted_plan(joined).lower()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
