@@ -207,6 +207,42 @@ def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC from full snapshots — the inverse of `merge_upsert`: diff
+    yesterday's vs today's orders into insert/update/delete rows via
+    ONE full-outer key join (operators/cdc.py). Today's snapshot is
+    derived deterministically so DuckDB replays it: keys %10==3
+    deleted, %10==7 repriced (+1000.0 — exactly representable, so the
+    double math is engine-identical), %10==1 re-inserted under an
+    offset key. At 100 TB the diff is the product everything
+    downstream runs on instead of the snapshots."""
+    from machine_learning_algorithm_sparkml__spark.operators.cdc import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mod = F.col("o_orderkey") % 10
+    new = (
+        orders.filter(mod != 3)
+        .withColumn(
+            "o_totalprice",
+            F.when(mod == 7, F.col("o_totalprice") + 1000.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            orders.filter(mod == 1).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    return snapshot_diff(
+        orders, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
 # --- joins beyond the reference (engine completeness) ---------------------------
 
 def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1371,6 +1407,7 @@ QUERIES = {
     "agg_groupby_count": q_agg_groupby_count,
     "agg_pricing_summary": q_agg_pricing_summary,
     "agg_decimal_exact": q_agg_decimal_exact,
+    "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "union_all": q_union_all,
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
@@ -1434,6 +1471,31 @@ ORACLE = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price_exact,
                COUNT(*) AS n_orders
         FROM orders GROUP BY o_orderstatus
+    """,
+    "cdc_snapshot_diff": """
+        WITH old AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ), new AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 7 THEN o_totalprice + 1000.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 10 <> 3
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 10 = 1
+        )
+        SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+               CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                    WHEN new.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               old.o_orderstatus AS old_o_orderstatus,
+               old.o_totalprice AS old_o_totalprice,
+               new.o_orderstatus AS new_o_orderstatus,
+               new.o_totalprice AS new_o_totalprice
+        FROM old FULL OUTER JOIN new USING (o_orderkey)
+        WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+           OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+           OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
     """,
     "sample_hash_portable": """
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -235,3 +235,67 @@ def test_agg_decimal_exact_is_partitioning_invariant_and_matches_ledger(spark, s
     for r in orders.select("o_orderstatus", F.col("o_totalprice").cast("decimal(18,2)").alias("p")).collect():
         ledger[r.o_orderstatus] = ledger.get(r.o_orderstatus, Decimal(0)) + r.p
     assert ledger == base
+
+
+def test_cdc_diff_counts_and_roundtrip_apply(spark, sf_dir):
+    """CDC correctness statement: the change set has exactly the
+    planted insert/update/delete counts, and APPLYING it to the old
+    snapshot reproduces the new snapshot exactly — diff and merge are
+    inverses."""
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_cdc_snapshot_diff,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).cache()
+    diff = q_cdc_snapshot_diff(spark, sf_dir).cache()
+    mod = F.col("o_orderkey") % 10
+    expected = {
+        "insert": orders.filter(mod == 1).count(),
+        "delete": orders.filter(mod == 3).count(),
+        "update": orders.filter(mod == 7).count(),
+    }
+    got = {r.change_type: r.n for r in diff.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
+    assert got == expected
+
+    # apply: drop deleted/updated keys, add back new values of
+    # updates + inserts
+    dead = diff.filter(F.col("change_type").isin("delete", "update")).select("o_orderkey")
+    incoming = diff.filter(F.col("change_type").isin("insert", "update")).select(
+        "o_orderkey",
+        F.col("new_o_orderstatus").alias("o_orderstatus"),
+        F.col("new_o_totalprice").alias("o_totalprice"),
+    )
+    applied = orders.join(dead, "o_orderkey", "left_anti").unionByName(incoming)
+    new = (
+        orders.filter(mod != 3)
+        .withColumn(
+            "o_totalprice",
+            F.when(mod == 7, F.col("o_totalprice") + 1000.0).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(mod == 1).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_orderstatus", "o_totalprice",
+            )
+        )
+    )
+    assert applied.exceptAll(new).count() == 0
+    assert new.exceptAll(applied).count() == 0
+    diff.unpersist(); orders.unpersist()
+
+
+def test_cdc_diff_null_safe_comparison(spark):
+    """A NULL-to-value transition is an UPDATE (eqNullSafe), never a
+    silent match; identical rows including NULLs produce no change."""
+    from machine_learning_algorithm_sparkml__spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "id long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now_set"), (2, "x"), (3, None)], "id long, v string"
+    )
+    rows = {r.id: r.change_type for r in snapshot_diff(old, new, ["id"], ["v"]).collect()}
+    assert rows == {1: "update"}  # 2 unchanged, 3 NULL==NULL unchanged
