@@ -409,6 +409,31 @@ def q_ml_undersample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced.groupBy("priority").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def q_ml_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-per-group fitting via grouped-map applyInPandas
+    (ml/regress.py): one OLS of event value vs time (epoch days) per
+    event_type — the canonical distributed "thousands of independent
+    models in one pass" pattern, and the ONE ml-family crossing whose
+    math is fully oracle-replayable (DuckDB regr_slope /
+    regr_intercept / corr on identical inputs; both sides compute the
+    same closed-form population moments, so rounded agreement is
+    engine-exact). Slope/corr rounded to 6, intercept to 2."""
+    from machine_learning_algorithm_sparkml__spark.ml.regress import group_ols
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("ts").cast("double") / 86400.0).alias("x"), "value"
+    )
+    fits = group_ols(events, "event_type", "x", "value")
+    return fits.select(
+        F.col("group_key").alias("event_type"),
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("corr_xy", 6).alias("corr_xy"),
+    )
+
+
 QUERIES = {
     "ml_string_index": q_ml_string_index,
     "ml_string_index_multi": q_ml_string_index_multi,
@@ -422,9 +447,18 @@ QUERIES = {
     "ml_cross_validate": q_ml_cross_validate,
     "ml_model_save_load": q_ml_model_save_load,
     "ml_undersample_balance": q_ml_undersample_balance,
+    "ml_group_ols": q_ml_group_ols,
 }
 
 ORACLE = {
+    "ml_group_ols": """
+        SELECT event_type,
+               COUNT(*) AS n,
+               ROUND(regr_slope(value, epoch(ts)/86400.0), 6) AS slope,
+               ROUND(regr_intercept(value, epoch(ts)/86400.0), 2) AS intercept,
+               ROUND(corr(value, epoch(ts)/86400.0), 6) AS corr_xy
+        FROM events GROUP BY event_type
+    """,
     "ml_string_index": (
         _INDEX_SQL.format(col="o_orderpriority", table="orders")
         + """

@@ -134,3 +134,40 @@ def test_model_save_load_roundtrip_exact(spark, sf_dir):
     assert row.n_rows > 0
     assert row.n_mismatch == 0
     assert row.roundtrip_ok is True
+
+
+def test_group_ols_matches_jvm_side_moment_formula(spark, sf_dir):
+    """Grouped-map pandas fit vs the pure-JVM covar_pop/var_pop
+    closed form — the same population moments computed by two
+    entirely different crossings must agree to rounding, and corr is
+    bounded in [-1, 1]."""
+    from machine_learning_algorithm_sparkml__spark.ml.regress import group_ols
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("ts").cast("double") / 86400.0).alias("x"), "value"
+    )
+    udf_side = {
+        r.group_key: (round(r.slope, 6), round(r.intercept, 2), round(r.corr_xy, 6))
+        for r in group_ols(events, "event_type", "x", "value").collect()
+    }
+    jvm = (
+        events.groupBy("event_type")
+        .agg(
+            (F.covar_pop("x", "value") / F.var_pop("x")).alias("slope"),
+            F.avg("value").alias("ym"),
+            F.avg("x").alias("xm"),
+            F.corr("x", "value").alias("c"),
+        )
+        .collect()
+    )
+    jvm_side = {
+        r.event_type: (
+            round(r.slope, 6),
+            round(r.ym - r.slope * r.xm, 2),
+            round(r.c, 6),
+        )
+        for r in jvm
+    }
+    assert udf_side == jvm_side
+    assert all(-1.0 <= v[2] <= 1.0 for v in udf_side.values())
