@@ -23,14 +23,15 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
 # least-recently-verified keys FIRST each round. Round-9 window
-# (VERDICT r8 #1): the sixteen new r9 keys (never driver-checked), the
+# (VERDICT r8 #1): the eighteen new r9 keys (never driver-checked), the
 # four r5-stale window functions, the three keys whose current
 # oracle/output postdates their latest driver row
 # (decontaminate_fuzzy/_large — mid-r8 oracle upgrades;
 # dedup_minhash_mllib — pair-set-equality witness columns added in
-# r9), then the r6-stale block. The list is 69 keys for a ~50 window:
-# the final TWENTY (sink_json/csv/orc, scan_parquet,
-# join_drop_dup_key, scalar_math/array_map_funcs,
+# r9), then the r6-stale block. The list is 71 keys for a ~50 window:
+# the final TWENTY-TWO (sink_json/csv/orc, scan_parquet,
+# join_drop_dup_key, profile_table, session_stats,
+# scalar_math/array_map_funcs,
 # text_repetition_bigram, ml_model_save_load +
 # simsearch_lsh/ivf/pq/brp + embedding_neardup —
 # rows-only with recall invariants pinned in pytest — and
@@ -58,6 +59,8 @@ PRIORITY_KEYS = [
     "agg_decimal_exact",
     "cdc_snapshot_diff",
     "ml_group_ols",
+    "sink_dynamic_partition_overwrite",
+    "observe_metrics",
     # the r5-stale block (oldest remaining rows; VERDICT r8 #1):
     "window_lag_lead",
     "window_moving_avg",
@@ -70,7 +73,6 @@ PRIORITY_KEYS = [
     # the r6-stale block:
     "scan_csv_header",
     "join_inner_equi",
-    "profile_table",
     "scd2_intervals",
     "fuzzy_join_blocked",
     "sql_tpch_q3",
@@ -85,7 +87,6 @@ PRIORITY_KEYS = [
     "stream_static_join",
     "streaming_stateful_totals",
     "sessionize",
-    "session_stats",
     "timeseries_gapfill",
     "stream_stream_join",
     "join_skew_salted",
@@ -95,9 +96,11 @@ PRIORITY_KEYS = [
     "dedup_incremental",
     "dedup_keep_best",
     "simsearch_topk",
-    # pre-declared r10-head slip candidates (window is ~50 of 69;
-    # lsh/ivf and nine low-risk keys slip ahead of topk):
+    # pre-declared r10-head slip candidates (window is ~50 of 71;
+    # lsh/ivf and eleven low-risk keys slip ahead of topk):
     "sink_json",
+    "profile_table",
+    "session_stats",
     "join_drop_dup_key",
     "scan_parquet",
     "sink_csv",

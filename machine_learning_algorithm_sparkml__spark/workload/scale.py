@@ -203,6 +203,72 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill write
+    semantic: with ``partitionOverwriteMode=dynamic``, an overwrite
+    replaces ONLY the partitions present in the incoming frame,
+    leaving every other partition untouched (static mode would wipe
+    the whole table root). The daily job that recomputes one day and
+    rewrites just that directory is this exact pattern; at 100 TB it
+    is the difference between an O(day) and O(table) write.
+
+    Program: orders written partitioned by priority; then the
+    1-URGENT partition alone is re-written with repriced rows
+    (+1000.0, exactly representable) through a dynamic-mode
+    overwrite. Read-back must show 1-URGENT repriced and all other
+    priorities byte-identical — which is exactly what the oracle's
+    CASE states. The mode is scoped to this write, not the session.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = scratch_sink_path(sf_dir, "orders_dyn_overwrite")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+
+    repriced = orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old_mode = spark.conf.get(mode_key)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        repriced.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    finally:
+        spark.conf.set(mode_key, old_mode)
+    return spark.read.parquet(path).select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").cast("string").alias("o_orderpriority")
+    )
+
+
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API: audit metrics (rows in, rows out, money
+    out) collected DURING a single pass of the job, not by a second
+    scan — at 100 TB a row-count/sum audit that re-reads the input
+    doubles the job; ``df.observe`` attaches exact aggregates to the
+    existing plan for free. Program: count+sum observed on both sides
+    of a status filter, driven by one action; the three scalars (a
+    bounded 1-row driver materialization) are returned as the result
+    frame. Oracle: the same scalars as subqueries over orders."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs_in, obs_out = Observation("audit_in"), Observation("audit_out")
+    pipeline = (
+        orders.observe(obs_in, F.count(F.lit(1)).alias("n_in"))
+        .filter(F.col("o_orderstatus") == "F")
+        .observe(
+            obs_out,
+            F.count(F.lit(1)).alias("n_out"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_out"),
+        )
+    )
+    pipeline.write.format("noop").mode("overwrite").save()  # one pass, no sink cost
+    return spark.createDataFrame(
+        [(obs_in.get["n_in"], obs_out.get["n_out"], float(obs_out.get["sum_out"]))],
+        "n_in long, n_out long, sum_out double",
+    )
+
+
 def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across parquet file generations — the most
     common format drift in a long-lived corpus: a column added later
@@ -409,6 +475,8 @@ QUERIES = {
     "scan_binary_files": q_scan_binary_files,
     "scan_schema_evolution": q_scan_schema_evolution,
     "layout_compaction": q_layout_compaction,
+    "sink_dynamic_partition_overwrite": q_sink_dynamic_partition_overwrite,
+    "observe_metrics": q_observe_metrics,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangle_count": q_graph_triangle_count,
 }
@@ -491,6 +559,19 @@ ORACLE = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS sha256
         FROM documents WHERE doc_id < 10
+    """,
+    "observe_metrics": """
+        SELECT (SELECT COUNT(*) FROM orders) AS n_in,
+               (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS n_out,
+               (SELECT ROUND(SUM(o_totalprice), 2) FROM orders
+                WHERE o_orderstatus = 'F') AS sum_out
+    """,
+    "sink_dynamic_partition_overwrite": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders
     """,
     "layout_compaction": """
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -256,3 +256,61 @@ def test_compaction_hits_target_file_count_balanced_and_lossless(spark, sf_dir):
     )
     assert compacted.count() == orders.count()
     assert compacted.exceptAll(orders).count() == 0
+
+
+def test_dynamic_partition_overwrite_touches_only_incoming_partitions(spark, sf_dir):
+    """The write-semantic distinction stated physically: after the
+    key's dynamic-mode overwrite of just 1-URGENT, every priority
+    directory still exists with its full row count (others untouched,
+    target replaced); a STATIC overwrite of the same single-partition
+    frame wipes the table down to that one directory."""
+    import os
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_sink_dynamic_partition_overwrite,
+    )
+
+    out = q_sink_dynamic_partition_overwrite(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    per_prio = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    path = scratch_sink_path(sf_dir, "orders_dyn_overwrite")
+    dirs = {d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("o_orderpriority=")}
+    assert dirs == set(per_prio)  # dynamic overwrite kept every partition
+    got = {
+        r.o_orderpriority: r.n
+        for r in out.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == per_prio  # and all rows
+
+    # contrast: static mode wipes the table root down to the incoming partition
+    static_path = scratch_sink_path(sf_dir, "orders_static_overwrite")
+    sel = orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    sel.write.mode("overwrite").partitionBy("o_orderpriority").parquet(static_path)
+    sel.filter(F.col("o_orderpriority") == "1-URGENT").write.mode(
+        "overwrite"
+    ).partitionBy("o_orderpriority").parquet(static_path)
+    static_dirs = [d for d in os.listdir(static_path) if d.startswith("o_orderpriority=")]
+    assert static_dirs == ["o_orderpriority=1-URGENT"]
+
+
+def test_observe_metrics_match_direct_aggregates(spark, sf_dir):
+    """Observation metrics are exact aggregates captured during the
+    job's own pass — they must equal an independent direct
+    computation (including the filter's selectivity split)."""
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_observe_metrics,
+    )
+
+    row = q_observe_metrics(spark, sf_dir).first()
+    orders = load_table(spark, sf_dir, "orders")
+    f_side = orders.filter(F.col("o_orderstatus") == "F")
+    assert row.n_in == orders.count()
+    assert row.n_out == f_side.count()
+    assert 0 < row.n_out < row.n_in
+    assert row.sum_out == round(
+        f_side.agg(F.sum("o_totalprice")).first()[0], 2
+    )
