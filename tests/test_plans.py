@@ -510,3 +510,30 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_group_ols_single_exchange_grouped_map(spark, sf_dir):
+    """Model-per-group = exactly one hash exchange on the group key
+    feeding FlatMapGroupsInPandas over a pruned 3-column scan."""
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+    from machine_learning_algorithm_sparkml__spark.workload.ml import q_ml_group_ols
+
+    plan = formatted_plan(q_ml_group_ols(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    # one exchange in the operator tree (each node renders twice in
+    # formatted output: tree line + detail block)
+    assert plan.count("Exchange") == 2, plan
+    assert "hashpartitioning(group_key" in plan
+
+
+def test_cdc_diff_is_full_outer_smj_not_nested_loop(spark, sf_dir):
+    """The snapshot diff must be a keyed sort-merge FULL OUTER join —
+    a nested-loop full outer would be quadratic at scale."""
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_cdc_snapshot_diff,
+    )
+
+    plan = formatted_plan(q_cdc_snapshot_diff(spark, sf_dir))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
