@@ -540,11 +540,22 @@ def run_streaming_foreach_batch_upsert(
     *,
     n_source_files: int = 3,
     num_state_partitions: int | None = None,
+    restart_after_files: int | None = None,
 ) -> DataFrame:
     """``foreachBatch`` keyed-upsert sink — the canonical production
     pattern for targets without a streaming writer: each micro-batch
     MERGEs into a per-user "current state" table (latest event +
     additive event count) instead of appending rows.
+
+    ``restart_after_files=k`` splits the drive into two query
+    incarnations sharing the checkpoint: run 1 sees the first k
+    source files, run 2 starts fresh after the remaining files land.
+    Batch ids CONTINUE across the restart, so the v{k-1} -> v{k}
+    version-chain derivation — the retry-idempotency device — also
+    carries the exactly-once guarantee across process death: the
+    rebooted job merges only unseen batches onto the surviving
+    snapshot. Uses separate scratch paths so the restart variant and
+    the plain variant never share state.
 
     The merge target here is a snapshot-versioned parquet table with
     an atomic current-pointer file — a minimal stand-in for the
@@ -578,15 +589,23 @@ def run_streaming_foreach_batch_upsert(
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    src = scratch_sink_path(sf_dir, "febatch_src")
-    ckpt = scratch_sink_path(sf_dir, "febatch_ckpt")
-    state = scratch_sink_path(sf_dir, "febatch_state")
+    leaf = "febatch" if restart_after_files is None else "febatch_restart"
+    src = scratch_sink_path(sf_dir, f"{leaf}_src")
+    ckpt = scratch_sink_path(sf_dir, f"{leaf}_ckpt")
+    state = scratch_sink_path(sf_dir, f"{leaf}_state")
     for d in (src, ckpt, state):
         shutil.rmtree(d, ignore_errors=True)
-    for i in range(n_source_files):
+
+    def _write_file(i: int) -> None:
         events.filter(F.col("event_id") % n_source_files == i).write.mode(
             "overwrite"
         ).parquet(os.path.join(src, f"part={i}"))
+
+    first_run_files = (
+        n_source_files if restart_after_files is None else restart_after_files
+    )
+    for i in range(first_run_files):
+        _write_file(i)
 
     def _summarize(df: DataFrame) -> DataFrame:
         """Reduce event-shaped rows (optionally carrying an ``n_events``
@@ -645,20 +664,31 @@ def run_streaming_foreach_batch_upsert(
         os.replace(tmp, os.path.join(state, "_CURRENT"))
 
     schema = events.schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("recursiveFileLookup", "true")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    with frozen_shuffle_partitions(spark, num_state_partitions):
-        q = (
-            stream.writeStream.foreachBatch(_upsert)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+
+    def _one_run() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
         )
-    q.awaitTermination()
+        with frozen_shuffle_partitions(spark, num_state_partitions):
+            q = (
+                stream.writeStream.foreachBatch(_upsert)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        q.awaitTermination()
+
+    _one_run()
+    if restart_after_files is not None:
+        # restart: a FRESH query incarnation resumes the same
+        # checkpoint; batch ids continue, so the v{k-1} -> v{k}
+        # version chain spans the restart unchanged
+        for i in range(first_run_files, n_source_files):
+            _write_file(i)
+        _one_run()
     with open(os.path.join(state, "_CURRENT")) as f:
         current = f.read().strip()
     return spark.read.parquet(os.path.join(state, current))

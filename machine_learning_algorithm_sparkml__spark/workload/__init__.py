@@ -23,14 +23,14 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
 # least-recently-verified keys FIRST each round. Round-9 window
-# (VERDICT r8 #1): the eighteen new r9 keys (never driver-checked), the
+# (VERDICT r8 #1): the nineteen new r9 keys (never driver-checked), the
 # four r5-stale window functions, the three keys whose current
 # oracle/output postdates their latest driver row
 # (decontaminate_fuzzy/_large — mid-r8 oracle upgrades;
 # dedup_minhash_mllib — pair-set-equality witness columns added in
-# r9), then the r6-stale block. The list is 71 keys for a ~50 window:
-# the final TWENTY-TWO (sink_json/csv/orc, scan_parquet,
-# join_drop_dup_key, profile_table, session_stats,
+# r9), then the r6-stale block. The list is 72 keys for a ~50 window:
+# the final TWENTY-THREE (sink_json/csv/orc, scan_parquet,
+# join_drop_dup_key, profile_table, session_stats, scd2_intervals,
 # scalar_math/array_map_funcs,
 # text_repetition_bigram, ml_model_save_load +
 # simsearch_lsh/ivf/pq/brp + embedding_neardup —
@@ -61,6 +61,7 @@ PRIORITY_KEYS = [
     "ml_group_ols",
     "sink_dynamic_partition_overwrite",
     "observe_metrics",
+    "streaming_upsert_restart",
     # the r5-stale block (oldest remaining rows; VERDICT r8 #1):
     "window_lag_lead",
     "window_moving_avg",
@@ -73,7 +74,6 @@ PRIORITY_KEYS = [
     # the r6-stale block:
     "scan_csv_header",
     "join_inner_equi",
-    "scd2_intervals",
     "fuzzy_join_blocked",
     "sql_tpch_q3",
     "sql_tpch_q5",
@@ -96,9 +96,10 @@ PRIORITY_KEYS = [
     "dedup_incremental",
     "dedup_keep_best",
     "simsearch_topk",
-    # pre-declared r10-head slip candidates (window is ~50 of 71;
-    # lsh/ivf and eleven low-risk keys slip ahead of topk):
+    # pre-declared r10-head slip candidates (window is ~50 of 72;
+    # lsh/ivf and twelve low-risk keys slip ahead of topk):
     "sink_json",
+    "scd2_intervals",
     "profile_table",
     "session_stats",
     "join_drop_dup_key",

@@ -71,6 +71,24 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_upsert_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch MERGE driven ACROSS a restart: run 1 consumes
+    2 of 3 source files, a fresh query incarnation resumes the same
+    checkpoint for the 3rd — batch ids continue, so the v{k-1}->v{k}
+    version chain (the retry-idempotency device) carries exactly-once
+    state through process death. Same oracle as the single-run key:
+    the final state must be indistinguishable from never having died
+    (see streaming/events.py:run_streaming_foreach_batch_upsert)."""
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_foreach_batch_upsert,
+    )
+
+    return run_streaming_foreach_batch_upsert(
+        spark, sf_dir, n_source_files=3, num_state_partitions=8,
+        restart_after_files=2,
+    )
+
+
 def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # num_state_partitions=8: state keys ~ (windows x event_types) at
     # this replay — size state width to key volume, not CPU count
@@ -269,6 +287,7 @@ QUERIES = {
     "streaming_checkpoint_recovery": q_streaming_checkpoint_recovery,
     "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
     "streaming_late_data": q_streaming_late_data,
+    "streaming_upsert_restart": q_streaming_upsert_restart,
 }
 
 ORACLE = {
@@ -285,6 +304,22 @@ ORACLE = {
         WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
               <= (SELECT max(ts) - INTERVAL '30 minutes' FROM events)
         GROUP BY 1, 2, 3
+    """,
+    # restart variant: same oracle as streaming_foreach_batch_upsert
+    # BY DESIGN — the final state must be indistinguishable from an
+    # uninterrupted run
+    "streaming_upsert_restart": """
+        WITH r AS (
+            SELECT user_id, event_id, ts, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events
+        )
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+               event_type AS last_event_type, value AS last_value, n_events
+        FROM r WHERE rn = 1
     """,
     # the merged keyed state must equal a single-pass per-user argmax
     # (ties broken by event_id) + count — the order-independence of the

@@ -355,3 +355,47 @@ def test_late_data_copies_are_dropped_not_counted(spark, sf_dir):
     for r in replayed:
         key = (r.ws, r.we, r.event_type)
         assert out[key] == r.n  # original count, not 2 * n
+
+
+def test_upsert_restart_resumes_version_chain_and_matches_uninterrupted(spark, sf_dir):
+    """The MERGE-across-restart witness: the second incarnation
+    consumes exactly the files that landed after the first died (its
+    checkpoint source log shows the part=2 file alone in the
+    post-restart batch), the v0->v1->v2 snapshot chain spans the
+    restart unbroken, and the final state is identical to the
+    uninterrupted single-run key's."""
+    import json
+    import os
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_foreach_batch_upsert,
+    )
+
+    restarted = run_streaming_foreach_batch_upsert(
+        spark, sf_dir, n_source_files=3, restart_after_files=2
+    ).collect()
+    state = scratch_sink_path(sf_dir, "febatch_restart_state")
+    assert sorted(v for v in os.listdir(state) if v.startswith("v")) == ["v0", "v1", "v2"]
+
+    src_log = os.path.join(
+        scratch_sink_path(sf_dir, "febatch_restart_ckpt"), "sources", "0"
+    )
+    batches = sorted((b for b in os.listdir(src_log) if b.isdigit()), key=int)
+    per_batch_parts = []
+    for b in batches:
+        with open(os.path.join(src_log, b)) as f:
+            parts = {
+                json.loads(line)["path"].split("part=")[1][0]
+                for line in f
+                if line.startswith("{")
+            }
+        per_batch_parts.append(parts)
+    assert len(per_batch_parts) == 3
+    assert per_batch_parts[0] | per_batch_parts[1] == {"0", "1"}  # run 1
+    assert per_batch_parts[2] == {"2"}  # post-restart incarnation
+
+    plain = run_streaming_foreach_batch_upsert(
+        spark, sf_dir, n_source_files=3
+    ).collect()
+    assert sorted(map(tuple, restarted)) == sorted(map(tuple, plain))
