@@ -243,6 +243,55 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup — the hypertable-style downsample: one
+    pass emits year, year-month, and grand-total aggregates via
+    ROLLUP over (year, month), each level a coarser retention tier.
+    At 100 TB this single-shuffle multi-granularity aggregation IS
+    the continuous-aggregate maintenance job (store the finest tier,
+    serve the coarser ones from the same pass). NULL grouping levels
+    are labeled explicitly so the compare is unambiguous."""
+    orders = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate").alias("yr")
+    m = F.month("o_orderdate").alias("mo")
+    return (
+        orders.select(y, m, "o_totalprice")
+        .rollup("yr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("yr"), F.lit(-1)).alias("yr"),
+            F.coalesce(F.col("mo"), F.lit(-1)).alias("mo"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def q_agg_argmax_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure argmax via the ``max_by`` aggregate — the cheaper shape
+    than the flagship's window row_number when only the winner is
+    needed: map-side partials reduce each group to ONE candidate per
+    input partition before the exchange, so the shuffle carries
+    |groups|x|partitions| rows instead of every order (the window
+    form must shuffle ALL rows and sort each group by price). Ties
+    broken deterministically by packing (o_totalprice, o_orderkey)
+    into a struct ordered lexicographically — the tiebreak is part of
+    the max itself. Plan note: struct-ordered extremum is sort-based
+    aggregation in Spark (the post-shuffle sort is on the GROUP KEY
+    only, one combined row per group per partition — not a
+    per-group sort of the raw rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    best = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", best).alias("best_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 # --- joins beyond the reference (engine completeness) ---------------------------
 
 def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1408,6 +1457,8 @@ QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "agg_decimal_exact": q_agg_decimal_exact,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
+    "agg_time_rollup": q_agg_time_rollup,
+    "agg_argmax_maxby": q_agg_argmax_maxby,
     "union_all": q_union_all,
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
@@ -1471,6 +1522,31 @@ ORACLE = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price_exact,
                COUNT(*) AS n_orders
         FROM orders GROUP BY o_orderstatus
+    """,
+    "agg_time_rollup": """
+        SELECT COALESCE(EXTRACT(year FROM o_orderdate), -1) AS yr,
+               COALESCE(EXTRACT(month FROM o_orderdate), -1) AS mo,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate), EXTRACT(month FROM o_orderdate))
+    """,
+    # oracle replays the SEMANTICS (winner by price desc, orderkey
+    # desc) via a window — DuckDB's arg_max cannot order by a struct
+    "agg_argmax_maxby": """
+        WITH r AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey DESC
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+                   MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+            FROM orders
+        )
+        SELECT o_custkey, o_orderkey AS best_orderkey,
+               ROUND(mx, 2) AS best_price, n_orders
+        FROM r WHERE rn = 1
     """,
     "cdc_snapshot_diff": """
         WITH old AS (

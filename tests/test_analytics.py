@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from machine_learning_algorithm_sparkml__spark.sources import load_table
 from machine_learning_algorithm_sparkml__spark.workload import analytics
 
 
@@ -178,3 +179,46 @@ def test_retention_cohort_week_zero_covers_every_user(spark, sf_dir):
     n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert week0 == n_users
     assert df.filter(F.col("week_offset") < 0).count() == 0
+
+
+def test_time_rollup_levels_are_consistent(spark, sf_dir):
+    """ROLLUP hierarchy invariants: the grand-total row equals the
+    table; each year row equals the sum of its month rows."""
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_agg_time_rollup,
+    )
+
+    rows = q_agg_time_rollup(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "orders").count()
+    grand = [r for r in rows if r.yr == -1 and r.mo == -1]
+    assert len(grand) == 1 and grand[0].n_orders == total
+    years = {r.yr: r.n_orders for r in rows if r.yr != -1 and r.mo == -1}
+    for yr, n in years.items():
+        month_sum = sum(r.n_orders for r in rows if r.yr == yr and r.mo != -1)
+        assert month_sum == n, yr
+
+
+def test_argmax_maxby_is_sort_free_single_aggregation(spark, sf_dir):
+    """The scale claim: max_by argmax does map-side partial
+    aggregation (one candidate per group per partition crosses the
+    shuffle) and needs NO Window pass over the raw rows — and the
+    winner really carries the group's max price. (Struct-ordered
+    extremum is sort-BASED aggregation, so a group-key Sort of the
+    combined rows is expected; a Window operator is not.)"""
+    from machine_learning_algorithm_sparkml__spark.plans import (
+        formatted_plan,
+        has_partial_aggregation,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_agg_argmax_maxby,
+    )
+
+    df = q_agg_argmax_maxby(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "partial_max_by" in plan  # map-side combine of the extremum
+    assert has_partial_aggregation(df)
+
+    orders = load_table(spark, sf_dir, "orders")
+    joined = df.join(orders, df.best_orderkey == orders.o_orderkey)
+    assert joined.filter(F.round(F.col("o_totalprice"), 2) != F.col("best_price")).count() == 0
