@@ -23,15 +23,15 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
 # least-recently-verified keys FIRST each round. Round-9 window
-# (VERDICT r8 #1): the twenty-one new r9 keys (never driver-checked), the
+# (VERDICT r8 #1): the twenty-two new r9 keys (never driver-checked), the
 # four r5-stale window functions, the three keys whose current
 # oracle/output postdates their latest driver row
 # (decontaminate_fuzzy/_large — mid-r8 oracle upgrades;
 # dedup_minhash_mllib — pair-set-equality witness columns added in
-# r9), then the r6-stale block. The list is 74 keys for a ~50 window:
-# the final TWENTY-FIVE (sink_json/csv/orc, scan_parquet,
+# r9), then the r6-stale block. The list is 75 keys for a ~50 window:
+# the final TWENTY-SIX (sink_json/csv/orc, scan_parquet,
 # join_drop_dup_key, profile_table, session_stats, scd2_intervals,
-# fuzzy_join_blocked, timeseries_gapfill,
+# fuzzy_join_blocked, timeseries_gapfill, sessionize,
 # scalar_math/array_map_funcs,
 # text_repetition_bigram, ml_model_save_load +
 # simsearch_lsh/ivf/pq/brp + embedding_neardup —
@@ -65,6 +65,7 @@ PRIORITY_KEYS = [
     "streaming_upsert_restart",
     "agg_time_rollup",
     "agg_argmax_maxby",
+    "json_variant_extract",
     # the r5-stale block (oldest remaining rows; VERDICT r8 #1):
     "window_lag_lead",
     "window_moving_avg",
@@ -88,7 +89,6 @@ PRIORITY_KEYS = [
     "streaming_dedup",
     "stream_static_join",
     "streaming_stateful_totals",
-    "sessionize",
     "stream_stream_join",
     "join_skew_salted",
     "sink_partitioned_scan",
@@ -97,9 +97,10 @@ PRIORITY_KEYS = [
     "dedup_incremental",
     "dedup_keep_best",
     "simsearch_topk",
-    # pre-declared r10-head slip candidates (window is ~50 of 74;
-    # lsh/ivf and fourteen low-risk keys slip ahead of topk):
+    # pre-declared r10-head slip candidates (window is ~50 of 75;
+    # lsh/ivf and fifteen low-risk keys slip ahead of topk):
     "sink_json",
+    "sessionize",
     "fuzzy_join_blocked",
     "timeseries_gapfill",
     "scd2_intervals",

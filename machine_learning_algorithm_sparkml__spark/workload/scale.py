@@ -269,6 +269,36 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT — the semi-structured type that replaces
+    schema-on-read string JSON: ``parse_json`` stores a binary-encoded
+    value whose fields are extracted with ``variant_get`` WITHOUT
+    re-parsing text per access (at 100 TB, repeated
+    ``get_json_object`` over a string column re-tokenizes the payload
+    for every field; variant decodes once at ingest). Program: each
+    document rendered to a JSON payload with a nested object, parsed
+    to VARIANT, then typed extraction of top-level and nested paths.
+    Oracle: the same fields straight off the table — VARIANT must be
+    a lossless round-trip. The `json_extract` key keeps the
+    string-JSON path for contrast."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.to_json(
+        F.struct(
+            F.col("doc_id"),
+            F.col("lang"),
+            F.length("text").alias("nchars"),
+            F.struct(F.col("source")).alias("meta"),
+        )
+    )
+    v = docs.select("doc_id", F.parse_json(payload).alias("v"))
+    return v.select(
+        "doc_id",
+        F.expr("variant_get(v, '$.lang', 'string')").alias("lang"),
+        F.expr("variant_get(v, '$.nchars', 'long')").alias("nchars"),
+        F.expr("variant_get(v, '$.meta.source', 'string')").alias("src"),
+    )
+
+
 def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across parquet file generations — the most
     common format drift in a long-lived corpus: a column added later
@@ -477,6 +507,7 @@ QUERIES = {
     "layout_compaction": q_layout_compaction,
     "sink_dynamic_partition_overwrite": q_sink_dynamic_partition_overwrite,
     "observe_metrics": q_observe_metrics,
+    "json_variant_extract": q_json_variant_extract,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangle_count": q_graph_triangle_count,
 }
@@ -559,6 +590,12 @@ ORACLE = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS sha256
         FROM documents WHERE doc_id < 10
+    """,
+    "json_variant_extract": """
+        SELECT doc_id, lang,
+               CAST(LENGTH(text) AS BIGINT) AS nchars,
+               source AS src
+        FROM documents
     """,
     "observe_metrics": """
         SELECT (SELECT COUNT(*) FROM orders) AS n_in,

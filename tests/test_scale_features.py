@@ -314,3 +314,30 @@ def test_observe_metrics_match_direct_aggregates(spark, sf_dir):
     assert row.sum_out == round(
         f_side.agg(F.sum("o_totalprice")).first()[0], 2
     )
+
+
+def test_variant_extract_nested_missing_and_typed(spark):
+    """VARIANT semantics: nested paths resolve, a missing path is
+    NULL (not an error), and typed extraction casts — the
+    schema-flexibility contract that makes variant the right landing
+    type for heterogeneous JSON."""
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": 1, "meta": {"s": "x"}}'),
+            (2, '{"a": "2"}'),
+            (3, '{"b": true}'),
+        ],
+        "id long, payload string",
+    )
+    out = {
+        r.id: (r.a, r.s, r.b)
+        for r in df.select(
+            "id",
+            F.expr("variant_get(parse_json(payload), '$.a', 'long')").alias("a"),
+            F.expr("variant_get(parse_json(payload), '$.meta.s', 'string')").alias("s"),
+            F.expr("variant_get(parse_json(payload), '$.b', 'boolean')").alias("b"),
+        ).collect()
+    }
+    assert out[1] == (1, "x", None)
+    assert out[2] == (2, None, None)  # "2" coerced to long
+    assert out[3] == (None, None, True)
