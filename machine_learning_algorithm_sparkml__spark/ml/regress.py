@@ -72,3 +72,66 @@ def group_ols(df: DataFrame, group_col: str, x_col: str, y_col: str) -> DataFram
     return prepared.groupBy("group_key").applyInPandas(
         _fit_one_group, schema=OLS_SCHEMA
     )
+
+
+RIDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("slope", T.DoubleType()),
+        T.StructField("intercept", T.DoubleType()),
+        T.StructField("slope_ols", T.DoubleType()),
+    ]
+)
+
+
+def _make_ridge_fit(lam: float):
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Closed-form simple RIDGE on one group (centered
+        formulation, intercept unpenalized): slope = Sxy / (Sxx +
+        lam*n), intercept = mean(y) - slope*mean(x). The per-sample
+        penalty lam*n keeps the shrinkage strength
+        scale-invariant — the same lam regularizes the same amount at
+        any corpus size, where a raw +lam would vanish as Sxx grows
+        with n. Pure sufficient-statistics math, so the fit is
+        engine-replayable (DuckDB regr_sxy / regr_sxx / regr_count)
+        and, unlike the grouped materialization used here for the
+        demonstrator, composes map-side when a group outgrows one
+        task."""
+        x = pdf["x"].to_numpy(dtype="float64")
+        y = pdf["y"].to_numpy(dtype="float64")
+        n = len(pdf)
+        xm, ym = x.mean(), y.mean()
+        dx, dy = x - xm, y - ym
+        sxx = float((dx * dx).sum())
+        sxy = float((dx * dy).sum())
+        slope = sxy / (sxx + lam * n)
+        return pd.DataFrame(
+            {
+                "group_key": [pdf["group_key"].iloc[0]],
+                "n": [n],
+                "slope": [slope],
+                "intercept": [ym - slope * xm],
+                "slope_ols": [sxy / sxx],
+            }
+        )
+
+    return _fit
+
+
+def group_ridge(
+    df: DataFrame, group_col: str, x_col: str, y_col: str, *, lam: float = 1.0
+) -> DataFrame:
+    """Per-group ridge regression (simple, closed-form; see
+    ``_make_ridge_fit``). Returns the ridge slope/intercept plus the
+    unregularized OLS slope so the shrinkage is visible per group."""
+    from pyspark.sql import functions as F
+
+    prepared = df.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    return prepared.groupBy("group_key").applyInPandas(
+        _make_ridge_fit(lam), schema=RIDGE_SCHEMA
+    )

@@ -28,6 +28,8 @@ def snapshot_diff(
     new: DataFrame,
     key_cols: Sequence[str],
     compare_cols: Sequence[str],
+    *,
+    soft_delete_col: str | None = None,
 ) -> DataFrame:
     """Keyed diff of two snapshots.
 
@@ -37,7 +39,23 @@ def snapshot_diff(
     column. Keys with identical compared values are dropped (the
     usual >99% at steady state). NULL-safe comparison (``<=>``) so a
     NULL-to-value transition is an update, not an accidental match.
+
+    ``key_cols`` may be composite — many snapshot feeds key on more
+    than one column (order line = (orderkey, linenumber)); the join
+    shuffles once on the full tuple either way.
+
+    ``soft_delete_col``: vendor dumps often never physically remove a
+    row — they flip a tombstone flag. When given, a row whose flag is
+    true is treated as ABSENT from its snapshot (filtered before the
+    join, so the tombstones never shuffle): live->tombstoned emits a
+    'delete', tombstoned->live a resurrection 'insert', and a row
+    tombstoned in both snapshots is the no-op it logically is. The
+    flag column itself never appears in the diff output.
     """
+    if soft_delete_col is not None:
+        live = ~F.coalesce(F.col(soft_delete_col), F.lit(False))
+        old = old.filter(live)
+        new = new.filter(live)
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
         *[F.col(c).alias(f"old_{c}") for c in compare_cols],

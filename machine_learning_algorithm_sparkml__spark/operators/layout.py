@@ -140,3 +140,46 @@ def compact_small_files(
         dst_path
     )
     return n_out
+
+
+def compact_small_files_clustered(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    cluster_by: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compaction that RETAINS (or installs) clustering: same
+    listing-sized output count as ``compact_small_files``, but the
+    rewrite pass is ``repartitionByRange(n_out, cluster_by)`` + a
+    within-partition sort instead of round-robin. Round-robin
+    compaction is cheaper per byte but DESTROYS any sort order the
+    table had — every output file then spans the full key range and
+    min/max row-group stats prune nothing. The range rewrite costs
+    the same single shuffle (plus a sampling pass for the range
+    bounds) and leaves each output file covering a disjoint key
+    range, so a range predicate on ``cluster_by`` touches
+    O(selectivity) files instead of all of them. This is the nightly
+    job for tables whose hot queries filter on a sort key (time,
+    tenant, id range); balance is by KEY DENSITY rather than bytes,
+    so a skewed key distribution is the documented trade vs
+    round-robin."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    (
+        spark.read.parquet(src_path)
+        .repartitionByRange(n_out, cluster_by)
+        .sortWithinPartitions(cluster_by)
+        .write.mode("overwrite")
+        .parquet(dst_path)
+    )
+    return n_out

@@ -44,6 +44,9 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # lands.
 PRIORITY_KEYS = [
     # new in round 9 (never driver-checked):
+    "cdc_soft_delete",
+    "layout_compaction_clustered",
+    "ml_group_ridge",
     "sql_tpch_q21",
     "scan_csv_malformed",
     "scan_json_malformed",
@@ -91,14 +94,19 @@ PRIORITY_KEYS = [
     "streaming_stateful_totals",
     "stream_stream_join",
     "join_skew_salted",
-    "sink_partitioned_scan",
-    "join_bucketed",
-    "multimodal_meta",
     "dedup_incremental",
     "dedup_keep_best",
     "simsearch_topk",
-    # pre-declared r10-head slip candidates (window is ~50 of 75;
-    # lsh/ivf and fifteen low-risk keys slip ahead of topk):
+    # pre-declared r10-head slip candidates (window is ~50 of 78;
+    # the three late widenings displaced sink_partitioned_scan /
+    # join_bucketed / multimodal_meta — roundtrip, plan-shape, and
+    # sha256-math keys unchanged since r6, the lowest-risk of the
+    # stale block — keeping the oracle-backed dedup/topk anchors
+    # inside the window; lsh/ivf and fifteen low-risk keys slip
+    # ahead of topk):
+    "sink_partitioned_scan",
+    "join_bucketed",
+    "multimodal_meta",
     "sink_json",
     "sessionize",
     "fuzzy_join_blocked",

@@ -434,6 +434,33 @@ def q_ml_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ml_group_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ridge regression (ml/regress.py:group_ridge) —
+    the regularized widening of ml_group_ols, pre-adjudicated in
+    ROUND9.md §9: same per-event_type value-vs-time fit, but the
+    slope is shrunk by a per-sample penalty (slope = Sxy / (Sxx +
+    lam*n), lam=25 — scale-invariant: the same lam regularizes the
+    same amount at any corpus size). Still closed-form sufficient
+    statistics, so the whole applyInPandas crossing replays in DuckDB
+    (regr_sxy / regr_sxx / averages). The unshrunk OLS slope is
+    returned alongside so the regularization is VISIBLE in the
+    result, not just claimed."""
+    from machine_learning_algorithm_sparkml__spark.ml.regress import group_ridge
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("ts").cast("double") / 86400.0).alias("x"), "value"
+    )
+    fits = group_ridge(events, "event_type", "x", "value", lam=25.0)
+    return fits.select(
+        F.col("group_key").alias("event_type"),
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("slope_ols", 6).alias("slope_ols"),
+    )
+
+
 QUERIES = {
     "ml_string_index": q_ml_string_index,
     "ml_string_index_multi": q_ml_string_index_multi,
@@ -448,6 +475,7 @@ QUERIES = {
     "ml_model_save_load": q_ml_model_save_load,
     "ml_undersample_balance": q_ml_undersample_balance,
     "ml_group_ols": q_ml_group_ols,
+    "ml_group_ridge": q_ml_group_ridge,
 }
 
 ORACLE = {
@@ -458,6 +486,22 @@ ORACLE = {
                ROUND(regr_intercept(value, epoch(ts)/86400.0), 2) AS intercept,
                ROUND(corr(value, epoch(ts)/86400.0), 6) AS corr_xy
         FROM events GROUP BY event_type
+    """,
+    "ml_group_ridge": """
+        WITH s AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   regr_sxy(value, epoch(ts)/86400.0) AS sxy,
+                   regr_sxx(value, epoch(ts)/86400.0) AS sxx,
+                   AVG(value) AS ym,
+                   AVG(epoch(ts)/86400.0) AS xm
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n,
+               ROUND(sxy / (sxx + 25.0 * n), 6) AS slope,
+               ROUND(ym - sxy / (sxx + 25.0 * n) * xm, 2) AS intercept,
+               ROUND(sxy / sxx, 6) AS slope_ols
+        FROM s
     """,
     "ml_string_index": (
         _INDEX_SQL.format(col="o_orderpriority", table="orders")

@@ -243,6 +243,51 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff with a COMPOSITE key and soft-delete tombstones — the
+    vendor-dump reality `cdc_snapshot_diff` idealizes away: feeds key
+    on more than one column (order line = (orderkey, linenumber)) and
+    never physically remove rows, they flip an is_deleted flag. The
+    operator treats a tombstoned row as absent (filtered BEFORE the
+    join, so tombstones never shuffle): live->tombstone emits delete,
+    tombstone->live a resurrection insert, tombstoned-in-both is a
+    no-op. Snapshot = lineitem pre-aggregated per (orderkey,
+    linenumber) — unique by construction at any SF (the raw pair is
+    not unique in this corpus) and engine-replayable via ROUND(sum).
+    Mutation keyed on (l_orderkey + l_linenumber) % 10: 9 = tombstoned
+    in old (resurrected in new), 3 = tombstoned in new, 5 = hard
+    delete, 7 = repriced (+5.0 on a 2-dec value — exact)."""
+    from machine_learning_algorithm_sparkml__spark.operators.cdc import snapshot_diff
+
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .withColumn("mod", (F.col("l_orderkey") + F.col("l_linenumber")) % 10)
+    )
+    old = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "qty",
+        (F.col("mod") == 9).alias("is_deleted"),
+    )
+    new = base.filter(F.col("mod") != 5).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("mod") == 7, F.col("qty") + 5.0)
+        .otherwise(F.col("qty"))
+        .alias("qty"),
+        (F.col("mod") == 3).alias("is_deleted"),
+    )
+    return snapshot_diff(
+        old,
+        new,
+        ["l_orderkey", "l_linenumber"],
+        ["qty"],
+        soft_delete_col="is_deleted",
+    )
+
+
 def q_agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-hierarchy rollup — the hypertable-style downsample: one
     pass emits year, year-month, and grand-total aggregates via
@@ -1457,6 +1502,7 @@ QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "agg_decimal_exact": q_agg_decimal_exact,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
+    "cdc_soft_delete": q_cdc_soft_delete,
     "agg_time_rollup": q_agg_time_rollup,
     "agg_argmax_maxby": q_agg_argmax_maxby,
     "union_all": q_union_all,
@@ -1572,6 +1618,31 @@ ORACLE = {
         WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
            OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
            OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+    """,
+    "cdc_soft_delete": """
+        WITH base AS (
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(SUM(l_quantity), 2) AS qty,
+                   (l_orderkey + l_linenumber) % 10 AS mod
+            FROM lineitem GROUP BY l_orderkey, l_linenumber
+        ), old_live AS (
+            SELECT l_orderkey, l_linenumber, qty FROM base WHERE mod <> 9
+        ), new_live AS (
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN mod = 7 THEN qty + 5.0 ELSE qty END AS qty
+            FROM base WHERE mod NOT IN (3, 5)
+        )
+        SELECT COALESCE(n.l_orderkey, o.l_orderkey) AS l_orderkey,
+               COALESCE(n.l_linenumber, o.l_linenumber) AS l_linenumber,
+               CASE WHEN o.l_orderkey IS NULL THEN 'insert'
+                    WHEN n.l_orderkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               o.qty AS old_qty, n.qty AS new_qty
+        FROM old_live o
+        FULL OUTER JOIN new_live n
+          ON o.l_orderkey = n.l_orderkey AND o.l_linenumber = n.l_linenumber
+        WHERE o.l_orderkey IS NULL OR n.l_orderkey IS NULL
+           OR o.qty IS DISTINCT FROM n.qty
     """,
     "sample_hash_portable": """
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -203,6 +203,36 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layout_compaction_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-retaining compaction
+    (`operators/layout.py:compact_small_files_clustered`): the same
+    fragmented-orders fixture rewritten via repartitionByRange +
+    within-partition sort on o_orderkey, so after compaction each
+    output file covers a DISJOINT orderkey range and min/max stats
+    prune range scans — round-robin compaction (layout_compaction)
+    would leave every file spanning the full key range. The answer is
+    layout-invariant (oracle = plain projection); the physical claims
+    (disjoint per-file key ranges, a range predicate's candidate file
+    set shrinking to O(selectivity), file count, losslessness) are
+    pinned in tests/test_scale_features.py."""
+    from machine_learning_algorithm_sparkml__spark.operators.layout import (
+        compact_small_files_clustered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    frag = scratch_sink_path(sf_dir, "orders_fragmented_cl")
+    dst = scratch_sink_path(sf_dir, "orders_compacted_cl")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_small_files_clustered(
+        spark, frag, dst, "o_orderkey", target_file_bytes=256 * 1024
+    )
+    return spark.read.parquet(dst).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
 def q_sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition overwrite — the idempotent-backfill write
     semantic: with ``partitionOverwriteMode=dynamic``, an overwrite
@@ -505,6 +535,7 @@ QUERIES = {
     "scan_binary_files": q_scan_binary_files,
     "scan_schema_evolution": q_scan_schema_evolution,
     "layout_compaction": q_layout_compaction,
+    "layout_compaction_clustered": q_layout_compaction_clustered,
     "sink_dynamic_partition_overwrite": q_sink_dynamic_partition_overwrite,
     "observe_metrics": q_observe_metrics,
     "json_variant_extract": q_json_variant_extract,
@@ -611,6 +642,9 @@ ORACLE = {
         FROM orders
     """,
     "layout_compaction": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+    "layout_compaction_clustered": """
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
     """,
     "scan_schema_evolution": """

@@ -171,3 +171,34 @@ def test_group_ols_matches_jvm_side_moment_formula(spark, sf_dir):
     }
     assert udf_side == jvm_side
     assert all(-1.0 <= v[2] <= 1.0 for v in udf_side.values())
+
+
+def test_group_ridge_shrinks_toward_zero_and_degenerates_to_ols(spark, sf_dir):
+    """Ridge contract: the penalized slope keeps the OLS slope's sign
+    but is strictly smaller in magnitude (per-sample penalty > 0 and
+    Sxy != 0 on this corpus); intercept = ym - slope*xm uses the
+    SHRUNK slope; and lam=0 reproduces group_ols exactly — the
+    regularizer is the only difference between the two crossings."""
+    from machine_learning_algorithm_sparkml__spark.ml.regress import group_ols, group_ridge
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("ts").cast("double") / 86400.0).alias("x"), "value"
+    ).cache()
+    ridge = {r.group_key: r for r in group_ridge(events, "event_type", "x", "value", lam=25.0).collect()}
+    assert ridge
+    for key, r in ridge.items():
+        assert r.slope_ols != 0.0, key
+        assert abs(r.slope) < abs(r.slope_ols), key
+        assert (r.slope > 0) == (r.slope_ols > 0), key
+
+    ols = {
+        r.group_key: (round(r.slope, 9), round(r.intercept, 4))
+        for r in group_ols(events, "event_type", "x", "value").collect()
+    }
+    lam0 = {
+        r.group_key: (round(r.slope, 9), round(r.intercept, 4))
+        for r in group_ridge(events, "event_type", "x", "value", lam=0.0).collect()
+    }
+    assert lam0 == ols
+    events.unpersist()

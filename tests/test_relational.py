@@ -299,3 +299,71 @@ def test_cdc_diff_null_safe_comparison(spark):
     )
     rows = {r.id: r.change_type for r in snapshot_diff(old, new, ["id"], ["v"]).collect()}
     assert rows == {1: "update"}  # 2 unchanged, 3 NULL==NULL unchanged
+
+
+def test_cdc_soft_delete_composite_key_semantics(spark):
+    """Soft-delete contract on a composite key: a tombstoned row is
+    ABSENT from its snapshot — live->tombstone is a delete,
+    tombstone->live a resurrection insert, tombstoned-in-both (and a
+    tombstone whose payload churns) is a no-op; a NULL flag means
+    live. The flag column never appears in the output."""
+    from machine_learning_algorithm_sparkml__spark.operators.cdc import snapshot_diff
+
+    schema = "k1 long, k2 int, v double, is_deleted boolean"
+    old = spark.createDataFrame(
+        [
+            (1, 1, 10.0, False),   # stays live, value changes -> update
+            (1, 2, 20.0, False),   # live -> tombstoned        -> delete
+            (2, 1, 30.0, True),    # tombstoned -> live        -> insert
+            (2, 2, 40.0, True),    # tombstoned in both        -> no-op
+            (3, 1, 50.0, None),    # NULL flag = live, unchanged -> no-op
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 1, 11.0, False),
+            (1, 2, 20.0, True),
+            (2, 1, 30.0, False),
+            (2, 2, 99.0, True),    # payload churn on a tombstone: still no-op
+            (3, 1, 50.0, None),
+            (4, 1, 60.0, False),   # brand-new live row        -> insert
+        ],
+        schema,
+    )
+    diff = snapshot_diff(old, new, ["k1", "k2"], ["v"], soft_delete_col="is_deleted")
+    assert "is_deleted" not in diff.columns
+    got = {(r.k1, r.k2): r.change_type for r in diff.collect()}
+    assert got == {
+        (1, 1): "update",
+        (1, 2): "delete",
+        (2, 1): "insert",
+        (4, 1): "insert",
+    }
+    resurrected = {r.k1: (r.old_v, r.new_v) for r in diff.collect() if r.change_type == "insert" and r.k1 == 2}
+    assert resurrected == {2: (None, 30.0)}  # old side filtered, not joined
+
+
+def test_cdc_soft_delete_key_counts(spark, sf_dir):
+    """The workload key's planted mutation classes land in the right
+    buckets: mod 9 = resurrection inserts, mod 3 tombstone + mod 5
+    hard delete = deletes, mod 7 = updates; nothing else changes."""
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_cdc_soft_delete,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("mod", (F.col("l_orderkey") + F.col("l_linenumber")) % 10)
+    ).cache()
+    by_mod = {r["mod"]: r["c"] for r in base.groupBy("mod").agg(F.count(F.lit(1)).alias("c")).collect()}
+    diff = q_cdc_soft_delete(spark, sf_dir)
+    got = {r.change_type: r.n for r in diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {
+        "insert": by_mod.get(9, 0),
+        "delete": by_mod.get(3, 0) + by_mod.get(5, 0),
+        "update": by_mod.get(7, 0),
+    }
+    base.unpersist()

@@ -258,6 +258,64 @@ def test_compaction_hits_target_file_count_balanced_and_lossless(spark, sf_dir):
     assert compacted.exceptAll(orders).count() == 0
 
 
+def test_clustered_compaction_disjoint_ranges_and_prunable(spark, sf_dir):
+    """compact_small_files_clustered physical claims: output file
+    count matches the listing-sized formula; per-file o_orderkey
+    [min, max] ranges are pairwise DISJOINT (the clustering statement
+    — round-robin files each span the full range); a 10%-of-keyspace
+    range predicate's candidate file set (files whose range
+    intersects it) is a strict minority of files; and not a row is
+    lost or changed."""
+    import math
+    import os
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_layout_compaction_clustered,
+    )
+
+    compacted = q_layout_compaction_clustered(spark, sf_dir)
+
+    def parquet_files(path):
+        return [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    frag = parquet_files(scratch_sink_path(sf_dir, "orders_fragmented_cl"))
+    out = parquet_files(scratch_sink_path(sf_dir, "orders_compacted_cl"))
+    total = sum(os.path.getsize(f) for f in frag)
+    assert len(out) == max(1, math.ceil(total / (256 * 1024)))
+
+    ranges = []
+    for f in out:
+        row = (
+            spark.read.parquet(f)
+            .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+            .collect()[0]
+        )
+        ranges.append((row.lo, row.hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next, ranges  # disjoint: min/max stats prune
+
+    if len(out) > 2:
+        lo_all = ranges[0][0]
+        hi_all = ranges[-1][1]
+        q_lo = lo_all
+        q_hi = lo_all + (hi_all - lo_all) // 10
+        candidates = [r for r in ranges if not (r[1] < q_lo or r[0] > q_hi)]
+        assert len(candidates) < len(out) / 2, (len(candidates), len(out))
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    assert compacted.count() == orders.count()
+    assert compacted.exceptAll(orders).count() == 0
+
+
 def test_dynamic_partition_overwrite_touches_only_incoming_partitions(spark, sf_dir):
     """The write-semantic distinction stated physically: after the
     key's dynamic-mode overwrite of just 1-URGENT, every priority
