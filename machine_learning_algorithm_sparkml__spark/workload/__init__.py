@@ -23,15 +23,20 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
 # least-recently-verified keys FIRST each round. Round-9 window
-# (VERDICT r8 #1): the twenty-two new r9 keys (never driver-checked), the
+# (VERDICT r8 #1): the twenty-eight new r9 keys (never driver-checked,
+# including the six late-session additions: cdc_soft_delete,
+# layout_compaction_clustered, ml_group_ridge, sql_recursive_cte,
+# scan_python_datasource, udtf_token_runs), the
 # four r5-stale window functions, the three keys whose current
 # oracle/output postdates their latest driver row
 # (decontaminate_fuzzy/_large — mid-r8 oracle upgrades;
 # dedup_minhash_mllib — pair-set-equality witness columns added in
-# r9), then the r6-stale block. The list is 75 keys for a ~50 window:
-# the final TWENTY-SIX (sink_json/csv/orc, scan_parquet,
-# join_drop_dup_key, profile_table, session_stats, scd2_intervals,
-# fuzzy_join_blocked, timeseries_gapfill, sessionize,
+# r9), then the r6-stale block. The list is 81 keys for a ~50 window:
+# the final THIRTY-ONE (scan_csv_header, join_inner_equi,
+# sql_tpch_q6, sink_partitioned_scan, join_bucketed, multimodal_meta
+# — displaced by the six late-session keys — plus sink_json/csv/orc,
+# scan_parquet, join_drop_dup_key, profile_table, session_stats,
+# scd2_intervals, fuzzy_join_blocked, timeseries_gapfill, sessionize,
 # scalar_math/array_map_funcs,
 # text_repetition_bigram, ml_model_save_load +
 # simsearch_lsh/ivf/pq/brp + embedding_neardup —
@@ -47,6 +52,9 @@ PRIORITY_KEYS = [
     "cdc_soft_delete",
     "layout_compaction_clustered",
     "ml_group_ridge",
+    "sql_recursive_cte",
+    "scan_python_datasource",
+    "udtf_token_runs",
     "sql_tpch_q21",
     "scan_csv_malformed",
     "scan_json_malformed",
@@ -79,13 +87,10 @@ PRIORITY_KEYS = [
     "decontaminate_fuzzy_large",
     "dedup_minhash_mllib",
     # the r6-stale block:
-    "scan_csv_header",
-    "join_inner_equi",
     "sql_tpch_q3",
     "sql_tpch_q5",
     "sql_tpch_q18",
     "sql_tpch_q10",
-    "sql_tpch_q6",
     "streaming_window_counts",
     "streaming_sliding_counts",
     "streaming_session_window",
@@ -97,13 +102,18 @@ PRIORITY_KEYS = [
     "dedup_incremental",
     "dedup_keep_best",
     "simsearch_topk",
-    # pre-declared r10-head slip candidates (window is ~50 of 78;
-    # the three late widenings displaced sink_partitioned_scan /
-    # join_bucketed / multimodal_meta — roundtrip, plan-shape, and
-    # sha256-math keys unchanged since r6, the lowest-risk of the
-    # stale block — keeping the oracle-backed dedup/topk anchors
-    # inside the window; lsh/ivf and fifteen low-risk keys slip
-    # ahead of topk):
+    # pre-declared r10-head slip candidates (window is ~50 of 81;
+    # the six late additions displaced sink_partitioned_scan /
+    # join_bucketed / multimodal_meta / scan_csv_header /
+    # join_inner_equi / sql_tpch_q6 — roundtrip, plan-shape,
+    # sha256-math, and single-table scan/filter keys unchanged since
+    # r6, the lowest-risk of the stale block (their operators are
+    # exercised indirectly by nearly every other key) — keeping the
+    # oracle-backed streaming/dedup/topk anchors inside the window;
+    # lsh/ivf and fifteen low-risk keys slip ahead of topk):
+    "scan_csv_header",
+    "join_inner_equi",
+    "sql_tpch_q6",
     "sink_partitioned_scan",
     "join_bucketed",
     "multimodal_meta",

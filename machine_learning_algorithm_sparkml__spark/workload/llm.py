@@ -157,6 +157,32 @@ def q_doc_tokens_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF as a lateral table function
+    (functions/udtfs.py:TokenRuns): run-length encoding of each
+    document's token stream — one-row-to-N-rows logic with per-row
+    SEQUENTIAL state (the running merge + run index), the shape a
+    plain explode() cannot carry. The call site stays declarative SQL
+    (``FROM documents d, LATERAL token_runs(d.text) t``), and the
+    Arrow-batched UDTF sees one document at a time with no state
+    across rows, so the operator parallelizes like a map. Oracle: the
+    declarative equivalent — DuckDB's two-window change-point trick
+    (lag-based break flags, running sum as run id) — value-checks the
+    whole imperative crossing."""
+    from machine_learning_algorithm_sparkml__spark.functions.udtfs import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.run_idx, t.token, t.run_len
+        FROM documents d, LATERAL token_runs(d.text) t
+        """
+    )
+
+
 def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: top-20 non-stopword terms by frequency.
     explode -> hash-aggregate (map-side combine) -> TakeOrdered; the
@@ -922,6 +948,7 @@ QUERIES = {
     "doc_chunk_long": q_doc_chunk_long,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_tokens_explode": q_doc_tokens_explode,
+    "udtf_token_runs": q_udtf_token_runs,
     "text_top_terms": q_text_top_terms,
     "doc_hash_split": q_doc_hash_split,
     "mixture_weighted_sample": q_mixture_weighted_sample,
@@ -1379,6 +1406,30 @@ ORACLE = {
         )
         SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, t[CAST(u.i AS INTEGER)] AS token
         FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    """,
+    # the declarative RLE: lag-based change points -> running sum as
+    # run id -> per-run aggregate; value-checks the imperative UDTF
+    "udtf_token_runs": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+            FROM documents
+        ), marks AS (
+            SELECT doc_id, tok, ord,
+                   CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY ord)
+                             IS DISTINCT FROM tok
+                        THEN 1 ELSE 0 END AS brk
+            FROM toks
+        ), runs AS (
+            SELECT doc_id, tok, ord,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY ord
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM marks
+        )
+        SELECT doc_id, CAST(run_id AS INTEGER) AS run_idx, MIN(tok) AS token,
+               CAST(COUNT(*) AS INTEGER) AS run_len
+        FROM runs GROUP BY doc_id, run_id
     """,
     "text_top_terms": f"""
         WITH toks AS (

@@ -243,6 +243,35 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 ``WITH RECURSIVE``) — the iterative
+    construct the engine previously expressed only as a driver-side
+    loop (dedup_clusters): hierarchy traversal declared IN SQL, the
+    planner owning per-iteration execution. The hierarchy is the
+    digit tree over o_orderkey (parent = k DIV 10, roots k < 10):
+    every order resolves to its root and depth in ceil(log10(n))
+    recursion steps — each step ONE hash join between the frontier
+    and the table, so the total cost is O(depth) joins, not a
+    per-row re-scan. The anchor/step split also keeps the frontier
+    shrinking-or-stable per level, the shape a 100 TB hierarchy walk
+    (org charts, thread trees, BOM explosions) needs. Oracle: the
+    identical WITH RECURSIVE in DuckDB (// for DIV)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+            SELECT o_orderkey AS k, o_orderkey AS root_key, 0 AS depth
+            FROM orders WHERE o_orderkey < 10
+            UNION ALL
+            SELECT o.o_orderkey, t.root_key, t.depth + 1
+            FROM orders o JOIN tree t ON o.o_orderkey DIV 10 = t.k
+            WHERE o.o_orderkey >= 10
+        )
+        SELECT k AS o_orderkey, root_key, depth FROM tree
+        """
+    )
+
+
 def q_cdc_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC diff with a COMPOSITE key and soft-delete tombstones — the
     vendor-dump reality `cdc_snapshot_diff` idealizes away: feeds key
@@ -1503,6 +1532,7 @@ QUERIES = {
     "agg_decimal_exact": q_agg_decimal_exact,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_soft_delete": q_cdc_soft_delete,
+    "sql_recursive_cte": q_sql_recursive_cte,
     "agg_time_rollup": q_agg_time_rollup,
     "agg_argmax_maxby": q_agg_argmax_maxby,
     "union_all": q_union_all,
@@ -1618,6 +1648,17 @@ ORACLE = {
         WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
            OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
            OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+    """,
+    "sql_recursive_cte": """
+        WITH RECURSIVE tree AS (
+            SELECT o_orderkey AS k, o_orderkey AS root_key, 0 AS depth
+            FROM orders WHERE o_orderkey < 10
+            UNION ALL
+            SELECT o.o_orderkey, t.root_key, t.depth + 1
+            FROM orders o JOIN tree t ON o.o_orderkey // 10 = t.k
+            WHERE o.o_orderkey >= 10
+        )
+        SELECT k AS o_orderkey, root_key, depth FROM tree
     """,
     "cdc_soft_delete": """
         WITH base AS (

@@ -176,6 +176,30 @@ def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python Data Source API
+    (sources/pyds.py) — the Spark-4 extension surface for feeds with
+    no built-in reader. The source declares its split layout in
+    ``partitions()`` (8 here, pinned in tests: the scan really runs
+    as 8 parallel tasks) and each ``read(partition)`` executes in an
+    executor task, so a real connector built this way scales out like
+    a file scan instead of bottlenecking on a driver-side fetch loop.
+    The demonstrator feed is a pure function of the row id, so every
+    row the connector crossing produces — option parsing, partition
+    planning, per-task generation, type mapping — is oracle-replayed
+    from a generate_series. Volume is fixed by option, not sf_dir:
+    the subject under test is the connector, not the corpus."""
+    from machine_learning_algorithm_sparkml__spark.sources.pyds import register
+
+    register(spark)
+    return (
+        spark.read.format("synthlog")
+        .option("partitions", "8")
+        .option("rowsPerPartition", "2500")
+        .load()
+    )
+
+
 def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction round-trip: orders deliberately
     fragmented into 64 tiny parquet files, then rewritten to
@@ -536,6 +560,7 @@ QUERIES = {
     "scan_schema_evolution": q_scan_schema_evolution,
     "layout_compaction": q_layout_compaction,
     "layout_compaction_clustered": q_layout_compaction_clustered,
+    "scan_python_datasource": q_scan_python_datasource,
     "sink_dynamic_partition_overwrite": q_sink_dynamic_partition_overwrite,
     "observe_metrics": q_observe_metrics,
     "json_variant_extract": q_json_variant_extract,
@@ -646,6 +671,14 @@ ORACLE = {
     """,
     "layout_compaction_clustered": """
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+    "scan_python_datasource": """
+        SELECT g AS id,
+               CAST(g // 2500 AS INTEGER) AS part,
+               ((g * 2654435761) % 1000003) / 1000.0 AS value,
+               CASE g % 4 WHEN 0 THEN 'auth' WHEN 1 THEN 'page'
+                          WHEN 2 THEN 'api' ELSE 'batch' END AS category
+        FROM generate_series(0, 19999) t(g)
     """,
     "scan_schema_evolution": """
         SELECT o_orderkey, o_orderstatus,

@@ -713,3 +713,32 @@ def test_ivfpq_topk_recall_floor(emb):
     recall = len(truth & got) / len(truth)
     assert recall >= 0.6, f"ivfpq recall {recall:.2f}"
     assert all(r.rank >= 1 and -1.0 <= r.sim <= 1.0 for r in approx)
+
+
+def test_udtf_token_runs_reconstructs_token_stream(spark, sf_dir):
+    """UDTF contract: per doc, runs concatenated in run_idx order
+    with their multiplicities reproduce the exact token stream
+    (lossless RLE); run indexes are 1..n_runs dense; adjacent runs
+    never share a token (maximal merge); and the corpus genuinely
+    exercises the merge (some run_len > 1)."""
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_udtf_token_runs,
+    )
+
+    runs = {}
+    for r in q_udtf_token_runs(spark, sf_dir).collect():
+        runs.setdefault(r.doc_id, []).append((r.run_idx, r.token, r.run_len))
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert set(runs) == {d for d, t in docs.items() if t is not None and t != ""}
+    saw_merge = False
+    for doc_id, rs in runs.items():
+        rs.sort()
+        assert [i for i, _, _ in rs] == list(range(1, len(rs) + 1))
+        rebuilt = [tok for _, tok, n in rs for _ in range(n)]
+        assert rebuilt == docs[doc_id].split(" "), doc_id
+        assert all(a != b for (_, a, _), (_, b, _) in zip(rs, rs[1:]))
+        saw_merge = saw_merge or any(n > 1 for _, _, n in rs)
+    assert saw_merge

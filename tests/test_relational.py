@@ -344,6 +344,24 @@ def test_cdc_soft_delete_composite_key_semantics(spark):
     assert resurrected == {2: (None, 30.0)}  # old side filtered, not joined
 
 
+def test_recursive_cte_resolves_digit_tree_exactly(spark, sf_dir):
+    """WITH RECURSIVE semantics: over the dense orderkey space every
+    order is reachable from a single-digit root, its depth is exactly
+    its digit count - 1, and its root is its leading digit — the
+    closed form of the recursion, computed per row in Python."""
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_recursive_cte,
+    )
+
+    rows = q_sql_recursive_cte(spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert len(rows) == n_orders  # dense keys: the whole table resolves
+    for r in rows:
+        s = str(r.o_orderkey)
+        assert r.depth == len(s) - 1, r
+        assert r.root_key == int(s[0]), r
+
+
 def test_cdc_soft_delete_key_counts(spark, sf_dir):
     """The workload key's planted mutation classes land in the right
     buckets: mod 9 = resurrection inserts, mod 3 tombstone + mod 5

@@ -258,6 +258,36 @@ def test_compaction_hits_target_file_count_balanced_and_lossless(spark, sf_dir):
     assert compacted.exceptAll(orders).count() == 0
 
 
+def test_python_datasource_partition_parallel_scan(spark, sf_dir):
+    """Python Data Source contract: the scan materializes as exactly
+    the partitions the source planned (8 tasks, each really executed
+    — 8 distinct spark_partition_ids), options size the feed, and the
+    per-partition id ranges are the planner's split (no row crosses
+    its partition)."""
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_scan_python_datasource,
+    )
+
+    df = q_scan_python_datasource(spark, sf_dir)
+    assert df.rdd.getNumPartitions() == 8
+    pids = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert pids == 8
+    bad = df.filter((F.col("id") < F.col("part") * 2500) | (F.col("id") >= (F.col("part") + 1) * 2500))
+    assert bad.count() == 0
+
+    from machine_learning_algorithm_sparkml__spark.sources.pyds import register
+
+    register(spark)
+    small = (
+        spark.read.format("synthlog")
+        .option("partitions", "3")
+        .option("rowsPerPartition", "10")
+        .load()
+    )
+    assert small.count() == 30
+    assert small.rdd.getNumPartitions() == 3
+
+
 def test_clustered_compaction_disjoint_ranges_and_prunable(spark, sf_dir):
     """compact_small_files_clustered physical claims: output file
     count matches the listing-sized formula; per-file o_orderkey
