@@ -23,18 +23,20 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
 # least-recently-verified keys FIRST each round. Round-9 window
-# (VERDICT r8 #1): the twenty-eight new r9 keys (never driver-checked,
-# including the six late-session additions: cdc_soft_delete,
+# (VERDICT r8 #1): the thirty new r9 keys (never driver-checked,
+# including the eight late-session additions: cdc_soft_delete,
 # layout_compaction_clustered, ml_group_ridge, sql_recursive_cte,
-# scan_python_datasource, udtf_token_runs), the
+# scan_python_datasource, udtf_token_runs, scalar_try_funcs,
+# sql_session_variables), the
 # four r5-stale window functions, the three keys whose current
 # oracle/output postdates their latest driver row
 # (decontaminate_fuzzy/_large — mid-r8 oracle upgrades;
 # dedup_minhash_mllib — pair-set-equality witness columns added in
-# r9), then the r6-stale block. The list is 81 keys for a ~50 window:
-# the final THIRTY-ONE (scan_csv_header, join_inner_equi,
-# sql_tpch_q6, sink_partitioned_scan, join_bucketed, multimodal_meta
-# — displaced by the six late-session keys — plus sink_json/csv/orc,
+# r9), then the r6-stale block. The list is 83 keys for a ~50 window:
+# the final THIRTY-THREE (scan_csv_header, join_inner_equi,
+# sql_tpch_q6/q3/q10, sink_partitioned_scan, join_bucketed,
+# multimodal_meta
+# — displaced by the eight late-session keys — plus sink_json/csv/orc,
 # scan_parquet, join_drop_dup_key, profile_table, session_stats,
 # scd2_intervals, fuzzy_join_blocked, timeseries_gapfill, sessionize,
 # scalar_math/array_map_funcs,
@@ -55,6 +57,8 @@ PRIORITY_KEYS = [
     "sql_recursive_cte",
     "scan_python_datasource",
     "udtf_token_runs",
+    "scalar_try_funcs",
+    "sql_session_variables",
     "sql_tpch_q21",
     "scan_csv_malformed",
     "scan_json_malformed",
@@ -87,10 +91,8 @@ PRIORITY_KEYS = [
     "decontaminate_fuzzy_large",
     "dedup_minhash_mllib",
     # the r6-stale block:
-    "sql_tpch_q3",
     "sql_tpch_q5",
     "sql_tpch_q18",
-    "sql_tpch_q10",
     "streaming_window_counts",
     "streaming_sliding_counts",
     "streaming_session_window",
@@ -114,6 +116,8 @@ PRIORITY_KEYS = [
     "scan_csv_header",
     "join_inner_equi",
     "sql_tpch_q6",
+    "sql_tpch_q3",
+    "sql_tpch_q10",
     "sink_partitioned_scan",
     "join_bucketed",
     "multimodal_meta",

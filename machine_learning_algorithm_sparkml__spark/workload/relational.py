@@ -976,6 +976,61 @@ def q_scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling (`try_*` family) — Spark 4 ships with
+    ``spark.sql.ansi.enabled=true``, so a single bad row (divide by
+    zero, overflow, malformed cast) KILLS a 100 TB job unless the
+    pipeline opts into the try_ forms, which turn the per-row error
+    into a NULL the plan can quarantine and count. One of each class,
+    every NULL deterministic: divide-by-zero (orderkey % 5 == 0),
+    guaranteed-bigint overflow (orderkey * Long.MAX for orderkey > 1),
+    unparseable cast (status letters), parseable cast (priority's
+    leading digit), and an out-of-bounds array access. Oracle: the
+    CASE-expressed semantics of each try_ function."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               try_divide(o_totalprice, CAST(o_orderkey % 5 AS DOUBLE)) AS safe_ratio,
+               try_multiply(o_orderkey, 9223372036854775807L) AS overflow_guard,
+               try_cast(o_orderstatus AS INT) AS status_int,
+               try_cast(substring(o_orderpriority, 1, 1) AS INT) AS prio_int,
+               try_element_at(split(o_orderpriority, '-'), 2) AS prio_word,
+               try_element_at(split(o_orderpriority, '-'), 3) AS missing_part
+        FROM orders
+        """
+    )
+
+
+def q_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables + EXECUTE IMMEDIATE (Spark 4 SQL
+    scripting surface) — the templated-job pattern: a nightly job
+    DECLAREs its knobs once, SET VARs them per run, and issues the
+    same parameterized statement text every time (placeholders bind
+    server-side via USING — no string splicing, no injection, plan
+    cache friendly). DECLARE OR REPLACE keeps the key idempotent in a
+    shared driver session. Oracle: the statement with both parameters
+    inlined at their SET values."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    spark.sql("DECLARE OR REPLACE VARIABLE mla_seg STRING DEFAULT 'BUILDING'")
+    spark.sql("DECLARE OR REPLACE VARIABLE mla_cut DOUBLE DEFAULT 100000.0")
+    spark.sql("SET VAR mla_seg = 'AUTOMOBILE'")
+    spark.sql("SET VAR mla_cut = 150000.0")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT c_nationkey,
+                COUNT(*) AS n_orders,
+                ROUND(SUM(o_totalprice), 2) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = ? AND o_totalprice > ?
+         GROUP BY c_nationkey'
+        USING mla_seg, mla_cut
+        """
+    )
+
+
 def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL front-end surface: TPC-H Q3 (shipping-priority) issued
     as ONE ``spark.sql`` string over registered views — Catalyst does
@@ -1533,6 +1588,8 @@ QUERIES = {
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_soft_delete": q_cdc_soft_delete,
     "sql_recursive_cte": q_sql_recursive_cte,
+    "scalar_try_funcs": q_scalar_try_funcs,
+    "sql_session_variables": q_sql_session_variables,
     "agg_time_rollup": q_agg_time_rollup,
     "agg_argmax_maxby": q_agg_argmax_maxby,
     "union_all": q_union_all,
@@ -1648,6 +1705,27 @@ ORACLE = {
         WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
            OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
            OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+    """,
+    "scalar_try_funcs": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_totalprice / (o_orderkey % 5) END AS safe_ratio,
+               CASE WHEN o_orderkey = 0 THEN 0
+                    WHEN o_orderkey = 1 THEN 9223372036854775807
+                    ELSE NULL END AS overflow_guard,
+               TRY_CAST(o_orderstatus AS INTEGER) AS status_int,
+               TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_int,
+               string_split(o_orderpriority, '-')[2] AS prio_word,
+               CAST(NULL AS VARCHAR) AS missing_part
+        FROM orders
+    """,
+    "sql_session_variables": """
+        SELECT c_nationkey,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'AUTOMOBILE' AND o_totalprice > 150000.0
+        GROUP BY c_nationkey
     """,
     "sql_recursive_cte": """
         WITH RECURSIVE tree AS (

@@ -344,6 +344,66 @@ def test_cdc_soft_delete_composite_key_semantics(spark):
     assert resurrected == {2: (None, 30.0)}  # old side filtered, not joined
 
 
+def test_try_funcs_vs_ansi_throwing_forms(spark, sf_dir):
+    """The claim behind scalar_try_funcs: under Spark 4's default
+    ANSI mode the UNSAFE forms really do kill the job on the same
+    data (bigint overflow, malformed cast), while the try_ forms
+    return exactly one NULL per planted error row — errors become
+    quarantinable data."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    for unsafe in (
+        "SELECT o_orderkey * 9223372036854775807L FROM orders WHERE o_orderkey > 1",
+        "SELECT CAST(o_orderstatus AS INT) FROM orders",
+    ):
+        with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+            spark.sql(unsafe).collect()
+
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_scalar_try_funcs,
+    )
+
+    df = q_scalar_try_funcs(spark, sf_dir).cache()
+    n = df.count()
+    assert df.filter(F.col("status_int").isNotNull()).count() == 0
+    assert df.filter(F.col("prio_int").isNull()).count() == 0
+    assert df.filter(F.col("safe_ratio").isNull()).count() == df.filter(F.col("o_orderkey") % 5 == 0).count()
+    assert df.filter(F.col("overflow_guard").isNotNull()).count() == df.filter(F.col("o_orderkey") <= 1).count()
+    assert df.filter(F.col("missing_part").isNotNull()).count() == 0
+    assert n == load_table(spark, sf_dir, "orders").count()  # no row lost to an error
+    df.unpersist()
+
+
+def test_session_variables_rebind_changes_result(spark, sf_dir):
+    """Session-variable semantics: the same EXECUTE IMMEDIATE text
+    re-runs under a new SET VAR binding and returns the other
+    parameterization's answer; the workload key is idempotent in a
+    shared session (DECLARE OR REPLACE)."""
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_session_variables,
+    )
+
+    first = {r.c_nationkey: r.n_orders for r in q_sql_session_variables(spark, sf_dir).collect()}
+    again = {r.c_nationkey: r.n_orders for r in q_sql_session_variables(spark, sf_dir).collect()}
+    assert first == again  # idempotent re-declare + re-bind
+
+    spark.sql("SET VAR mla_cut = 0.0")
+    stmt = """
+        EXECUTE IMMEDIATE
+        'SELECT COUNT(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = ? AND o_totalprice > ?'
+        USING mla_seg, mla_cut
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    loose = spark.sql(stmt).collect()[0].n
+    assert loose > sum(first.values())  # threshold 0 admits strictly more
+
+
 def test_recursive_cte_resolves_digit_tree_exactly(spark, sf_dir):
     """WITH RECURSIVE semantics: over the dense orderkey space every
     order is reachable from a single-digit root, its depth is exactly
