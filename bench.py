@@ -99,8 +99,15 @@ def foreign_workloads() -> list[str]:
         except Exception:
             continue
         low = cmd.lower()
-        is_spark_jvm = "java" in low.split(" ")[0] and "spark" in low
-        is_pytest = "pytest" in low
+        toks = low.split(" ")
+        is_spark_jvm = "java" in toks[0] and "spark" in low
+        # pytest must appear in the LEADING argv (the program being
+        # run), not merely anywhere in the cmdline: a supervising
+        # agent process whose embedded prompt text mentions pytest is
+        # idle, not a workload (false-positive found in r9 when the
+        # nohup'd bench was reparented to init and its invoker left
+        # the ancestry exclusion).
+        is_pytest = any("pytest" in t for t in toks[:6])
         if is_spark_jvm or is_pytest:
             offenders.append(f"pid {entry}: {cmd[:120]}")
     return offenders

@@ -983,18 +983,29 @@ def q_scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline opts into the try_ forms, which turn the per-row error
     into a NULL the plan can quarantine and count. One of each class,
     every NULL deterministic: divide-by-zero (orderkey % 5 == 0),
-    guaranteed-bigint overflow (orderkey * Long.MAX for orderkey > 1),
-    unparseable cast (status letters), parseable cast (priority's
-    leading digit), and an out-of-bounds array access. Oracle: the
-    CASE-expressed semantics of each try_ function."""
+    bigint overflow (orderkey * Long.MAX on the 1% of keys ending
+    07), unparseable cast (status letters leak into a digit column on
+    the 1% ending 13), and an out-of-bounds array access.
+
+    Error DENSITY is part of the design: a failing try_multiply /
+    try_cast row costs a caught JVM exception (~40 us measured — an
+    every-row error burned ~6 s on 150k rows when this key first
+    planted 100%-failing columns), while the NULL-returning paths
+    (try_divide's divisor check, try_element_at's bounds check) are
+    branch-cheap. try_* is the guard for RARE bad rows; a column that
+    errors on most rows is a schema problem the scan should quarantine
+    instead (scan_csv_malformed). Oracle: the CASE-expressed semantics
+    of each try_ function."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT o_orderkey,
                try_divide(o_totalprice, CAST(o_orderkey % 5 AS DOUBLE)) AS safe_ratio,
-               try_multiply(o_orderkey, 9223372036854775807L) AS overflow_guard,
-               try_cast(o_orderstatus AS INT) AS status_int,
-               try_cast(substring(o_orderpriority, 1, 1) AS INT) AS prio_int,
+               try_multiply(o_orderkey,
+                            CASE WHEN o_orderkey % 100 = 7
+                                 THEN 9223372036854775807L ELSE 1L END) AS overflow_guard,
+               try_cast(CASE WHEN o_orderkey % 100 = 13 THEN o_orderstatus
+                             ELSE CAST(o_orderkey % 100 AS STRING) END AS INT) AS parsed_int,
                try_element_at(split(o_orderpriority, '-'), 2) AS prio_word,
                try_element_at(split(o_orderpriority, '-'), 3) AS missing_part
         FROM orders
@@ -1710,11 +1721,10 @@ ORACLE = {
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 5 = 0 THEN NULL
                     ELSE o_totalprice / (o_orderkey % 5) END AS safe_ratio,
-               CASE WHEN o_orderkey = 0 THEN 0
-                    WHEN o_orderkey = 1 THEN 9223372036854775807
-                    ELSE NULL END AS overflow_guard,
-               TRY_CAST(o_orderstatus AS INTEGER) AS status_int,
-               TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_int,
+               CASE WHEN o_orderkey % 100 = 7 THEN NULL
+                    ELSE o_orderkey END AS overflow_guard,
+               CASE WHEN o_orderkey % 100 = 13 THEN NULL
+                    ELSE CAST(o_orderkey % 100 AS INTEGER) END AS parsed_int,
                string_split(o_orderpriority, '-')[2] AS prio_word,
                CAST(NULL AS VARCHAR) AS missing_part
         FROM orders

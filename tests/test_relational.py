@@ -369,10 +369,9 @@ def test_try_funcs_vs_ansi_throwing_forms(spark, sf_dir):
 
     df = q_scalar_try_funcs(spark, sf_dir).cache()
     n = df.count()
-    assert df.filter(F.col("status_int").isNotNull()).count() == 0
-    assert df.filter(F.col("prio_int").isNull()).count() == 0
     assert df.filter(F.col("safe_ratio").isNull()).count() == df.filter(F.col("o_orderkey") % 5 == 0).count()
-    assert df.filter(F.col("overflow_guard").isNotNull()).count() == df.filter(F.col("o_orderkey") <= 1).count()
+    assert df.filter(F.col("overflow_guard").isNull()).count() == df.filter(F.col("o_orderkey") % 100 == 7).count()
+    assert df.filter(F.col("parsed_int").isNull()).count() == df.filter(F.col("o_orderkey") % 100 == 13).count()
     assert df.filter(F.col("missing_part").isNotNull()).count() == 0
     assert n == load_table(spark, sf_dir, "orders").count()  # no row lost to an error
     df.unpersist()
