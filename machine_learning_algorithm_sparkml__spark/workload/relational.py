@@ -1042,6 +1042,34 @@ def q_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the
+    top-N-per-group idiom written the way an analyst writes it
+    ("for each customer, its 3 priciest orders"). The plan is the
+    point: Catalyst DE-CORRELATES the per-row subquery into
+    WindowGroupLimit — including a map-side partial group-limit
+    BEFORE the exchange, so the shuffle carries at most 3 rows per
+    (customer, input partition), not every order — then one hash
+    join back to customer. A naive engine re-runs the subquery per
+    outer row; the pinned plan has no nested loop anywhere
+    (tests/test_plans.py). Ties broken by orderkey; identical
+    statement text replays in DuckDB (which also supports LATERAL)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) o
+        """
+    )
+
+
 def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL front-end surface: TPC-H Q3 (shipping-priority) issued
     as ONE ``spark.sql`` string over registered views — Catalyst does
@@ -1601,6 +1629,7 @@ QUERIES = {
     "sql_recursive_cte": q_sql_recursive_cte,
     "scalar_try_funcs": q_scalar_try_funcs,
     "sql_session_variables": q_sql_session_variables,
+    "sql_lateral_topn": q_sql_lateral_topn,
     "agg_time_rollup": q_agg_time_rollup,
     "agg_argmax_maxby": q_agg_argmax_maxby,
     "union_all": q_union_all,
@@ -1728,6 +1757,16 @@ ORACLE = {
                string_split(o_orderpriority, '-')[2] AS prio_word,
                CAST(NULL AS VARCHAR) AS missing_part
         FROM orders
+    """,
+    "sql_lateral_topn": """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) o
     """,
     "sql_session_variables": """
         SELECT c_nationkey,

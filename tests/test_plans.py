@@ -537,3 +537,43 @@ def test_cdc_diff_is_full_outer_smj_not_nested_loop(spark, sf_dir):
     plan = formatted_plan(q_cdc_snapshot_diff(spark, sf_dir))
     assert "SortMergeJoin" in plan and "FullOuter" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL (ORDER BY ... LIMIT 3) subquery must
+    de-correlate into WindowGroupLimit — with a PARTIAL group-limit
+    before the exchange, so the shuffle carries at most 3 rows per
+    (group, input partition) — plus one hash join back to the outer
+    table. No nested loop: a per-outer-row re-execution is the
+    quadratic plan this key exists to rule out."""
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_lateral_topn,
+    )
+
+    plan = formatted_plan(q_sql_lateral_topn(spark, sf_dir))
+    # partial + final group-limit = >=2 distinct nodes (each renders
+    # twice in formatted output: tree line + detail block)
+    assert plan.count("WindowGroupLimit") >= 4, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_recursive_cte_step_joins_are_hashed_not_nested(spark, sf_dir):
+    """The recursion must execute as UnionLoop whose step keeps a
+    KEYED equi-join between the frontier (UnionLoopRef) and the table
+    — Spark plans each iteration's subtree at runtime, and an
+    equi-condition guarantees a hash join there; a non-equi step
+    would nested-loop every level at O(frontier x table)."""
+    import re
+
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_recursive_cte,
+    )
+
+    plan = formatted_plan(q_sql_recursive_cte(spark, sf_dir))
+    assert "UnionLoop" in plan and "UnionLoopRef" in plan, plan[:2000]
+    # the step join is Inner on (o_orderkey div 10) = k — an equi-join
+    assert re.search(r"Inner, \(\(o_orderkey#\d+L div 10\) = k#\d+L\)", plan), plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
