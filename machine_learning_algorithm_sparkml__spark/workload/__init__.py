@@ -23,20 +23,22 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
 # least-recently-verified keys FIRST each round. Round-9 window
-# (VERDICT r8 #1): the thirty-one new r9 keys (never driver-checked,
-# including the eight late-session additions: cdc_soft_delete,
+# (VERDICT r8 #1): the thirty-three new r9 keys (never driver-checked,
+# including the eleven late-session additions: cdc_soft_delete,
 # layout_compaction_clustered, ml_group_ridge, sql_recursive_cte,
 # scan_python_datasource, udtf_token_runs, scalar_try_funcs,
-# sql_session_variables, sql_lateral_topn), the
+# sql_session_variables, sql_lateral_topn, dq_referential_integrity,
+# agg_incremental_merge), the
 # four r5-stale window functions, the three keys whose current
 # oracle/output postdates their latest driver row
 # (decontaminate_fuzzy/_large — mid-r8 oracle upgrades;
 # dedup_minhash_mllib — pair-set-equality witness columns added in
-# r9), then the r6-stale block. The list is 84 keys for a ~50 window:
-# the final THIRTY-FOUR (scan_csv_header, join_inner_equi,
-# sql_tpch_q6/q3/q10/q18, sink_partitioned_scan, join_bucketed,
+# r9), then the r6-stale block. The list is 86 keys for a ~50 window:
+# the final THIRTY-SIX (scan_csv_header, join_inner_equi,
+# sql_tpch_q6/q3/q10/q18/q5, join_skew_salted,
+# sink_partitioned_scan, join_bucketed,
 # multimodal_meta
-# — displaced by the nine late-session keys — plus sink_json/csv/orc,
+# — displaced by the eleven late-session keys — plus sink_json/csv/orc,
 # scan_parquet, join_drop_dup_key, profile_table, session_stats,
 # scd2_intervals, fuzzy_join_blocked, timeseries_gapfill, sessionize,
 # scalar_math/array_map_funcs,
@@ -60,6 +62,8 @@ PRIORITY_KEYS = [
     "scalar_try_funcs",
     "sql_session_variables",
     "sql_lateral_topn",
+    "dq_referential_integrity",
+    "agg_incremental_merge",
     "sql_tpch_q21",
     "scan_csv_malformed",
     "scan_json_malformed",
@@ -92,7 +96,6 @@ PRIORITY_KEYS = [
     "decontaminate_fuzzy_large",
     "dedup_minhash_mllib",
     # the r6-stale block:
-    "sql_tpch_q5",
     "streaming_window_counts",
     "streaming_sliding_counts",
     "streaming_session_window",
@@ -100,14 +103,14 @@ PRIORITY_KEYS = [
     "stream_static_join",
     "streaming_stateful_totals",
     "stream_stream_join",
-    "join_skew_salted",
     "dedup_incremental",
     "dedup_keep_best",
     "simsearch_topk",
-    # pre-declared r10-head slip candidates (window is ~50 of 84;
-    # the nine late additions displaced sink_partitioned_scan /
+    # pre-declared r10-head slip candidates (window is ~50 of 86;
+    # the eleven late additions displaced sink_partitioned_scan /
     # join_bucketed / multimodal_meta / scan_csv_header /
-    # join_inner_equi / sql_tpch_q6/q3/q10/q18 — roundtrip,
+    # join_inner_equi / sql_tpch_q6/q3/q10/q18/q5 / join_skew_salted
+    # — roundtrip,
     # plan-shape, sha256-math, and stable scan/filter/join keys
     # unchanged since r6, the lowest-risk of the stale block (their
     # operators are
@@ -120,6 +123,8 @@ PRIORITY_KEYS = [
     "sql_tpch_q3",
     "sql_tpch_q10",
     "sql_tpch_q18",
+    "sql_tpch_q5",
+    "join_skew_salted",
     "sink_partitioned_scan",
     "join_bucketed",
     "multimodal_meta",

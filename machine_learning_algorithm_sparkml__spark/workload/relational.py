@@ -832,6 +832,94 @@ def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- warehouse utilities --------------------------------------------------------
 
+def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: referential-integrity and key-uniqueness
+    audit — the checks a pipeline runs BEFORE publishing a snapshot
+    (profile_table is its descriptive sibling; this one is pass/fail
+    evidence). Each FK check is one LEFT ANTI join on the key (orphan
+    rows = rows whose parent is missing), each PK check one
+    count-minus-distinct; all partial-aggregate map-side and shuffle
+    once on the audited key. At 100 TB the anti-join form matters:
+    orphan detection never materializes the match, only the misses,
+    and the small parent side broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def fk(name, child, child_key, parent, parent_key):
+        orphans = child.join(
+            F.broadcast(parent.select(parent_key).distinct()),
+            child[child_key] == parent[parent_key],
+            "left_anti",
+        )
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_checked"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_violations")))
+            .select(F.lit(name).alias("check"), "n_violations", "n_checked")
+        )
+
+    def pk(name, tbl, key):
+        return tbl.agg(
+            (F.count(key) - F.countDistinct(key)).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        ).select(F.lit(name).alias("check"), "n_violations", "n_checked")
+
+    checks = [
+        fk("fk_orders_customer", orders, "o_custkey", customer, "c_custkey"),
+        fk("fk_lineitem_orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        fk("fk_lineitem_part", lineitem, "l_partkey", part, "p_partkey"),
+        pk("pk_customer_custkey", customer, "c_custkey"),
+        pk("pk_orders_orderkey", orders, "o_orderkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-rollup
+    pattern: history is kept as PARTIAL aggregate state (count + exact
+    decimal sum per (year, month, status)), and a new day's arrivals
+    produce their own partials which MERGE into the rollup by
+    re-aggregating partials only. History ROWS are never rescanned —
+    at 100 TB the refresh cost is O(|delta| + |rollup|), not
+    O(|table|). Works because count/sum state is a commutative monoid
+    (decimal sums are associative-exact, so the merged rollup equals
+    the from-scratch aggregate to the cent — which is precisely what
+    the oracle checks). The split criterion (pre/post 1997-07-01) is
+    irrelevant to the algebra; it models yesterday's rollup + today's
+    batch."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").alias("yr")
+    mo = F.month("o_orderdate").alias("mo")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    cutoff = F.lit("1997-07-01").cast("timestamp")
+
+    def partials(df):
+        return (
+            df.select(yr, mo, "o_orderstatus", price.alias("p"))
+            .groupBy("yr", "mo", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("p").alias("sm"))
+        )
+
+    history = partials(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partials(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        history.unionByName(delta)
+        .groupBy("yr", "mo", "o_orderstatus")
+        .agg(F.sum("cnt").alias("n_orders"), F.sum("sm").alias("sum_price"))
+        .select(
+            "yr",
+            "mo",
+            "o_orderstatus",
+            "n_orders",
+            F.col("sum_price").cast("decimal(38,2)").alias("sum_price"),
+        )
+    )
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling summary in ONE corpus scan: null count, distinct
     count, lexicographic min/max (string form — uniform across column
@@ -1630,6 +1718,8 @@ QUERIES = {
     "scalar_try_funcs": q_scalar_try_funcs,
     "sql_session_variables": q_sql_session_variables,
     "sql_lateral_topn": q_sql_lateral_topn,
+    "dq_referential_integrity": q_dq_referential_integrity,
+    "agg_incremental_merge": q_agg_incremental_merge,
     "agg_time_rollup": q_agg_time_rollup,
     "agg_argmax_maxby": q_agg_argmax_maxby,
     "union_all": q_union_all,
@@ -1757,6 +1847,45 @@ ORACLE = {
                string_split(o_orderpriority, '-')[2] AS prio_word,
                CAST(NULL AS VARCHAR) AS missing_part
         FROM orders
+    """,
+    "dq_referential_integrity": """
+        SELECT 'fk_orders_customer' AS check,
+               (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+                ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS n_violations,
+               (SELECT COUNT(*) FROM orders) AS n_checked
+        UNION ALL
+        SELECT 'fk_lineitem_orders',
+               (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+                ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+               (SELECT COUNT(*) FROM lineitem)
+        UNION ALL
+        SELECT 'fk_lineitem_part',
+               (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+                ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL),
+               (SELECT COUNT(*) FROM lineitem)
+        UNION ALL
+        SELECT 'pk_customer_custkey',
+               (SELECT COUNT(c_custkey) - COUNT(DISTINCT c_custkey) FROM customer),
+               (SELECT COUNT(*) FROM customer)
+        UNION ALL
+        SELECT 'pk_orders_orderkey',
+               (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders),
+               (SELECT COUNT(*) FROM orders)
+    """,
+    "agg_incremental_merge": """
+        WITH parts AS (
+            SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+                   o_orderstatus,
+                   (o_orderdate >= TIMESTAMP '1997-07-01') AS is_delta,
+                   COUNT(*) AS cnt,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sm
+            FROM orders
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT yr, mo, o_orderstatus,
+               SUM(cnt) AS n_orders,
+               CAST(SUM(sm) AS DECIMAL(38,2)) AS sum_price
+        FROM parts GROUP BY yr, mo, o_orderstatus
     """,
     "sql_lateral_topn": """
         SELECT c.c_custkey, o.o_orderkey, o.o_totalprice

