@@ -29,7 +29,7 @@ Families (pass any subset as argv; default = all):
   persists as the corpus grows.
 
 Usage:
-    python tools/scale_witness.py [dedup] [relational] [ann]
+    python tools/scale_witness.py [dedup] [relational] [ann] [maintenance]
 Timing protocol: bench.py's (lower median of 3, machine idle —
 the foreign-workload stamp is reused; self-verify truth passes off).
 """
@@ -52,6 +52,20 @@ FAMILY_KEYS = {
         "window_rank_topk",
     ],
     "ann": ["simsearch_topk", "simsearch_ivf"],
+    # r9 second-window keys over the same 10x relational build.
+    # Claims under test: lateral top-N's shuffle stays bounded by
+    # |groups| (WindowGroupLimit partials), the rollup merge and the
+    # DQ anti-joins grow ~linearly in fact volume, and the recursive
+    # CTE pays per-level table-scan growth with a bounded frontier
+    # (shifted replica keys have broken digit chains, so the
+    # reachable set stays ~replica-0-sized while every level probes
+    # the 10x table).
+    "maintenance": [
+        "sql_lateral_topn",
+        "agg_incremental_merge",
+        "dq_referential_integrity",
+        "sql_recursive_cte",
+    ],
 }
 REPLICAS = 10
 ANN_REPLICAS = 100
@@ -85,9 +99,10 @@ def build_sf1_relational(spark, out_dir: str) -> None:
     rep(lineitem, "l_orderkey").repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "lineitem.parquet")
     )
-    load_table(spark, SF01, "customer").write.mode("overwrite").parquet(
-        os.path.join(out_dir, "customer.parquet")
-    )
+    for dim in ("customer", "part"):
+        load_table(spark, SF01, dim).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{dim}.parquet")
+        )
 
 
 def build_sf1_embeddings(spark, out_dir: str) -> None:
@@ -186,9 +201,14 @@ def main() -> int:
         "dedup": build_sf1_documents,
         "relational": build_sf1_relational,
         "ann": build_sf1_embeddings,
+        "maintenance": build_sf1_relational,
     }
+    built = set()
     for fam in families:
-        builders[fam](spark, sf1_dir)
+        b = builders[fam]
+        if b not in built:
+            b(spark, sf1_dir)
+            built.add(b)
     from machine_learning_algorithm_sparkml__spark.sources import load_table
 
     print(json.dumps({"families": families, "replicas": REPLICAS}), flush=True)
