@@ -20,7 +20,16 @@ formula for its fetch loop; the split/streaming shape stays.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 # Knuth's multiplicative-hash constant and a prime modulus: spreads
 # values pseudo-randomly but stays in exact integer space
@@ -32,17 +41,53 @@ _CATEGORIES = ("auth", "page", "api", "batch")
 
 
 class _SynthLogReader(DataSourceReader):
+    """Range-keyed reader with FILTER PUSHDOWN (Spark 4.1
+    ``pushFilters``): comparison predicates on ``id`` tighten an
+    [lo, hi) bound BEFORE ``partitions()`` runs, so non-intersecting
+    splits are never planned (partition pruning — the custom-source
+    analogue of directory pruning) and each surviving task generates
+    only in-bound rows (row-group skipping). Unhandled filters are
+    yielded back; Spark evaluates them post-scan, so over-pruning is
+    the only way to be wrong — the bounds only ever tighten, and the
+    read honors them exactly."""
+
     def __init__(self, n_partitions: int, rows_per_partition: int):
         self.n_partitions = n_partitions
         self.rows_per_partition = rows_per_partition
+        self.lo = 0
+        self.hi = n_partitions * rows_per_partition  # exclusive
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if getattr(f, "attribute", None) == ("id",) and isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ) and isinstance(f.value, int):
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                else:  # EqualTo
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+            else:
+                yield f
 
     def partitions(self):
-        return [InputPartition(i) for i in range(self.n_partitions)]
+        rpp = self.rows_per_partition
+        return [
+            InputPartition(i)
+            for i in range(self.n_partitions)
+            if i * rpp < self.hi and (i + 1) * rpp > self.lo
+        ] or [InputPartition(0)]  # degenerate empty range: one no-op task
 
     def read(self, partition):
-        base = partition.value * self.rows_per_partition
-        for i in range(self.rows_per_partition):
-            rid = base + i
+        rpp = self.rows_per_partition
+        base = partition.value * rpp
+        for rid in range(max(base, self.lo), min(base + rpp, self.hi)):
             yield (
                 rid,
                 partition.value,
@@ -70,5 +115,14 @@ class SynthLogDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the synthlog format on a session."""
+    """Idempotent registration of the synthlog format on a session.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` for the
+    session: Spark 4.1 REFUSES to plan a Python data source whose
+    reader implements ``pushFilters`` while the flag is off (hard
+    assertion, not a silent fallback), and the flag must outlive this
+    call because the returned DataFrames plan lazily. Enabling it is
+    monotone-safe — it only lets sources that opted into pushdown see
+    their filters."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthLogDataSource)

@@ -200,6 +200,30 @@ def q_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown through the Python Data Source API (Spark 4.1
+    ``pushFilters``): the id-range predicate reaches the connector
+    BEFORE split planning, so only the 2 of 8 partitions intersecting
+    [5000, 10000) are ever planned (partition pruning) and each
+    surviving task generates only in-bound rows (row skipping) — the
+    custom-source analogue of parquet directory pruning + row-group
+    stats, and at 100 TB the difference between scanning a feed and
+    scanning a slice of it. Unhandled predicates are yielded back to
+    Spark, so the source can only over-read, never over-prune. The
+    2-task plan is pinned in tests; the oracle replays the slice from
+    generate_series."""
+    from machine_learning_algorithm_sparkml__spark.sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthlog")
+        .option("partitions", "8")
+        .option("rowsPerPartition", "2500")
+        .load()
+    )
+    return df.filter((F.col("id") >= 5000) & (F.col("id") < 10000))
+
+
 def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction round-trip: orders deliberately
     fragmented into 64 tiny parquet files, then rewritten to
@@ -561,6 +585,7 @@ QUERIES = {
     "layout_compaction": q_layout_compaction,
     "layout_compaction_clustered": q_layout_compaction_clustered,
     "scan_python_datasource": q_scan_python_datasource,
+    "scan_python_datasource_pushdown": q_scan_python_datasource_pushdown,
     "sink_dynamic_partition_overwrite": q_sink_dynamic_partition_overwrite,
     "observe_metrics": q_observe_metrics,
     "json_variant_extract": q_json_variant_extract,
@@ -679,6 +704,14 @@ ORACLE = {
                CASE g % 4 WHEN 0 THEN 'auth' WHEN 1 THEN 'page'
                           WHEN 2 THEN 'api' ELSE 'batch' END AS category
         FROM generate_series(0, 19999) t(g)
+    """,
+    "scan_python_datasource_pushdown": """
+        SELECT g AS id,
+               CAST(g // 2500 AS INTEGER) AS part,
+               ((g * 2654435761) % 1000003) / 1000.0 AS value,
+               CASE g % 4 WHEN 0 THEN 'auth' WHEN 1 THEN 'page'
+                          WHEN 2 THEN 'api' ELSE 'batch' END AS category
+        FROM generate_series(5000, 9999) t(g)
     """,
     "scan_schema_evolution": """
         SELECT o_orderkey, o_orderstatus,

@@ -288,6 +288,48 @@ def test_python_datasource_partition_parallel_scan(spark, sf_dir):
     assert small.rdd.getNumPartitions() == 3
 
 
+def test_python_datasource_filter_pushdown_prunes_partitions(spark, sf_dir):
+    """pushFilters contract: the id-range predicate reaches the
+    source before split planning — the [5000, 10000) filter plans
+    exactly the 2 of 8 intersecting partitions (not 8 tasks that
+    each discard rows), tasks generate only in-bound ids, an empty
+    range degenerates to one no-op task, and pruning never changes
+    the answer (equal to the unpruned scan filtered Spark-side)."""
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_scan_python_datasource_pushdown,
+    )
+
+    f = q_scan_python_datasource_pushdown(spark, sf_dir)
+    assert f.rdd.getNumPartitions() == 2
+    assert sorted(r.part for r in f.select("part").distinct().collect()) == [2, 3]
+    lo, hi = f.agg(F.min("id"), F.max("id")).collect()[0]
+    assert (lo, hi) == (5000, 9999)
+
+    from machine_learning_algorithm_sparkml__spark.sources.pyds import (
+        _CATEGORIES,
+        _MOD,
+        _MULT,
+        register,
+    )
+
+    expected = {
+        (i, i // 2500, ((i * _MULT) % _MOD) / 1000.0, _CATEGORIES[i % 4])
+        for i in range(5000, 10000)
+    }
+    assert {tuple(r) for r in f.collect()} == expected  # pruning loses nothing
+
+    register(spark)
+    base = (
+        spark.read.format("synthlog")
+        .option("partitions", "8")
+        .option("rowsPerPartition", "2500")
+        .load()
+    )
+    empty = base.filter(F.col("id") < 0)
+    assert empty.count() == 0
+    assert empty.rdd.getNumPartitions() == 1  # degenerate no-op split
+
+
 def test_clustered_compaction_disjoint_ranges_and_prunable(spark, sf_dir):
     """compact_small_files_clustered physical claims: output file
     count matches the listing-sized formula; per-file o_orderkey
