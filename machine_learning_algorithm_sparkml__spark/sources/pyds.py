@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 # Knuth's multiplicative-hash constant and a prime modulus: spreads
@@ -96,9 +97,54 @@ class _SynthLogReader(DataSourceReader):
             )
 
 
+def _feed_rows(lo: int, hi: int, rows_per_partition: int):
+    # a LIST, not a generator: Spark's stream-reader prefetch cache
+    # copy.copy()s the returned iterator when a batch is planned, and
+    # generators aren't copyable — bounded by rows_per_batch anyway
+    return [
+        (
+            rid,
+            rid // rows_per_partition,
+            ((rid * _MULT) % _MOD) / 1000.0,
+            _CATEGORIES[rid % 4],
+        )
+        for rid in range(lo, hi)
+    ]
+
+
+class _SynthLogStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING plane of the same connector: an offset-managed feed.
+    The offset is a plain ``{"pos": n}`` cursor; Spark checkpoints it
+    per committed micro-batch, so a restarted query resumes at the
+    recovered position and every row is delivered EXACTLY ONCE across
+    process death — the property the workload key witnesses with
+    three sequential ``availableNow`` incarnations over one
+    checkpoint. ``readBetweenOffsets`` replays a planned-but-
+    uncommitted batch after failure; the feed is a pure function of
+    the row id, so replay is bit-identical."""
+
+    def __init__(self, rows_per_batch: int, max_rows: int, rows_per_partition: int):
+        self.rows_per_batch = rows_per_batch
+        self.max_rows = max_rows
+        self.rows_per_partition = rows_per_partition
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.rows_per_batch, self.max_rows)
+        return _feed_rows(pos, end, self.rows_per_partition), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return _feed_rows(start["pos"], end["pos"], self.rows_per_partition)
+
+
 class SynthLogDataSource(DataSource):
     """``spark.read.format("synthlog").option("partitions", 8)
-    .option("rowsPerPartition", 2500).load()``"""
+    .option("rowsPerPartition", 2500).load()`` — or
+    ``spark.readStream.format("synthlog").option("rowsPerBatch", n)
+    .option("maxRows", m).load()`` for the offset-managed stream."""
 
     @classmethod
     def name(cls) -> str:
@@ -110,6 +156,13 @@ class SynthLogDataSource(DataSource):
     def reader(self, schema) -> _SynthLogReader:
         return _SynthLogReader(
             int(self.options.get("partitions", 4)),
+            int(self.options.get("rowsperpartition", 1000)),
+        )
+
+    def simpleStreamReader(self, schema) -> _SynthLogStreamReader:
+        return _SynthLogStreamReader(
+            int(self.options.get("rowsperbatch", 1000)),
+            int(self.options.get("maxrows", 3000)),
             int(self.options.get("rowsperpartition", 1000)),
         )
 

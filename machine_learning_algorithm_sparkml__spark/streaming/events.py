@@ -379,6 +379,62 @@ def run_streaming_window_counts(
     )
 
 
+def run_streaming_python_source(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    rows_per_batch: int = 2500,
+    max_rows: int = 7500,
+    rows_per_partition: int = 2500,
+    max_incarnations: int = 6,
+) -> DataFrame:
+    """Custom STREAMING source via the Python Data Source API
+    (sources/pyds.py:_SynthLogStreamReader): an offset-managed feed
+    whose ``{"pos": n}`` cursor Spark checkpoints per committed
+    micro-batch. The drive runs sequential ``availableNow``
+    incarnations over ONE durable checkpoint + append parquet sink
+    until the feed is drained — each incarnation resumes from the
+    RECOVERED offset, so the final sink holding every feed row
+    exactly once (no gaps, no double-delivery across process death)
+    is precisely the offset-recovery guarantee a production
+    connector must provide. ``readBetweenOffsets`` covers the
+    planned-but-uncommitted replay path; the feed is a pure function
+    of the row id, so a replay is bit-identical. Bounded incarnation
+    loop: a connector bug that stalled the cursor would exit with a
+    short sink, which the oracle comparison then fails."""
+    import shutil
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.sources.pyds import register
+
+    register(spark)
+    ckpt = scratch_sink_path(sf_dir, "pysrc_ckpt")
+    out = scratch_sink_path(sf_dir, "pysrc_out")
+    for d in (ckpt, out):
+        shutil.rmtree(d, ignore_errors=True)
+
+    for _ in range(max_incarnations):
+        feed = (
+            spark.readStream.format("synthlog")
+            .option("rowsPerBatch", str(rows_per_batch))
+            .option("maxRows", str(max_rows))
+            .option("rowsPerPartition", str(rows_per_partition))
+            .load()
+        )
+        q = (
+            feed.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if spark.read.parquet(out).count() >= max_rows:
+            break
+    return spark.read.parquet(out).select("id", "part", "value", "category")
+
+
 def run_streaming_checkpoint_recovery(
     spark: SparkSession,
     sf_dir: str,

@@ -19,6 +19,25 @@ from machine_learning_algorithm_sparkml__spark.sources import load_table
 from machine_learning_algorithm_sparkml__spark.streaming import run_streaming_window_counts
 
 
+def q_streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING source with checkpointed offsets: the
+    synthlog feed (sources/pyds.py) drained through sequential
+    availableNow incarnations sharing one checkpoint — each resumes
+    from the recovered {"pos"} cursor, so the sink holds all 7500
+    feed rows exactly once across restarts. The batch/pushdown planes
+    of the same connector are scan_python_datasource*; this is the
+    third plane a real connector needs. Oracle replays the feed
+    formula from generate_series (see
+    streaming/events.py:run_streaming_python_source)."""
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_python_source,
+    )
+
+    return run_streaming_python_source(
+        spark, sf_dir, rows_per_batch=2500, max_rows=7500, rows_per_partition=2500
+    )
+
+
 def q_streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once across a query restart: append-mode hourly windows
     through a durable checkpoint + transactional parquet sink, run as
@@ -285,6 +304,7 @@ QUERIES = {
     "timeseries_gapfill": q_timeseries_gapfill,
     "stream_stream_join": q_stream_stream_join,
     "streaming_checkpoint_recovery": q_streaming_checkpoint_recovery,
+    "streaming_python_source": q_streaming_python_source,
     "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
     "streaming_late_data": q_streaming_late_data,
     "streaming_upsert_restart": q_streaming_upsert_restart,
@@ -340,6 +360,14 @@ ORACLE = {
     # append-mode emission = windows the FINAL watermark (max ts -
     # 30 min) has passed; the two-run restart must reproduce exactly
     # the single-pass batch answer over those windows
+    "streaming_python_source": """
+        SELECT g AS id,
+               CAST(g // 2500 AS INTEGER) AS part,
+               ((g * 2654435761) % 1000003) / 1000.0 AS value,
+               CASE g % 4 WHEN 0 THEN 'auth' WHEN 1 THEN 'page'
+                          WHEN 2 THEN 'api' ELSE 'batch' END AS category
+        FROM generate_series(0, 7499) t(g)
+    """,
     "streaming_checkpoint_recovery": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
