@@ -20,9 +20,12 @@ formula for its fetch loop; the split/streaming shape stays.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -30,6 +33,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 # Knuth's multiplicative-hash constant and a prime modulus: spreads
@@ -165,6 +169,69 @@ class SynthLogDataSource(DataSource):
             int(self.options.get("maxrows", 3000)),
             int(self.options.get("rowsperpartition", 1000)),
         )
+
+    def writer(self, schema, overwrite: bool) -> "_ManifestJsonWriter":
+        return _ManifestJsonWriter(self.options["path"], [f.name for f in schema])
+
+
+@dataclass
+class _TaskFile(WriterCommitMessage):
+    path: str
+    count: int
+
+
+class _ManifestJsonWriter(DataSourceWriter):
+    """WRITE plane of the connector: a transactional JSON-lines sink
+    built on the two-phase commit the DataSourceWriter API provides.
+    Each task streams its partition to a ``.staged`` file and returns
+    a commit message (path + row count); only the DRIVER's
+    ``commit()`` — which runs iff every task succeeded — renames the
+    staged files and publishes a ``_MANIFEST`` naming exactly the
+    committed files with their counts. Readers that trust only the
+    manifest never observe a torn write: ``abort()`` deletes the
+    staged files of a failed job, and a crash before commit leaves
+    nothing but ignorable ``.staged`` orphans. This is the same
+    atomicity recipe as parquet's ``_spark_metadata`` / a lakehouse
+    transaction log, reduced to its minimal form — and the shape any
+    custom Python sink (an index, a feature store, a vendor API with
+    a finalize call) should copy."""
+
+    def __init__(self, path: str, column_names: list[str]):
+        self.path = path
+        self.column_names = column_names
+
+    def write(self, iterator) -> _TaskFile:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl.staged")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.column_names, row))) + "\n")
+                n += 1
+        return _TaskFile(staged, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        final = []
+        for m in messages:
+            done = m.path[: -len(".staged")]
+            os.replace(m.path, done)
+            final.append({"file": os.path.basename(done), "count": m.count})
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+            json.dump({"files": final, "n_rows": sum(e["count"] for e in final)}, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
 
 
 def register(spark) -> None:

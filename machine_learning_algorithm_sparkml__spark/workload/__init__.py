@@ -23,24 +23,24 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
 # least-recently-verified keys FIRST each round. Round-9 window
-# (VERDICT r8 #1): the thirty-five new r9 keys (never driver-checked,
-# including the thirteen late-session additions: cdc_soft_delete,
+# (VERDICT r8 #1): the thirty-six new r9 keys (never driver-checked,
+# including the fourteen late-session additions: cdc_soft_delete,
 # layout_compaction_clustered, ml_group_ridge, sql_recursive_cte,
 # scan_python_datasource, udtf_token_runs, scalar_try_funcs,
 # sql_session_variables, sql_lateral_topn, dq_referential_integrity,
 # agg_incremental_merge, scan_python_datasource_pushdown,
-# streaming_python_source), the
+# streaming_python_source, sink_python_datasource), the
 # four r5-stale window functions, the three keys whose current
 # oracle/output postdates their latest driver row
 # (decontaminate_fuzzy/_large — mid-r8 oracle upgrades;
 # dedup_minhash_mllib — pair-set-equality witness columns added in
-# r9), then the r6-stale block. The list is 88 keys for a ~50 window:
-# the final THIRTY-EIGHT (scan_csv_header, join_inner_equi,
+# r9), then the r6-stale block. The list is 89 keys for a ~50 window:
+# the final THIRTY-NINE (scan_csv_header, join_inner_equi,
 # sql_tpch_q6/q3/q10/q18/q5, join_skew_salted, dedup_keep_best,
-# dedup_incremental,
+# dedup_incremental, streaming_window_counts,
 # sink_partitioned_scan, join_bucketed,
 # multimodal_meta
-# — displaced by the thirteen late-session keys — plus sink_json/csv/orc,
+# — displaced by the fourteen late-session keys — plus sink_json/csv/orc,
 # scan_parquet, join_drop_dup_key, profile_table, session_stats,
 # scd2_intervals, fuzzy_join_blocked, timeseries_gapfill, sessionize,
 # scalar_math/array_map_funcs,
@@ -68,6 +68,7 @@ PRIORITY_KEYS = [
     "agg_incremental_merge",
     "scan_python_datasource_pushdown",
     "streaming_python_source",
+    "sink_python_datasource",
     "sql_tpch_q21",
     "scan_csv_malformed",
     "scan_json_malformed",
@@ -100,7 +101,6 @@ PRIORITY_KEYS = [
     "decontaminate_fuzzy_large",
     "dedup_minhash_mllib",
     # the r6-stale block:
-    "streaming_window_counts",
     "streaming_sliding_counts",
     "streaming_session_window",
     "streaming_dedup",
@@ -108,8 +108,8 @@ PRIORITY_KEYS = [
     "streaming_stateful_totals",
     "stream_stream_join",
     "simsearch_topk",
-    # pre-declared r10-head slip candidates (window is ~50 of 88;
-    # the thirteen late additions displaced sink_partitioned_scan /
+    # pre-declared r10-head slip candidates (window is ~50 of 89;
+    # the fourteen late additions displaced sink_partitioned_scan /
     # join_bucketed / multimodal_meta / scan_csv_header /
     # join_inner_equi / sql_tpch_q6/q3/q10/q18/q5 / join_skew_salted
     # — roundtrip,
@@ -129,6 +129,7 @@ PRIORITY_KEYS = [
     "join_skew_salted",
     "dedup_keep_best",
     "dedup_incremental",
+    "streaming_window_counts",
     "sink_partitioned_scan",
     "join_bucketed",
     "multimodal_meta",

@@ -224,6 +224,40 @@ def q_scan_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataF
     return df.filter((F.col("id") >= 5000) & (F.col("id") < 10000))
 
 
+def q_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE plane of the Python Data Source connector
+    (sources/pyds.py:_ManifestJsonWriter): orders written through the
+    custom transactional JSON sink — per-task staged files, a
+    driver-side commit() that runs iff every task succeeded, and a
+    _MANIFEST naming exactly the committed files — then read back
+    trusting ONLY the manifest. The round-trip through the two-phase
+    commit is the subject: a torn write is unobservable by
+    construction (abort deletes staged files; a crash leaves only
+    ignorable .staged orphans, which the pytest plants and proves
+    invisible). Doubles survive exactly (json shortest-repr
+    round-trips bit-equal). Oracle: the plain projection."""
+    import json
+    import os
+    import shutil
+
+    from machine_learning_algorithm_sparkml__spark.sources.pyds import register
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    dst = scratch_sink_path(sf_dir, "orders_pyds_sink")
+    shutil.rmtree(dst, ignore_errors=True)
+    orders.repartition(4).write.format("synthlog").mode("append").option(
+        "path", dst
+    ).save()
+    man = json.load(open(os.path.join(dst, "_MANIFEST")))
+    files = [os.path.join(dst, e["file"]) for e in man["files"]]
+    return spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).json(files)
+
+
 def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction round-trip: orders deliberately
     fragmented into 64 tiny parquet files, then rewritten to
@@ -586,6 +620,7 @@ QUERIES = {
     "layout_compaction_clustered": q_layout_compaction_clustered,
     "scan_python_datasource": q_scan_python_datasource,
     "scan_python_datasource_pushdown": q_scan_python_datasource_pushdown,
+    "sink_python_datasource": q_sink_python_datasource,
     "sink_dynamic_partition_overwrite": q_sink_dynamic_partition_overwrite,
     "observe_metrics": q_observe_metrics,
     "json_variant_extract": q_json_variant_extract,
@@ -704,6 +739,9 @@ ORACLE = {
                CASE g % 4 WHEN 0 THEN 'auth' WHEN 1 THEN 'page'
                           WHEN 2 THEN 'api' ELSE 'batch' END AS category
         FROM generate_series(0, 19999) t(g)
+    """,
+    "sink_python_datasource": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
     """,
     "scan_python_datasource_pushdown": """
         SELECT g AS id,

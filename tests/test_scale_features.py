@@ -330,6 +330,52 @@ def test_python_datasource_filter_pushdown_prunes_partitions(spark, sf_dir):
     assert empty.rdd.getNumPartitions() == 1  # degenerate no-op split
 
 
+def test_python_sink_manifest_atomicity_and_abort(spark, sf_dir):
+    """Two-phase-commit claims of the custom sink: the manifest names
+    exactly the committed files with counts summing to the dataset; a
+    planted .staged orphan (a crashed task's leftover) is invisible to
+    a manifest-trusting reader; abort() removes staged files; and the
+    round-trip is value-exact including doubles."""
+    import json
+    import os
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.sources.pyds import (
+        _ManifestJsonWriter,
+        _TaskFile,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_sink_python_datasource,
+    )
+
+    back = q_sink_python_datasource(spark, sf_dir)
+    dst = scratch_sink_path(sf_dir, "orders_pyds_sink")
+    man = json.load(open(os.path.join(dst, "_MANIFEST")))
+    assert man["n_rows"] == sum(e["count"] for e in man["files"])
+    assert len(man["files"]) == 4  # one committed file per write task
+
+    # a crashed task's staged orphan must be invisible to readers
+    orphan = os.path.join(dst, "part-deadbeef.jsonl.staged")
+    with open(orphan, "w") as f:
+        f.write('{"o_orderkey": -1, "o_orderstatus": "X", "o_totalprice": 0.0}\n')
+    files = [os.path.join(dst, e["file"]) for e in man["files"]]
+    trusted = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).json(files)
+    assert trusted.filter(F.col("o_orderkey") == -1).count() == 0
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).count() == 0  # doubles bit-equal
+
+    # abort() removes staged files
+    w = _ManifestJsonWriter(dst, ["a"])
+    w.abort([_TaskFile(orphan, 1)])
+    assert not os.path.exists(orphan)
+
+
 def test_clustered_compaction_disjoint_ranges_and_prunable(spark, sf_dir):
     """compact_small_files_clustered physical claims: output file
     count matches the listing-sized formula; per-file o_orderkey
