@@ -55,6 +55,59 @@ class TokenRuns:
             yield (run_idx, current, count)
 
 
+@udtf(
+    returnType=(
+        "source: string, n_docs: bigint, n_tokens: bigint, "
+        "max_tokens: bigint, top_doc_id: bigint"
+    )
+)
+class PartitionTokenStats:
+    """Polymorphic table function over a TABLE argument with
+    ``PARTITION BY``: consumes every row of one partition through
+    ``eval`` while accumulating state, then emits a single EPILOGUE
+    row from ``terminate()`` — the per-partition-summary shape
+    (per-shard digests, parser footers, batch manifests) that a
+    per-row UDTF cannot express because no per-row call knows it is
+    the last. Spark instantiates the class once per distinct
+    partition value and calls ``terminate()`` at partition end, so
+    the state never crosses partitions and the operator scales like
+    a shuffle + streaming fold.
+
+    The accumulated facts (count, token total, max, min-id argmax)
+    are order-independent, so the epilogue is deterministic under any
+    row order within the partition — which is what lets a plain
+    GROUP BY replay the whole imperative crossing in the oracle."""
+
+    def __init__(self):
+        self.source = None
+        self.n_docs = 0
+        self.n_tokens = 0
+        self.max_tokens = -1
+        self.top_doc_id = None
+
+    def eval(self, row):
+        self.source = row["source"]
+        ntok = 0 if row["text"] is None else len(row["text"].split(" "))
+        self.n_docs += 1
+        self.n_tokens += ntok
+        if ntok > self.max_tokens or (
+            ntok == self.max_tokens and row["doc_id"] < self.top_doc_id
+        ):
+            self.max_tokens = ntok
+            self.top_doc_id = row["doc_id"]
+
+    def terminate(self):
+        if self.n_docs:
+            yield (
+                self.source,
+                self.n_docs,
+                self.n_tokens,
+                self.max_tokens,
+                self.top_doc_id,
+            )
+
+
 def register_udtfs(spark) -> None:
     """Idempotent session registration of the UDTF surface."""
     spark.udtf.register("token_runs", TokenRuns)
+    spark.udtf.register("partition_token_stats", PartitionTokenStats)

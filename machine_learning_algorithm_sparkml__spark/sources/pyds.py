@@ -138,6 +138,15 @@ class _SynthLogStreamReader(SimpleDataSourceStreamReader):
     def read(self, start):
         pos = start["pos"]
         end = min(pos + self.rows_per_batch, self.max_rows)
+        if end == pos:
+            # drained: the wrapper's empty-batch validation calls
+            # next() on the returned value, so it must be an ITERATOR
+            # here — while a non-empty batch must be a copyable
+            # SEQUENCE (the prefetch cache copy.copy()s it when the
+            # batch is planned). Both contracts live in
+            # pyspark/sql/datasource_internal.py; violating either is
+            # a TypeError only surfaced on the path that hits it.
+            return iter(()), {"pos": pos}
         return _feed_rows(pos, end, self.rows_per_partition), {"pos": end}
 
     def readBetweenOffsets(self, start, end):

@@ -435,6 +435,120 @@ def run_streaming_python_source(
     return spark.read.parquet(out).select("id", "part", "value", "category")
 
 
+def run_streaming_python_source_windowed(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    rows_per_batch: int = 2500,
+    max_rows: int = 7500,
+    rows_per_partition: int = 2500,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+    seconds_per_id: int = 4,
+    num_state_partitions: int | None = 8,
+    max_incarnations: int = 6,
+) -> DataFrame:
+    """COMPOSE the connector's stream plane with the watermark
+    scaffold: the synthlog Python streaming source feeds a stateful
+    event-time windowed aggregation — custom offsets underneath,
+    Spark's own watermark/state machinery on top, the full production
+    topology (custom connector -> hourly windows -> object-store
+    sink) for a feed Spark has no built-in reader for.
+
+    What this witnesses beyond ``streaming_python_source`` (pass-
+    through sink): the CHECKPOINT now carries three coordinated logs —
+    the connector's ``{"pos"}`` cursor, the watermark, and the
+    aggregation state-store — and all three must recover coherently
+    across the sequential ``availableNow`` incarnations for the final
+    sink to hold every watermark-finalized window exactly once. Event
+    time derives from the row id (id*4 seconds from a fixed origin),
+    so windows close deterministically; sums accumulate as
+    decimal(18,3) (exact, order-independent — the module's FP rule),
+    so the oracle replays the whole pipeline from a generate_series:
+    finalized windows = aggregate restricted to window_end <=
+    max(real ts) - watermark delay. Drain detection reads the query's
+    own progress counters (committed input rows), not the sink: the
+    sink holds windows, not rows.
+
+    The last feed row is a PUNCTUATION (heartbeat) event — the kafka
+    heartbeat-topic pattern: append-mode emission LAGS the watermark
+    by one batch (the batch that advances the watermark past a
+    window's end does not itself emit that window), this source runs
+    exactly one batch per availableNow incarnation, a drained
+    incarnation runs NO batch at all, and the max-event-time stats a
+    flush would need are not persisted in the checkpoint — so without
+    one more DATA batch the tail windows stay open forever. The
+    heartbeat row is that batch: its arrival flushes every
+    real-data window the final watermark covers, while its OWN window
+    can never finalize (a window containing the maximum event time
+    always ends above any watermark derived from it), so the
+    heartbeat leaves no trace in the sink and the oracle needs no
+    carve-out. At 100 TB this is exactly why idle kafka partitions
+    get heartbeats: watermarks only move when data does."""
+    import shutil
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.sources.pyds import register
+
+    register(spark)
+    ckpt = scratch_sink_path(sf_dir, "pysrc_win_ckpt")
+    out = scratch_sink_path(sf_dir, "pysrc_win_out")
+    for d in (ckpt, out):
+        shutil.rmtree(d, ignore_errors=True)
+
+    # one extra row past the real corpus: the watermark-advancing
+    # punctuation batch (see docstring)
+    feed_rows = max_rows + 1
+    rows_seen = 0
+    for _ in range(max_incarnations):
+        feed = (
+            spark.readStream.format("synthlog")
+            .option("rowsPerBatch", str(rows_per_batch))
+            .option("maxRows", str(feed_rows))
+            .option("rowsPerPartition", str(rows_per_partition))
+            .load()
+        )
+        events = feed.select(
+            F.expr(
+                f"timestampadd(SECOND, id * {seconds_per_id}, "
+                "TIMESTAMP '2024-01-01 00:00:00')"
+            ).alias("ts"),
+            "category",
+            F.col("value").cast("decimal(18,3)").alias("value"),
+        )
+        agg = (
+            events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window_duration).alias("win"), "category")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").cast("decimal(38,3)").alias("sum_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "category",
+                "n_events",
+                "sum_value",
+            )
+        )
+        with frozen_shuffle_partitions(spark, num_state_partitions):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        q.awaitTermination()
+        rows_seen += sum(int(p["numInputRows"]) for p in q.recentProgress)
+        if rows_seen >= feed_rows:
+            break
+    return spark.read.parquet(out).select(
+        "window_start", "window_end", "category", "n_events", "sum_value"
+    )
+
+
 def run_streaming_checkpoint_recovery(
     spark: SparkSession,
     sf_dir: str,

@@ -23,8 +23,11 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
 # least-recently-verified keys FIRST each round. Round-9 window
-# (VERDICT r8 #1): the thirty-six new r9 keys (never driver-checked,
-# including the fourteen late-session additions: cdc_soft_delete,
+# (VERDICT r8 #1): the forty-two new r9 keys (never driver-checked,
+# including the six third-window additions — udtf_partition_stats,
+# sql_recursive_cte_bounded, sql_lateral_agg, dq_expectations,
+# agg_incremental_retract, streaming_python_source_windowed — and
+# the fourteen late-session additions: cdc_soft_delete,
 # layout_compaction_clustered, ml_group_ridge, sql_recursive_cte,
 # scan_python_datasource, udtf_token_runs, scalar_try_funcs,
 # sql_session_variables, sql_lateral_topn, dq_referential_integrity,
@@ -55,6 +58,12 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # lands.
 PRIORITY_KEYS = [
     # new in round 9 (never driver-checked):
+    "udtf_partition_stats",
+    "sql_recursive_cte_bounded",
+    "sql_lateral_agg",
+    "dq_expectations",
+    "agg_incremental_retract",
+    "streaming_python_source_windowed",
     "cdc_soft_delete",
     "layout_compaction_clustered",
     "ml_group_ridge",
@@ -100,13 +109,10 @@ PRIORITY_KEYS = [
     "decontaminate_fuzzy",
     "decontaminate_fuzzy_large",
     "dedup_minhash_mllib",
-    # the r6-stale block:
-    "streaming_sliding_counts",
-    "streaming_session_window",
-    "streaming_dedup",
-    "stream_static_join",
-    "streaming_stateful_totals",
-    "stream_stream_join",
+    # the r6-stale block (the six r6 streaming keys moved to the slip
+    # tail when the third-window keys entered the head — each has a
+    # green r6 row and pytest invariants; the oracle-backed topk
+    # anchor stays at window index 49):
     "simsearch_topk",
     # pre-declared r10-head slip candidates (window is ~50 of 89;
     # the fourteen late additions displaced sink_partitioned_scan /
@@ -119,6 +125,12 @@ PRIORITY_KEYS = [
     # exercised indirectly by nearly every other key) — keeping the
     # oracle-backed streaming/dedup/topk anchors inside the window;
     # lsh/ivf and fifteen low-risk keys slip ahead of topk):
+    "streaming_sliding_counts",
+    "streaming_session_window",
+    "streaming_dedup",
+    "stream_static_join",
+    "streaming_stateful_totals",
+    "stream_stream_join",
     "scan_csv_header",
     "join_inner_equi",
     "sql_tpch_q6",

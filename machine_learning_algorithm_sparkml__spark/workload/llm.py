@@ -183,6 +183,30 @@ def q_udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with ``terminate()``-state over a TABLE argument
+    (functions/udtfs.py:PartitionTokenStats): ``PARTITION BY source``
+    routes each source's documents through one UDTF instance, which
+    folds count / token-total / max / min-id-argmax imperatively in
+    ``eval`` and emits a single per-partition EPILOGUE row from
+    ``terminate()`` — the end-of-partition hook a per-row function
+    lacks (nothing per-row knows it is last). This is the polymorphic
+    table-function shape for per-shard digests and batch manifests;
+    the state is an order-independent monoid, so the epilogue is
+    deterministic under any intra-partition row order and a plain
+    GROUP BY (the DuckDB oracle, min-id argmax via a correlated MIN)
+    replays the whole imperative crossing value-exact."""
+    from machine_learning_algorithm_sparkml__spark.functions.udtfs import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT * FROM partition_token_stats(TABLE(documents) PARTITION BY source)"
+    )
+
+
 def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: top-20 non-stopword terms by frequency.
     explode -> hash-aggregate (map-side combine) -> TakeOrdered; the
@@ -949,6 +973,7 @@ QUERIES = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_tokens_explode": q_doc_tokens_explode,
     "udtf_token_runs": q_udtf_token_runs,
+    "udtf_partition_stats": q_udtf_partition_stats,
     "text_top_terms": q_text_top_terms,
     "doc_hash_split": q_doc_hash_split,
     "mixture_weighted_sample": q_mixture_weighted_sample,
@@ -1430,6 +1455,24 @@ ORACLE = {
         SELECT doc_id, CAST(run_id AS INTEGER) AS run_idx, MIN(tok) AS token,
                CAST(COUNT(*) AS INTEGER) AS run_len
         FROM runs GROUP BY doc_id, run_id
+    """,
+    # GROUP BY replay of the terminate()-epilogue UDTF: the folded
+    # state is an order-independent monoid, so a declarative aggregate
+    # (min-id argmax via correlated MIN) reproduces the epilogue rows
+    "udtf_partition_stats": """
+        WITH t AS (
+            SELECT source, doc_id, len(string_split(text, ' ')) AS ntok
+            FROM documents
+        ), m AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+                   CAST(MAX(ntok) AS BIGINT) AS max_tokens
+            FROM t GROUP BY source
+        )
+        SELECT m.source, m.n_docs, m.n_tokens, m.max_tokens,
+               (SELECT MIN(doc_id) FROM t
+                WHERE t.source = m.source AND t.ntok = m.max_tokens) AS top_doc_id
+        FROM m
     """,
     "text_top_terms": f"""
         WITH toks AS (

@@ -272,6 +272,38 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_recursive_cte_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE over a CYCLIC graph with an explicit max-depth
+    guard — the safety device ``sql_recursive_cte``'s acyclic digit
+    tree never needs. The graph is functional (one out-edge per node:
+    successor = (7k+3) mod 1000 over the distinct o_orderkey%1000
+    node set) and finite, so every walk eventually enters a cycle; a
+    guard-free traversal DIVERGES (at sf0.001, 400 of 1000 walks
+    revisit a node within 5 steps — pinned in tests). The ``depth <
+    5`` predicate in the recursive step is the idiom: the bound rides
+    IN the frontier as data, each iteration is still one hash join
+    (frontier ⋈ nodes), and the engine's own recursion-level limit
+    (``spark.sql.cteRecursionLevelLimit``) stays a backstop, not the
+    semantics. This is how a 100 TB graph walk (link chains, referral
+    hops, retry lineages) bounds work on a graph it cannot prove
+    acyclic. Identical statement text replays in DuckDB."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE nodes AS (
+            SELECT DISTINCT o_orderkey % 1000 AS k FROM orders
+        ), walk AS (
+            SELECT k AS start_k, k AS node, 0 AS depth FROM nodes
+            UNION ALL
+            SELECT w.start_k, n.k, w.depth + 1
+            FROM walk w JOIN nodes n ON n.k = (w.node * 7 + 3) % 1000
+            WHERE w.depth < 5
+        )
+        SELECT start_k, depth, node FROM walk
+        """
+    )
+
+
 def q_cdc_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC diff with a COMPOSITE key and soft-delete tombstones — the
     vendor-dump reality `cdc_snapshot_diff` idealizes away: feeds key
@@ -878,6 +910,67 @@ def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality EXPECTATIONS as data — the declarative half of the
+    DQ gate (``dq_referential_integrity`` is the structural half):
+    null-rate / range / domain-rate / cardinality / volume thresholds
+    live in a small expectations TABLE, not in code, so a steward
+    edits rows, not jobs. All measured metrics come from ONE wide
+    aggregate pass over orders (map-side partial, no shuffle beyond
+    the final singleton), unpivoted via ``stack`` and broadcast-joined
+    to the expectation rows; at 100 TB the gate costs one scan
+    regardless of how many expectations ride it. One expectation
+    (max o_totalprice <= 100k) is deliberately violated by the corpus,
+    so the key also witnesses that the gate DETECTS — a gate whose
+    demo only ever passes proves nothing. Every metric is
+    FP-deterministic: min/max are raw data doubles, rates are 0/1
+    exact divisions, counts are integers — no ROUND crutch needed."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.agg(
+        (
+            F.sum(F.col("o_custkey").isNull().cast("bigint"))
+            / F.count(F.lit(1))
+        ).alias("null_rate_custkey"),
+        F.min("o_totalprice").alias("min_totalprice"),
+        F.max("o_totalprice").alias("max_totalprice"),
+        F.avg(F.col("o_orderstatus").isin("O", "F", "P").cast("double")).alias(
+            "status_domain_rate"
+        ),
+        F.countDistinct("o_orderpriority").cast("double").alias("n_priorities"),
+        F.count(F.lit(1)).cast("double").alias("row_count"),
+    )
+    measured = wide.selectExpr(
+        "stack(6, "
+        "'null_rate:o_custkey', null_rate_custkey, "
+        "'min:o_totalprice', min_totalprice, "
+        "'max:o_totalprice', max_totalprice, "
+        "'domain_rate:o_orderstatus', status_domain_rate, "
+        "'distinct:o_orderpriority', n_priorities, "
+        "'row_count:orders', row_count"
+        ") AS (check_name, metric)"
+    )
+    expectations = spark.createDataFrame(
+        [
+            ("null_rate:o_custkey", "<=", 0.001),
+            ("min:o_totalprice", ">=", 0.0),
+            ("max:o_totalprice", "<=", 100000.0),  # violated by design
+            ("domain_rate:o_orderstatus", ">=", 1.0),
+            ("distinct:o_orderpriority", "<=", 5.0),
+            ("row_count:orders", ">=", 1000.0),
+        ],
+        "check_name string, op string, threshold double",
+    )
+    return measured.join(F.broadcast(expectations), "check_name").select(
+        "check_name",
+        "metric",
+        "op",
+        "threshold",
+        F.when(F.col("op") == "<=", F.col("metric") <= F.col("threshold"))
+        .otherwise(F.col("metric") >= F.col("threshold"))
+        .alias("passed"),
+    )
+
+
 def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance — the materialized-rollup
     pattern: history is kept as PARTIAL aggregate state (count + exact
@@ -914,6 +1007,67 @@ def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yr",
             "mo",
             "o_orderstatus",
+            "n_orders",
+            F.col("sum_price").cast("decimal(38,2)").alias("sum_price"),
+        )
+    )
+
+
+def q_agg_incremental_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance with RETRACTIONS — the case
+    ``agg_incremental_merge`` cannot express: late CORRECTIONS to
+    already-aggregated rows (a repriced order, a fixed status). Each
+    corrected row becomes two signed deltas — (-1, -old_price) under
+    its OLD group and (+1, +new_price) under its NEW group — and the
+    rollup refreshes by re-aggregating history partials + deltas only:
+    O(|rollup| + |corrections|), never a table rescan. It works
+    because (count, decimal-sum) is an abelian GROUP, not just a
+    monoid — every element has an inverse, so a retraction is merely
+    adding the inverse, and decimal arithmetic keeps the algebra
+    exact. Groups a correction empties (count reaches 0) are dropped,
+    so the merged rollup equals the from-scratch aggregate over the
+    corrected table row-for-row — which is exactly what the oracle
+    computes. Corrections are keyed deterministically (%50==7 repriced
+    +1000.00 — exact in binary; %50==23 status corrected to 'F', a
+    GROUP-MOVING correction, the shape a plain upsert gets wrong)."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").alias("yr")
+    mo = F.month("o_orderdate").alias("mo")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    mod = F.col("o_orderkey") % 50
+
+    history = (
+        orders.select(yr, mo, F.col("o_orderstatus").alias("st"), price.alias("p"))
+        .groupBy("yr", "mo", "st")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("p").alias("sm"))
+    )
+    corrected = orders.filter(mod.isin(7, 23))
+    retract = corrected.select(
+        yr,
+        mo,
+        F.col("o_orderstatus").alias("st"),
+        F.lit(-1).cast("bigint").alias("cnt"),
+        (-price).alias("sm"),
+    )
+    insert = corrected.select(
+        yr,
+        mo,
+        F.when(mod == 23, F.lit("F")).otherwise(F.col("o_orderstatus")).alias("st"),
+        F.lit(1).cast("bigint").alias("cnt"),
+        F.when(mod == 7, (F.col("o_totalprice") + 1000.0).cast("decimal(18,2)"))
+        .otherwise(price)
+        .alias("sm"),
+    )
+    return (
+        history.unionByName(retract)
+        .unionByName(insert)
+        .groupBy("yr", "mo", "st")
+        .agg(F.sum("cnt").alias("n_orders"), F.sum("sm").alias("sum_price"))
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "yr",
+            "mo",
+            F.col("st").alias("o_orderstatus"),
             "n_orders",
             F.col("sum_price").cast("decimal(38,2)").alias("sum_price"),
         )
@@ -1153,6 +1307,35 @@ def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE o_custkey = c.c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 3
+        ) o
+        """
+    )
+
+
+def q_sql_lateral_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL with an AGGREGATE subquery — the other
+    LATERAL shape (``sql_lateral_topn`` is ORDER BY+LIMIT): "for each
+    customer, count and total of its open orders". A scalar aggregate
+    subquery yields exactly one row per outer row — customers with NO
+    matching orders still appear, with COUNT 0 and a COALESCEd sum:
+    the outer-join semantics hide inside the LATERAL. The plan is the
+    point and is pinned: Catalyst de-correlates to ONE grouped
+    aggregate over orders joined back to customer (left outer hash
+    join) — never a per-customer re-scan, so the cost is one shuffle
+    of orders however many customers there are. Identical statement
+    text replays in DuckDB; per-customer sums are few-row, so the
+    module's ROUND(,2) crutch covers FP order."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.n_open, o.open_total
+        FROM customer c,
+        LATERAL (
+            SELECT COUNT(*) AS n_open,
+                   ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS open_total
+            FROM orders
+            WHERE o_custkey = c.c_custkey AND o_orderstatus = 'O'
         ) o
         """
     )
@@ -1715,11 +1898,15 @@ QUERIES = {
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_soft_delete": q_cdc_soft_delete,
     "sql_recursive_cte": q_sql_recursive_cte,
+    "sql_recursive_cte_bounded": q_sql_recursive_cte_bounded,
     "scalar_try_funcs": q_scalar_try_funcs,
     "sql_session_variables": q_sql_session_variables,
     "sql_lateral_topn": q_sql_lateral_topn,
+    "sql_lateral_agg": q_sql_lateral_agg,
     "dq_referential_integrity": q_dq_referential_integrity,
+    "dq_expectations": q_dq_expectations,
     "agg_incremental_merge": q_agg_incremental_merge,
+    "agg_incremental_retract": q_agg_incremental_retract,
     "agg_time_rollup": q_agg_time_rollup,
     "agg_argmax_maxby": q_agg_argmax_maxby,
     "union_all": q_union_all,
@@ -1915,6 +2102,76 @@ ORACLE = {
             WHERE o.o_orderkey >= 10
         )
         SELECT k AS o_orderkey, root_key, depth FROM tree
+    """,
+    "sql_recursive_cte_bounded": """
+        WITH RECURSIVE nodes AS (
+            SELECT DISTINCT o_orderkey % 1000 AS k FROM orders
+        ), walk AS (
+            SELECT k AS start_k, k AS node, 0 AS depth FROM nodes
+            UNION ALL
+            SELECT w.start_k, n.k, w.depth + 1
+            FROM walk w JOIN nodes n ON n.k = (w.node * 7 + 3) % 1000
+            WHERE w.depth < 5
+        )
+        SELECT start_k, depth, node FROM walk
+    """,
+    "sql_lateral_agg": """
+        SELECT c.c_custkey, o.n_open, o.open_total
+        FROM customer c,
+        LATERAL (
+            SELECT COUNT(*) AS n_open,
+                   ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS open_total
+            FROM orders
+            WHERE o_custkey = c.c_custkey AND o_orderstatus = 'O'
+        ) o
+    """,
+    "dq_expectations": """
+        WITH wide AS (
+            SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*) AS null_rate_custkey,
+                   MIN(o_totalprice) AS min_totalprice,
+                   MAX(o_totalprice) AS max_totalprice,
+                   AVG(CASE WHEN o_orderstatus IN ('O','F','P')
+                            THEN 1.0 ELSE 0.0 END) AS status_domain_rate,
+                   CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS n_priorities,
+                   CAST(COUNT(*) AS DOUBLE) AS row_count
+            FROM orders
+        ), measured AS (
+            SELECT 'null_rate:o_custkey' AS check_name, null_rate_custkey AS metric FROM wide
+            UNION ALL SELECT 'min:o_totalprice', min_totalprice FROM wide
+            UNION ALL SELECT 'max:o_totalprice', max_totalprice FROM wide
+            UNION ALL SELECT 'domain_rate:o_orderstatus', status_domain_rate FROM wide
+            UNION ALL SELECT 'distinct:o_orderpriority', n_priorities FROM wide
+            UNION ALL SELECT 'row_count:orders', row_count FROM wide
+        ), expectations AS (
+            SELECT * FROM (VALUES
+                ('null_rate:o_custkey', '<=', 0.001),
+                ('min:o_totalprice', '>=', 0.0),
+                ('max:o_totalprice', '<=', 100000.0),
+                ('domain_rate:o_orderstatus', '>=', 1.0),
+                ('distinct:o_orderpriority', '<=', 5.0),
+                ('row_count:orders', '>=', 1000.0)
+            ) AS t(check_name, op, threshold)
+        )
+        SELECT m.check_name, m.metric, e.op,
+               CAST(e.threshold AS DOUBLE) AS threshold,
+               CASE WHEN e.op = '<=' THEN m.metric <= CAST(e.threshold AS DOUBLE)
+                    ELSE m.metric >= CAST(e.threshold AS DOUBLE) END AS passed
+        FROM measured m JOIN expectations e USING (check_name)
+    """,
+    "agg_incremental_retract": """
+        WITH corrected AS (
+            SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+                   CASE WHEN o_orderkey % 50 = 23 THEN 'F'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % 50 = 7 THEN o_totalprice + 1000.0
+                        ELSE o_totalprice END AS price
+            FROM orders
+        )
+        SELECT yr, mo, o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        FROM corrected GROUP BY yr, mo, o_orderstatus
     """,
     "cdc_soft_delete": """
         WITH base AS (

@@ -38,6 +38,27 @@ def q_streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_python_source_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector's stream plane COMPOSED with the watermark
+    machinery: synthlog offsets underneath, event-time hourly windows
+    + watermarked state on top, driven as availableNow incarnations
+    over one checkpoint into an append parquet sink. The checkpoint
+    must co-recover three logs (source cursor, watermark, state
+    store); the sink holds every watermark-finalized window exactly
+    once, which the oracle states as the generate_series aggregate
+    restricted to window_end <= max(ts) - delay (see
+    streaming/events.py:run_streaming_python_source_windowed)."""
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_python_source_windowed,
+    )
+
+    return run_streaming_python_source_windowed(
+        spark, sf_dir, rows_per_batch=2500, max_rows=7500,
+        rows_per_partition=2500, window_duration="1 hour",
+        watermark="30 minutes", seconds_per_id=4, num_state_partitions=8,
+    )
+
+
 def q_streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once across a query restart: append-mode hourly windows
     through a durable checkpoint + transactional parquet sink, run as
@@ -305,6 +326,7 @@ QUERIES = {
     "stream_stream_join": q_stream_stream_join,
     "streaming_checkpoint_recovery": q_streaming_checkpoint_recovery,
     "streaming_python_source": q_streaming_python_source,
+    "streaming_python_source_windowed": q_streaming_python_source_windowed,
     "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
     "streaming_late_data": q_streaming_late_data,
     "streaming_upsert_restart": q_streaming_upsert_restart,
@@ -360,6 +382,30 @@ ORACLE = {
     # append-mode emission = windows the FINAL watermark (max ts -
     # 30 min) has passed; the two-run restart must reproduce exactly
     # the single-pass batch answer over those windows
+    # the composed pipeline replayed declaratively: feed formula from
+    # generate_series -> hourly buckets -> exact decimal sums,
+    # restricted to the windows the final watermark finalized
+    "streaming_python_source_windowed": """
+        WITH feed AS (
+            SELECT g AS id,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                       + (g * 4) * INTERVAL '1 second' AS ts,
+                   ((g * 2654435761) % 1000003) / 1000.0 AS value,
+                   CASE g % 4 WHEN 0 THEN 'auth' WHEN 1 THEN 'page'
+                              WHEN 2 THEN 'api' ELSE 'batch' END AS category
+            FROM generate_series(0, 7499) t(g)
+        ), agg AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+                   category,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DECIMAL(38,3)) AS sum_value
+            FROM feed GROUP BY 1, 2, 3
+        )
+        SELECT window_start, window_end, category, n_events, sum_value
+        FROM agg
+        WHERE window_end <= (SELECT MAX(ts) FROM feed) - INTERVAL '30 minutes'
+    """,
     "streaming_python_source": """
         SELECT g AS id,
                CAST(g // 2500 AS INTEGER) AS part,

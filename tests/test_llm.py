@@ -742,3 +742,38 @@ def test_udtf_token_runs_reconstructs_token_stream(spark, sf_dir):
         assert all(a != b for (_, a, _), (_, b, _) in zip(rs, rs[1:]))
         saw_merge = saw_merge or any(n > 1 for _, _, n in rs)
     assert saw_merge
+
+
+def test_udtf_partition_stats_epilogue_matches_declarative_fold(spark, sf_dir):
+    """The terminate()-epilogue UDTF (one imperative fold per PARTITION
+    BY instance) must equal the declarative JVM aggregate computing the
+    same monoid — two entirely different crossings, same state — with
+    exactly one epilogue row per source and the min-id argmax
+    tie-break honored."""
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_udtf_partition_stats,
+    )
+
+    out = q_udtf_partition_stats(spark, sf_dir).cache()
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "source",
+            "doc_id",
+            F.size(F.split(F.col("text"), " ", -1)).alias("ntok"),
+        )
+        agg = docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+            F.max("ntok").alias("max_tokens"),
+            F.min_by(F.struct("doc_id"), F.struct(F.col("ntok") * -1, F.col("doc_id")))
+            .getField("doc_id")
+            .alias("top_doc_id"),
+        )
+        got = {r.source: (r.n_docs, r.n_tokens, r.max_tokens, r.top_doc_id)
+               for r in out.collect()}
+        want = {r.source: (r.n_docs, r.n_tokens, r.max_tokens, r.top_doc_id)
+                for r in agg.collect()}
+        assert got == want
+        assert out.count() == out.select("source").distinct().count()
+    finally:
+        out.unpersist()

@@ -577,3 +577,21 @@ def test_recursive_cte_step_joins_are_hashed_not_nested(spark, sf_dir):
     # the step join is Inner on (o_orderkey div 10) = k — an equi-join
     assert re.search(r"Inner, \(\(o_orderkey#\d+L div 10\) = k#\d+L\)", plan), plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_lateral_agg_decorrelates_to_grouped_outer_join(spark, sf_dir):
+    """The scalar-aggregate LATERAL must de-correlate into ONE grouped
+    aggregate over orders (partial before the exchange) joined back
+    LeftOuter to the customer keys — the zero-order customers survive
+    through the outer side, and no per-outer-row re-execution (nested
+    loop) exists anywhere in the plan."""
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_lateral_agg,
+    )
+
+    plan = formatted_plan(q_sql_lateral_agg(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # partial + final aggregate nodes (each renders twice: tree+detail)
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "LeftOuter" in plan, plan

@@ -502,3 +502,137 @@ def test_cdc_soft_delete_key_counts(spark, sf_dir):
         "update": by_mod.get(7, 0),
     }
     base.unpersist()
+
+
+def test_incremental_retract_equals_corrected_rescan(spark, sf_dir):
+    """The retraction algebra: history partials + signed deltas
+    re-aggregated must equal the from-scratch aggregate over the
+    CORRECTED table exactly (decimal state, group-inverse law), and
+    the planted corrections are non-vacuous: repricing touches rows,
+    and the status correction MOVES rows between groups (the case a
+    plain upsert of new values under old groups gets wrong)."""
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_agg_incremental_retract,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    mod = F.col("o_orderkey") % 50
+    assert orders.filter(mod == 7).count() > 0
+    moved = orders.filter((mod == 23) & (F.col("o_orderstatus") != "F")).count()
+    assert moved > 0  # group-moving corrections genuinely exercised
+
+    corrected = orders.select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.when(mod == 23, F.lit("F")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(mod == 7, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice"))
+        .cast("decimal(18,2)")
+        .alias("p"),
+    )
+    scratch = {
+        (r.yr, r.mo, r.o_orderstatus): (r.n_orders, r.sum_price)
+        for r in corrected.groupBy("yr", "mo", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("p").cast("decimal(38,2)").alias("sum_price"),
+        )
+        .collect()
+    }
+    merged = {
+        (r.yr, r.mo, r.o_orderstatus): (r.n_orders, r.sum_price)
+        for r in q_agg_incremental_retract(spark, sf_dir).collect()
+    }
+    assert merged == scratch
+
+
+def test_dq_expectations_detects_the_planted_violation(spark, sf_dir):
+    """The declarative gate must DETECT: exactly one expectation (the
+    max-price ceiling set below the corpus max by design) fails, the
+    other five pass, and the measured metrics tie back to direct
+    aggregates."""
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_dq_expectations,
+    )
+
+    rows = {r.check_name: r for r in q_dq_expectations(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    failed = {n for n, r in rows.items() if not r.passed}
+    assert failed == {"max:o_totalprice"}
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("o_totalprice").alias("mx"),
+        F.min("o_totalprice").alias("mn"),
+    ).collect()[0]
+    assert rows["row_count:orders"].metric == float(agg.n)
+    assert rows["max:o_totalprice"].metric == agg.mx
+    assert rows["min:o_totalprice"].metric == agg.mn
+    assert rows["null_rate:o_custkey"].metric == 0.0
+    assert rows["domain_rate:o_orderstatus"].metric == 1.0
+
+
+def test_recursive_cte_bounded_guard_is_load_bearing(spark, sf_dir):
+    """The cyclic-graph walk: the depth guard is the ONLY terminator —
+    a meaningful fraction of walks revisit a node within the bound
+    (cycles genuinely in range, so a guard-free traversal diverges),
+    every walk stops exactly at the bound when its successor chain
+    survives, and depth never exceeds it."""
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_recursive_cte_bounded,
+    )
+
+    walk = q_sql_recursive_cte_bounded(spark, sf_dir).cache()
+    try:
+        assert walk.agg(F.max("depth")).collect()[0][0] == 5
+        revisits = (
+            walk.groupBy("start_k", "node")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+        assert revisits > 0  # cycles exist inside the bound
+        n_nodes = (
+            load_table(spark, sf_dir, "orders")
+            .select((F.col("o_orderkey") % 1000).alias("k"))
+            .distinct()
+            .count()
+        )
+        # every node starts a walk, and no walk exceeds 6 rows
+        assert walk.select("start_k").distinct().count() == n_nodes
+        per_walk = walk.groupBy("start_k").agg(F.count(F.lit(1)).alias("n"))
+        assert per_walk.agg(F.max("n")).collect()[0][0] <= 6
+    finally:
+        walk.unpersist()
+
+
+def test_lateral_agg_keeps_zero_order_customers(spark, sf_dir):
+    """The scalar-aggregate LATERAL is an implicit outer join: every
+    customer appears exactly once, customers with no open orders carry
+    COUNT 0 and a COALESCEd 0.0 total, and the non-zero rows tie back
+    to a direct grouped aggregate."""
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_lateral_agg,
+    )
+
+    out = q_sql_lateral_agg(spark, sf_dir).cache()
+    try:
+        n_cust = load_table(spark, sf_dir, "customer").count()
+        assert out.count() == n_cust
+        zeros = out.filter(F.col("n_open") == 0)
+        assert zeros.count() > 0
+        assert zeros.filter(F.col("open_total") != 0.0).count() == 0
+        direct = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "O")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_open"))
+        )
+        got = {r.c_custkey: r.n_open for r in out.filter(F.col("n_open") > 0).collect()}
+        want = {r.o_custkey: r.n_open for r in direct.collect()}
+        assert got == want
+    finally:
+        out.unpersist()

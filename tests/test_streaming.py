@@ -444,3 +444,59 @@ def test_python_stream_source_offset_recovery_exactly_once(spark, sf_dir):
                 if '"pos"' in line:
                     positions.append(json.loads(line.strip())["pos"])
     assert positions == sorted(positions) and positions[-1] == 7500, positions
+
+
+def test_python_source_windowed_heartbeat_flushes_without_trace(spark, sf_dir):
+    """The composed connector->watermark pipeline: the punctuation row
+    must FLUSH every real-data window the final watermark covers (7
+    hourly windows x 4 categories; emission lags the watermark by one
+    batch, and a drained incarnation runs no batch — without the
+    heartbeat the tail windows stay open forever), while leaving no
+    trace of itself: its own window never finalizes, total emitted
+    events stay strictly below the real feed (open-tail withholding is
+    non-vacuous), and the per-window counts equal a batch replay of
+    the feed formula."""
+    import datetime
+
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_python_source_windowed,
+    )
+
+    out = run_streaming_python_source_windowed(
+        spark, sf_dir, rows_per_batch=2500, max_rows=7500,
+        rows_per_partition=2500, window_duration="1 hour",
+        watermark="30 minutes", seconds_per_id=4, num_state_partitions=8,
+    ).cache()
+    try:
+        rows = out.collect()
+        base = datetime.datetime(2024, 1, 1)
+        # final watermark from REAL data: 7499*4s - 30min => 7 windows
+        assert len(rows) == 7 * 4
+        assert all(r.n_events == 225 for r in rows)  # 900 ids/hour / 4 cats
+        max_real_ts = base + datetime.timedelta(seconds=7499 * 4)
+        wm = max_real_ts - datetime.timedelta(minutes=30)
+        assert all(r.window_end <= wm for r in rows)
+        # heartbeat (id 7500, ts 30000s) leaves no trace: its window
+        # [28800s, 32400s) never appears, and the emitted total is
+        # strictly below the real feed size (tail windows withheld)
+        hb_window_start = base + datetime.timedelta(seconds=28800)
+        assert all(r.window_start < hb_window_start for r in rows)
+        assert sum(r.n_events for r in rows) == 7 * 900 < 7500
+        # per-window decimal sums equal a JVM batch replay of the formula
+        replay = (
+            spark.range(7500)
+            .selectExpr(
+                "timestampadd(SECOND, id * 4, TIMESTAMP '2024-01-01 00:00:00') AS ts",
+                "CAST(((id * 2654435761) % 1000003) / 1000.0 AS DECIMAL(18,3)) AS value",
+                "CASE CAST(id % 4 AS INT) WHEN 0 THEN 'auth' WHEN 1 THEN 'page' "
+                "WHEN 2 THEN 'api' ELSE 'batch' END AS category",
+            )
+            .groupBy(F.window("ts", "1 hour").alias("win"), "category")
+            .agg(F.sum("value").cast("decimal(38,3)").alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"), "category", "sum_value")
+        )
+        want = {(r.window_start, r.category): r.sum_value for r in replay.collect()}
+        for r in rows:
+            assert r.sum_value == want[(r.window_start, r.category)]
+    finally:
+        out.unpersist()
