@@ -26,6 +26,8 @@ against the windowed form.
 from __future__ import annotations
 
 from pyspark.sql.functions import udtf
+from pyspark.sql.types import IntegerType, StringType, StructType
+from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
 
 
 @udtf(returnType="run_idx: int, token: string, run_len: int", useArrow=True)
@@ -107,7 +109,44 @@ class PartitionTokenStats:
             )
 
 
+class _SplitCols:
+    """Polymorphic-SCHEMA table function (Spark 4 ``analyze()``): the
+    output schema is COMPUTED from the call's constant argument at
+    plan time — ``split_cols(text, 3)`` resolves to columns
+    (tok0..tok2, n_extra) before any data moves, so Catalyst prunes
+    and type-checks against the call-site-specific shape. This is the
+    third UDTF capability next to the per-row lateral (TokenRuns) and
+    the terminate()-epilogue fold (PartitionTokenStats): schema as a
+    function of arguments — the CSV-splitter / pivot-like shape where
+    the column count is a parameter, not a constant of the class.
+    ``analyze`` REQUIRES the width to be a foldable literal
+    (``isConstantExpression``): a data-dependent width has no plan-
+    time schema, and the assertion turns that mistake into an analysis
+    error instead of a runtime surprise."""
+
+    @staticmethod
+    def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+        assert n.isConstantExpression and isinstance(n.value, int) and n.value > 0, (
+            "split_cols width must be a positive integer literal"
+        )
+        schema = StructType()
+        for i in range(n.value):
+            schema = schema.add(f"tok{i}", StringType())
+        schema = schema.add("n_extra", IntegerType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, n: int):
+        toks = ("" if text is None else text).split(" ")
+        yield tuple(toks[i] if i < len(toks) else None for i in range(n)) + (
+            max(0, len(toks) - n),
+        )
+
+
+SplitCols = udtf(_SplitCols)
+
+
 def register_udtfs(spark) -> None:
     """Idempotent session registration of the UDTF surface."""
     spark.udtf.register("token_runs", TokenRuns)
     spark.udtf.register("partition_token_stats", PartitionTokenStats)
+    spark.udtf.register("split_cols", SplitCols)

@@ -207,6 +207,32 @@ def q_udtf_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic-schema UDTF (functions/udtfs.py:_SplitCols): the
+    ``analyze()`` hook computes the output schema from the call's
+    constant width argument at PLAN time — ``split_cols(text, 3)``
+    resolves to (tok0, tok1, tok2, n_extra) before any data moves.
+    Completes the UDTF surface triple: per-row lateral
+    (udtf_token_runs), terminate()-epilogue (udtf_partition_stats),
+    and schema-as-a-function-of-arguments (this key) — the
+    parameterized-splitter shape. Short documents pad with NULLs;
+    n_extra counts the overflow, so the projection is lossless enough
+    to audit. Oracle: DuckDB list indexing (out-of-range -> NULL)
+    over the same split."""
+    from machine_learning_algorithm_sparkml__spark.functions.udtfs import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok0, t.tok1, t.tok2, t.n_extra
+        FROM documents d, LATERAL split_cols(d.text, 3) t
+        """
+    )
+
+
 def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: top-20 non-stopword terms by frequency.
     explode -> hash-aggregate (map-side combine) -> TakeOrdered; the
@@ -974,6 +1000,7 @@ QUERIES = {
     "doc_tokens_explode": q_doc_tokens_explode,
     "udtf_token_runs": q_udtf_token_runs,
     "udtf_partition_stats": q_udtf_partition_stats,
+    "udtf_dynamic_schema": q_udtf_dynamic_schema,
     "text_top_terms": q_text_top_terms,
     "doc_hash_split": q_doc_hash_split,
     "mixture_weighted_sample": q_mixture_weighted_sample,
@@ -1473,6 +1500,16 @@ ORACLE = {
                (SELECT MIN(doc_id) FROM t
                 WHERE t.source = m.source AND t.ntok = m.max_tokens) AS top_doc_id
         FROM m
+    """,
+    # list indexing replay of the plan-time-schema UDTF: DuckDB
+    # out-of-range list access yields NULL, matching the eval padding
+    "udtf_dynamic_schema": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        )
+        SELECT doc_id, toks[1] AS tok0, toks[2] AS tok1, toks[3] AS tok2,
+               CAST(GREATEST(len(toks) - 3, 0) AS INTEGER) AS n_extra
+        FROM t
     """,
     "text_top_terms": f"""
         WITH toks AS (

@@ -714,6 +714,43 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("orc").load(path)
 
 
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip (Spark 4 ships the XML reader/writer
+    natively — the spark-xml package folded into core): orders written
+    as ``<order>`` row elements, read back with an EXPLICIT schema and
+    returned typed. XML is the interchange reality of enterprise feeds
+    (vendor exports, SOAP dumps, sitemap/feed crawls an LLM corpus
+    ingests); the scan parallelizes per-file like any text source. The
+    100 TB rule mirrors the CSV keys: never ``inferSchema`` over a
+    large XML lake — inference is a full extra parse of every file —
+    and the explicit-schema path here is the one the test pins equal
+    to the inferred one at test scale. Doubles survive because the
+    writer emits Java shortest-repr text, which parses back to the
+    bit-identical double. Oracle: the plain projection (round-trip
+    identity)."""
+    from machine_learning_algorithm_sparkml__spark.sources import scratch_sink_path
+
+    out = select_columns(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    path = scratch_sink_path(sf_dir, "orders_xml")
+    (
+        out.repartition(4)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey bigint, o_orderstatus string, o_totalprice double")
+        .load(path)
+    )
+
+
 def q_scan_csv_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 in its literal reference form: read a header-CSV with
     column NAMES from the header and ALL-STRING values — exactly
@@ -1280,6 +1317,42 @@ def q_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
          WHERE c_mktsegment = ? AND o_totalprice > ?
          GROUP BY c_nationkey'
         USING mla_seg, mla_cut
+        """
+    )
+
+
+def q_sql_udf_scalar_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DEFINED UDFs (Spark 4 ``CREATE FUNCTION ... RETURN``):
+    a scalar function and a table function declared IN SQL — the
+    shareable-business-logic surface (a pricing rule, a cohort
+    definition) without any Python crossing. The scale story is the
+    point and is plan-pinned: a SQL UDF is INLINED by Catalyst —
+    the scalar body becomes an ordinary projection expression inside
+    whole-stage codegen (no BatchEvalPython node anywhere), and the
+    predicate inside the TABLE function's body is pushed down into
+    the parquet scan (PushedFilters shows it) — so unlike a Python
+    UDF, function abstraction costs NOTHING at 100 TB: Catalyst sees
+    through the call. OR REPLACE keeps the key idempotent in a
+    shared session. Oracle: both bodies inlined by hand."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION mla_disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1.0 - d)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION mla_orders_by_priority(prio STRING)
+        RETURNS TABLE (o_orderkey BIGINT, o_totalprice DOUBLE)
+        RETURN SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_orderpriority = prio
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, mla_disc_price(o_totalprice, 0.1) AS disc_price
+        FROM mla_orders_by_priority('1-URGENT')
         """
     )
 
@@ -1903,6 +1976,8 @@ QUERIES = {
     "sql_session_variables": q_sql_session_variables,
     "sql_lateral_topn": q_sql_lateral_topn,
     "sql_lateral_agg": q_sql_lateral_agg,
+    "sql_udf_scalar_table": q_sql_udf_scalar_table,
+    "scan_xml": q_scan_xml,
     "dq_referential_integrity": q_dq_referential_integrity,
     "dq_expectations": q_dq_expectations,
     "agg_incremental_merge": q_agg_incremental_merge,
@@ -2124,6 +2199,13 @@ ORACLE = {
             FROM orders
             WHERE o_custkey = c.c_custkey AND o_orderstatus = 'O'
         ) o
+    """,
+    "sql_udf_scalar_table": """
+        SELECT o_orderkey, o_totalprice * (1.0 - 0.1) AS disc_price
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "scan_xml": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
     """,
     "dq_expectations": """
         WITH wide AS (

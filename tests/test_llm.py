@@ -777,3 +777,46 @@ def test_udtf_partition_stats_epilogue_matches_declarative_fold(spark, sf_dir):
         assert out.count() == out.select("source").distinct().count()
     finally:
         out.unpersist()
+
+
+def test_udtf_dynamic_schema_resolves_from_literal_width(spark, sf_dir):
+    """analyze() computes the schema from the call's constant width:
+    width 3 yields (tok0..tok2, n_extra), width 5 yields six columns;
+    short docs pad with NULLs; the token columns equal the split
+    prefix; and a NON-literal width is rejected at analysis time (a
+    data-dependent schema has no plan-time meaning)."""
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from machine_learning_algorithm_sparkml__spark.functions.udtfs import (
+        register_udtfs,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_udtf_dynamic_schema,
+    )
+
+    out = q_udtf_dynamic_schema(spark, sf_dir)
+    assert out.columns == ["doc_id", "tok0", "tok1", "tok2", "n_extra"]
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    wide = spark.sql(
+        "SELECT t.* FROM documents d, LATERAL split_cols(d.text, 5) t"
+    )
+    assert wide.columns == ["tok0", "tok1", "tok2", "tok3", "tok4", "n_extra"]
+
+    # token columns equal the split prefix, NULL-padded
+    sample = {r.doc_id: r for r in out.collect()}
+    for r in docs.limit(20).collect():
+        toks = r.text.split(" ")
+        o = sample[r.doc_id]
+        for i, col in enumerate(["tok0", "tok1", "tok2"]):
+            assert getattr(o, col) == (toks[i] if i < len(toks) else None)
+        assert o.n_extra == max(0, len(toks) - 3)
+
+    with _pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT t.* FROM documents d, "
+            "LATERAL split_cols(d.text, CAST(d.n_chars AS INT)) t"
+        ).collect()

@@ -595,3 +595,22 @@ def test_lateral_agg_decorrelates_to_grouped_outer_join(spark, sf_dir):
     # partial + final aggregate nodes (each renders twice: tree+detail)
     assert plan.count("HashAggregate") >= 4, plan
     assert "LeftOuter" in plan, plan
+
+
+def test_sql_udfs_inline_into_codegen_and_push_down(spark, sf_dir):
+    """SQL-defined UDFs must be TRANSPARENT to Catalyst: the scalar
+    body constant-folds into an ordinary projection expression, the
+    predicate inside the table function's body reaches the parquet
+    scan as a pushed filter, no Python-eval node exists anywhere, and
+    the whole query stays one codegen stage with no exchange —
+    function abstraction at zero plan cost."""
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_udf_scalar_table,
+    )
+
+    plan = formatted_plan(q_sql_udf_scalar_table(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "Exchange" not in plan, plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan, plan  # pushed TVF body filter
+    assert "* 0.9" in plan, plan  # (1.0 - 0.1) constant-folded into the projection

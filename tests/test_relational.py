@@ -636,3 +636,30 @@ def test_lateral_agg_keeps_zero_order_customers(spark, sf_dir):
         assert got == want
     finally:
         out.unpersist()
+
+
+def test_scan_xml_roundtrip_exact_and_schema_paths_agree(spark, sf_dir):
+    """The XML round-trip is lossless (keys, statuses, and doubles
+    byte-exact vs the source — the writer emits shortest-repr text),
+    and the explicit-schema read (the 100 TB path: inference is a full
+    extra parse of every file) equals the inferred-schema read."""
+    from machine_learning_algorithm_sparkml__spark.sources import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_scan_xml,
+    )
+
+    back = q_scan_xml(spark, sf_dir)
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    got = {(r.o_orderkey, r.o_orderstatus, r.o_totalprice) for r in back.collect()}
+    want = {(r.o_orderkey, r.o_orderstatus, r.o_totalprice) for r in src.collect()}
+    assert got == want
+
+    inferred = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .load(scratch_sink_path(sf_dir, "orders_xml"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    assert {tuple(r) for r in inferred.collect()} == want
