@@ -52,8 +52,12 @@ def q_streaming_python_source_windowed(spark: SparkSession, sf_dir: str) -> Data
         run_streaming_python_source_windowed,
     )
 
+    # rows_per_batch=3750: two data batches + the heartbeat batch =
+    # the minimum incarnation count (the heartbeat must land in its
+    # own batch AFTER all real data for the flush to see the final
+    # watermark); batching layout does not affect the final sink
     return run_streaming_python_source_windowed(
-        spark, sf_dir, rows_per_batch=2500, max_rows=7500,
+        spark, sf_dir, rows_per_batch=3750, max_rows=7500,
         rows_per_partition=2500, window_duration="1 hour",
         watermark="30 minutes", seconds_per_id=4, num_state_partitions=8,
     )
