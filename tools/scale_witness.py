@@ -29,7 +29,7 @@ Families (pass any subset as argv; default = all):
   persists as the corpus grows.
 
 Usage:
-    python tools/scale_witness.py [dedup] [relational] [ann] [maintenance]
+    python tools/scale_witness.py [dedup] [relational] [ann] [maintenance] [maintenance2]
 Timing protocol: bench.py's (lower median of 3, machine idle —
 the foreign-workload stamp is reused; self-verify truth passes off).
 """
@@ -65,6 +65,20 @@ FAMILY_KEYS = {
         "agg_incremental_merge",
         "dq_referential_integrity",
         "sql_recursive_cte",
+    ],
+    # r9 third-window keys over the same 10x relational build.
+    # Claims under test: the de-correlated lateral aggregate and the
+    # signed-delta retraction merge grow ~linearly in fact volume
+    # (one grouped shuffle each); the DQ expectations gate stays a
+    # single wide scan however many thresholds ride it; the bounded
+    # cyclic walk pays per-level probes of the 10x table while its
+    # frontier stays capped by the fixed 1000-slot node set (the
+    # guard, not the data, bounds the work).
+    "maintenance2": [
+        "sql_lateral_agg",
+        "agg_incremental_retract",
+        "dq_expectations",
+        "sql_recursive_cte_bounded",
     ],
 }
 REPLICAS = 10
@@ -202,6 +216,7 @@ def main() -> int:
         "relational": build_sf1_relational,
         "ann": build_sf1_embeddings,
         "maintenance": build_sf1_relational,
+        "maintenance2": build_sf1_relational,
     }
     built = set()
     for fam in families:
