@@ -100,6 +100,24 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantizer through ``mapInArrow`` — the Arrow-native Python
+    crossing (operators/quantize.py:quantize_int8_arrow): zero-copy
+    numpy views over pyarrow buffers, offset-arithmetic vectorization,
+    no pandas step. Same math, same output slots, same DuckDB oracle
+    as ``embedding_quantize_int8`` (whose JVM F.transform path is the
+    production default); the pytest additionally pins the two
+    crossings row-for-row equal. The engine's Python-boundary ladder
+    is now fully keyed: JVM built-ins > mapInArrow > pandas_udf /
+    mapInPandas > (never) row-at-a-time."""
+    from machine_learning_algorithm_sparkml__spark.operators.quantize import (
+        quantize_int8_arrow,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8_arrow(emb, id_col="vec_id", vec_col="embedding")
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization before fingerprint/dedup: lowercase,
     strip sentence punctuation, collapse whitespace, trim. Pure
@@ -191,6 +209,7 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     "domain_top_docs": q_domain_top_docs,
     "embedding_quantize_int8": q_embedding_quantize_int8,
+    "embedding_quantize_arrow": q_embedding_quantize_arrow,
     "semantic_dedup": q_semantic_dedup,
 }
 
@@ -369,6 +388,31 @@ ORACLE = {
         )
         WHERE rn <= 5
     """,
+    "embedding_quantize_arrow": """
+        WITH q AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+            FROM embeddings
+        ), codes AS (
+            SELECT vec_id,
+                   max_abs / 127.0 AS scale,
+                   CAST(len(xs) AS INTEGER) AS n_dim,
+                   CASE WHEN max_abs = 0.0 THEN list_transform(xs, x -> 0)
+                        ELSE list_transform(xs, x -> CAST(round(x / (max_abs / 127.0)) AS INTEGER))
+                   END AS qs
+            FROM q
+        )
+        SELECT vec_id, scale, n_dim,
+               CAST(qs[1] AS INTEGER) AS q0,
+               CAST(qs[2] AS INTEGER) AS q1,
+               CAST(qs[3] AS INTEGER) AS q2,
+               CAST(qs[4] AS INTEGER) AS q3,
+               CAST(list_max(list_transform(qs, x -> abs(x))) AS INTEGER) AS max_abs_q,
+               list_max(list_transform(qs, x -> abs(x))) <= 127 AS q_in_range
+        FROM codes
+    """,
+    # same oracle for the Arrow crossing twin
     "embedding_quantize_int8": """
         WITH q AS (
             SELECT vec_id,

@@ -272,3 +272,20 @@ def test_semantic_dedup_k_scales_with_corpus():
     assert ks == sorted(ks)
     # centers stay broadcastable: hard cap
     assert choose_k(10**12) == 65_536
+
+
+def test_quantize_arrow_crossing_equals_jvm_path(spark, sf_dir):
+    """The mapInArrow quantizer must equal the JVM F.transform path
+    row-for-row — two entirely different crossings (pyarrow/numpy
+    offset arithmetic vs Catalyst expressions), same math, including
+    the round-half-away-from-zero convention (numpy's default
+    half-to-even would drift here and this equality would catch it)."""
+    from machine_learning_algorithm_sparkml__spark.workload.quality import (
+        q_embedding_quantize_arrow,
+        q_embedding_quantize_int8,
+    )
+
+    arrow = {tuple(r) for r in q_embedding_quantize_arrow(spark, sf_dir).collect()}
+    jvm = {tuple(r) for r in q_embedding_quantize_int8(spark, sf_dir).collect()}
+    assert arrow == jvm
+    assert len(arrow) > 0
