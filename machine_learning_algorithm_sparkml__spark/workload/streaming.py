@@ -38,6 +38,24 @@ def q_streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_streaming_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed-count query on the RocksDB state-store provider —
+    the state-bigger-than-memory backend a 100 TB keyed aggregation
+    needs (local-SSD state, bounded block cache, compacted zip
+    snapshots in the checkpoint). One conf switch, identical
+    semantics: the result must equal the default provider's and the
+    same batch oracle (see
+    streaming/events.py:run_streaming_window_counts_rocksdb)."""
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_window_counts_rocksdb,
+    )
+
+    return run_streaming_window_counts_rocksdb(
+        spark, sf_dir, window_duration="1 hour", num_state_partitions=8
+    )
+
+
 def q_streaming_python_source_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The connector's stream plane COMPOSED with the watermark
     machinery: synthlog offsets underneath, event-time hourly windows
@@ -331,6 +349,7 @@ QUERIES = {
     "streaming_checkpoint_recovery": q_streaming_checkpoint_recovery,
     "streaming_python_source": q_streaming_python_source,
     "streaming_python_source_windowed": q_streaming_python_source_windowed,
+    "streaming_rocksdb_state": q_streaming_rocksdb_state,
     "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
     "streaming_late_data": q_streaming_late_data,
     "streaming_upsert_restart": q_streaming_upsert_restart,
@@ -432,6 +451,17 @@ ORACLE = {
     "streaming_stateful_totals": """
         SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM events GROUP BY event_type
+    """,
+    # same batch oracle as streaming_window_counts: the state
+    # backend must be semantically invisible
+    "streaming_rocksdb_state": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
     """,
     "streaming_window_counts": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

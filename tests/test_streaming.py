@@ -500,3 +500,48 @@ def test_python_source_windowed_heartbeat_flushes_without_trace(spark, sf_dir):
             assert r.sum_value == want[(r.window_start, r.category)]
     finally:
         out.unpersist()
+
+
+def test_rocksdb_state_backend_engages_and_is_semantically_invisible(spark, sf_dir):
+    """The RocksDB provider must actually ENGAGE (the checkpoint's
+    state dir holds zip snapshots containing RocksDB artifacts —
+    sst/MANIFEST/CURRENT — not the default provider's bare .delta
+    files), the session conf must be restored after query start (the
+    provider is frozen into the query, not leaked into the session),
+    and the result must equal the default provider's run row-for-row:
+    the state backend is an operational choice, never a semantic
+    one."""
+    import os
+    import zipfile
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_window_counts,
+        run_streaming_window_counts_rocksdb,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    rocks = run_streaming_window_counts_rocksdb(
+        spark, sf_dir, window_duration="1 hour", num_state_partitions=8
+    )
+    after = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    assert after == prev  # conf restored; provider frozen into the query only
+
+    got = {tuple(r) for r in rocks.collect()}
+    default = run_streaming_window_counts(
+        spark, sf_dir, window_duration="1 hour", num_state_partitions=8
+    )
+    assert got == {tuple(r) for r in default.collect()}
+
+    state_root = os.path.join(scratch_sink_path(sf_dir, "rocksdb_state_ckpt"), "state")
+    zips = []
+    for root, _dirs, files in os.walk(state_root):
+        zips += [os.path.join(root, f) for f in files if f.endswith(".zip")]
+    assert zips, "no RocksDB snapshot zips in the state dir"
+    names = set()
+    for z in zips[:4]:
+        with zipfile.ZipFile(z) as zf:
+            names.update(zf.namelist())
+    assert any(
+        n.endswith(".sst") or "MANIFEST" in n or n.endswith("CURRENT") for n in names
+    ), names
