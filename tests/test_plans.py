@@ -614,3 +614,80 @@ def test_sql_udfs_inline_into_codegen_and_push_down(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "EqualTo(o_orderpriority,1-URGENT)" in plan, plan  # pushed TVF body filter
     assert "* 0.9" in plan, plan  # (1.0 - 0.1) constant-folded into the projection
+
+
+def test_cbo_statistics_correct_broadcast_estimates(spark, sf_dir):
+    """ANALYZE TABLE statistics must change physical join decisions in
+    BOTH directions. Without stats, a managed table's size estimate is
+    its COMPRESSED parquet footprint and a filter does not shrink it —
+    the customer table estimates identically filtered or not, a ~5x
+    under-estimate of the in-memory relation (at 100 TB this is
+    how a 'small' build side OOMs the broadcast). With column stats,
+    the unfiltered side reads its true row-width size (demoted to a
+    SortMergeJoin above the threshold) while the equality filter gets
+    exact ndv-based selectivity (rowCount 1/5 of the table) and stays
+    a confident broadcast — estimation now tells the two cases apart
+    instead of treating them identically."""
+    import uuid
+
+    tbl = f"customer_cbo_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "customer").write.saveAsTable(tbl)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    join_unfiltered = (
+        f"SELECT o.o_orderkey, c.c_name FROM orders_v o JOIN {tbl} c "
+        "ON o.o_custkey = c.c_custkey"
+    )
+    join_filtered = join_unfiltered + " WHERE c.c_mktsegment = 'BUILDING'"
+
+    def join_kind(sql):
+        plan = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+        assert ("BroadcastHashJoin" in plan) != ("SortMergeJoin" in plan), plan
+        return "broadcast" if "BroadcastHashJoin" in plan else "smj"
+
+    def size_estimate(sql):
+        return int(
+            str(
+                spark.sql(sql)
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+
+    scan_unf = f"SELECT c_custkey, c_name FROM {tbl}"
+    scan_fil = scan_unf + " WHERE c_mktsegment = 'BUILDING'"
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        # without stats the estimate is file-size-scaled and BLIND to
+        # the filter: filtered == unfiltered
+        s0 = size_estimate(scan_unf)
+        assert size_estimate(scan_fil) == s0
+
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+        s_unf = size_estimate(scan_unf)  # true row-width size
+        s_fil = size_estimate(scan_fil)  # ndv-selectivity-scaled
+        assert s_unf > s0  # compressed footprint under-estimates width
+        assert s_fil < s_unf  # the filter now shrinks the estimate
+        stats = str(
+            spark.sql(scan_fil)._jdf.queryExecution().optimizedPlan().stats()
+        )
+        n_cust = load_table(spark, sf_dir, "customer").count()
+        assert f"rowCount={n_cust // 5}" in stats, stats  # exact ndv selectivity
+
+        # threshold between the filtered and unfiltered estimates: the
+        # unfiltered build side demotes to SMJ, the filtered one stays
+        # a confident broadcast — estimation now tells them apart
+        # (without stats both sat at s0 and decided identically)
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str((max(s0, s_fil) + s_unf) // 2),
+        )
+        assert join_kind(join_unfiltered) == "smj"
+        assert join_kind(join_filtered) == "broadcast"
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
