@@ -495,3 +495,59 @@ def test_scan_schema_evolution_null_fills_and_explicit_schema_agrees(spark, sf_d
     )
     assert explicit.exceptAll(merged).count() == 0
     assert merged.exceptAll(explicit).count() == 0
+
+
+def test_xml_corruption_is_record_scoped_for_casts_file_scoped_for_structure(
+    spark, tmp_path
+):
+    """The XML dirty-input contract, completing the CSV/JSONL trilogy —
+    with a failure-domain asymmetry neither of those has. A BAD CAST
+    inside a well-formed element is record-scoped: that row lands in
+    _corrupt and the NEXT row of the same file survives typed. A
+    STRUCTURAL break (unclosed tag) is FILE-scoped: the parser cannot
+    re-synchronize, so every record after the break is swallowed — in
+    every mode, not just PERMISSIVE — and the corrupt capture holds the
+    whole file text, not a record. Operational rule at 100 TB: XML
+    corpora need small files (one unclosed tag costs the file TAIL,
+    not a row) and per-file row-count audits; CSV/JSONL damage is
+    line-scoped and needs neither."""
+    d = tmp_path / "xmlmal"
+    d.mkdir()
+    (d / "clean.xml").write_text(
+        "<orders><order><k>1</k><status>O</status><price>10.5</price></order>"
+        "<order><k>2</k><status>F</status><price>20.0</price></order></orders>"
+    )
+    (d / "badcast.xml").write_text(
+        "<orders><order><k>notanint</k><status>F</status><price>30.0</price></order>"
+        "<order><k>4</k><status>O</status><price>40.0</price></order></orders>"
+    )
+    (d / "broken.xml").write_text(
+        "<orders><order><k>5</k><status>P</status><price>broken"
+        "<order><k>6</k><status>O</status><price>60.0</price></order></orders>"
+    )
+
+    perm = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("k bigint, status string, price double, _corrupt string")
+        .load(str(d))
+    )
+    rows = perm.collect()
+    typed = sorted(r.k for r in rows if r._corrupt is None)
+    corrupt = [r for r in rows if r._corrupt is not None]
+    assert typed == [1, 2, 4]  # 4 survives its file's bad-cast neighbor
+    assert len(corrupt) == 2  # one per damaged FILE, not per record
+    # structural capture is the whole file; row 6 appears nowhere
+    assert any("<k>6</k>" in r._corrupt for r in corrupt)
+    assert all(r.k != 6 for r in rows)
+
+    drop = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .option("mode", "DROPMALFORMED")
+        .schema("k bigint, status string, price double")
+        .load(str(d))
+    )
+    assert sorted(r.k for r in drop.collect()) == [1, 2, 4]
