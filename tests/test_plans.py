@@ -691,3 +691,54 @@ def test_cbo_statistics_correct_broadcast_estimates(spark, sf_dir):
         spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_dynamic_partition_pruning_prunes_fact_scan_at_runtime(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: when a partitioned fact table joins a
+    dimension on its partition column and the dim carries a selective
+    filter, the fact scan's PartitionFilters gain a runtime
+    `dynamicpruning` subquery — partitions for priorities the filtered
+    dim cannot match are never listed or read. At 100 TB this is the
+    difference between scanning two priority partitions and scanning
+    five; static pruning cannot do it because the surviving priorities
+    are only known after the dim's filter runs. The contrast run with
+    the optimizer flag off shows the same join WITHOUT the pruning
+    subquery, and both produce the identical (direct-filter-checked)
+    result."""
+    fact_path = str(tmp_path / "dpp_orders")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderpriority").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "hot"),
+            ("2-HIGH", "hot"),
+            ("3-MEDIUM", "warm"),
+            ("4-NOT SPECIFIED", "cold"),
+            ("5-LOW", "cold"),
+        ],
+        "prio string, tier string",
+    )
+    joined = fact.join(dim, fact.o_orderpriority == dim.prio).filter(
+        F.col("tier") == "hot"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+
+    want = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).count()
+    assert joined.count() == want
+
+    key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        off = fact.join(dim, fact.o_orderpriority == dim.prio).filter(
+            F.col("tier") == "hot"
+        )
+        off_plan = off._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" not in off_plan
+        assert off.count() == want  # optimization, never semantics
+    finally:
+        spark.conf.set(key, prev)
