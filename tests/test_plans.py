@@ -742,3 +742,56 @@ def test_dynamic_partition_pruning_prunes_fact_scan_at_runtime(spark, sf_dir, tm
         assert off.count() == want  # optimization, never semantics
     finally:
         spark.conf.set(key, prev)
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark, sf_dir):
+    """AQE skew-join handling — the runtime complement to the explicit
+    salting operator (operators/skew.py): a join key holding 80% of
+    the left side makes one sort-merge partition dominate the stage
+    wall-clock; with skew handling on, AQE observes the actual
+    post-shuffle sizes and SPLITS the oversized partition
+    (SortMergeJoin(skew=true) in the final adaptive plan), replicating
+    the matching right side — no code change, no salt column. The
+    thresholds are scoped down because the feature gates on multi-MB
+    partitions; the contrast run with skew handling off shows the
+    plain join and the identical result. At 100 TB this is the
+    difference between a stage tailing on one straggler task and
+    spreading the hot key across the cluster."""
+    scoped = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    old = {k: spark.conf.get(k) for k in scoped}
+
+    def run():
+        left = spark.range(100000).select(
+            F.when(F.col("id") % 5 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        agg = left.join(right, "k").select(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        row = agg.collect()[0]
+        return (row.s, row.n), agg._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        result_on, plan_on = run()
+        assert "SortMergeJoin(skew=true)" in plan_on, plan_on
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        result_off, plan_off = run()
+        assert "skew=true" not in plan_off
+        assert result_on == result_off  # optimization, never semantics
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        for k, v in old.items():
+            spark.conf.set(k, v)
