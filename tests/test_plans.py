@@ -795,3 +795,54 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_promotes_shuffle_join_to_broadcast_at_runtime(spark, sf_dir):
+    """AQE runtime join-strategy switching: with the STATIC broadcast
+    threshold off (the estimate-distrust posture a 100 TB deployment
+    often runs — see the CBO witness for why estimates mislead), the
+    initial plan is a sort-merge join; after the build side's ACTUAL
+    shuffle size lands under the separate adaptive threshold, the
+    final plan re-plans it as a BroadcastHashJoin mid-query — the
+    decision moves from estimate-time to measurement-time. Contrast
+    run with the adaptive threshold off stays sort-merge; results
+    identical."""
+    scoped = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in scoped}
+
+    def run():
+        left = spark.range(200000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        )
+        right = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+        )
+        agg = left.join(right, "k").select(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        initial = agg._jdf.queryExecution().executedPlan().toString()
+        row = agg.collect()[0]
+        final = agg._jdf.queryExecution().executedPlan().toString()
+        return (row.s, row.n), initial, final
+
+    try:
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        result_on, initial, final = run()
+        assert "BroadcastHashJoin" not in initial  # static plan: SMJ
+        assert "BroadcastHashJoin" in final  # runtime: promoted
+        assert "isFinalPlan=true" in final
+
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        result_off, _initial, final_off = run()
+        assert "BroadcastHashJoin" not in final_off  # stays SMJ
+        assert result_on == result_off
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
