@@ -606,8 +606,16 @@ def run_streaming_python_source_windowed(
         rows_seen += sum(int(p["numInputRows"]) for p in q.recentProgress)
         if rows_seen >= feed_rows:
             break
+    # output boundary: the checkpoint/state/sink all accumulate exact
+    # decimal(38,3), but the RETURNED frame emits integer milli-units
+    # — Decimal objects serialize differently per engine on hash
+    # paths; exact integers never do (r9 verdict)
     return spark.read.parquet(out).select(
-        "window_start", "window_end", "category", "n_events", "sum_value"
+        "window_start",
+        "window_end",
+        "category",
+        "n_events",
+        (F.col("sum_value") * 1000).cast("bigint").alias("sum_value_milli"),
     )
 
 

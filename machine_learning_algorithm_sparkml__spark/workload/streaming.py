@@ -422,10 +422,10 @@ ORACLE = {
                    time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
                    category,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DECIMAL(38,3)) AS sum_value
+                   CAST(SUM(CAST(value AS DECIMAL(18,3))) * 1000 AS BIGINT) AS sum_value_milli
             FROM feed GROUP BY 1, 2, 3
         )
-        SELECT window_start, window_end, category, n_events, sum_value
+        SELECT window_start, window_end, category, n_events, sum_value_milli
         FROM agg
         WHERE window_end <= (SELECT MAX(ts) FROM feed) - INTERVAL '30 minutes'
     """,

@@ -48,6 +48,14 @@ def test_entry_smoke(spark):
 # driver's canonicalizer pandas-sorts and hashes every cell, and list /
 # struct / map cells are unhashable — so NO query key may emit a
 # non-atomic column, oracle-checked or rows-only alike.
+#
+# DecimalType is likewise banned at the OUTPUT boundary (VERDICT r9
+# "What's wrong": the only four hash-fail keys in the suite were the
+# only four DecimalType outputs — Decimal cells serialize differently
+# per engine on the driver's hash path even when value-equal). Decimal
+# accumulation INSIDE a plan stays (it is the correct exact-money
+# algebra at 100 TB); the emitted scalar must be a portable integer
+# (scaled cents/milli-units) or string.
 _ATOMIC_OK = (
     "string", "int", "bigint", "smallint", "tinyint", "double", "float",
     "boolean", "date", "timestamp", "timestamp_ntz", "binary",
@@ -59,7 +67,8 @@ def test_output_schema_is_atomic(spark, sf_dir, name):
     df = entrymod.queries()[name](spark, sf_dir)
     for field in df.schema.fields:
         ds = field.dataType.simpleString()
-        assert ds in _ATOMIC_OK or ds.startswith("decimal"), (
-            f"{name}: column {field.name} has non-atomic type {ds}; "
-            "the driver canonicalizer cannot hash it — widen to scalars"
+        assert ds in _ATOMIC_OK, (
+            f"{name}: column {field.name} has non-portable type {ds}; "
+            "the driver hash cannot compare it across engines — widen "
+            "to atomic scalars (decimals: emit scaled-int cents)"
         )

@@ -218,7 +218,7 @@ def test_agg_decimal_exact_is_partitioning_invariant_and_matches_ledger(spark, s
         q_agg_decimal_exact,
     )
 
-    base = {r.o_orderstatus: r.sum_price_exact for r in q_agg_decimal_exact(spark, sf_dir).collect()}
+    base = {r.o_orderstatus: r.sum_price_cents for r in q_agg_decimal_exact(spark, sf_dir).collect()}
 
     orders = load_table(spark, sf_dir, "orders")
     for n in (1, 17):
@@ -229,12 +229,12 @@ def test_agg_decimal_exact_is_partitioning_invariant_and_matches_ledger(spark, s
             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
             .collect()
         }
-        assert redo == base, n
+        assert {k: int(v * 100) for k, v in redo.items()} == base, n
 
     ledger: dict[str, Decimal] = {}
     for r in orders.select("o_orderstatus", F.col("o_totalprice").cast("decimal(18,2)").alias("p")).collect():
         ledger[r.o_orderstatus] = ledger.get(r.o_orderstatus, Decimal(0)) + r.p
-    assert ledger == base
+    assert {k: int(v * 100) for k, v in ledger.items()} == base
 
 
 def test_cdc_diff_counts_and_roundtrip_apply(spark, sf_dir):
@@ -381,11 +381,11 @@ def test_incremental_merge_equals_full_rescan_exactly(spark, sf_dir):
     assert orders.filter(F.col("o_orderdate") >= cutoff).count() > 0
 
     merged = {
-        (r.yr, r.mo, r.o_orderstatus): (r.n_orders, r.sum_price)
+        (r.yr, r.mo, r.o_orderstatus): (r.n_orders, r.sum_price_cents)
         for r in q_agg_incremental_merge(spark, sf_dir).collect()
     }
     scratch = {
-        (r.yr, r.mo, r.o_orderstatus): (r.n_orders, r.sum_price)
+        (r.yr, r.mo, r.o_orderstatus): (r.n_orders, r.sum_price_cents)
         for r in orders.groupBy(
             F.year("o_orderdate").alias("yr"),
             F.month("o_orderdate").alias("mo"),
@@ -393,9 +393,9 @@ def test_incremental_merge_equals_full_rescan_exactly(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("sum_price"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("sum_price_cents"),
         )
         .collect()
     }
@@ -533,16 +533,16 @@ def test_incremental_retract_equals_corrected_rescan(spark, sf_dir):
         .alias("p"),
     )
     scratch = {
-        (r.yr, r.mo, r.o_orderstatus): (r.n_orders, r.sum_price)
+        (r.yr, r.mo, r.o_orderstatus): (r.n_orders, r.sum_price_cents)
         for r in corrected.groupBy("yr", "mo", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("p").cast("decimal(38,2)").alias("sum_price"),
+            (F.sum("p") * 100).cast("bigint").alias("sum_price_cents"),
         )
         .collect()
     }
     merged = {
-        (r.yr, r.mo, r.o_orderstatus): (r.n_orders, r.sum_price)
+        (r.yr, r.mo, r.o_orderstatus): (r.n_orders, r.sum_price_cents)
         for r in q_agg_incremental_retract(spark, sf_dir).collect()
     }
     assert merged == scratch

@@ -492,12 +492,18 @@ def test_python_source_windowed_heartbeat_flushes_without_trace(spark, sf_dir):
                 "WHEN 2 THEN 'api' ELSE 'batch' END AS category",
             )
             .groupBy(F.window("ts", "1 hour").alias("win"), "category")
-            .agg(F.sum("value").cast("decimal(38,3)").alias("sum_value"))
-            .select(F.col("win.start").alias("window_start"), "category", "sum_value")
+            .agg((F.sum("value") * 1000).cast("bigint").alias("sum_value_milli"))
+            .select(
+                F.col("win.start").alias("window_start"),
+                "category",
+                "sum_value_milli",
+            )
         )
-        want = {(r.window_start, r.category): r.sum_value for r in replay.collect()}
+        want = {
+            (r.window_start, r.category): r.sum_value_milli for r in replay.collect()
+        }
         for r in rows:
-            assert r.sum_value == want[(r.window_start, r.category)]
+            assert r.sum_value_milli == want[(r.window_start, r.category)]
     finally:
         out.unpersist()
 

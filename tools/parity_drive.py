@@ -27,8 +27,19 @@ TABLES = [
 
 
 def _norm(v):
+    import decimal
+
     if isinstance(v, float):
         return round(v, 9)
+    if isinstance(v, decimal.Decimal):
+        # model the driver's hash, which serializes Decimal columns
+        # differently per engine (r9: the only four hash-fails were
+        # the only four DecimalType outputs): tag decimals so they
+        # never compare equal to a float from the other engine, and
+        # compare scale-exactly between engines. Query outputs should
+        # not contain decimals at all (tests/test_registry.py pins
+        # this) — keep decimal algebra internal, emit scaled ints.
+        return ("dec", str(v))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
