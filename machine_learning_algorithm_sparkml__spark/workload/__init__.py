@@ -39,6 +39,8 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # `python tools/staleness.py` after each round's CORRECTNESS file
 # lands.
 PRIORITY_KEYS = [
+    # new in round 10 (never driver-checked):
+    "scan_text_logs",
     # contract changed in r10 (r9 hash-fails -> portable integer
     # outputs; driver must re-confirm under the new schema). New r10
     # keys are inserted ABOVE this comment as they land:

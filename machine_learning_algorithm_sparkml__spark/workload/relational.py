@@ -905,6 +905,60 @@ def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOG_LINE_PAT = (
+    r"^(\d{4}-\d{2}-\d{2}) (INFO|WARN) order=(\d+) status=(\w) total=([0-9.Ee+-]+)$"
+)
+
+
+def q_scan_text_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text log ingestion — the classic log-file shape and the
+    last common source format without a key (VERDICT r9 #5): a
+    line-oriented app log read with ``spark.read.text`` and parsed
+    into TYPED columns with one anchored ``regexp_extract`` pattern,
+    non-matching lines (a planted truncated-frame shape, keyed on
+    o_orderkey so the oracle replays the drop) filtered by ``rlike``
+    on the same pattern. The S1 CSV keys cover delimited files
+    (``MarchineLearningAlgorithm.txt:38-41``); this is the
+    no-delimiter sibling every ingest pipeline meets first. At 100 TB
+    the shape holds: text scan parallelizes per file-split like CSV,
+    the regexp runs JVM-side inside whole-stage codegen (no Python),
+    and the rlike filter prunes garbage before any typed cast can
+    throw. Doubles survive the text round-trip because Spark renders
+    Java shortest-repr strings, which cast back to the bit-identical
+    double; the oracle therefore projects the ORIGINAL columns under
+    the same %100<>51 drop."""
+    from machine_learning_algorithm_sparkml__spark.sources import scratch_sink_path
+
+    orders = load_table(spark, sf_dir, "orders")
+    ok_line = F.format_string(
+        "%s %s order=%d status=%s total=%s",
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.when(F.col("o_totalprice") > 400000.0, F.lit("WARN")).otherwise(
+            F.lit("INFO")
+        ),
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("string"),
+    )
+    garbage = F.format_string(
+        "!! truncated frame #%d dropped by collector", F.col("o_orderkey")
+    )
+    line = F.when(F.col("o_orderkey") % 100 == 51, garbage).otherwise(ok_line)
+    path = scratch_sink_path(sf_dir, "orders_logs")
+    orders.select(line.alias("value")).repartition(4).write.mode("overwrite").text(
+        path
+    )
+    raw = spark.read.text(path)
+    pat = _LOG_LINE_PAT
+    return raw.filter(F.col("value").rlike(pat)).select(
+        F.to_date(F.regexp_extract("value", pat, 1)).alias("log_date"),
+        F.regexp_extract("value", pat, 2).alias("level"),
+        F.regexp_extract("value", pat, 3).cast("bigint").alias("o_orderkey"),
+        F.regexp_extract("value", pat, 4).alias("o_orderstatus"),
+        F.regexp_extract("value", pat, 5).cast("double").alias("o_totalprice"),
+    )
+
+
 # --- warehouse utilities --------------------------------------------------------
 
 def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1946,6 +2000,7 @@ QUERIES = {
     "sink_orc": q_sink_orc_roundtrip,
     "scan_csv_header": q_scan_csv_header,
     "scan_csv_malformed": q_scan_csv_malformed,
+    "scan_text_logs": q_scan_text_logs,
     "scan_parquet": scan_parquet,
     "project_select": project_select,
     "project_alias_cast": project_alias_cast,
@@ -2043,6 +2098,17 @@ ORACLE = {
                 WHERE o_orderkey % 100 NOT IN (7, 13, 21)) AS sum_custkey_clean,
                (SELECT CAST(SUM(LENGTH(o_orderstatus)) AS BIGINT) FROM orders
                 WHERE o_orderkey % 100 NOT IN (7, 13, 21)) AS sum_status_len
+    """,
+    # the log text round-trip is identity on render-stable types
+    # (date part, bigint, single-char status, shortest-repr double),
+    # so the oracle projects the ORIGINAL columns under the same
+    # planted-garbage drop the rlike filter applies
+    "scan_text_logs": """
+        SELECT CAST(o_orderdate AS DATE) AS log_date,
+               CASE WHEN o_totalprice > 400000.0 THEN 'WARN'
+                    ELSE 'INFO' END AS level,
+               o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 100 <> 51
     """,
     "scan_parquet": "SELECT r_regionkey, r_name FROM region",
     # portable hash-gate sampling trio: thresholds are int(f * 2^24)

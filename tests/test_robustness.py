@@ -551,3 +551,38 @@ def test_xml_corruption_is_record_scoped_for_casts_file_scoped_for_structure(
         .load(str(d))
     )
     assert sorted(r.k for r in drop.collect()) == [1, 2, 4]
+
+
+def test_scan_text_logs_drops_exactly_the_planted_garbage(spark, sf_dir):
+    """The rlike gate must drop EXACTLY the planted truncated-frame
+    lines (%100==51) and nothing else; the typed columns must
+    round-trip the source values bit-exactly (shortest-repr double
+    parse-back); and the WARN/INFO split must match the price rule."""
+    from pyspark.sql import functions as F
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import load_table
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_scan_text_logs,
+    )
+
+    got = q_scan_text_logs(spark, sf_dir).cache()
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        n_total = orders.count()
+        n_garbage = orders.filter(F.col("o_orderkey") % 100 == 51).count()
+        assert got.count() == n_total - n_garbage
+        assert got.filter(F.col("o_orderkey") % 100 == 51).count() == 0
+
+        src = {
+            r.o_orderkey: (r.o_totalprice, r.o_orderstatus)
+            for r in orders.filter(F.col("o_orderkey") % 100 != 51)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .collect()
+        }
+        for r in got.collect():
+            price, status = src[r.o_orderkey]
+            assert r.o_totalprice == price  # bit-exact text round-trip
+            assert r.o_orderstatus == status
+            assert r.level == ("WARN" if price > 400000.0 else "INFO")
+    finally:
+        got.unpersist()
