@@ -41,6 +41,7 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 PRIORITY_KEYS = [
     # new in round 10 (never driver-checked):
     "scan_text_logs",
+    "simsearch_lsh_portable",
     # contract changed in r10 (r9 hash-fails -> portable integer
     # outputs; driver must re-confirm under the new schema). New r10
     # keys are inserted ABOVE this comment as they land:

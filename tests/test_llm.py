@@ -136,6 +136,67 @@ def test_lsh_topk_recall_vs_brute_force(emb):
         assert set(approx[0].asDict().keys()) == {"query_id", "neighbor_id", "rank", "sim"}
 
 
+def test_portable_lsh_topk_recall_and_engine_neutral_buckets(emb):
+    """The oracle-backed LSH sibling: recall must stay useful at the
+    T=12/B=8 key configuration, and the bucket assignment must equal
+    an independent pure-Python md5 replay (the DuckDB-replayability
+    claim, checked without DuckDB)."""
+    import hashlib
+
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
+        portable_lsh_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in portable_lsh_topk(emb, queries, k=5, num_planes=8, num_tables=12).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.6, f"portable lsh recall {recall:.2f}"
+
+    # engine-neutral replay: coefficients and buckets from scratch
+    T, B = 2, 8  # small independent configuration
+    rows = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    dim = len(rows[0].embedding)
+    coeffs = np.array(
+        [
+            [
+                (int(hashlib.md5(f"lshp:{t}:{b}:{d}".encode()).hexdigest()[:15], 16) % 5) - 2
+                for d in range(dim)
+            ]
+            for t in range(T)
+            for b in range(B)
+        ],
+        dtype=np.int64,
+    )
+    weights = (1 << np.arange(B)).astype(np.int64)
+    expected = {}
+    for r in rows:
+        z = np.floor(np.array(r.embedding, dtype=np.float64) * 1000.0).astype(np.int64)
+        signs = ((coeffs @ z) >= 0).reshape(T, B)
+        for t in range(T):
+            expected[(r.vec_id, t)] = int((signs[t] * weights).sum())
+
+    from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
+        _portable_buckets_udf,
+        _portable_plane_coeffs,
+    )
+
+    udf = _portable_buckets_udf(_portable_plane_coeffs(T, B, dim), T, B)
+    got = {
+        (r.vec_id, t): b
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", udf(F.col("embedding")).alias("bks"))
+        .collect()
+        for t, b in enumerate(r.bks)
+    }
+    assert got == expected
+
+
 def test_brute_force_topk_is_sorted_and_complete(emb):
     out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
     rows = out.collect()

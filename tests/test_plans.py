@@ -325,6 +325,26 @@ def test_pq_topk_no_global_cross_product_shuffle(spark, sf_dir):
     assert "MapInPandas" in plan, plan
 
 
+def test_portable_lsh_plan_is_bucketed_broadcast_not_cross_product(spark, sf_dir):
+    """portable_lsh_topk must keep the float-LSH plan shape: the
+    candidate join is a broadcast hash join on (table, bucket) and the
+    corpus is never cross-joined against the query set — portability
+    (integer planes) may not cost the bucketed physical plan."""
+    from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
+        portable_lsh_topk,
+    )
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+
+    spark.catalog.clearCache()
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = portable_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ArrowEvalPython" in plan, plan  # vectorized bucket udf
+
+
 def test_zscore_by_lang_stays_jvm_side(spark, sf_dir):
     """The per-lang z-score must be a built-in window plan, never a
     grouped-map applyInPandas: a pandas group materializes the whole
