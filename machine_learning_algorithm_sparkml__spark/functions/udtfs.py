@@ -89,8 +89,15 @@ class PartitionTokenStats:
 
     def eval(self, row):
         self.source = row["source"]
-        ntok = 0 if row["text"] is None else len(row["text"].split(" "))
         self.n_docs += 1
+        if row["text"] is None:
+            # SQL aggregate semantics (ADVICE r9): a NULL text has a
+            # NULL token length, which SUM/MAX and the argmax all
+            # ignore — only n_docs (COUNT(*)) sees the row. An
+            # all-NULL partition therefore emits NULL stats, exactly
+            # what the GROUP BY oracle computes.
+            return
+        ntok = len(row["text"].split(" "))
         self.n_tokens += ntok
         if ntok > self.max_tokens or (
             ntok == self.max_tokens and row["doc_id"] < self.top_doc_id
@@ -100,11 +107,12 @@ class PartitionTokenStats:
 
     def terminate(self):
         if self.n_docs:
+            all_null = self.top_doc_id is None
             yield (
                 self.source,
                 self.n_docs,
-                self.n_tokens,
-                self.max_tokens,
+                None if all_null else self.n_tokens,
+                None if all_null else self.max_tokens,
                 self.top_doc_id,
             )
 

@@ -46,14 +46,18 @@ def _fit_one_group(pdf: pd.DataFrame) -> pd.DataFrame:
     sxx = float((dx * dx).sum())
     sxy = float((dx * dy).sum())
     syy = float((dy * dy).sum())
-    slope = sxy / sxx
+    # degenerate groups follow the SQL regr_* / corr contract (a
+    # single row or constant x has no defined slope; constant x OR y
+    # has no defined correlation): emit NULL, never raise — one bad
+    # group must not kill the job
+    slope = sxy / sxx if sxx > 0.0 else None
     return pd.DataFrame(
         {
             "group_key": [pdf["group_key"].iloc[0]],
             "n": [len(pdf)],
             "slope": [slope],
-            "intercept": [ym - slope * xm],
-            "corr_xy": [sxy / (sxx * syy) ** 0.5],
+            "intercept": [ym - slope * xm if slope is not None else None],
+            "corr_xy": [sxy / (sxx * syy) ** 0.5 if sxx > 0.0 and syy > 0.0 else None],
         }
     )
 
@@ -105,6 +109,9 @@ def _make_ridge_fit(lam: float):
         dx, dy = x - xm, y - ym
         sxx = float((dx * dx).sum())
         sxy = float((dx * dy).sum())
+        # ridge slope is defined even for constant x (lam*n > 0 keeps
+        # the denominator positive); the OLS reference column follows
+        # regr_slope and emits NULL for the degenerate group
         slope = sxy / (sxx + lam * n)
         return pd.DataFrame(
             {
@@ -112,7 +119,7 @@ def _make_ridge_fit(lam: float):
                 "n": [n],
                 "slope": [slope],
                 "intercept": [ym - slope * xm],
-                "slope_ols": [sxy / sxx],
+                "slope_ols": [sxy / sxx if sxx > 0.0 else None],
             }
         )
 

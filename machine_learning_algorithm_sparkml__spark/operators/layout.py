@@ -100,6 +100,31 @@ def write_zordered(
     )
 
 
+def _listed_parquet_bytes(src_path: str) -> int:
+    """Driver-local source listing for the compactors. The os.walk
+    sizing only sees LOCAL paths; on an object store / HDFS URI it
+    would silently total 0 and the compactor would rewrite the whole
+    input into one file — so an empty listing fails fast instead
+    (ADVICE r9). A deployment against a remote filesystem replaces
+    this one helper with the Hadoop FileSystem listing; the sizing
+    contract (metadata only, no data read) is unchanged."""
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    if total == 0:
+        raise FileNotFoundError(
+            f"no .parquet files found under {src_path!r} by the local "
+            "listing — non-local paths need a Hadoop FileSystem lister; "
+            "refusing to size the compaction from an empty total"
+        )
+    return total
+
+
 def compact_small_files(
     spark: SparkSession,
     src_path: str,
@@ -127,14 +152,8 @@ def compact_small_files(
     the partition, not the table.
     """
     import math
-    import os
 
-    total = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(src_path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    total = _listed_parquet_bytes(src_path)
     n_out = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(src_path).repartition(n_out).write.mode("overwrite").parquet(
         dst_path
@@ -166,14 +185,8 @@ def compact_small_files_clustered(
     so a skewed key distribution is the documented trade vs
     round-robin."""
     import math
-    import os
 
-    total = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(src_path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    total = _listed_parquet_bytes(src_path)
     n_out = max(1, math.ceil(total / target_file_bytes))
     (
         spark.read.parquet(src_path)

@@ -78,6 +78,19 @@ def quantize_int8_arrow(
             ids = batch.column(id_col)
             col = batch.column(vec_col)
             lengths = pc.list_value_length(col).to_numpy().astype(np.int64)
+            if len(lengths) == 0:  # empty batch: nothing to emit
+                continue
+            # fail fast with a clear message instead of the opaque
+            # executor errors short vectors would otherwise cause:
+            # q0..q3 index starts+0..3 (needs >= 4 dims) and a
+            # zero-length list corrupts reduceat's segment starts
+            if len(lengths) and lengths.min() < 4:
+                bad = int(ids[int(np.argmin(lengths))].as_py())
+                raise ValueError(
+                    f"quantize_int8_arrow requires >= 4 dims per vector; "
+                    f"{id_col}={bad} has {int(lengths.min())} "
+                    "(use quantize_int8, the JVM twin, for arbitrary dims)"
+                )
             flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
             starts = np.zeros(len(lengths), dtype=np.int64)
             np.cumsum(lengths[:-1], out=starts[1:])

@@ -164,16 +164,29 @@ def _majority_baseline(counts: list[int]) -> tuple[float, float]:
 #: tests/test_ml.py::test_rf_seed_determinism, which clears this memo
 #: between them) — VERDICT r8 #4: the ml block was paying the
 #: identical RF fit once per key.
-_RF_PREDS_CACHE: dict[tuple[str, int, str], DataFrame] = {}
+#: WeakKeyDictionary on the session object itself (ADVICE r9): id()
+#: keys can alias a NEW session after the old one is garbage-collected
+#: (CPython reuses addresses), silently handing out DataFrames bound
+#: to a stopped session. Weak keying makes the entry's lifetime THE
+#: session's lifetime, with no stale-aliasing window.
+import weakref
+
+_RF_PREDS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _rf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 via explicit M3 chaining: index -> assemble -> RF fit ->
     predictions on the training frame; fitted once per (session,
-    sf_dir). The returned plan transforms lazily off the in-JVM tree
-    model — consumers pay a projection pass, not a re-fit."""
-    key = (spark.sparkContext.applicationId, id(spark), sf_dir)
-    if key not in _RF_PREDS_CACHE:
+    sf_dir). The memoized frame is an eagerly-materialized
+    localCheckpoint of the prediction PROJECTION, so the assembled
+    training cache is unpersisted the moment the fit is done —
+    consumers read the small checkpointed result, and no feature-frame
+    cache outlives this function (ADVICE r9: the old version pinned
+    ``assembled.cache()`` for the session's lifetime)."""
+    per_session = _RF_PREDS_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
         df = covid_like_frame(spark, sf_dir)
         _, indexed = fit_transform(make_string_indexer("status", "label_index"), df)
         _, indexed = fit_transform(
@@ -186,13 +199,19 @@ def _rf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         assembled = make_vector_assembler(
             ["priority_index", "segment_index", "nation_index"]
         ).transform(indexed)
-        rf = make_random_forest(num_trees=10, max_depth=4)
-        model = rf.fit(assembled.cache())
-        preds = model.transform(assembled)
-        _RF_PREDS_CACHE[key] = preds.select(
-            "row_id", "status", "label_index", "prediction"
-        )
-    return _RF_PREDS_CACHE[key]
+        assembled = assembled.cache()
+        try:
+            rf = make_random_forest(num_trees=10, max_depth=4)
+            model = rf.fit(assembled)
+            preds = model.transform(assembled).select(
+                "row_id", "status", "label_index", "prediction"
+            )
+            # checkpoint blocks are released by the ContextCleaner
+            # when the frame is GC'd (i.e. with the cache entry)
+            per_session[sf_dir] = preds.localCheckpoint(eager=True)
+        finally:
+            assembled.unpersist()
+    return per_session[sf_dir]
 
 
 def q_ml_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:

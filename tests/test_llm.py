@@ -840,6 +840,37 @@ def test_udtf_partition_stats_epilogue_matches_declarative_fold(spark, sf_dir):
         out.unpersist()
 
 
+def test_udtf_partition_stats_null_text_follows_sql_aggregate_semantics(spark):
+    """NULL text must behave like a NULL aggregate input (ADVICE r9):
+    counted in n_docs, invisible to sum/max/argmax — and an all-NULL
+    partition emits NULL stats, matching what the GROUP BY oracle
+    computes from len(string_split(NULL)) = NULL."""
+    from machine_learning_algorithm_sparkml__spark.functions.udtfs import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    rows = [
+        ("a", 1, "three token text"),
+        ("a", 2, None),
+        ("a", 3, "two tokens"),
+        ("b", 4, None),
+        ("b", 5, None),
+    ]
+    spark.createDataFrame(
+        rows, "source string, doc_id long, text string"
+    ).createOrReplaceTempView("udtf_null_docs")
+    got = {
+        r.source: (r.n_docs, r.n_tokens, r.max_tokens, r.top_doc_id)
+        for r in spark.sql(
+            "SELECT * FROM partition_token_stats("
+            "TABLE(SELECT source, doc_id, text FROM udtf_null_docs) "
+            "PARTITION BY source)"
+        ).collect()
+    }
+    assert got == {"a": (3, 5, 3, 1), "b": (2, None, None, None)}
+
+
 def test_udtf_dynamic_schema_resolves_from_literal_width(spark, sf_dir):
     """analyze() computes the schema from the call's constant width:
     width 3 yields (tok0..tok2, n_extra), width 5 yields six columns;

@@ -173,6 +173,57 @@ def test_group_ols_matches_jvm_side_moment_formula(spark, sf_dir):
     assert all(-1.0 <= v[2] <= 1.0 for v in udf_side.values())
 
 
+def test_group_ols_degenerate_groups_emit_null_like_regr_slope(spark):
+    """Degenerate groups (ADVICE r9): a single-row or constant-x group
+    yields NULL slope/intercept/corr (regr_slope semantics); constant
+    y breaks only corr; the ridge path keeps its (regularized) slope
+    but NULLs the OLS reference column. No group may raise."""
+    from machine_learning_algorithm_sparkml__spark.ml.regress import (
+        group_ols,
+        group_ridge,
+    )
+
+    rows = [
+        ("single", 1.0, 2.0),
+        ("const_x", 3.0, 1.0),
+        ("const_x", 3.0, 5.0),
+        ("const_y", 1.0, 7.0),
+        ("const_y", 2.0, 7.0),
+        ("normal", 0.0, 0.0),
+        ("normal", 1.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    ols = {r.group_key: r for r in group_ols(df, "g", "x", "y").collect()}
+    assert (ols["single"].slope, ols["single"].intercept, ols["single"].corr_xy) == (
+        None,
+        None,
+        None,
+    )
+    assert (ols["const_x"].slope, ols["const_x"].corr_xy) == (None, None)
+    assert ols["const_y"].slope == 0.0 and ols["const_y"].corr_xy is None
+    assert ols["normal"].slope == 2.0 and ols["normal"].corr_xy == 1.0
+
+    ridge = {r.group_key: r for r in group_ridge(df, "g", "x", "y", lam=1.0).collect()}
+    assert ridge["const_x"].slope_ols is None
+    assert ridge["const_x"].slope is not None  # lam*n keeps it defined
+
+
+def test_compact_small_files_fails_fast_on_empty_listing(spark, tmp_path):
+    """An empty/unlistable source (ADVICE r9: the remote-FS shape the
+    driver-local walk cannot see) must raise, never silently size the
+    whole rewrite to one file."""
+    import pytest as _pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.layout import (
+        compact_small_files,
+    )
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    with _pytest.raises(FileNotFoundError, match="no .parquet files"):
+        compact_small_files(spark, str(src), str(tmp_path / "dst"))
+
+
 def test_group_ridge_shrinks_toward_zero_and_degenerates_to_ols(spark, sf_dir):
     """Ridge contract: the penalized slope keeps the OLS slope's sign
     but is strictly smaller in magnitude (per-sample penalty > 0 and
