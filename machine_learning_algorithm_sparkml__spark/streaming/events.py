@@ -619,6 +619,80 @@ def run_streaming_python_source_windowed(
     )
 
 
+def run_streaming_python_source_static_join(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    rows_per_batch: int = 2500,
+    max_rows: int = 7500,
+    rows_per_partition: int = 2500,
+    max_incarnations: int = 6,
+) -> DataFrame:
+    """The THIRD composition plane for the Python streaming source
+    (ROUND9 §12): custom connector underneath, a STREAM-STATIC
+    BROADCAST enrichment join on top — every micro-batch row picks up
+    its region dimension row (``id % 5 == r_regionkey``), the static
+    side broadcast to every batch task, the stream never shuffled, no
+    state store involved. What this witnesses beyond the windowed
+    composition: a STATELESS operator over the recovered connector
+    cursor — the checkpoint here carries only the ``{"pos"}`` offset
+    log and sink metadata, and exactly-once across the sequential
+    ``availableNow`` incarnations must come from offsets + sink
+    commit coordination alone (no state-store replay to hide a
+    double-delivery). Every feed row joins (ids cover all 5 region
+    keys), so the drained sink holds exactly the enriched feed — the
+    oracle replays generate_series JOIN region. No heartbeat row is
+    needed: a stateless join emits in the batch that reads the row;
+    nothing waits on a watermark. At 100 TB this is the canonical
+    kafka -> broadcast-dim -> object-store enrichment hop."""
+    import shutil
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import (
+        load_table,
+        scratch_sink_path,
+    )
+    from machine_learning_algorithm_sparkml__spark.sources.pyds import register
+
+    register(spark)
+    ckpt = scratch_sink_path(sf_dir, "pysrc_sj_ckpt")
+    out = scratch_sink_path(sf_dir, "pysrc_sj_out")
+    for d in (ckpt, out):
+        shutil.rmtree(d, ignore_errors=True)
+
+    dim = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("bigint").alias("rk"), "r_name"
+    )
+    rows_seen = 0
+    for _ in range(max_incarnations):
+        feed = (
+            spark.readStream.format("synthlog")
+            .option("rowsPerBatch", str(rows_per_batch))
+            .option("maxRows", str(max_rows))
+            .option("rowsPerPartition", str(rows_per_partition))
+            .load()
+        )
+        enriched = (
+            feed.withColumn("rk", F.col("id") % 5)
+            .join(F.broadcast(dim), "rk")
+            .select("id", "part", "value", "category", "r_name")
+        )
+        q = (
+            enriched.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows_seen += sum(int(p["numInputRows"]) for p in q.recentProgress)
+        if rows_seen >= max_rows:
+            break
+    return spark.read.parquet(out).select(
+        "id", "part", "value", "category", "r_name"
+    )
+
+
 def run_streaming_checkpoint_recovery(
     spark: SparkSession,
     sf_dir: str,

@@ -42,6 +42,7 @@ PRIORITY_KEYS = [
     # new in round 10 (never driver-checked):
     "scan_text_logs",
     "simsearch_lsh_portable",
+    "streaming_python_source_static_join",
     # contract changed in r10 (r9 hash-fails -> portable integer
     # outputs; driver must re-confirm under the new schema). New r10
     # keys are inserted ABOVE this comment as they land:

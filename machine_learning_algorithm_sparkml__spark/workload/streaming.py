@@ -81,6 +81,26 @@ def q_streaming_python_source_windowed(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def q_streaming_python_source_static_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The connector's stream plane COMPOSED with a stream-static
+    broadcast join (the third composition plane, ROUND9 §12): each
+    synthlog micro-batch row is enriched with its region dim row over
+    the recovered offset cursor, across availableNow incarnations
+    sharing one checkpoint. Stateless — exactly-once must come from
+    offsets + sink commits alone (see
+    streaming/events.py:run_streaming_python_source_static_join)."""
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_python_source_static_join,
+    )
+
+    return run_streaming_python_source_static_join(
+        spark, sf_dir, rows_per_batch=2500, max_rows=7500,
+        rows_per_partition=2500,
+    )
+
+
 def q_streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once across a query restart: append-mode hourly windows
     through a durable checkpoint + transactional parquet sink, run as
@@ -348,6 +368,7 @@ QUERIES = {
     "stream_stream_join": q_stream_stream_join,
     "streaming_checkpoint_recovery": q_streaming_checkpoint_recovery,
     "streaming_python_source": q_streaming_python_source,
+    "streaming_python_source_static_join": q_streaming_python_source_static_join,
     "streaming_python_source_windowed": q_streaming_python_source_windowed,
     "streaming_rocksdb_state": q_streaming_rocksdb_state,
     "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
@@ -428,6 +449,18 @@ ORACLE = {
         SELECT window_start, window_end, category, n_events, sum_value_milli
         FROM agg
         WHERE window_end <= (SELECT MAX(ts) FROM feed) - INTERVAL '30 minutes'
+    """,
+    # stateless enrichment over the recovered cursor: the sink holds
+    # exactly the enriched feed — generate_series JOIN region
+    "streaming_python_source_static_join": """
+        SELECT g AS id,
+               CAST(g // 2500 AS INTEGER) AS part,
+               ((g * 2654435761) % 1000003) / 1000.0 AS value,
+               CASE g % 4 WHEN 0 THEN 'auth' WHEN 1 THEN 'page'
+                          WHEN 2 THEN 'api' ELSE 'batch' END AS category,
+               r_name
+        FROM generate_series(0, 7499) t(g)
+        JOIN region ON g % 5 = r_regionkey
     """,
     "streaming_python_source": """
         SELECT g AS id,

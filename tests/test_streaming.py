@@ -446,6 +446,72 @@ def test_python_stream_source_offset_recovery_exactly_once(spark, sf_dir):
     assert positions == sorted(positions) and positions[-1] == 7500, positions
 
 
+def test_python_source_static_join_exactly_once_across_incarnations(spark, sf_dir):
+    """The stateless composition plane: multiple availableNow
+    incarnations over one checkpoint must land every enriched feed row
+    EXACTLY once (offsets + sink commits alone — no state store to
+    hide a double-delivery), every row must carry the correct region
+    dim value, and the checkpoint's source log must show the multi-
+    batch drain actually happened."""
+    import glob
+    import os
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import (
+        load_table,
+        scratch_sink_path,
+    )
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_python_source_static_join,
+    )
+
+    out = run_streaming_python_source_static_join(
+        spark, sf_dir, rows_per_batch=1500, max_rows=6000, rows_per_partition=1500
+    ).cache()
+    try:
+        rows = out.collect()
+        assert len(rows) == 6000
+        assert len({r.id for r in rows}) == 6000  # exactly once
+        names = {
+            r.r_regionkey: r.r_name
+            for r in load_table(spark, sf_dir, "region").collect()
+        }
+        for r in rows[:200]:
+            assert r.r_name == names[r.id % 5]
+        # the drain took multiple committed batches over one checkpoint
+        ckpt = scratch_sink_path(sf_dir, "pysrc_sj_ckpt")
+        commits = glob.glob(os.path.join(ckpt, "commits", "*"))
+        assert len([c for c in commits if not c.endswith(".tmp")]) >= 4
+    finally:
+        out.unpersist()
+
+
+def test_python_source_static_join_plans_as_broadcast(spark, sf_dir):
+    """The enrichment join must be a broadcast hash join (the static
+    side ships to every batch task; the stream is never shuffled) —
+    asserted on the identical join expression planned over the feed
+    schema, which is what each micro-batch plans."""
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+    from machine_learning_algorithm_sparkml__spark.sources.io import load_table
+
+    feed_like = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") / 1500).cast("int").alias("part"),
+        F.lit(0.5).alias("value"),
+        F.lit("auth").alias("category"),
+    )
+    dim = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("bigint").alias("rk"), "r_name"
+    )
+    joined = (
+        feed_like.withColumn("rk", F.col("id") % 5)
+        .join(F.broadcast(dim), "rk")
+        .select("id", "part", "value", "category", "r_name")
+    )
+    plan = formatted_plan(joined)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan, plan
+
+
 def test_python_source_windowed_heartbeat_flushes_without_trace(spark, sf_dir):
     """The composed connector->watermark pipeline: the punctuation row
     must FLUSH every real-data window the final watermark covers (7
