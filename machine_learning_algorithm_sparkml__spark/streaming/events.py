@@ -737,6 +737,46 @@ def run_streaming_checkpoint_recovery(
     )
 
 
+def run_streaming_rocksdb_changelog(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+    num_state_partitions: int | None = None,
+) -> DataFrame:
+    """The checkpoint-recovery restart witness on the RocksDB state
+    store with CHANGELOG CHECKPOINTING — the faster-recovery posture a
+    large stateful deployment runs: instead of uploading a full
+    compacted snapshot (``N.zip``) per store per commit, each commit
+    persists only the batch's state CHANGES (``N.changelog``) and
+    snapshots are taken asynchronously in the background
+    (``spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing``)
+    — commit cost tracks |delta|, not |state|, which is the difference
+    between a bounded and an O(state)-per-batch commit at 100 TB
+    state. Recovery replays newest-snapshot + tail-of-changelogs, so
+    the restart in phase 2 exercises exactly the path the option
+    changes. Semantics must be IDENTICAL to the default-provider
+    restart witness: the final sink still equals the batch aggregate
+    restricted to watermark-finalized windows (same oracle as
+    ``streaming_checkpoint_recovery``) — the backend and its
+    checkpoint format are swappable without touching the query.
+    The pytest witness proves engagement (``.changelog`` files in the
+    state dir; the snapshot-only layout has none)."""
+    return _two_phase_windowed_restart(
+        spark,
+        sf_dir,
+        leaf="rocksdb_changelog",
+        window_duration=window_duration,
+        watermark=watermark,
+        num_state_partitions=num_state_partitions,
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+        },
+    )
+
+
 def run_streaming_late_data(
     spark: SparkSession,
     sf_dir: str,
@@ -787,6 +827,7 @@ def _two_phase_windowed_restart(
     watermark: str,
     num_state_partitions: int | None,
     phase2_extra=None,
+    extra_confs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Shared scaffolding for the restart witnesses: split events at
     the exact median event time, run the append-mode windowed
@@ -794,7 +835,10 @@ def _two_phase_windowed_restart(
     source dir with a durable checkpoint and a transactional parquet
     sink, and read the committed sink back. ``phase2_extra(events,
     mid)`` optionally injects extra rows into the phase-2 file (the
-    late-redelivery witness)."""
+    late-redelivery witness). ``extra_confs`` (e.g. the state-store
+    provider / changelog-checkpointing pair) are scoped around each
+    incarnation's START only — like the partition count, they are
+    frozen into the query and must not leak into the session."""
     import shutil
 
     from machine_learning_algorithm_sparkml__spark.sources import load_table
@@ -825,15 +869,27 @@ def _two_phase_windowed_restart(
         agg = windowed_event_counts(
             stream, window_duration=window_duration, watermark=watermark
         )
-        with frozen_shuffle_partitions(spark, num_state_partitions):
-            q = (
-                agg.writeStream.outputMode("append")
-                .format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
+        prev = {
+            k: spark.conf.get(k, None) for k in (extra_confs or {})
+        }
+        for k, v in (extra_confs or {}).items():
+            spark.conf.set(k, v)
+        try:
+            with frozen_shuffle_partitions(spark, num_state_partitions):
+                q = (
+                    agg.writeStream.outputMode("append")
+                    .format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
         q.awaitTermination()
 
     events.filter(F.col("ts") <= F.lit(mid)).write.mode("overwrite").parquet(

@@ -43,6 +43,7 @@ PRIORITY_KEYS = [
     "scan_text_logs",
     "simsearch_lsh_portable",
     "streaming_python_source_static_join",
+    "streaming_rocksdb_changelog",
     # contract changed in r10 (r9 hash-fails -> portable integer
     # outputs; driver must re-confirm under the new schema). New r10
     # keys are inserted ABOVE this comment as they land:

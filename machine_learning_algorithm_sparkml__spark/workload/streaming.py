@@ -119,6 +119,24 @@ def q_streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_streaming_rocksdb_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The restart witness on RocksDB + changelog checkpointing: per-
+    commit state persistence is the batch's CHANGES (commit cost
+    tracks |delta| not |state|; snapshots move to the background), and
+    phase 2 recovers from newest-snapshot + changelog tail. Result
+    must be identical to the default-provider restart — same oracle as
+    streaming_checkpoint_recovery (see
+    streaming/events.py:run_streaming_rocksdb_changelog)."""
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_rocksdb_changelog,
+    )
+
+    return run_streaming_rocksdb_changelog(
+        spark, sf_dir, window_duration="1 hour", watermark="30 minutes",
+        num_state_partitions=8,
+    )
+
+
 def q_streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch keyed-upsert sink: per-user latest-event state +
     additive counts MERGEd batch-by-batch (3 micro-batches via
@@ -371,6 +389,7 @@ QUERIES = {
     "streaming_python_source_static_join": q_streaming_python_source_static_join,
     "streaming_python_source_windowed": q_streaming_python_source_windowed,
     "streaming_rocksdb_state": q_streaming_rocksdb_state,
+    "streaming_rocksdb_changelog": q_streaming_rocksdb_changelog,
     "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
     "streaming_late_data": q_streaming_late_data,
     "streaming_upsert_restart": q_streaming_upsert_restart,
@@ -484,6 +503,19 @@ ORACLE = {
     "streaming_stateful_totals": """
         SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM events GROUP BY event_type
+    """,
+    # identical oracle to streaming_checkpoint_recovery: the state
+    # backend AND its checkpoint format must be semantically invisible
+    "streaming_rocksdb_changelog": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+              <= (SELECT max(ts) - INTERVAL '30 minutes' FROM events)
+        GROUP BY 1, 2, 3
     """,
     # same batch oracle as streaming_window_counts: the state
     # backend must be semantically invisible

@@ -659,3 +659,44 @@ def test_rocksdb_changelog_checkpointing_engages_same_result(spark, sf_dir):
         spark, sf_dir, window_duration="1 hour", num_state_partitions=8
     )
     assert got == {tuple(r) for r in snapshot.collect()}
+
+
+def test_rocksdb_changelog_restart_recovers_from_changelog_tail(spark, sf_dir):
+    """The keyed restart witness (streaming_rocksdb_changelog): both
+    incarnations run changelog-mode RocksDB over ONE checkpoint, the
+    state dir must hold .changelog files (engagement), phase 2 must
+    recover from snapshot + changelog tail, and the final sink must
+    equal the default-provider restart witness row-for-row — backend
+    AND checkpoint format are operational knobs, never semantic."""
+    import os
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_checkpoint_recovery,
+        run_streaming_rocksdb_changelog,
+    )
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    changelog = run_streaming_rocksdb_changelog(
+        spark, sf_dir, window_duration="1 hour", watermark="30 minutes",
+        num_state_partitions=8,
+    )
+    after = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    assert after == prev_provider  # scoped to query start, not leaked
+
+    state = os.path.join(
+        scratch_sink_path(sf_dir, "rocksdb_changelog_ckpt"), "state"
+    )
+    suffixes = {
+        f.rsplit(".", 1)[-1] for _r, _d, files in os.walk(state) for f in files
+    }
+    assert "changelog" in suffixes, suffixes
+
+    got = {tuple(r) for r in changelog.collect()}
+    default = run_streaming_checkpoint_recovery(
+        spark, sf_dir, window_duration="1 hour", watermark="30 minutes",
+        num_state_partitions=8,
+    )
+    assert got == {tuple(r) for r in default.collect()}
