@@ -44,6 +44,7 @@ PRIORITY_KEYS = [
     "simsearch_lsh_portable",
     "streaming_python_source_static_join",
     "streaming_rocksdb_changelog",
+    "sql_tpch_q12",
     # contract changed in r10 (r9 hash-fails -> portable integer
     # outputs; driver must re-confirm under the new schema). New r10
     # keys are inserted ABOVE this comment as they land:

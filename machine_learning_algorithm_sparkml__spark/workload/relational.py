@@ -1651,6 +1651,38 @@ def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode / order-priority), adapted to the
+    testdata schema: l_shipmode / l_commitdate / l_receiptdate do not
+    exist, so l_returnflag plays the mode dimension and the spec's
+    "received after committed" becomes "shipped after the order
+    date". The shape Q12 exists to test survives intact: one
+    orders-lineitem equi-join (shuffle on the order key) feeding a
+    BIMODAL CONDITIONAL AGGREGATE — two CASE-sums classifying order
+    priority into high/low per group — whose partials combine
+    map-side, so the exchange carries |groups| x 2 counters however
+    many lineitems flow in. The ship-date range prunes the lineitem
+    scan before the join. This completes the feasible TPC-H sweep:
+    q1 is `agg_pricing_summary`; q2/q9/q11/q20 need the partsupp
+    table the testdata does not ship."""
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT l.l_returnflag AS returnflag,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate > o.o_orderdate
+        GROUP BY l.l_returnflag
+        ORDER BY returnflag
+    """)
+
+
 def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 (parts/supplier relationship), adapted to the
     testdata schema: the spec's partsupp table does not exist, so
@@ -2064,6 +2096,7 @@ QUERIES = {
     "sql_tpch_q10": q_sql_tpch_q10,
     "sql_tpch_q6": q_sql_tpch_q6,
     "sql_tpch_q4": q_sql_tpch_q4,
+    "sql_tpch_q12": q_sql_tpch_q12,
     "sql_tpch_q16": q_sql_tpch_q16,
     "sql_tpch_q7": q_sql_tpch_q7,
     "sql_tpch_q14": q_sql_tpch_q14,
@@ -2713,6 +2746,19 @@ ORACLE = {
           )
         GROUP BY o.o_orderpriority
         ORDER BY orderpriority
+    """,
+    "sql_tpch_q12": """
+        SELECT l.l_returnflag AS returnflag,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate > o.o_orderdate
+        GROUP BY l.l_returnflag
     """,
     "sql_tpch_q16": """
         SELECT p.p_brand AS brand,

@@ -260,6 +260,27 @@ def test_round7_sql_key_plan_shapes(spark, sf_dir):
     assert has_pushed_filters(q16), "q16 part filters must reach the scan"
 
 
+def test_tpch_q12_bimodal_conditional_agg_plan(spark, sf_dir):
+    """Q12: the two CASE-sums must partial-aggregate map-side (the
+    exchange carries |groups| x 2 counters, not lineitems), the
+    ship-date range must push into the lineitem scan, and the
+    order-key equi-join must never degrade to a nested-loop."""
+    from machine_learning_algorithm_sparkml__spark.plans import (
+        formatted_plan,
+        has_partial_aggregation,
+        has_pushed_filters,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_tpch_q12,
+    )
+
+    q12 = q_sql_tpch_q12(spark, sf_dir)
+    plan = formatted_plan(q12)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert has_pushed_filters(q12), "q12 ship-date range must reach the scan"
+    assert has_partial_aggregation(q12)
+
+
 def test_round7_sql_wave2_plan_shapes(spark, sf_dir):
     """Q7: nation broadcasts on both legs, no nested-loop despite the
     disjunctive pair predicate. Q14: one scan pass (conditional agg,
