@@ -66,8 +66,9 @@ def test_rotation_tool_orders_never_then_oldest():
     import subprocess
     import sys
 
+    qs_n = len(workload.all_queries())
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "rotation.py"), "200"],
+        [sys.executable, os.path.join(REPO, "tools", "rotation.py"), str(qs_n)],
         capture_output=True, text=True, check=True,
     ).stdout
     keys = [
