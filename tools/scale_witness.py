@@ -51,7 +51,7 @@ FAMILY_KEYS = {
         "sql_tpch_q18",
         "window_rank_topk",
     ],
-    "ann": ["simsearch_topk", "simsearch_ivf"],
+    "ann": ["simsearch_topk", "simsearch_ivf", "simsearch_lsh_portable"],
     # r9 second-window keys over the same 10x relational build.
     # Claims under test: lateral top-N's shuffle stays bounded by
     # |groups| (WindowGroupLimit partials), the rollup merge and the
