@@ -737,6 +737,73 @@ def run_streaming_checkpoint_recovery(
     )
 
 
+def run_streaming_state_reader(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+    num_state_partitions: int | None = 8,
+) -> DataFrame:
+    """State-store-as-a-table (Spark 4 State Data Source): after an
+    append-mode watermarked windowed aggregation drains, read the
+    checkpoint's state store back as a BATCH DataFrame
+    (``spark.read.format("statestore").load(ckpt)``) — the
+    operational surface a production streaming fleet runs for state
+    inspection, skew audits, and incident debugging WITHOUT replaying
+    the stream or stopping the query's checkpoint.
+
+    The correctness statement is sharp: append mode emits a window
+    exactly when the watermark passes its end and evicts its state in
+    the same commit, so the LIVE state after the final batch is
+    precisely the OPEN windows — the set complement of the sink.
+    The oracle states it declaratively: batch aggregate restricted to
+    window_end > max(ts) - delay (the exact complement of the
+    ``streaming_checkpoint_recovery`` oracle's restriction). The
+    aggregation buffer read back is count-only: a count buffer is an
+    exact BIGINT (engine-stable), where a double-sum buffer would
+    expose accumulation order. At 100 TB this reader is the
+    difference between "attach a debugger to a 3 TB state store" and
+    a SQL query: state rows come back per-partition (partition_id
+    column) so hot-key skew is one GROUP BY away."""
+    import shutil
+
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    src = scratch_sink_path(sf_dir, "state_reader_src")
+    ckpt = scratch_sink_path(sf_dir, "state_reader_ckpt")
+    out = scratch_sink_path(sf_dir, "state_reader_out")
+    for d in (src, ckpt, out):
+        shutil.rmtree(d, ignore_errors=True)
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    with frozen_shuffle_partitions(spark, num_state_partitions):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.window.end").alias("window_end"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+    )
+
+
 def run_streaming_rocksdb_changelog(
     spark: SparkSession,
     sf_dir: str,

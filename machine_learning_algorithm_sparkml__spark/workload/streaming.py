@@ -119,6 +119,24 @@ def q_streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_streaming_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 State Data Source: the checkpoint's state store read
+    back as a batch table after an append-mode drain. Live state ==
+    the OPEN windows (watermark-finalized ones were emitted + evicted
+    in the same commit), so the oracle is the batch aggregate
+    restricted to window_end > max(ts) - delay — the exact complement
+    of streaming_checkpoint_recovery's restriction (see
+    streaming/events.py:run_streaming_state_reader)."""
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_state_reader,
+    )
+
+    return run_streaming_state_reader(
+        spark, sf_dir, window_duration="1 hour", watermark="30 minutes",
+        num_state_partitions=8,
+    )
+
+
 def q_streaming_rocksdb_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The restart witness on RocksDB + changelog checkpointing: per-
     commit state persistence is the batch's CHANGES (commit cost
@@ -390,6 +408,7 @@ QUERIES = {
     "streaming_python_source_windowed": q_streaming_python_source_windowed,
     "streaming_rocksdb_state": q_streaming_rocksdb_state,
     "streaming_rocksdb_changelog": q_streaming_rocksdb_changelog,
+    "streaming_state_reader": q_streaming_state_reader,
     "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
     "streaming_late_data": q_streaming_late_data,
     "streaming_upsert_restart": q_streaming_upsert_restart,
@@ -503,6 +522,20 @@ ORACLE = {
     "streaming_stateful_totals": """
         SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM events GROUP BY event_type
+    """,
+    # the OPEN windows: exact complement of the checkpoint_recovery
+    # oracle's restriction — append mode emits+evicts finalized
+    # windows in the same commit, so live state is everything above
+    # the final watermark
+    "streaming_state_reader": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events
+        WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+              > (SELECT max(ts) - INTERVAL '30 minutes' FROM events)
+        GROUP BY 1, 2, 3
     """,
     # identical oracle to streaming_checkpoint_recovery: the state
     # backend AND its checkpoint format must be semantically invisible

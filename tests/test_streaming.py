@@ -700,3 +700,60 @@ def test_rocksdb_changelog_restart_recovers_from_changelog_tail(spark, sf_dir):
         num_state_partitions=8,
     )
     assert got == {tuple(r) for r in default.collect()}
+
+
+def test_state_reader_is_exact_complement_of_sink(spark, sf_dir):
+    """The sharp statement behind streaming_state_reader: after the
+    append-mode drain, (emitted sink) and (live state) PARTITION the
+    batch aggregate — disjoint, union-complete, values matching per
+    window — and the state-metadata table reports the pinned 8-wide
+    store. This is what makes the state reader a trustworthy
+    operational surface: what you read IS the unemitted remainder."""
+    import os
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_state_reader,
+    )
+
+    state = {
+        (r.window_start, r.window_end, r.event_type): r.n_events
+        for r in run_streaming_state_reader(spark, sf_dir).collect()
+    }
+    sink_path = scratch_sink_path(sf_dir, "state_reader_out")
+    sink = {
+        (r.window_start, r.window_end, r.event_type): r.n_events
+        for r in spark.read.parquet(sink_path)
+        .withColumnRenamed("window", "win")
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+        .collect()
+    }
+    assert state and sink
+    assert not set(state) & set(sink), "state and sink must be disjoint"
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.window_start, r.window_end, r.event_type): r.n_events
+        for r in events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+        .collect()
+    }
+    merged = {**state, **sink}
+    assert merged == batch, "state + sink must partition the batch aggregate"
+
+    md = spark.read.format("state-metadata").load(
+        scratch_sink_path(sf_dir, "state_reader_ckpt")
+    )
+    rows = md.collect()
+    assert len(rows) == 1 and rows[0].numPartitions == 8, rows
