@@ -804,6 +804,122 @@ def run_streaming_state_reader(
     )
 
 
+def run_streaming_state_changefeed(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+    num_state_partitions: int | None = 8,
+) -> DataFrame:
+    """CDC **of the state store itself** (State Data Source
+    ``readChangeFeed``, requires RocksDB + changelog checkpointing):
+    every state transition the restart witness's checkpoint recorded,
+    as (batch_id, change_type, key, value) rows — the audit surface
+    that answers "what did batch N do to state" at 100 TB without
+    replaying the stream.
+
+    The batch script is fully deterministic, so the WHOLE feed is
+    SQL-replayable: each ``availableNow`` incarnation over the file
+    source runs one DATA batch then one EMISSION batch (watermark
+    advancement lags a batch, so the flush is its own commit):
+
+    - batch 0: a put ('update') per phase-1 (window, type) with
+      phase-1 counts;
+    - batch 1: a delete per window the phase-1 watermark finalized
+      (window_end <= max(phase-1 ts) - delay) — emitted + evicted,
+      value NULL;
+    - batch 2 (fresh query, recovered checkpoint): a put per window
+      TOUCHED by phase-2 events, value = CUMULATIVE count (recovered
+      state + delta — the put records the post-image);
+    - batch 3: a delete per surviving window the final watermark
+      covers (wm1 < window_end <= max(ts) - delay); the open tail
+      stays live (readable via ``streaming_state_reader``).
+
+    The phases split at the INTEGER-MICROSECOND midpoint
+    ((epoch_us(min)+epoch_us(max)) div 2) — exact bigint arithmetic
+    both engines, where the median-split used by the restart
+    witnesses interpolates doubles and could flip an event across
+    engines at the last ulp. Count-only buffer for the same reason as
+    ``streaming_state_reader``. Cited shape: the reference has no
+    streaming at all (SURVEY §2.10); this extends the engine's
+    checkpoint-recovery family with the state-evolution audit."""
+    import shutil
+
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    row = events.agg(
+        F.unix_micros(F.min("ts")).alias("a"), F.unix_micros(F.max("ts")).alias("b")
+    ).first()
+    mid_us = (row["a"] + row["b"]) // 2
+
+    src = scratch_sink_path(sf_dir, "state_cf_src")
+    ckpt = scratch_sink_path(sf_dir, "state_cf_ckpt")
+    out = scratch_sink_path(sf_dir, "state_cf_out")
+    for d in (src, ckpt, out):
+        shutil.rmtree(d, ignore_errors=True)
+
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+
+    def _one_run() -> None:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            with frozen_shuffle_partitions(spark, num_state_partitions):
+                q = (
+                    agg.writeStream.outputMode("append")
+                    .format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        q.awaitTermination()
+
+    is_p1 = F.unix_micros(F.col("ts")) <= F.lit(mid_us)
+    events.filter(is_p1).write.mode("overwrite").parquet(os.path.join(src, "phase=1"))
+    _one_run()
+    events.filter(~is_p1).write.mode("overwrite").parquet(os.path.join(src, "phase=2"))
+    _one_run()
+
+    feed = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0")
+        .load(ckpt)
+    )
+    return feed.select(
+        "batch_id",
+        "change_type",
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.window.end").alias("window_end"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+    )
+
+
 def run_streaming_rocksdb_changelog(
     spark: SparkSession,
     sf_dir: str,

@@ -46,6 +46,7 @@ PRIORITY_KEYS = [
     "streaming_rocksdb_changelog",
     "sql_tpch_q12",
     "streaming_state_reader",
+    "streaming_state_changefeed",
     # contract changed in r10 (r9 hash-fails -> portable integer
     # outputs; driver must re-confirm under the new schema). New r10
     # keys are inserted ABOVE this comment as they land:

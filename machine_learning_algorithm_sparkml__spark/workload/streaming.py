@@ -137,6 +137,22 @@ def q_streaming_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_state_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC of the state store (State Data Source readChangeFeed over
+    a RocksDB+changelog checkpoint): the full put/delete history of
+    the two-incarnation restart, four deterministic batches, each
+    SQL-replayable from the integer-micros midpoint split (see
+    streaming/events.py:run_streaming_state_changefeed)."""
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_state_changefeed,
+    )
+
+    return run_streaming_state_changefeed(
+        spark, sf_dir, window_duration="1 hour", watermark="30 minutes",
+        num_state_partitions=8,
+    )
+
+
 def q_streaming_rocksdb_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The restart witness on RocksDB + changelog checkpointing: per-
     commit state persistence is the batch's CHANGES (commit cost
@@ -409,6 +425,7 @@ QUERIES = {
     "streaming_rocksdb_state": q_streaming_rocksdb_state,
     "streaming_rocksdb_changelog": q_streaming_rocksdb_changelog,
     "streaming_state_reader": q_streaming_state_reader,
+    "streaming_state_changefeed": q_streaming_state_changefeed,
     "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
     "streaming_late_data": q_streaming_late_data,
     "streaming_upsert_restart": q_streaming_upsert_restart,
@@ -522,6 +539,49 @@ ORACLE = {
     "streaming_stateful_totals": """
         SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM events GROUP BY event_type
+    """,
+    # the state store's own CDC, replayed declaratively: batch 0 =
+    # phase-1 puts, batch 1 = phase-1-watermark deletes (value NULL),
+    # batch 2 = cumulative puts for phase-2-touched windows, batch 3 =
+    # final-watermark deletes. Split at the integer-micros midpoint —
+    # exact on both engines.
+    "streaming_state_changefeed": """
+        WITH bounds AS (
+            SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us
+            FROM events
+        ), p1 AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+                   time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we,
+                   event_type, COUNT(*) AS cnt
+            FROM events, bounds WHERE epoch_us(ts) <= mid_us
+            GROUP BY 1, 2, 3
+        ), allw AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+                   time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we,
+                   event_type, COUNT(*) AS cnt,
+                   MAX(CASE WHEN epoch_us(ts) > (SELECT mid_us FROM bounds)
+                            THEN 1 ELSE 0 END) AS has_p2
+            FROM events GROUP BY 1, 2, 3
+        ), wm AS (
+            SELECT (SELECT MAX(ts) FROM events, bounds
+                    WHERE epoch_us(ts) <= mid_us)
+                   - INTERVAL '30 minutes' AS wm1,
+                   (SELECT MAX(ts) FROM events)
+                   - INTERVAL '30 minutes' AS wmf
+        )
+        SELECT CAST(0 AS BIGINT) AS batch_id, 'update' AS change_type,
+               ws AS window_start, we AS window_end, event_type,
+               cnt AS n_events
+        FROM p1
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'delete', ws, we, event_type, NULL
+        FROM p1, wm WHERE we <= wm1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'update', ws, we, event_type, cnt
+        FROM allw WHERE has_p2 = 1
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'delete', ws, we, event_type, NULL
+        FROM allw, wm WHERE we > wm1 AND we <= wmf
     """,
     # the OPEN windows: exact complement of the checkpoint_recovery
     # oracle's restriction — append mode emits+evicts finalized

@@ -757,3 +757,43 @@ def test_state_reader_is_exact_complement_of_sink(spark, sf_dir):
     )
     rows = md.collect()
     assert len(rows) == 1 and rows[0].numPartitions == 8, rows
+
+
+def test_state_changefeed_folds_to_live_state(spark, sf_dir):
+    """The defining change-feed property: folding the feed (last
+    change per key wins; a trailing delete removes the key) must
+    reproduce exactly the LIVE state the plain statestore read
+    returns, and the batch script must be the pinned four-batch
+    put/delete shape with NULL values on every delete."""
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.streaming import (
+        run_streaming_state_changefeed,
+    )
+
+    feed = run_streaming_state_changefeed(spark, sf_dir).cache()
+    try:
+        rows = feed.collect()
+        by_batch = {}
+        for r in rows:
+            by_batch.setdefault(r.batch_id, set()).add(r.change_type)
+        assert by_batch == {0: {"update"}, 1: {"delete"}, 2: {"update"}, 3: {"delete"}}
+        assert all(r.n_events is None for r in rows if r.change_type == "delete")
+        assert all(r.n_events >= 1 for r in rows if r.change_type == "update")
+
+        folded = {}
+        for r in sorted(rows, key=lambda r: r.batch_id):
+            k = (r.window_start, r.window_end, r.event_type)
+            if r.change_type == "delete":
+                folded.pop(k, None)
+            else:
+                folded[k] = r.n_events
+
+        live = {
+            (r.key.window.start, r.key.window.end, r.key.event_type): r.value["count"]
+            for r in spark.read.format("statestore")
+            .load(scratch_sink_path(sf_dir, "state_cf_ckpt"))
+            .collect()
+        }
+        assert folded == live, (len(folded), len(live))
+    finally:
+        feed.unpersist()
