@@ -96,8 +96,8 @@ PRIORITY_KEYS = [
     "sink_orc",
     "scalar_array_map_funcs",
     "scalar_math_funcs",
-    "ml_model_save_load",
     "text_repetition_bigram",
+    "ml_model_save_load",
     "embedding_neardup",
     # slip tail (past the ~50-key window; pre-adjudicated lowest-risk:
     # rows-only ANN keys whose recall invariants run in pytest every
