@@ -47,6 +47,7 @@ PRIORITY_KEYS = [
     "sql_tpch_q12",
     "streaming_state_reader",
     "streaming_state_changefeed",
+    "sql_collation_ci",
     # contract changed in r10 (r9 hash-fails -> portable integer
     # outputs; driver must re-confirm under the new schema). New r10
     # keys are inserted ABOVE this comment as they land:

@@ -1683,6 +1683,35 @@ def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sql_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): GROUP BY under ``UNICODE_CI``
+    merges case variants of a key while a plain (binary) comparison in
+    the same query still distinguishes them — collation is a property
+    of the COMPARISON, not the data. The mixed-case input is derived
+    deterministically (even orderkeys lowercased), the group key is
+    canonicalized (lower + CAST back to a plain binary-collation
+    string) at the output boundary, and per CI-group the binary
+    predicate counts how many rows carried the lowercase form. At
+    100 TB collations matter because the alternative — wrapping every
+    comparison in lower() — defeats pushdown, breaks stats, and
+    rewrites the column once per predicate; a collated comparison is
+    a comparator swap inside codegen. Oracle: lower()-grouping, which
+    is exactly UNICODE_CI on this ASCII domain."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        WITH mixed AS (
+            SELECT CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderstatus)
+                        ELSE o_orderstatus END AS st
+            FROM orders
+        )
+        SELECT CAST(lower(st COLLATE UNICODE_CI) AS STRING) AS status,
+               COUNT(*) AS n_orders,
+               SUM(CASE WHEN st = lower(st) THEN 1 ELSE 0 END) AS n_lowercase_rows
+        FROM mixed
+        GROUP BY st COLLATE UNICODE_CI
+    """)
+
+
 def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 (parts/supplier relationship), adapted to the
     testdata schema: the spec's partsupp table does not exist, so
@@ -2097,6 +2126,7 @@ QUERIES = {
     "sql_tpch_q6": q_sql_tpch_q6,
     "sql_tpch_q4": q_sql_tpch_q4,
     "sql_tpch_q12": q_sql_tpch_q12,
+    "sql_collation_ci": q_sql_collation_ci,
     "sql_tpch_q16": q_sql_tpch_q16,
     "sql_tpch_q7": q_sql_tpch_q7,
     "sql_tpch_q14": q_sql_tpch_q14,
@@ -2759,6 +2789,20 @@ ORACLE = {
           AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
           AND l.l_shipdate > o.o_orderdate
         GROUP BY l.l_returnflag
+    """,
+    # UNICODE_CI grouping == lower() grouping on this ASCII domain;
+    # the binary predicate stays case-sensitive on both engines
+    "sql_collation_ci": """
+        WITH mixed AS (
+            SELECT CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderstatus)
+                        ELSE o_orderstatus END AS st
+            FROM orders
+        )
+        SELECT lower(st) AS status,
+               COUNT(*) AS n_orders,
+               SUM(CASE WHEN st = lower(st) THEN 1 ELSE 0 END) AS n_lowercase_rows
+        FROM mixed
+        GROUP BY lower(st)
     """,
     "sql_tpch_q16": """
         SELECT p.p_brand AS brand,
