@@ -94,11 +94,11 @@ PRIORITY_KEYS = [
     "join_drop_dup_key",
     "scan_parquet",
     "sink_csv",
-    "sink_orc",
     "scalar_array_map_funcs",
     "scalar_math_funcs",
     "text_repetition_bigram",
     "ml_model_save_load",
+    "sink_orc",
     "embedding_neardup",
     # slip tail (past the ~50-key window; pre-adjudicated lowest-risk:
     # rows-only ANN keys whose recall invariants run in pytest every
