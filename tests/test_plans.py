@@ -366,6 +366,26 @@ def test_portable_lsh_plan_is_bucketed_broadcast_not_cross_product(spark, sf_dir
     assert "ArrowEvalPython" in plan, plan  # vectorized bucket udf
 
 
+def test_collation_groupby_keeps_partial_aggregation(spark, sf_dir):
+    """The collation claim from the key's docstring: grouping under
+    UNICODE_CI is a comparator swap, not a rewrite — the plan is still
+    a two-phase (map-side partial) aggregate over one exchange, the
+    shape a lower()-wrapped key column would also get but without
+    rewriting the column once per comparison."""
+    from machine_learning_algorithm_sparkml__spark.plans import (
+        formatted_plan,
+        has_partial_aggregation,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_collation_ci,
+    )
+
+    df = q_sql_collation_ci(spark, sf_dir)
+    assert has_partial_aggregation(df)
+    plan = formatted_plan(df)
+    assert plan.count("Exchange") <= 2, plan  # one exchange (tree+detail render)
+
+
 def test_zscore_by_lang_stays_jvm_side(spark, sf_dir):
     """The per-lang z-score must be a built-in window plan, never a
     grouped-map applyInPandas: a pandas group materializes the whole
