@@ -415,7 +415,44 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ps_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-on-Spark front-end (``pyspark.pandas``): the same
+    grouped aggregation a pandas user writes
+    (``df.groupby(...).agg(...)``) compiled by the SAME Catalyst
+    pipeline — the plan is a pruned scan into a two-phase
+    HashAggregate with NO Python nodes (pinned in tests/test_plans),
+    identical to what the DataFrame API or SQL produce. Two scale
+    rules the key encodes: ``compute.default_index_type =
+    'distributed'`` (the default 'sequence' index materializes a
+    GLOBAL row-number window over the whole table — the classic
+    pandas-on-Spark footgun at 100 TB), scoped and restored; and the
+    money sum is rounded through the ps Series API (which delegates
+    to the JVM half-up round — the module's aggregate-ROUND rule).
+    pandas groupby drops NULL keys by default; o_orderstatus is
+    non-null so the SQL oracle needs no carve-out."""
+    import pyspark.pandas as ps
+
+    prev = ps.get_option("compute.default_index_type")
+    ps.set_option("compute.default_index_type", "distributed")
+    try:
+        pdf = load_table(spark, sf_dir, "orders").pandas_api()
+        out = (
+            pdf.groupby("o_orderstatus")
+            .agg(
+                n_orders=("o_orderkey", "count"),
+                max_price=("o_totalprice", "max"),
+                sum_price=("o_totalprice", "sum"),
+            )
+            .reset_index()
+        )
+        out["sum_price"] = out["sum_price"].round(2)
+        return out.to_spark()
+    finally:
+        ps.set_option("compute.default_index_type", prev)
+
+
 QUERIES = {
+    "ps_groupby_agg": q_ps_groupby_agg,
     "window_ntile_cume": q_window_ntile_cume,
     "window_lag_lead": q_window_lag_lead,
     "window_moving_avg": q_window_moving_avg,
@@ -437,6 +474,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    # the pandas front-end must produce the same answer as SQL —
+    # that is the key's whole claim
+    "ps_groupby_agg": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               MAX(o_totalprice) AS max_price,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY o_orderstatus
+    """,
     "window_ntile_cume": """
         SELECT c_custkey, c_mktsegment, c_acctbal,
                CAST(ntile(4) OVER w AS INTEGER) AS quartile,

@@ -366,6 +366,31 @@ def test_portable_lsh_plan_is_bucketed_broadcast_not_cross_product(spark, sf_dir
     assert "ArrowEvalPython" in plan, plan  # vectorized bucket udf
 
 
+def test_pandas_on_spark_groupby_is_pure_jvm_catalyst(spark, sf_dir):
+    """The pandas-on-Spark claim: the pandas-style groupby.agg is a
+    FRONT-END — the physical plan must be the same pruned two-phase
+    HashAggregate the DataFrame API produces, with zero Python
+    execution nodes and only the three referenced columns read."""
+    from machine_learning_algorithm_sparkml__spark.plans import (
+        formatted_plan,
+        has_partial_aggregation,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.analytics import (
+        q_ps_groupby_agg,
+    )
+
+    df = q_ps_groupby_agg(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan, plan
+    assert has_partial_aggregation(df)
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert set(c for c in ("o_orderkey", "o_orderstatus", "o_totalprice") if c in read) == {
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    }
+    assert "o_custkey" not in read, read  # pruned
+
+
 def test_collation_groupby_keeps_partial_aggregation(spark, sf_dir):
     """The collation claim from the key's docstring: grouping under
     UNICODE_CI is a comparator swap, not a rewrite — the plan is still
