@@ -790,3 +790,113 @@ def portable_lsh_topk(
         .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
     )
     return _topk_per_query(scored, k)
+
+
+def _portable_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int, tag: str = "ivfc"
+) -> np.ndarray:
+    """Engine-neutral centroid SAMPLE: the k vectors whose
+    ``md5('tag:' || id)`` 60-bit parse ranks smallest (ties by id) —
+    a deterministic pseudo-random draw any engine reproduces with
+    ORDER BY md5 LIMIT k. Returns the QUANTIZED (int64) centroid
+    matrix in crank order. Bounded k x dim collect (the same
+    bounded-fit contract as ivf_topk's sampled KMeans)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{tag}:"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    rows = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"), h.alias("h"))
+        .orderBy("h", "cid")
+        .limit(k)
+        .collect()
+    )
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    return np.floor(mat * 1000.0).astype(np.int64)
+
+
+def _portable_cells_udf(cz: np.ndarray, n_cells: int):
+    """Arrow-batched EXACT cell assignment/probing: quantize the batch
+    (floor(float64 * 1000), the portable rule), then squared L2 to
+    every centroid entirely in int64 — |z|^2 - 2 z.c + |c|^2, every
+    term far under 2^62 at |z|,|c| <= ~1000 x dim 64. Returns the
+    centroid ranks ordered by (distance, crank) — position 0 is the
+    assignment, the prefix is the probe list; ties resolve to the
+    smaller crank on any engine because the sort key includes it."""
+    c_sq = (cz * cz).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        z = np.floor(mat * 1000.0).astype(np.int64)
+        d2 = (z * z).sum(axis=1)[:, None] - 2 * (z @ cz.T) + c_sq[None, :]
+        order = np.argsort(d2, axis=1, kind="stable").astype("int32")
+        return pd.Series(list(order[:, :n_cells]))
+
+    return cells
+
+
+def portable_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_centroids: int = 32,
+    n_probe: int = 16,
+    tag: str = "ivfc",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF ANN whose ENTIRE pipeline an external engine replays
+    value-exactly — the second portable-ANN family after
+    :func:`portable_lsh_topk`, proving the playbook generalizes
+    beyond hashing: centroids are a deterministic md5-ranked SAMPLE
+    of the corpus (no float KMeans, the one non-portable stage of
+    :func:`ivf_topk`), cell assignment and query probing are exact
+    int64 squared-L2 over floor-quantized vectors, and the rerank is
+    the shared rounded cosine. Plan shape matches ivf_topk: bucketed
+    cell join, broadcast probe list, no cross product. The trade vs
+    fitted KMeans centroids is recall at equal probe count (sampled
+    centroids partition uniform data worse) — measured and documented
+    in the workload key; the 100 TB shape (one corpus pass to assign,
+    candidates bounded by probed cells) is identical."""
+    dim = _vector_dim(corpus, vec_col)
+    if dim == 0:
+        return _empty_topk_result(corpus, id_col)
+    cz = _portable_centroids(corpus, id_col, vec_col, num_centroids, tag)
+
+    assign_udf = _portable_cells_udf(cz, 1)
+    probe_udf = _portable_cells_udf(cz, n_probe)
+
+    c_cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(assign_udf(F.col(vec_col)), 1).alias("cell"),
+    )
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    )
+    cands = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    if exclude_self:
+        cands = cands.filter(F.col("query_id") != F.col("neighbor_id"))
+
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        cands.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    return _topk_per_query(scored, k)

@@ -49,6 +49,7 @@ PRIORITY_KEYS = [
     "streaming_state_changefeed",
     "sql_collation_ci",
     "ps_groupby_agg",
+    "simsearch_ivf_portable",
     # contract changed in r10 (r9 hash-fails -> portable integer
     # outputs; driver must re-confirm under the new schema). New r10
     # keys are inserted ABOVE this comment as they land:
@@ -93,13 +94,13 @@ PRIORITY_KEYS = [
     "profile_table",
     "session_stats",
     "join_drop_dup_key",
-    "scan_parquet",
     "scalar_array_map_funcs",
     "scalar_math_funcs",
     "text_repetition_bigram",
     "ml_model_save_load",
     "sink_orc",
     "sink_csv",
+    "scan_parquet",
     "embedding_neardup",
     # slip tail (past the ~50-key window; pre-adjudicated lowest-risk:
     # rows-only ANN keys whose recall invariants run in pytest every

@@ -47,6 +47,7 @@ from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
     brute_force_topk,
     embedding_near_dup_pairs,
     hyperplane_lsh_topk,
+    portable_ivf_topk,
     portable_lsh_topk,
 )
 from machine_learning_algorithm_sparkml__spark.sources import load_table
@@ -821,6 +822,22 @@ def q_simsearch_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simsearch_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second oracle-backed ANN family (after the LSH sibling):
+    IVF with md5-ranked sampled centroids and exact int64 distance
+    assignment/probing — DuckDB replays centroid choice, every cell
+    assignment, the probe lists, and the rounded-cosine rerank
+    (operators/simsearch.py:portable_ivf_topk). Measured at sf0.01:
+    recall 0.76 probing 16 of 32 cells (~49% of the uniform-random
+    corpus) — sampled centroids trade recall-per-probe vs the fitted
+    KMeans of rows-only `simsearch_ivf`, buying exact replayability;
+    both keys keep the identical bucketed-join plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return portable_ivf_topk(
+        emb, _query_vectors(emb), k=5, num_centroids=32, n_probe=16
+    )
+
+
 def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: KMeans-quantized inverted-file ANN. ``recall_ok``
     pins recall >= 0.6 vs brute force (n_probe=6 of 16 cells probes
@@ -1042,6 +1059,7 @@ QUERIES = {
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
     "simsearch_lsh_portable": q_simsearch_lsh_portable,
+    "simsearch_ivf_portable": q_simsearch_ivf_portable,
     "simsearch_ivf": q_simsearch_ivf,
     "simsearch_pq": q_simsearch_pq,
     "simsearch_ivfpq": q_simsearch_ivfpq,
@@ -1850,6 +1868,63 @@ ORACLE = {
             SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
             FROM probes p JOIN buckets c ON c.t = p.t AND c.bucket = p.bucket
             WHERE c.vec_id <> p.query_id
+        ), scored AS (
+            SELECT cands.query_id, cands.neighbor_id,
+                   list_cosine_similarity(
+                       list_transform(qe.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(ce.embedding, x -> CAST(x AS DOUBLE))
+                   ) AS sim_raw
+            FROM cands
+            JOIN embeddings qe ON qe.vec_id = cands.query_id
+            JOIN embeddings ce ON ce.vec_id = cands.neighbor_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id ASC
+                   ) AS INTEGER) AS rank,
+                   ROUND(sim_raw, 6) AS sim
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+    """,
+    # portable IVF replay: md5-ranked centroid sample, exact int64
+    # squared-L2 assignment/probing over floor-quantized vectors,
+    # rounded-cosine rerank (operators/simsearch.py:portable_ivf_topk)
+    "simsearch_ivf_portable": """
+        WITH z AS (
+            SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS z
+            FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS cid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST('0x' || substr(md5('ivfc:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                                vec_id
+                   ) - 1 AS crank
+            FROM embeddings
+            ORDER BY CAST('0x' || substr(md5('ivfc:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                     vec_id
+            LIMIT 32
+        ), cz AS (
+            SELECT cents.crank, z.d, z.z
+            FROM z JOIN cents ON z.vec_id = cents.cid
+        ), dist AS (
+            SELECT z.vec_id, cz.crank,
+                   SUM((z.z - cz.z) * (z.z - cz.z)) AS d2
+            FROM z JOIN cz ON z.d = cz.d GROUP BY 1, 2
+        ), ranked_cells AS (
+            SELECT vec_id, crank,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, crank) AS rn
+            FROM dist
+        ), assign AS (
+            SELECT vec_id, crank AS cell FROM ranked_cells WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, crank AS cell FROM ranked_cells
+            WHERE rn <= 16 AND vec_id < 10
+        ), cands AS (
+            SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+            FROM probes p JOIN assign a ON a.cell = p.cell
+            WHERE a.vec_id <> p.query_id
         ), scored AS (
             SELECT cands.query_id, cands.neighbor_id,
                    list_cosine_similarity(

@@ -197,6 +197,54 @@ def test_portable_lsh_topk_recall_and_engine_neutral_buckets(emb):
     assert got == expected
 
 
+def test_portable_ivf_topk_recall_and_engine_neutral_assignment(emb):
+    """The second portable-ANN family: recall must stay useful at the
+    K=32/P=16 key configuration, and cell assignment must equal an
+    independent pure-Python md5+int64 replay."""
+    import hashlib
+
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
+        _portable_cells_udf,
+        _portable_centroids,
+        portable_ivf_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in portable_ivf_topk(emb, queries, k=5, num_centroids=32, n_probe=16).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"portable ivf recall {recall:.2f}"
+
+    # independent replay of centroid choice + assignment for 5 vectors
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    Z = np.floor(mat * 1000.0).astype(np.int64)
+    h = np.array(
+        [int(hashlib.md5(f"ivfc:{i}".encode()).hexdigest()[:15], 16) for i in ids]
+    )
+    order = np.lexsort((ids, h))[:8]
+    C = Z[order]
+    d2 = (Z * Z).sum(1)[:, None] - 2 * (Z @ C.T) + (C * C).sum(1)[None, :]
+    expected = {int(ids[i]): int(np.argmin(d2[i])) for i in range(len(ids)) if ids[i] < 5}
+
+    cz = _portable_centroids(emb, "vec_id", "embedding", 8)
+    assert (cz == C).all()
+    udf = _portable_cells_udf(cz, 1)
+    got = {
+        r.vec_id: r.cells[0]
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", udf(F.col("embedding")).alias("cells"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_brute_force_topk_is_sorted_and_complete(emb):
     out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
     rows = out.collect()
