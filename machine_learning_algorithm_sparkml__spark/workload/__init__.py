@@ -50,6 +50,7 @@ PRIORITY_KEYS = [
     "sql_collation_ci",
     "ps_groupby_agg",
     "simsearch_ivf_portable",
+    "sql_frontend_conveniences",
     # contract changed in r10 (r9 hash-fails -> portable integer
     # outputs; driver must re-confirm under the new schema). New r10
     # keys are inserted ABOVE this comment as they land:
@@ -93,7 +94,6 @@ PRIORITY_KEYS = [
     "scd2_intervals",
     "profile_table",
     "session_stats",
-    "join_drop_dup_key",
     "scalar_array_map_funcs",
     "scalar_math_funcs",
     "text_repetition_bigram",
@@ -101,6 +101,7 @@ PRIORITY_KEYS = [
     "sink_orc",
     "sink_csv",
     "scan_parquet",
+    "join_drop_dup_key",
     "embedding_neardup",
     # slip tail (past the ~50-key window; pre-adjudicated lowest-risk:
     # rows-only ANN keys whose recall invariants run in pytest every

@@ -1712,6 +1712,41 @@ def q_sql_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sql_frontend_conveniences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three SQL front-end conveniences in one oracle-checked query:
+    NAMED PARAMETER BINDING (``spark.sql(..., args={"minprice": ...})``
+    — server-side binds, the injection-safe form every application
+    layer should use), ``GROUP BY ALL`` (grouping inferred from the
+    non-aggregate projection — schema-drift-proof rollup scripts), and
+    LATERAL COLUMN ALIASES (``avg_price`` defined from ``sum_price``
+    and ``n_orders`` in the SAME select, then ``avg_price_k`` chaining
+    off ``avg_price`` — no subquery nesting). Caveat pinned by probe:
+    Spark 4.1 does not yet allow a lateral alias to feed GROUP BY
+    ALL's inference (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_
+    GROUP_BY), so the aliases live in the post-aggregation projection.
+    All three are front-end sugar — the plan is the same pruned
+    filter->two-phase-aggregate any spelling gets. The chained alias
+    is a BARE division (bit-identical doubles); the rounded alias
+    rounds a raw quotient (aggregate-ROUND crutch)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH agg AS (
+            SELECT o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders WHERE o_totalprice > :minprice
+            GROUP BY ALL
+        )
+        SELECT o_orderstatus, n_orders, sum_price,
+               ROUND(sum_price / n_orders, 2) AS avg_price,
+               avg_price / 1000.0 AS avg_price_k
+        FROM agg
+        """,
+        args={"minprice": 150000.0},
+    )
+
+
 def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 (parts/supplier relationship), adapted to the
     testdata schema: the spec's partsupp table does not exist, so
@@ -2127,6 +2162,7 @@ QUERIES = {
     "sql_tpch_q4": q_sql_tpch_q4,
     "sql_tpch_q12": q_sql_tpch_q12,
     "sql_collation_ci": q_sql_collation_ci,
+    "sql_frontend_conveniences": q_sql_frontend_conveniences,
     "sql_tpch_q16": q_sql_tpch_q16,
     "sql_tpch_q7": q_sql_tpch_q7,
     "sql_tpch_q14": q_sql_tpch_q14,
@@ -2803,6 +2839,21 @@ ORACLE = {
                SUM(CASE WHEN st = lower(st) THEN 1 ELSE 0 END) AS n_lowercase_rows
         FROM mixed
         GROUP BY lower(st)
+    """,
+    # the named parameter binds to the literal; lateral aliases are
+    # written out explicitly (the features are front-end sugar)
+    "sql_frontend_conveniences": """
+        WITH agg AS (
+            SELECT o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders WHERE o_totalprice > 150000.0
+            GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, n_orders, sum_price,
+               ROUND(sum_price / n_orders, 2) AS avg_price,
+               ROUND(sum_price / n_orders, 2) / 1000.0 AS avg_price_k
+        FROM agg
     """,
     "sql_tpch_q16": """
         SELECT p.p_brand AS brand,
