@@ -2316,7 +2316,7 @@ ORACLE = {
             GROUP BY 1, 2, 3, 4
         )
         SELECT yr, mo, o_orderstatus,
-               SUM(cnt) AS n_orders,
+               CAST(SUM(cnt) AS BIGINT) AS n_orders,
                CAST(SUM(sm) * 100 AS BIGINT) AS sum_price_cents
         FROM parts GROUP BY yr, mo, o_orderstatus
     """,
@@ -2815,10 +2815,10 @@ ORACLE = {
     """,
     "sql_tpch_q12": """
         SELECT l.l_returnflag AS returnflag,
-               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM orders o
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -2836,7 +2836,8 @@ ORACLE = {
         )
         SELECT lower(st) AS status,
                COUNT(*) AS n_orders,
-               SUM(CASE WHEN st = lower(st) THEN 1 ELSE 0 END) AS n_lowercase_rows
+               CAST(SUM(CASE WHEN st = lower(st) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_lowercase_rows
         FROM mixed
         GROUP BY lower(st)
     """,

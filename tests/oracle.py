@@ -2,21 +2,22 @@
 
 Runs a ``queries()`` entry on Spark and the paired ``oracle_sql()``
 on DuckDB over the same parquet tables, then compares row count,
-column names, and order-insensitive values. Floats compare with a
-tight relative tolerance (the driver hashes exact values, so any
-query relying on this tolerance for non-rounded arithmetic is flagged
-by these tests before the driver sees it).
+column names, per-column canonical dtype CLASS, and order-insensitive
+values — via the SAME ``compare_frames`` the standalone drive
+(tools/parity_drive.py) uses, so the pytest gate and the drive cannot
+diverge. Both sides canonicalize through pandas (Spark ``toPandas``,
+DuckDB ``.df()``) because the DRIVER does: r10 lesson — DuckDB
+integer SUM returns HUGEINT which pandas floats to float64 while
+Spark SUM emits int64, a split any value-based collect/fetchall
+compare is structurally blind to.
 """
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 
 from machine_learning_algorithm_sparkml__spark.sources import TESTDATA_TABLES
-
-_REL_TOL = 1e-12
+from tools.parity_drive import _norm, compare_frames
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -28,48 +29,34 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _normalize(value):
-    if isinstance(value, float):
-        if math.isnan(value):
-            return "NaN"
-        return value
-    if hasattr(value, "isoformat"):  # datetime/date
-        return value.isoformat()
-    if isinstance(value, bytes):
-        return value.hex()
-    if isinstance(value, list):
-        return tuple(_normalize(v) for v in value)
-    return value
-
-
-def _sorted_rows(columns, rows):
-    """Sort columns by name, normalize values, sort rows."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(_normalize(r[i]) for i in order) for r in rows]
-    return sorted(columns), sorted(out, key=repr)
-
-
-def _values_equal(a, b) -> bool:
-    if isinstance(a, float) and isinstance(b, float):
-        return math.isclose(a, b, rel_tol=_REL_TOL, abs_tol=1e-12)
-    if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(_values_equal(x, y) for x, y in zip(a, b))
-    return a == b
+def _first_diff(spdf, dpdf):
+    cols = sorted(spdf.columns)
+    srows = sorted(
+        (tuple(_norm(v) for v in row) for row in spdf[cols].itertuples(index=False)),
+        key=repr,
+    )
+    drows = sorted(
+        (tuple(_norm(v) for v in row) for row in dpdf[cols].itertuples(index=False)),
+        key=repr,
+    )
+    for i, (a, b) in enumerate(zip(srows, drows)):
+        if a != b:
+            return f"row {i} (cols {cols}):\n spark={a}\n duck ={b}"
+    return "rows equal after zip (length mismatch?)"
 
 
 def compare_query(spark, con, query_fn, sql: str, sf_dir: str, name: str = "?") -> None:
-    sdf = query_fn(spark, sf_dir)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
-    drel = con.sql(sql)
-    d_cols = list(drel.columns)
-    d_rows = drel.fetchall()
-
-    assert len(s_rows) == len(d_rows), (
-        f"{name}: row count spark={len(s_rows)} duckdb={len(d_rows)}"
+    spdf = query_fn(spark, sf_dir).toPandas()
+    dpdf = con.sql(sql).df()
+    assert len(spdf) == len(dpdf), (
+        f"{name}: row count spark={len(spdf)} duckdb={len(dpdf)}"
     )
-    sc, sr = _sorted_rows(s_cols, s_rows)
-    dc, dr = _sorted_rows(d_cols, d_rows)
-    assert sc == dc, f"{name}: columns spark={sc} duckdb={dc}"
-    for i, (a, b) in enumerate(zip(sr, dr)):
-        assert _values_equal(a, b), f"{name}: row {i} differs:\n spark={a}\n duck ={b}"
+    schema_ok, klass_ok, values_ok, detail = compare_frames(spdf, dpdf)
+    assert schema_ok, (
+        f"{name}: columns spark={sorted(spdf.columns)} duckdb={sorted(dpdf.columns)}"
+    )
+    assert klass_ok, (
+        f"{name}: dtype-class split (driver hash would fail): "
+        + ", ".join(f"{c}: spark={ks} duck={kd}" for c, ks, kd in detail)
+    )
+    assert values_ok, f"{name}: values differ: {_first_diff(spdf, dpdf)}"

@@ -11,6 +11,19 @@ Prints one `RESULT <key> <rows> <schema_ok> <values_ok>` line per key
 and exits non-zero if any compare fails — grep RESULT, never trust
 interleaved stdout (console progress bars eat lines; see the verify
 skill's gotchas).
+
+The driver's hash is DTYPE-SENSITIVE: it canonicalizes both sides
+through pandas before hashing, so a DuckDB HUGEINT (what DuckDB's
+integer SUM returns) lands as float64 while Spark's SUM lands as
+int64, and the hashes split even though every value is equal
+(r10 verdict: sql_tpch_q12 / sql_collation_ci / agg_incremental_merge
+all failed exactly this way while the value-based local drive read
+green). So this drive now models the same path: Spark via
+`toPandas()`, DuckDB via `.df()`, and each column's canonical dtype
+CLASS (int / float / decimal / str / datetime / bool / array) must
+match between the sides before values are even compared. A
+value-equal-but-class-split column is a FAIL here because it is a
+hash fail there.
 """
 
 from __future__ import annotations
@@ -26,27 +39,119 @@ TABLES = [
 ]
 
 
-def _norm(v, side="spark"):
-    """Model the driver's hash path per SIDE (r9 verdict: the only
-    four hash-fails were the only four Spark DecimalType outputs).
-    The driver canonicalizes through pandas: a DuckDB DECIMAL column
-    lands as float64 (hashes like any double), while a SPARK decimal
-    column lands as object(Decimal) and hash-mismatches even when
-    value-equal. So: spark-side Decimals are tagged (never equal to
-    anything the oracle produces — the gate that forces scaled-int
-    outputs, pinned by test_output_schema_is_atomic); oracle-side
-    Decimals are floated like the driver does."""
+def _klass(series):
+    """Canonical dtype class of a pandas Series after the driver's
+    pandas canonicalization. Width is deliberately ignored (int32 vs
+    int64 hash identically once values are python ints); CLASS is not
+    (238 vs 238.0 do not)."""
     import decimal
 
+    import pandas as pd
+
+    dt = series.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    for v in series:
+        if v is None:
+            continue
+        if isinstance(v, float):
+            if v != v:
+                continue
+            return "float"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if hasattr(v, "isoformat"):
+            return "datetime"
+        if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+            return "array"
+        return type(v).__name__
+    return "empty"
+
+
+def _norm(v):
+    """Value normalization INSIDE an already-class-matched column:
+    floats rounded to 9 places, decimals floated (class compare has
+    already flagged any decimal-vs-float split), arrays recursed,
+    timestamps to isoformat."""
+    import decimal
+
+    import numpy as np
+
+    if v is None:
+        return None
     if isinstance(v, float):
+        if v != v:
+            return "nan"
         return round(v, 9)
     if isinstance(v, decimal.Decimal):
-        if side == "spark":
-            return ("dec", str(v))
         return round(float(v), 9)
+    if isinstance(v, np.generic):
+        return _norm(v.item())
+    if isinstance(v, np.ndarray):
+        return tuple(_norm(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        # date == midnight-datetime across the sides: Spark DATE lands
+        # as object(datetime.date) while DuckDB DATE lands as
+        # datetime64[us] midnight, and the driver hash-passed every
+        # date-output key (sql_tpch_q3/q18, retention_cohort, ...) —
+        # so the canonical form strips an exact-midnight time.
+        s = v.isoformat()
+        if s.endswith("T00:00:00"):
+            return s[: -len("T00:00:00")]
+        return s
     return v
+
+
+def compare_frames(spdf, dpdf):
+    """Driver-model compare of two pandas frames (spark side, duck
+    side). Returns (schema_ok, klass_ok, values_ok, detail) where
+    detail lists per-column class splits."""
+    scols, dcols = sorted(spdf.columns), sorted(dpdf.columns)
+    schema_ok = scols == dcols
+    if not schema_ok:
+        return False, False, False, [("<schema>", scols, dcols)]
+    detail = []
+    for c in scols:
+        ks, kd = _klass(spdf[c]), _klass(dpdf[c])
+        if ks != kd and "empty" not in (ks, kd):
+            detail.append((c, ks, kd))
+    klass_ok = not detail
+    srows = sorted(
+        (tuple(_norm(v) for v in row) for row in spdf[scols].itertuples(index=False)),
+        key=repr,
+    )
+    drows = sorted(
+        (tuple(_norm(v) for v in row) for row in dpdf[dcols].itertuples(index=False)),
+        key=repr,
+    )
+    return schema_ok, klass_ok, srows == drows, detail
+
+
+def compare_key(sdf, con, sql):
+    """Run one key's Spark DataFrame vs its DuckDB oracle SQL through
+    the driver-model compare. Returns (n_rows, schema_ok, values_ok,
+    detail); values_ok is False on a dtype-class split even when every
+    value matches, because the driver's hash would split too."""
+    spdf = sdf.toPandas()
+    dpdf = con.sql(sql).df()
+    schema_ok, klass_ok, veq, detail = compare_frames(spdf, dpdf)
+    return len(spdf), schema_ok, klass_ok and veq, detail
 
 
 def main() -> int:
@@ -77,21 +182,11 @@ def main() -> int:
     failed = 0
     for name in keys:
         sdf = qs[name](spark, sf_dir)
-        scols = sorted(sdf.columns)
-        srows = sorted(
-            [tuple(_norm(r[c], "spark") for c in scols) for r in sdf.collect()],
-            key=repr,
-        )
-        drel = con.sql(osql[name])
-        idx = [list(drel.columns).index(c) for c in sorted(drel.columns)]
-        drows = sorted(
-            [tuple(_norm(r[i], "duck") for i in idx) for r in drel.fetchall()],
-            key=repr,
-        )
-        schema_ok = scols == sorted(drel.columns)
-        values_ok = srows == drows
+        n, schema_ok, values_ok, detail = compare_key(sdf, con, osql[name])
         failed += not (schema_ok and values_ok)
-        print("RESULT", name, len(srows), schema_ok, values_ok, flush=True)
+        for col, ks, kd in detail:
+            print(f"DTYPE {name} {col} spark={ks} duck={kd}", flush=True)
+        print("RESULT", name, n, schema_ok, values_ok, flush=True)
         spark.catalog.clearCache()
     return 1 if failed else 0
 
