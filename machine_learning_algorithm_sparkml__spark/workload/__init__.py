@@ -39,73 +39,27 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # `python tools/staleness.py` after each round's CORRECTNESS file
 # lands.
 PRIORITY_KEYS = [
-    # new in round 10 (never driver-checked):
-    "scan_text_logs",
-    "simsearch_lsh_portable",
-    "streaming_python_source_static_join",
-    "streaming_rocksdb_changelog",
-    "sql_tpch_q12",
-    "streaming_state_reader",
-    "streaming_state_changefeed",
-    "sql_collation_ci",
-    "ps_groupby_agg",
-    "simsearch_ivf_portable",
-    "sql_frontend_conveniences",
-    # contract changed in r10 (r9 hash-fails -> portable integer
-    # outputs; driver must re-confirm under the new schema). New r10
-    # keys are inserted ABOVE this comment as they land:
-    "agg_decimal_exact",
+    # r11 head: the three r10 hash-fails, fixed this round (CAST the
+    # oracle's integer SUMs to BIGINT — DuckDB HUGEINT lands as
+    # float64 under the driver's pandas canonicalization while Spark
+    # SUM emits int64). agg_incremental_merge is on its THIRD window
+    # attempt (r9 Decimal output, r10 HUGEINT oracle) — it leads.
     "agg_incremental_merge",
-    "agg_incremental_retract",
-    "streaming_python_source_windowed",
-    # r5-stale (oracle upgraded since its last driver row):
-    "window_range_time",
-    # latest driver row predates the current oracle/output contract:
-    "dedup_minhash_mllib",
-    "decontaminate_fuzzy",
-    "decontaminate_fuzzy_large",
-    # oracle-backed anchor + the six r6 streaming keys:
-    "simsearch_topk",
-    "streaming_sliding_counts",
-    "streaming_session_window",
-    "streaming_dedup",
-    "stream_static_join",
-    "streaming_stateful_totals",
-    "stream_stream_join",
-    # the r6-stale block, oldest-first (staleness.py r6 rows):
-    "streaming_window_counts",
-    "scan_csv_header",
-    "join_inner_equi",
-    "join_skew_salted",
-    "join_bucketed",
-    "sql_tpch_q6",
-    "sql_tpch_q3",
-    "sql_tpch_q10",
-    "sql_tpch_q18",
-    "sql_tpch_q5",
-    "dedup_keep_best",
-    "dedup_incremental",
-    "sink_partitioned_scan",
-    "multimodal_meta",
-    "sink_json",
-    "sessionize",
-    "fuzzy_join_blocked",
-    "timeseries_gapfill",
-    "scd2_intervals",
-    "profile_table",
-    "session_stats",
-    "scalar_array_map_funcs",
-    "scalar_math_funcs",
-    "text_repetition_bigram",
+    "sql_tpch_q12",
+    "sql_collation_ci",
+    # new in round 11 (never driver-checked): non-ASCII collation —
+    # UNICODE_CI == nfc_normalize(lower()) replay, a domain where the
+    # ASCII sibling's lower()-oracle equivalence breaks
+    "sql_collation_unicode",
+    # the r6-stale block (oldest driver rows in the registry; includes
+    # the four rows-only ANN keys slipped in r10 — no key's latest row
+    # may predate r7 after this sweep):
     "ml_model_save_load",
     "sink_orc",
     "sink_csv",
     "scan_parquet",
     "join_drop_dup_key",
     "embedding_neardup",
-    # slip tail (past the ~50-key window; pre-adjudicated lowest-risk:
-    # rows-only ANN keys whose recall invariants run in pytest every
-    # suite, and the plain projection/filter keys unchanged since r6):
     "simsearch_lsh",
     "simsearch_ivf",
     "simsearch_pq",
@@ -115,6 +69,58 @@ PRIORITY_KEYS = [
     "filter_eq",
     "filter_and_not",
     "filter_dropna",
+    # r7-stale fill, rotation.py order (registry order within round):
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "asof_join",
+    "range_join",
+    "agg_distinct_count",
+    "pivot_status_by_priority",
+    "agg_rollup",
+    "agg_cube",
+    "agg_percentiles",
+    "json_extract",
+    "merge_upsert",
+    "unpivot_wide_metrics",
+    "window_rank_topk",
+    "sort_limit_topk",
+    "agg_count",
+    "agg_groupby_count",
+    "agg_pricing_summary",
+    "union_all",
+    "set_intersect",
+    "set_except",
+    "sample_fraction",
+    "random_split",
+    "sql_tpch_q4",
+    "sql_tpch_q16",
+    "sql_tpch_q7",
+    "sql_tpch_q14",
+    "sql_tpch_q19",
+    "sql_tpch_q22",
+    "sql_tpch_q13",
+    # slip tail (positions 50+, next-oldest r7 keys — head the r12
+    # rotation unless new keys displace them):
+    "text_gopher_quality",
+    "text_unigram_familiarity",
+    "text_normalize",
+    "domain_top_docs",
+    "embedding_quantize_int8",
+    "semantic_dedup",
+    "agg_conditional",
+    "agg_string_collect",
+    "agg_stats",
+    "agg_grouping_sets",
+    "agg_approx",
+    "agg_hll_sketch_merge",
+    "agg_histogram",
+    "doc_chunk_long",
+    "decontaminate_ngram",
+    "dedup_exact",
+    "dedup_clusters",
+    "simsearch_ivfpq",
 ]
 
 ALL_QUERY_MODULES = [relational, streaming, scale, quality, analytics, ml, llm]

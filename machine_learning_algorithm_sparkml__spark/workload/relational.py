@@ -1712,6 +1712,62 @@ def q_sql_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# Shared unicode-collation fixture for q_sql_collation_unicode and its
+# oracle — explicit \u escapes so the byte forms are unambiguous in
+# source (an editor or normalizer could silently compose the decomposed
+# e+combining-acute, voiding the whole point of the key).
+_COLLATION_UNICODE_MIXED = (
+    "WITH mixed AS (\n"
+    "    SELECT CASE (o_orderkey % 9)\n"
+    "             WHEN 0 THEN '\u00e9'\n"
+    "             WHEN 1 THEN '\u00c9'\n"
+    "             WHEN 2 THEN 'e\u0301'\n"
+    "             WHEN 3 THEN 'E'\n"
+    "             WHEN 4 THEN 'e'\n"
+    "             WHEN 5 THEN '\u00df'\n"
+    "             WHEN 6 THEN '\u1e9e'\n"
+    "             WHEN 7 THEN '\u0131'\n"
+    "             ELSE 'I' END AS st\n"
+    "    FROM orders\n"
+    ")\n"
+)
+
+
+def q_sql_collation_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE_CI grouping on a NON-ASCII domain — the case the
+    sibling ``sql_collation_ci`` (ASCII-only, lower()-oracle) cannot
+    exercise, added because the r10 verdict flagged that equivalence
+    as silently domain-bounded. The fixture maps orderkeys onto nine
+    unicode forms chosen so ICU case folding and naive ``lower()``
+    DISAGREE: precomposed 'e-acute' (U+00E9), its uppercase, the
+    DECOMPOSED 'e'+combining-acute (U+0065 U+0301), plain E/e, sharp-s
+    'ss'/capital-sharp-s (U+00DF/U+1E9E), Turkish dotless-i (U+0131),
+    and ASCII I. UNICODE_CI folds case AND canonical equivalence, so
+    the three e-acute byte-forms land in ONE group (5 groups total);
+    a lower()-only grouping leaves the decomposed form stranded in its
+    own group (6 groups — tests/test_relational.py pins the
+    divergence). Each group emits a deterministic representative (the
+    byte-min form, binary collation) plus the binary-distinct form
+    count, so the output is engine-portable. The oracle replays ICU
+    semantics as ``nfc_normalize(lower(st))`` — exact on this domain
+    because every equivalence here is case or canonical composition,
+    never a compatibility (NFKC) or locale-tailored one. At 100 TB
+    the point stands as for the ASCII key: a collated comparison is a
+    codegen comparator swap, while lower()+normalize-wrapping every
+    predicate defeats pushdown and column stats."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _COLLATION_UNICODE_MIXED
+        + """
+        SELECT MIN(st) AS status_rep,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT st) AS n_byte_forms
+        FROM mixed
+        GROUP BY st COLLATE UNICODE_CI
+    """
+    )
+
+
 def q_sql_frontend_conveniences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three SQL front-end conveniences in one oracle-checked query:
     NAMED PARAMETER BINDING (``spark.sql(..., args={"minprice": ...})``
@@ -2162,6 +2218,7 @@ QUERIES = {
     "sql_tpch_q4": q_sql_tpch_q4,
     "sql_tpch_q12": q_sql_tpch_q12,
     "sql_collation_ci": q_sql_collation_ci,
+    "sql_collation_unicode": q_sql_collation_unicode,
     "sql_frontend_conveniences": q_sql_frontend_conveniences,
     "sql_tpch_q16": q_sql_tpch_q16,
     "sql_tpch_q7": q_sql_tpch_q7,
@@ -2951,3 +3008,16 @@ ORACLE = {
     "sql_tpch_q15": _TPCH_Q15_SQL,
     "sql_tpch_q21": _TPCH_Q21_SQL,
 }
+
+# ICU-semantics replay for the non-ASCII collation key: UNICODE_CI ==
+# nfc_normalize(lower(st)) on this constructed domain (case + canonical
+# composition only; no NFKC/locale-tailored equivalences). A lower()-only
+# grouping strands the decomposed e+combining-acute in its own group —
+# tests/test_relational.py pins that divergence.
+ORACLE["sql_collation_unicode"] = _COLLATION_UNICODE_MIXED + """
+    SELECT MIN(st) AS status_rep,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT st) AS n_byte_forms
+    FROM (SELECT st, nfc_normalize(lower(st)) AS ck FROM mixed) c
+    GROUP BY ck
+"""

@@ -663,3 +663,39 @@ def test_scan_xml_roundtrip_exact_and_schema_paths_agree(spark, sf_dir):
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
     assert {tuple(r) for r in inferred.collect()} == want
+
+
+def test_collation_unicode_ci_folds_canonical_equivalence(spark, sf_dir):
+    """The non-ASCII collation key exists BECAUSE lower()-grouping and
+    ICU UNICODE_CI disagree off-ASCII (r10 verdict): the decomposed
+    e+combining-acute must land in the precomposed e-acute group under
+    UNICODE_CI, while a naive lower()-only grouping strands it. Both
+    halves are pinned here so a fixture change that re-ASCIIfies the
+    domain (or an editor that NFC-composes the source literal) fails
+    loudly instead of silently weakening the key."""
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        _COLLATION_UNICODE_MIXED,
+        q_sql_collation_unicode,
+    )
+
+    # the fixture really contains the decomposed byte form
+    assert "e\u0301" in _COLLATION_UNICODE_MIXED  # decomposed e + combining acute
+    assert "\u00e9" in _COLLATION_UNICODE_MIXED  # precomposed e-acute
+
+    rows = {r["status_rep"]: r for r in q_sql_collation_unicode(spark, sf_dir).collect()}
+    # 5 ICU groups; the e-acute family's byte-min rep IS the decomposed
+    # form (0x65... < 0xc3...) and carries all three byte variants
+    assert len(rows) == 5
+    assert "e\u0301" in rows and rows["e\u0301"]["n_byte_forms"] == 3
+    assert rows["\u00df"]["n_byte_forms"] == 2  # ß + capital sharp s
+    assert rows["\u0131"]["n_byte_forms"] == 1  # dotless-i stays alone
+
+    # naive lower()-only grouping diverges: 6 groups, decomposed stranded
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    naive = spark.sql(
+        _COLLATION_UNICODE_MIXED
+        + "SELECT lower(st) AS g, COUNT(DISTINCT st) AS n FROM mixed GROUP BY lower(st)"
+    ).collect()
+    assert len(naive) == 6
+    naive_map = {r["g"]: r["n"] for r in naive}
+    assert naive_map["e\u0301"] == 1  # stranded: lower() can't compose it
