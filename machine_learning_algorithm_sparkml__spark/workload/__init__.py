@@ -51,6 +51,9 @@ PRIORITY_KEYS = [
     # UNICODE_CI == nfc_normalize(lower()) replay, a domain where the
     # ASCII sibling's lower()-oracle equivalence breaks
     "sql_collation_unicode",
+    # new in round 11: BM25 lexical scoring (the lexical-retrieval
+    # complement to the ANN keys)
+    "text_bm25",
     # the r6-stale block (oldest driver rows in the registry; includes
     # the four rows-only ANN keys slipped in r10 — no key's latest row
     # may predate r7 after this sweep):
@@ -100,9 +103,9 @@ PRIORITY_KEYS = [
     "sql_tpch_q14",
     "sql_tpch_q19",
     "sql_tpch_q22",
-    "sql_tpch_q13",
-    # slip tail (positions 50+, next-oldest r7 keys — head the r12
+    # slip tail (sql_tpch_q13 displaced by text_bm25; heads r12) (positions 50+, next-oldest r7 keys — head the r12
     # rotation unless new keys displace them):
+    "sql_tpch_q13",
     "text_gopher_quality",
     "text_unigram_familiarity",
     "text_normalize",

