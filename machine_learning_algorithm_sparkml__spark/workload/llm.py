@@ -265,17 +265,23 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     term set — the lexical-retrieval complement to the ANN keys (a
     decontamination or quality pipeline needs BOTH: embedding
     neighbors miss exact-phrase leaks, lexical scoring misses
-    paraphrases). Shape: one corpus scan carrying doc length through
-    the explode, filter to the |Q|=4 query terms BEFORE the
-    term-frequency aggregation (so the shuffle carries only matching
-    (doc,term) pairs, not the whole posting list), document
-    frequencies (|Q| rows) and the corpus stats row broadcast back,
-    per-doc score = sum of per-term BM25 weights. At 100 TB: the only
-    wide exchange is the (doc_id,term) hash-agg over PRE-FILTERED
-    terms; df and (N, avgdl) are O(|Q|) and O(1) broadcasts; nothing
-    driver-side. Doubles: IDF and the tf normalization are IEEE
-    arithmetic on exact integer inputs, identical both engines; the
-    per-doc SUM is ROUNDed (summation-order crutch, ROUND6.md)."""
+    paraphrases). Shape: TWO corpus scans, both pruned to the text
+    column — one for the (N, avgdl) stats row (it must see docs that
+    match nothing), one carrying doc length through the explode,
+    filtered to the |Q|=4 query terms BEFORE the term-frequency
+    aggregation so the shuffle carries only matching (doc,term)
+    pairs, not the whole posting list. Document frequency is a
+    COUNT-over-window partitioned by term on the tf frame — NOT a
+    self-join, which would duplicate the whole scan+agg subtree
+    (plan-verified: the join form cost a third scan). The stats row
+    broadcasts back; per-doc score = sum of per-term BM25 weights.
+    At 100 TB: wide exchanges are the pre-filtered (doc_id,term)
+    hash-agg, the |matches|-sized term window, and the per-doc sum;
+    nothing driver-side. Doubles: IDF and the tf normalization are
+    IEEE arithmetic on exact integer inputs, identical both engines;
+    the per-doc SUM is ROUNDed (summation-order crutch, ROUND6.md)."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("t")
@@ -284,8 +290,8 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "len_d", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.select(tokens(F.lower(F.col("text"))).alias("t")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("t")).alias("avgdl")
     )
@@ -295,8 +301,7 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("len_d") / F.col("avgdl"))
     )
     return (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .withColumn("w", idf * norm)
         .groupBy("doc_id")
         .agg(
