@@ -699,3 +699,18 @@ def test_collation_unicode_ci_folds_canonical_equivalence(spark, sf_dir):
     assert len(naive) == 6
     naive_map = {r["g"]: r["n"] for r in naive}
     assert naive_map["e\u0301"] == 1  # stranded: lower() can't compose it
+
+
+def test_collation_ci_domain_is_ascii_only(spark, sf_dir):
+    """sql_collation_ci's oracle is lower()-grouping, which equals
+    UNICODE_CI ONLY on an ASCII domain (ADVICE r10 #3) — the
+    non-ASCII semantics live in sql_collation_unicode. If the
+    o_orderstatus fixture ever grows a non-ASCII value, this reds
+    before the oracle silently diverges from ICU case folding."""
+    vals = [
+        r[0]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderstatus").distinct().collect()
+    ]
+    assert vals
+    assert all(v is not None and v.isascii() for v in vals), vals
