@@ -932,3 +932,28 @@ def test_aqe_promotes_shuffle_join_to_broadcast_at_runtime(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_single_postings_subtree_and_pruned_scans(spark, sf_dir):
+    """text_bm25 plan contract: exactly TWO file scans (postings +
+    corpus stats), both pruned to the columns they need. The
+    regression this pins: computing document frequency as
+    groupBy('term')+join duplicated the entire
+    scan->explode->filter->agg subtree (3 scans); the window-count
+    form keeps one. Also: the stats row arrives by broadcast, and the
+    query-term filter sits UNDER the generate/explode's consumer so
+    only matching (doc,term) pairs reach the aggregate exchange."""
+    from machine_learning_algorithm_sparkml__spark.workload.llm import q_text_bm25
+
+    df = q_text_bm25(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "BroadcastExchange" in plan
+    # both scans pruned: nothing reads more than doc_id + text
+    import re
+
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\]", plan):
+        cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"doc_id", "text"}, cols
+    # term filter present pre-aggregation (IN-list on the exploded col)
+    assert "spark" in plan and "vector" in plan
