@@ -80,6 +80,15 @@ FAMILY_KEYS = {
         "dq_expectations",
         "sql_recursive_cte_bounded",
     ],
+    # r11 keys over the same 10x documents build. Claim under test
+    # for text_bm25: the pre-aggregation query-term filter bounds
+    # every wide exchange by |matching (doc,term) pairs| — which the
+    # replica word-renaming holds CONSTANT (only replica 0 contains
+    # the probe terms) — so 10x growth is pure scan+tokenize cost,
+    # the shuffle side is flat. top_terms/gopher_quality ride the
+    # same build as scan-bound controls (their shuffles grow with
+    # vocabulary/doc count, still ~linear).
+    "text": ["text_bm25", "text_top_terms", "text_gopher_quality"],
 }
 REPLICAS = 10
 ANN_REPLICAS = 100
@@ -217,6 +226,7 @@ def main() -> int:
         "ann": build_sf1_embeddings,
         "maintenance": build_sf1_relational,
         "maintenance2": build_sf1_relational,
+        "text": build_sf1_documents,
     }
     built = set()
     for fam in families:
