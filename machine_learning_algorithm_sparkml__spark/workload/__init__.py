@@ -54,6 +54,9 @@ PRIORITY_KEYS = [
     # new in round 11: BM25 lexical scoring (the lexical-retrieval
     # complement to the ANN keys)
     "text_bm25",
+    # new in round 11: deterministic epoch shuffle (bucketed total
+    # ordering, no single-partition window)
+    "corpus_shuffle_epoch",
     # the r6-stale block (oldest driver rows in the registry; includes
     # the four rows-only ANN keys slipped in r10 — no key's latest row
     # may predate r7 after this sweep):
@@ -102,9 +105,9 @@ PRIORITY_KEYS = [
     "sql_tpch_q7",
     "sql_tpch_q14",
     "sql_tpch_q19",
-    "sql_tpch_q22",
-    # slip tail (sql_tpch_q13 displaced by text_bm25; heads r12) (positions 50+, next-oldest r7 keys — head the r12
+    # slip tail (sql_tpch_q22/q13 displaced by the r11 keys; head r12) (positions 50+, next-oldest r7 keys — head the r12
     # rotation unless new keys displace them):
+    "sql_tpch_q22",
     "sql_tpch_q13",
     "text_gopher_quality",
     "text_unigram_familiarity",

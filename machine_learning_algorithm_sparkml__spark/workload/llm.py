@@ -311,6 +311,66 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-level corpus shuffling — the training-order
+    step of a data pipeline: every epoch needs a different but
+    REPRODUCIBLE total order over the corpus (resumable jobs, exact
+    re-runs, no RNG state). Order key = md5(epoch_seed || doc_id), so
+    the permutation is a pure function of (epoch, doc_id) on any
+    engine.
+
+    The scalable part is HOW the global position is assigned. A bare
+    ``row_number() OVER (ORDER BY h)`` collapses to a single window
+    partition — one task sorts the entire corpus, the canonical
+    100 TB anti-pattern. Instead the hash's first byte buckets rows
+    into 256 ranges (uniform by construction), a 256-row histogram
+    with an exclusive prefix sum broadcasts back, and the position is
+    bucket_offset + row_number within the bucket (window PARTITIONED
+    BY bucket — 256-way parallel). Because the bucket is a PREFIX of
+    the order key, (bucket, h) ordering equals global h ordering
+    exactly. This is range-partitioned total ordering composed from
+    relational pieces — the same idea Spark's distributed sort uses,
+    kept declarative and oracle-replayable (DuckDB just sorts
+    globally and must agree position-for-position). Two epochs emitted
+    to show the reshuffle; positions are 1-based per epoch."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = None
+    for ep in (0, 1):
+        h = F.md5(F.concat(F.lit(f"epoch{ep}:"), F.col("doc_id").cast("string")))
+        e = docs.select(
+            F.lit(ep).alias("epoch"),
+            "doc_id",
+            h.alias("h"),
+            F.substring(h, 1, 2).alias("bkt"),
+        )
+        epochs = e if epochs is None else epochs.unionAll(e)
+    hist = (
+        epochs.groupBy("epoch", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.partitionBy("epoch")
+                    .orderBy("bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("epoch", "bkt", "offset")
+    )
+    pos = F.col("offset") + F.row_number().over(
+        Window.partitionBy("epoch", "bkt").orderBy("h", "doc_id")
+    )
+    return (
+        epochs.join(F.broadcast(hist), ["epoch", "bkt"])
+        .select("epoch", "doc_id", pos.cast("bigint").alias("pos"))
+    )
+
+
 def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split keyed on the CONTENT
     fingerprint, so byte-identical documents always share a split (no
@@ -1098,6 +1158,7 @@ QUERIES = {
     "udtf_dynamic_schema": q_udtf_dynamic_schema,
     "text_top_terms": q_text_top_terms,
     "text_bm25": q_text_bm25,
+    "corpus_shuffle_epoch": q_corpus_shuffle_epoch,
     "doc_hash_split": q_doc_hash_split,
     "mixture_weighted_sample": q_mixture_weighted_sample,
     "decontaminate_ngram": q_decontaminate_ngram,
@@ -1608,6 +1669,16 @@ ORACLE = {
         SELECT doc_id, toks[1] AS tok0, toks[2] AS tok1, toks[3] AS tok2,
                CAST(GREATEST(len(toks) - 3, 0) AS INTEGER) AS n_extra
         FROM t
+    """,
+    "corpus_shuffle_epoch": """
+        WITH e AS (
+            SELECT ep.epoch, d.doc_id,
+                   md5('epoch' || ep.epoch || ':' || CAST(d.doc_id AS VARCHAR)) AS h
+            FROM documents d, (SELECT 0 AS epoch UNION ALL SELECT 1) ep
+        )
+        SELECT epoch, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM e
     """,
     "text_bm25": """
         WITH toks AS (

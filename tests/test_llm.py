@@ -1002,3 +1002,32 @@ def test_bm25_ranking_and_plan_shape(spark, sf_dir):
         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert tf[1] > tf[2]  # fixture sanity: same length, different tf
+
+
+def test_corpus_shuffle_epoch_is_parallel_permutation(spark, sf_dir):
+    """Each epoch's positions are a permutation of 1..N, the two
+    epochs order the corpus differently, and the heavy window runs
+    PARTITIONED BY (epoch, bucket) — never the single-partition
+    global-ORDER-BY window (the 100 TB anti-pattern this key exists
+    to avoid)."""
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_corpus_shuffle_epoch,
+    )
+
+    df = q_corpus_shuffle_epoch(spark, sf_dir)
+    rows = df.collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["pos"]
+    assert set(by_epoch) == {0, 1}
+    n = len(by_epoch[0])
+    for ep, m in by_epoch.items():
+        assert sorted(m.values()) == list(range(1, n + 1)), f"epoch {ep}"
+    # different seeds -> different permutations (same docs)
+    assert by_epoch[0] != by_epoch[1]
+    assert set(by_epoch[0]) == set(by_epoch[1])
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus-sized window partitions on (epoch, bkt); the only
+    # tolerated tiny exchanges are the 512-row histogram's
+    assert "hashpartitioning(epoch" in plan and "bkt" in plan
