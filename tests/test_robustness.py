@@ -680,3 +680,35 @@ def test_arrow_kernels_invariant_to_batch_boundaries(spark, sf_dir):
             spark.conf.unset(conf)
         else:
             spark.conf.set(conf, prev)
+
+
+def test_keys_invariant_to_shuffle_partition_count(spark, sf_dir):
+    """Cluster-size independence: `spark.sql.shuffle.partitions` is
+    the knob that changes most between local[32] and a 1000-executor
+    cluster, and NO query key may change its answer under it. The
+    per-key oracles imply determinism at the default; this pins a
+    representative cross-section — windowed top-k (tie-breaks),
+    keep-best dedup (argmax merges), sessionization (ordered window
+    chains), sequence packing (cumsum boundaries), portable-hash ANN
+    (bucket math), and the epoch shuffle (bucketed total order) —
+    under a pathological 5-partition plan."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    keys = [
+        "window_rank_topk",
+        "dedup_keep_best",
+        "sessionize",
+        "doc_pack_sequences",
+        "simsearch_lsh_portable",
+        "corpus_shuffle_epoch",
+    ]
+    base = {k: sorted(map(tuple, qs[k](spark, sf_dir).collect())) for k in keys}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        for k in keys:
+            redo = sorted(map(tuple, qs[k](spark, sf_dir).collect()))
+            assert redo == base[k], f"{k}: result depends on shuffle partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
