@@ -57,6 +57,10 @@ PRIORITY_KEYS = [
     # new in round 11: deterministic epoch shuffle (bucketed total
     # ordering, no single-partition window)
     "corpus_shuffle_epoch",
+    # new in round 11: datasketches widening — frequent-items and
+    # theta set operations (exact-mode oracles)
+    "agg_heavy_hitters",
+    "agg_distinct_setops_sketch",
     # the r6-stale block (oldest driver rows in the registry; includes
     # the four rows-only ANN keys slipped in r10 — no key's latest row
     # may predate r7 after this sweep):
@@ -103,10 +107,11 @@ PRIORITY_KEYS = [
     "sql_tpch_q4",
     "sql_tpch_q16",
     "sql_tpch_q7",
+    # slip tail (sql_tpch_q14/q19/q22/q13 displaced by the five r11
+    # keys; they head the r12 rotation) (positions 50+, next-oldest r7 keys — head the r12
+    # rotation unless new keys displace them):
     "sql_tpch_q14",
     "sql_tpch_q19",
-    # slip tail (sql_tpch_q22/q13 displaced by the r11 keys; head r12) (positions 50+, next-oldest r7 keys — head the r12
-    # rotation unless new keys displace them):
     "sql_tpch_q22",
     "sql_tpch_q13",
     "text_gopher_quality",

@@ -225,6 +225,39 @@ def q_agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_distinct_setops_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch DISTINCT SET OPERATIONS — the capability HLL
+    fundamentally lacks (`agg_hll_sketch_merge` can only union):
+    intersection, union, and difference of distinct-customer sets
+    across two order years, each estimated from mergeable sketches.
+    At 100 TB this is how cross-segment distinct overlap works:
+    per-partition/per-day sketches (here `theta_sketch_agg(...,
+    lgNomEntries=20)`, ~1 MB ceiling each) merge associatively —
+    `theta_union_agg`/`theta_intersection_agg` are the grouped forms
+    — and ANY pairwise overlap question is answered from the blobs
+    with no rescan and no mega-shuffle of raw keys. A theta sketch
+    below its nominal-entries threshold (2^20 here) is in EXACT mode
+    (it retains every hash), so at test scale the estimates are
+    value-exact longs and the oracle compares exact set algebra; past
+    the threshold the same plan degrades gracefully to ~0.1% rse.
+    The two one-row sketch frames cross back via broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    a = orders.filter(yr == 1996).agg(
+        F.expr("theta_sketch_agg(o_custkey, 20)").alias("a")
+    )
+    b = orders.filter(yr == 1997).agg(
+        F.expr("theta_sketch_agg(o_custkey, 20)").alias("b")
+    )
+    return a.crossJoin(F.broadcast(b)).selectExpr(
+        "theta_sketch_estimate(a) AS n_96",
+        "theta_sketch_estimate(b) AS n_97",
+        "theta_sketch_estimate(theta_intersection(a, b)) AS n_both",
+        "theta_sketch_estimate(theta_union(a, b)) AS n_any",
+        "theta_sketch_estimate(theta_difference(a, b)) AS n_96_only",
+    )
+
+
 def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of order totals: bucket = floor(x/50000).
     One hash aggregate (map-side combine) — the profiling primitive."""
@@ -464,6 +497,7 @@ QUERIES = {
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_approx": q_agg_approx,
     "agg_hll_sketch_merge": q_agg_hll_sketch_merge,
+    "agg_distinct_setops_sketch": q_agg_distinct_setops_sketch,
     "agg_histogram": q_agg_histogram,
     "filter_outlier_iqr": q_filter_outlier_iqr,
     "scalar_string_funcs": q_scalar_string_funcs,
@@ -562,6 +596,18 @@ ORACLE = {
                TRUE AS approx_distinct_ok,
                TRUE AS approx_p50_ok
         FROM lineitem
+    """,
+    "agg_distinct_setops_sketch": """
+        WITH a AS (
+            SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+        ), b AS (
+            SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1997
+        )
+        SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_96,
+               CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_97,
+               CAST((SELECT COUNT(*) FROM a JOIN b USING (o_custkey)) AS BIGINT) AS n_both,
+               CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b) u) AS BIGINT) AS n_any,
+               CAST((SELECT COUNT(*) FROM a WHERE o_custkey NOT IN (SELECT o_custkey FROM b)) AS BIGINT) AS n_96_only
     """,
     "agg_hll_sketch_merge": """
         SELECT COUNT(DISTINCT l_partkey) AS n_parts_exact,

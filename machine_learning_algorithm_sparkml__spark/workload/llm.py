@@ -311,6 +311,29 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items SKETCH over the corpus vocabulary —
+    `approx_top_k`, the mergeable heavy-hitters path. The exact
+    sibling `text_top_terms` two-phase-aggregates the FULL term
+    histogram before trimming; fine for a 31-word vocabulary, fatal
+    when the keys are URLs, hosts, or n-grams with 10^9+ cardinality.
+    The sketch tracks a bounded item set per partition (default
+    maxItemsTracked=10000), merges associatively map-side, and is
+    EXACT whenever true cardinality fits the tracked budget — which
+    this corpus's vocabulary does, so the oracle compares the full
+    exact histogram value-for-value (k=500 >> |vocab| means nothing
+    is trimmed; no tie-at-the-boundary nondeterminism can exist).
+    Past the budget the same plan returns guaranteed-error-bounded
+    counts. `approx_top_k_accumulate`/`_combine`/`_estimate` are the
+    persistable split forms for cross-dataset merging (daily vocab
+    sketches -> monthly rollup, no rescan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    return terms.select(
+        F.expr("inline(approx_top_k(term, 500))")
+    ).select(F.col("item").alias("term"), F.col("count").alias("n"))
+
+
 def q_corpus_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-level corpus shuffling — the training-order
     step of a data pipeline: every epoch needs a different but
@@ -1159,6 +1182,7 @@ QUERIES = {
     "text_top_terms": q_text_top_terms,
     "text_bm25": q_text_bm25,
     "corpus_shuffle_epoch": q_corpus_shuffle_epoch,
+    "agg_heavy_hitters": q_agg_heavy_hitters,
     "doc_hash_split": q_doc_hash_split,
     "mixture_weighted_sample": q_mixture_weighted_sample,
     "decontaminate_ngram": q_decontaminate_ngram,
@@ -1669,6 +1693,15 @@ ORACLE = {
         SELECT doc_id, toks[1] AS tok0, toks[2] AS tok1, toks[3] AS tok2,
                CAST(GREATEST(len(toks) - 3, 0) AS INTEGER) AS n_extra
         FROM t
+    """,
+    "agg_heavy_hitters": """
+        WITH toks AS (
+            SELECT list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '\\s+'), x -> length(x) > 0) AS t
+            FROM documents
+        )
+        SELECT u.term, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks, UNNEST(t) AS u(term)
+        GROUP BY u.term
     """,
     "corpus_shuffle_epoch": """
         WITH e AS (

@@ -222,3 +222,29 @@ def test_argmax_maxby_is_sort_free_single_aggregation(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     joined = df.join(orders, df.best_orderkey == orders.o_orderkey)
     assert joined.filter(F.round(F.col("o_totalprice"), 2) != F.col("best_price")).count() == 0
+
+
+def test_theta_setops_identities_and_partitioning_invariance(spark, sf_dir):
+    """Set-algebra identities must hold exactly in the sketch's exact
+    regime (inclusion-exclusion, difference complement), and the
+    estimates must be invariant to how the input is partitioned —
+    the mergeability claim the 100 TB story rests on."""
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+    from machine_learning_algorithm_sparkml__spark.workload.analytics import (
+        q_agg_distinct_setops_sketch,
+    )
+    import pyspark.sql.functions as F  # noqa: N812
+
+    r = q_agg_distinct_setops_sketch(spark, sf_dir).collect()[0]
+    assert r["n_any"] == r["n_96"] + r["n_97"] - r["n_both"]
+    assert r["n_96_only"] == r["n_96"] - r["n_both"]
+
+    orders = load_table(spark, sf_dir, "orders")
+    for n in (1, 17):
+        redo = (
+            orders.repartition(n)
+            .filter(F.year("o_orderdate") == 1996)
+            .agg(F.expr("theta_sketch_estimate(theta_sketch_agg(o_custkey, 20)) AS e"))
+            .collect()[0]["e"]
+        )
+        assert redo == r["n_96"], n

@@ -1031,3 +1031,29 @@ def test_corpus_shuffle_epoch_is_parallel_permutation(spark, sf_dir):
     # the corpus-sized window partitions on (epoch, bkt); the only
     # tolerated tiny exchanges are the 512-row histogram's
     assert "hashpartitioning(epoch" in plan and "bkt" in plan
+
+
+def test_heavy_hitters_sketch_exact_regime_and_mergeability(spark, sf_dir):
+    """In the exact regime (vocab << maxItemsTracked) the frequent-
+    items sketch must equal the exact histogram, and must be invariant
+    to input partitioning (partial sketches merge associatively)."""
+    from machine_learning_algorithm_sparkml__spark.functions.text import tokens
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_agg_heavy_hitters,
+    )
+    import pyspark.sql.functions as F  # noqa: N812
+
+    got = {r["term"]: r["n"] for r in q_agg_heavy_hitters(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    exact = {r["term"]: r["n"] for r in terms.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == exact
+
+    redo = {
+        r["item"]: r["count"]
+        for r in terms.repartition(17)
+        .select(F.expr("inline(approx_top_k(term, 500))"))
+        .collect()
+    }
+    assert redo == exact
