@@ -107,9 +107,10 @@ PRIORITY_KEYS = [
     "sql_tpch_q4",
     "sql_tpch_q16",
     "sql_tpch_q7",
-    # slip tail (sql_tpch_q14/q19/q22/q13 displaced by the five r11
-    # keys; they head the r12 rotation) (positions 50+, next-oldest r7 keys — head the r12
-    # rotation unless new keys displace them):
+    # slip tail (positions 50+): sql_tpch_q14/q19/q22/q13 were
+    # displaced from the window by the five r11 keys; with the rest
+    # of the next-oldest r7 block they head the r12 rotation unless
+    # new keys displace them:
     "sql_tpch_q14",
     "sql_tpch_q19",
     "sql_tpch_q22",

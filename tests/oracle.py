@@ -5,11 +5,13 @@ on DuckDB over the same parquet tables, then compares row count,
 column names, per-column canonical dtype CLASS, and order-insensitive
 values — via the SAME ``compare_frames`` the standalone drive
 (tools/parity_drive.py) uses, so the pytest gate and the drive cannot
-diverge. Both sides canonicalize through pandas (Spark ``toPandas``,
-DuckDB ``.df()``) because the DRIVER does: r10 lesson — DuckDB
-integer SUM returns HUGEINT which pandas floats to float64 while
-Spark SUM emits int64, a split any value-based collect/fetchall
-compare is structurally blind to.
+diverge (including the failure diagnostics: the first differing
+normalized row comes back in compare_frames' detail, not from a
+re-implementation here). Both sides canonicalize through pandas
+(Spark ``toPandas``, DuckDB ``.df()``) because the DRIVER does: r10
+lesson — DuckDB integer SUM returns HUGEINT which pandas floats to
+float64 while Spark SUM emits int64, a split any value-based
+collect/fetchall compare is structurally blind to.
 """
 
 from __future__ import annotations
@@ -17,7 +19,7 @@ from __future__ import annotations
 import duckdb
 
 from machine_learning_algorithm_sparkml__spark.sources import TESTDATA_TABLES
-from tools.parity_drive import _norm, compare_frames
+from tools.parity_drive import compare_frames
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -27,22 +29,6 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
-
-
-def _first_diff(spdf, dpdf):
-    cols = sorted(spdf.columns)
-    srows = sorted(
-        (tuple(_norm(v) for v in row) for row in spdf[cols].itertuples(index=False)),
-        key=repr,
-    )
-    drows = sorted(
-        (tuple(_norm(v) for v in row) for row in dpdf[cols].itertuples(index=False)),
-        key=repr,
-    )
-    for i, (a, b) in enumerate(zip(srows, drows)):
-        if a != b:
-            return f"row {i} (cols {cols}):\n spark={a}\n duck ={b}"
-    return "rows equal after zip (length mismatch?)"
 
 
 def compare_query(spark, con, query_fn, sql: str, sf_dir: str, name: str = "?") -> None:
@@ -55,8 +41,10 @@ def compare_query(spark, con, query_fn, sql: str, sf_dir: str, name: str = "?") 
     assert schema_ok, (
         f"{name}: columns spark={sorted(spdf.columns)} duckdb={sorted(dpdf.columns)}"
     )
+    klass_splits = [d for d in detail if not str(d[0]).startswith("<")]
     assert klass_ok, (
         f"{name}: dtype-class split (driver hash would fail): "
-        + ", ".join(f"{c}: spark={ks} duck={kd}" for c, ks, kd in detail)
+        + ", ".join(f"{c}: spark={ks} duck={kd}" for c, ks, kd in klass_splits)
     )
-    assert values_ok, f"{name}: values differ: {_first_diff(spdf, dpdf)}"
+    row_diffs = [d for d in detail if str(d[0]).startswith("<")]
+    assert values_ok, f"{name}: values differ: {row_diffs}"

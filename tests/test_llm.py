@@ -985,23 +985,25 @@ def test_bm25_ranking_and_plan_shape(spark, sf_dir):
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan or \
         "BroadcastNestedLoopJoin" in plan
 
-    # monotone tf at fixed length: synthetic two-doc corpus
-    import pyspark.sql.functions as F  # noqa: N812
-    from machine_learning_algorithm_sparkml__spark.functions.text import tokens as _toks
+    # monotone tf at fixed length, through the REAL key: a two-doc
+    # corpus (same length, tf 3 vs 1 of one query term) written as a
+    # documents.parquet the key itself reads — the doc with more
+    # occurrences must score strictly higher. Inverting/breaking the
+    # tf normalization in q_text_bm25 fails HERE, not just in style.
+    import tempfile
 
-    spark.createDataFrame(
-        [(1, "spark spark spark pad"), (2, "spark pad pad pad")],
-        "doc_id long, text string",
-    ).createOrReplaceTempView("_bm25_two")
-    two = spark.table("_bm25_two").select(
-        "doc_id", _toks(F.lower(F.col("text"))).alias("t")
-    ).select("doc_id", F.size("t").alias("len_d"), F.explode("t").alias("term"))
-    tf = {
-        r["doc_id"]: r["cnt"]
-        for r in two.filter(F.col("term") == "spark")
-        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    assert tf[1] > tf[2]  # fixture sanity: same length, different tf
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [
+                (1, "spark spark spark pad", "en", "src0", 21),
+                (2, "spark pad pad pad", "en", "src0", 17),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        ).write.parquet(f"{td}/documents.parquet")
+        two = {r["doc_id"]: r for r in q_text_bm25(spark, td).collect()}
+    assert set(two) == {1, 2}
+    assert two[1]["n_terms_matched"] == two[2]["n_terms_matched"] == 1
+    assert two[1]["score"] > two[2]["score"] > 0
 
 
 def test_corpus_shuffle_epoch_is_parallel_permutation(spark, sf_dir):
@@ -1027,10 +1029,18 @@ def test_corpus_shuffle_epoch_is_parallel_permutation(spark, sf_dir):
     assert by_epoch[0] != by_epoch[1]
     assert set(by_epoch[0]) == set(by_epoch[1])
 
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the corpus-sized window partitions on (epoch, bkt); the only
-    # tolerated tiny exchanges are the 512-row histogram's
-    assert "hashpartitioning(epoch" in plan and "bkt" in plan
+    # The corpus-sized row_number window MUST partition on
+    # (epoch, bkt): its windowspecdefinition lists epoch and bkt as
+    # partition columns BEFORE the h ordering. The regression this
+    # pins is partitionBy('epoch') only — windowspecdefinition(epoch,
+    # h ASC...) — which sorts each epoch's whole corpus in ONE task.
+    assert re.search(r"windowspecdefinition\(epoch#\d+L?, bkt#\d+, h#\d+ ASC", plan), plan
+    assert not re.search(r"windowspecdefinition\(epoch#\d+L?, h#\d+ ASC", plan), (
+        "single-partition-per-epoch global window reintroduced"
+    )
 
 
 def test_heavy_hitters_sketch_exact_regime_and_mergeability(spark, sf_dir):

@@ -955,5 +955,16 @@ def test_bm25_single_postings_subtree_and_pruned_scans(spark, sf_dir):
     for m in re.finditer(r"FileScan parquet \[([^\]]*)\]", plan):
         cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
         assert cols <= {"doc_id", "text"}, cols
-    # term filter present pre-aggregation (IN-list on the exploded col)
-    assert "spark" in plan and "vector" in plan
+    # the query-term IN-filter must sit BELOW the (doc_id, len_d,
+    # term) aggregate exchange — in the top-down plan dump the Filter
+    # line appears AFTER the exchange that consumes it. A filter that
+    # migrated above the groupBy would ship the full posting list.
+    lines = plan.splitlines()
+    filt = next(
+        i for i, l in enumerate(lines) if "Filter" in l and "spark" in l and "vector" in l
+    )
+    exch = next(
+        i for i, l in enumerate(lines)
+        if "Exchange hashpartitioning" in l and "term" in l and "len_d" in l
+    )
+    assert filt > exch, (filt, exch)

@@ -120,8 +120,11 @@ def _norm(v):
 
 def compare_frames(spdf, dpdf):
     """Driver-model compare of two pandas frames (spark side, duck
-    side). Returns (schema_ok, klass_ok, values_ok, detail) where
-    detail lists per-column class splits."""
+    side). Returns (schema_ok, klass_ok, values_ok, detail): detail
+    holds per-column class splits as (col, spark_class, duck_class)
+    and, on a value mismatch, one ("<row>", spark_row, duck_row)
+    entry with the first differing normalized row — computed HERE so
+    no caller re-implements the normalize-sort pipeline and drifts."""
     scols, dcols = sorted(spdf.columns), sorted(dpdf.columns)
     schema_ok = scols == dcols
     if not schema_ok:
@@ -140,7 +143,15 @@ def compare_frames(spdf, dpdf):
         (tuple(_norm(v) for v in row) for row in dpdf[dcols].itertuples(index=False)),
         key=repr,
     )
-    return schema_ok, klass_ok, srows == drows, detail
+    values_ok = srows == drows
+    if not values_ok:
+        for a, b in zip(srows, drows):
+            if a != b:
+                detail.append(("<row>", a, b))
+                break
+        else:
+            detail.append(("<rows>", len(srows), len(drows)))
+    return schema_ok, klass_ok, values_ok, detail
 
 
 def compare_key(sdf, con, sql):
@@ -185,7 +196,8 @@ def main() -> int:
         n, schema_ok, values_ok, detail = compare_key(sdf, con, osql[name])
         failed += not (schema_ok and values_ok)
         for col, ks, kd in detail:
-            print(f"DTYPE {name} {col} spark={ks} duck={kd}", flush=True)
+            tag = "DIFF" if str(col).startswith("<") else "DTYPE"
+            print(f"{tag} {name} {col} spark={ks} duck={kd}", flush=True)
         print("RESULT", name, n, schema_ok, values_ok, flush=True)
         spark.catalog.clearCache()
     return 1 if failed else 0
