@@ -243,8 +243,8 @@ def _run_to_completion(
     result = spark.table(query_name)
     # DELIBERATE bounded collect (VERDICT r10 nit): a memory sink is
     # driver-resident BY DEFINITION — its contents are O(aggregated
-    # groups), never O(events) — and draining it here lets the view
-    # drop below release that memory before the next query runs.
+    # groups), never O(events) — and draining it here lets the DROP
+    # VIEW below release that memory before the next query runs.
     rows = result.collect()
     # drop the memory-sink table: it pins the FULL result in driver
     # memory and `clearCache()` does not release it — in a long-lived

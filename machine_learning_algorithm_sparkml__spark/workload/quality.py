@@ -179,6 +179,31 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdicts.crossJoin(F.broadcast(invariant))
 
 
+def q_semantic_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED SemDeDup (VERDICT r11 #2): same planted-duplicate
+    corpus as ``semantic_dedup``, but the clustering core is the
+    portable-centroid recipe (md5-ranked sampled centroids, exact
+    int64 squared-L2 assignment, rounded-cosine pair predicate —
+    operators/semdedup.semantic_dedup_portable), so DuckDB replays the
+    WHOLE program value-exactly: centroid choice, every cluster
+    assignment, and each keep/drop verdict. The MLlib-KMeans sibling
+    stays as the rows-only invariant key; this upgrades the family's
+    evidence class to hash-exact — the same playbook that converted
+    the LSH/IVF ANN keys in r10."""
+    from machine_learning_algorithm_sparkml__spark.operators.semdedup import (
+        semantic_dedup_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    corpus = emb.unionByName(planted)
+    return semantic_dedup_portable(
+        corpus, id_col="vec_id", vec_col="embedding", k=32, tau=0.97
+    )
+
+
 def q_text_repetition_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-repetition signals (Gopher §A1.1's n-gram repetition
     family, word-bigram variant): per doc, the number of bigram
@@ -211,6 +236,7 @@ QUERIES = {
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "embedding_quantize_arrow": q_embedding_quantize_arrow,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_portable": q_semantic_dedup_portable,
 }
 
 # DuckDB mirrors. Token macro identical to workload/llm.py's _TOKENS:
@@ -377,7 +403,59 @@ ORACLE = {
         FROM documents
     """,
     # semantic_dedup: KMeans clustering is not SQL-expressible — rows-only
-    # with the planted_dropped_ok invariant column.
+    # with the planted_dropped_ok invariant column. Its portable sibling
+    # below replays the full program (operators/semdedup.py:
+    # semantic_dedup_portable): md5-ranked sampled centroids, exact
+    # int64 squared-L2 assignment over floor-quantized vectors,
+    # rounded-cosine >= tau within-cluster verdicts, min-id keep.
+    "semantic_dedup_portable": """
+        WITH corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000000 AS vec_id, embedding
+            FROM embeddings WHERE vec_id % 100 = 0
+        ), z AS (
+            SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS z
+            FROM corpus
+        ), cents AS (
+            SELECT vec_id AS cid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST('0x' || substr(md5('sdc:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                                vec_id
+                   ) - 1 AS crank
+            FROM corpus
+            ORDER BY CAST('0x' || substr(md5('sdc:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                     vec_id
+            LIMIT 32
+        ), cz AS (
+            SELECT cents.crank, z.d, z.z
+            FROM z JOIN cents ON z.vec_id = cents.cid
+        ), dist AS (
+            SELECT z.vec_id, cz.crank,
+                   SUM((z.z - cz.z) * (z.z - cz.z)) AS d2
+            FROM z JOIN cz ON z.d = cz.d GROUP BY 1, 2
+        ), assign AS (
+            SELECT vec_id, crank AS cluster FROM (
+                SELECT vec_id, crank,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, crank) AS rn
+                FROM dist
+            ) WHERE rn = 1
+        ), dup AS (
+            SELECT DISTINCT ai.vec_id
+            FROM assign ai
+            JOIN assign aj ON ai.cluster = aj.cluster AND aj.vec_id < ai.vec_id
+            JOIN corpus ci ON ci.vec_id = ai.vec_id
+            JOIN corpus cj ON cj.vec_id = aj.vec_id
+            WHERE ROUND(list_cosine_similarity(
+                      list_transform(ci.embedding, x -> CAST(x AS DOUBLE)),
+                      list_transform(cj.embedding, x -> CAST(x AS DOUBLE))
+                  ), 6) >= 0.97
+        )
+        SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
+               (d.vec_id IS NULL) AS is_kept
+        FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+    """,
     "domain_top_docs": """
         SELECT doc_id, source, n_chars, CAST(rn AS INTEGER) AS rn
         FROM (

@@ -85,3 +85,53 @@ def test_nulls_do_not_define_the_class(spark, con):
     s = pd.Series([None, "x"], dtype=object)
     assert _klass(s) == "str"
     assert _klass(pd.Series([None, None], dtype=object)) == "empty"
+
+
+def test_date_equals_midnight_datetime_pinned_by_driver(spark, con):
+    """Spark DATE (object(datetime.date) under pandas) vs DuckDB DATE
+    (datetime64[us] midnight under pandas) must compare EQUAL — the
+    r11 driver hash-passed every date-output key under exactly this
+    pairing (sql_tpch_q3/q18, retention_cohort, scalar_date_funcs).
+    ADVICE r11 notes the flip side: a genuine midnight TIMESTAMP also
+    equals a DATE oracle under this rule. That is the observed driver
+    behavior; this test is the tripwire to revisit if the driver ever
+    splits them."""
+    sdf = spark.sql("SELECT DATE '1995-03-15' AS d")
+    n, schema_ok, values_ok, detail = compare_key(
+        sdf, con, "SELECT DATE '1995-03-15' AS d"
+    )
+    assert schema_ok and values_ok, detail
+    # and the coarse side of the trade, pinned explicitly:
+    sdf2 = spark.sql("SELECT TIMESTAMP '1995-03-15 00:00:00' AS d")
+    n, schema_ok, values_ok, detail = compare_key(
+        sdf2, con, "SELECT DATE '1995-03-15' AS d"
+    )
+    assert schema_ok and values_ok, detail
+    # a NON-midnight timestamp must still differ from the date
+    sdf3 = spark.sql("SELECT TIMESTAMP '1995-03-15 01:00:00' AS d")
+    n, schema_ok, values_ok, detail = compare_key(
+        sdf3, con, "SELECT DATE '1995-03-15' AS d"
+    )
+    assert not values_ok
+
+
+def test_empty_vs_typed_column_warns_without_failing_the_klass_gate():
+    """An all-NULL object column against a typed side must NOT fail
+    the dtype-class gate (legitimate for empty/all-NULL keys) but
+    must surface a <empty:col> warning entry instead of passing
+    silently (ADVICE r11). Both-sides-NULL columns of the same class
+    stay warning-free."""
+    import numpy as np
+    import pandas as pd
+
+    from tools.parity_drive import compare_frames
+
+    spdf = pd.DataFrame({"k": [1], "v": pd.Series([None], dtype=object)})
+    dpdf = pd.DataFrame({"k": [1], "v": pd.Series([np.nan], dtype="float64")})
+    schema_ok, klass_ok, values_ok, detail = compare_frames(spdf, dpdf)
+    assert schema_ok and klass_ok
+    assert any(str(c).startswith("<empty:") for c, _, _ in detail)
+    # same-class all-NULL pair: clean, no warning
+    both = pd.DataFrame({"k": [1], "v": pd.Series([None], dtype=object)})
+    schema_ok, klass_ok, values_ok, detail = compare_frames(both, both.copy())
+    assert schema_ok and klass_ok and values_ok and not detail

@@ -289,3 +289,33 @@ def test_quantize_arrow_crossing_equals_jvm_path(spark, sf_dir):
     jvm = {tuple(r) for r in q_embedding_quantize_int8(spark, sf_dir).collect()}
     assert arrow == jvm
     assert len(arrow) > 0
+
+
+def test_semantic_dedup_portable_drops_planted_copies(spark, sf_dir):
+    """The portable-centroid variant must reproduce the MLlib
+    sibling's dedup semantics exactly on the planted corpus: every
+    planted clone dropped, every original kept, nothing else dropped
+    (uniform-random vectors have no natural pairs at tau=0.97), and
+    identical vectors co-assigned. Value-level parity vs DuckDB is
+    covered by the semantic_dedup_portable oracle key."""
+    from machine_learning_algorithm_sparkml__spark.operators.semdedup import (
+        semantic_dedup_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    out = semantic_dedup_portable(emb.unionByName(planted), k=32, tau=0.97)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    n_planted = planted.count()
+    assert n_planted > 0
+    for vid, r in rows.items():
+        if vid >= 10_000_000:
+            assert not r["is_kept"], vid
+            assert rows[vid - 10_000_000]["is_kept"], vid
+            # identical vector => identical exact-int64 argmin cluster
+            assert r["cluster"] == rows[vid - 10_000_000]["cluster"], vid
+    assert sum(1 for r in rows.values() if not r["is_kept"]) == n_planted
+    # every cluster id is a centroid rank within [0, k)
+    assert all(0 <= r["cluster"] < 32 for r in rows.values())

@@ -79,6 +79,12 @@ def _klass(series):
         if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
             return "array"
         return type(v).__name__
+    # all-NULL: only an OBJECT column is truly class-less; any other
+    # dtype still carries its class through pandas (ADVICE r11 — an
+    # all-NaT timedelta64 column must not degrade to 'empty').
+    # Width-insensitive like the int rule: kind, not the full dtype.
+    if dt != object:
+        return {"m": "timedelta"}.get(getattr(dt, "kind", "?"), str(dt))
     return "empty"
 
 
@@ -111,6 +117,12 @@ def _norm(v):
         # datetime64[us] midnight, and the driver hash-passed every
         # date-output key (sql_tpch_q3/q18, retention_cohort, ...) —
         # so the canonical form strips an exact-midnight time.
+        # KNOWN COARSENESS (ADVICE r11): a genuine midnight TIMESTAMP
+        # column therefore compares equal to a DATE oracle column.
+        # That equivalence matches the observed driver hash (r11
+        # evidence above); tests/test_parity_drive.py pins both the
+        # equivalence and this rationale so the trade is revisited if
+        # the driver ever starts splitting date vs midnight-timestamp.
         s = v.isoformat()
         if s.endswith("T00:00:00"):
             return s[: -len("T00:00:00")]
@@ -130,11 +142,23 @@ def compare_frames(spdf, dpdf):
     if not schema_ok:
         return False, False, False, [("<schema>", scols, dcols)]
     detail = []
+    warnings = []
     for c in scols:
         ks, kd = _klass(spdf[c]), _klass(dpdf[c])
-        if ks != kd and "empty" not in (ks, kd):
+        if ks == kd:
+            continue
+        if "empty" in (ks, kd):
+            # an all-NULL object column on one side cannot be classed
+            # from values; the driver's dtype-sensitive hash COULD
+            # still split such a pair (ADVICE r11) — surface it as a
+            # warning line instead of silently passing, without
+            # failing the compare (0-row / all-NULL frames are
+            # legitimate for several keys)
+            warnings.append((f"<empty:{c}>", ks, kd))
+        else:
             detail.append((c, ks, kd))
     klass_ok = not detail
+    detail.extend(warnings)
     srows = sorted(
         (tuple(_norm(v) for v in row) for row in spdf[scols].itertuples(index=False)),
         key=repr,
@@ -196,7 +220,13 @@ def main() -> int:
         n, schema_ok, values_ok, detail = compare_key(sdf, con, osql[name])
         failed += not (schema_ok and values_ok)
         for col, ks, kd in detail:
-            tag = "DIFF" if str(col).startswith("<") else "DTYPE"
+            col_s = str(col)
+            if col_s.startswith("<empty:"):
+                tag = "WARN"
+            elif col_s.startswith("<"):
+                tag = "DIFF"
+            else:
+                tag = "DTYPE"
             print(f"{tag} {name} {col} spark={ks} duck={kd}", flush=True)
         print("RESULT", name, n, schema_ok, values_ok, flush=True)
         spark.catalog.clearCache()
