@@ -900,3 +900,144 @@ def portable_ivf_topk(
         .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
     )
     return _topk_per_query(scored, k)
+
+
+def _portable_pq_encode_udf(cw: np.ndarray, m: int, sub: int):
+    """Arrow-batched EXACT PQ encode: floor-quantize the batch, then
+    per subspace j take the argmin of int64 squared-L2 against the
+    codeword slice ``cw[:, j*sub:(j+1)*sub]``. ``np.argmin`` takes the
+    FIRST minimum, so ties resolve to the smaller codeword rank on any
+    engine (ORDER BY d2, crank). Returns array<int> of m codes."""
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        z = np.floor(mat * 1000.0).astype(np.int64)
+        codes = np.empty((len(z), m), dtype="int32")
+        for j in range(m):
+            x = z[:, j * sub : (j + 1) * sub]
+            bj = cw[:, j * sub : (j + 1) * sub]
+            d2 = ((x[:, None, :] - bj[None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def portable_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 16,
+    ks: int = 16,
+    shortlist_factor: int = 20,
+    tag: str = "pqc",
+    exclude_self: bool = True,
+    max_broadcast_queries: int = 10_000,
+) -> DataFrame:
+    """Product-quantization ANN whose ENTIRE pipeline an external
+    engine replays value-exactly (VERDICT r11 "Next round" #4) — the
+    third portable-ANN family, extending the portable-centroid recipe
+    from whole-vector centroids (:func:`portable_ivf_topk`) to
+    per-subspace codebooks:
+
+    - the ``ks`` codeword SOURCE vectors are one md5-ranked sample of
+      the corpus (``_portable_centroids``, tag ``pqc``); subspace j's
+      codebook is their j-th quantized sub-slice — so codebook choice
+      is ORDER BY md5 LIMIT ks in any engine, no float KMeans;
+    - encoding is, per subspace, the argmin of EXACT int64 squared-L2
+      between the floor-quantized subvector and each codeword slice
+      (ties to the smaller codeword rank);
+    - the ADC shortlist scores a coded vector as the EXACT int64 sum
+      of per-subspace lookup-table distances ``Σ_j |zq_j - cw[code_j]|²``
+      (each term < 2^31, the total < 2^40 — exact in the double that
+      carries it across the exchange), ranked (distance asc, id asc);
+    - the final top-k re-ranks the shortlist by the shared exact
+      rounded cosine.
+
+    The plan SHAPE is identical to the rows-only :func:`pq_topk`:
+    bounded ks x dim codebook collect, one Arrow-batched encode
+    projection, per-partition local shortlists via ``mapInPandas`` (the
+    exchange carries at most n_partitions x S x n_q rows — codes only,
+    never the n x q cross product), exact re-rank on survivors. What
+    changed is arithmetic: int64 ADC over quantized vectors instead of
+    float dot-LUTs over fitted codebooks — sampled codewords trade
+    quantization tightness for replayability, compensated by the
+    shortlist factor (measured recall documented at the workload key).
+    """
+    dim = _vector_dim(corpus, vec_col)
+    if dim == 0:
+        return _empty_topk_result(corpus, id_col)
+    if dim % m != 0:
+        raise ValueError(f"portable_pq_topk: dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    n_queries = len(q_rows)
+    if n_queries > max_broadcast_queries:
+        raise ValueError(
+            f"portable_pq_topk ships per-query lookup tables to every task: "
+            f"got {n_queries} query rows > max_broadcast_queries="
+            f"{max_broadcast_queries}; batch the query set or raise the cap"
+        )
+    if n_queries == 0:
+        return _empty_topk_result(corpus, id_col)
+
+    # md5-ranked codeword sources, quantized (ks x dim int64); subspace
+    # j's codebook is columns [j*sub, (j+1)*sub)
+    cw = _portable_centroids(corpus, id_col, vec_col, ks, tag)
+    encode = _portable_pq_encode_udf(cw, m, sub)
+
+    # exact int64 ADC tables: lut[q, j, c] = |zq_j - cw_c_j|²
+    qids = [r.qid for r in q_rows]
+    qmat = np.vstack([np.asarray(r.qv, dtype="float64") for r in q_rows])
+    zq = np.floor(qmat * 1000.0).astype(np.int64)
+    lut = np.empty((n_queries, m, ks), dtype=np.int64)
+    for j in range(m):
+        xq = zq[:, j * sub : (j + 1) * sub]
+        bj = cw[:, j * sub : (j + 1) * sub]
+        lut[:, j, :] = ((xq[:, None, :] - bj[None, :, :]) ** 2).sum(axis=2)
+    qid_arr = np.asarray(qids)
+    S = shortlist_factor * k
+
+    def score_batch(pdf):
+        codes = np.vstack(pdf["codes"].to_numpy())  # (n, m)
+        ids = pdf["neighbor_id"].to_numpy()
+        d2 = np.zeros((n_queries, len(ids)), dtype=np.int64)
+        for j in range(m):
+            d2 += lut[:, j, :][:, codes[:, j]]
+        # negate: the shortlister keeps the LARGEST scores; int64 ADC
+        # sums are < 2^40, exact in float64
+        sims = -d2.astype(np.float64)
+        if exclude_self:
+            sims = np.where(qid_arr[:, None] == ids[None, :], -np.inf, sims)
+        return ids, sims
+
+    local_shortlist = _partition_shortlister(qid_arr, S, score_batch)
+    id_type = dict(corpus.dtypes)[id_col]
+    codes_df = corpus.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
+    )
+    local = codes_df.mapInPandas(
+        local_shortlist,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, approx_sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    shortlist = (
+        local.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= S)
+        .select("query_id", "neighbor_id")
+    )
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        shortlist.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    return _topk_per_query(scored, k)

@@ -49,6 +49,7 @@ from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
     hyperplane_lsh_topk,
     portable_ivf_topk,
     portable_lsh_topk,
+    portable_pq_topk,
 )
 from machine_learning_algorithm_sparkml__spark.sources import load_table
 
@@ -980,6 +981,24 @@ def q_simsearch_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simsearch_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third oracle-backed ANN family (after the LSH and IVF
+    siblings): product quantization with md5-ranked sampled codeword
+    sources, per-subspace exact int64 encode/ADC, and the shared
+    rounded-cosine rerank — DuckDB replays codebook choice, every
+    code, the ADC shortlist, and the final top-k value-exactly
+    (operators/simsearch.py:portable_pq_topk). Measured at sf0.01:
+    recall 0.92 at m=16/ks=16/shortlist 20xk vs the rows-only
+    `simsearch_pq`'s 0.94-1.0 with fitted float codebooks — sampled
+    codewords trade quantization tightness for replayability; the
+    compressed-code scan shape (8-byte codes across the exchange, full
+    vectors only for the S survivors per query) is identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return portable_pq_topk(
+        emb, _query_vectors(emb), k=5, m=16, ks=16, shortlist_factor=20
+    )
+
+
 def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: KMeans-quantized inverted-file ANN. ``recall_ok``
     pins recall >= 0.6 vs brute force (n_probe=6 of 16 cells probes
@@ -1207,6 +1226,7 @@ QUERIES = {
     "simsearch_ivf_portable": q_simsearch_ivf_portable,
     "simsearch_ivf": q_simsearch_ivf,
     "simsearch_pq": q_simsearch_pq,
+    "simsearch_pq_portable": q_simsearch_pq_portable,
     "simsearch_ivfpq": q_simsearch_ivfpq,
     "simsearch_brp": q_simsearch_brp,
     "embedding_neardup": q_embedding_neardup,
@@ -2123,6 +2143,72 @@ ORACLE = {
             FROM cands
             JOIN embeddings qe ON qe.vec_id = cands.query_id
             JOIN embeddings ce ON ce.vec_id = cands.neighbor_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id ASC
+                   ) AS INTEGER) AS rank,
+                   ROUND(sim_raw, 6) AS sim
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+    """,
+    # portable PQ replay: md5-ranked codeword sources, per-subspace
+    # exact int64 encode (argmin squared-L2 over the 4-dim slices,
+    # ties to the smaller codeword rank), exact int64 ADC shortlist
+    # (distance asc, id asc), rounded-cosine rerank
+    # (operators/simsearch.py:portable_pq_topk; m=16, ks=16, S=100)
+    "simsearch_pq_portable": """
+        WITH z AS (
+            SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS z
+            FROM embeddings
+        ), cw AS (
+            SELECT vec_id AS cid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST('0x' || substr(md5('pqc:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                                vec_id
+                   ) - 1 AS crank
+            FROM embeddings
+            ORDER BY CAST('0x' || substr(md5('pqc:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                     vec_id
+            LIMIT 16
+        ), book AS (
+            SELECT cw.crank, z.d // 4 AS j, z.d, z.z
+            FROM z JOIN cw ON z.vec_id = cw.cid
+        ), cdist AS (
+            SELECT z.vec_id, book.j, book.crank,
+                   SUM((z.z - book.z) * (z.z - book.z)) AS d2
+            FROM z JOIN book ON z.d = book.d
+            GROUP BY 1, 2, 3
+        ), codes AS (
+            SELECT vec_id, j, crank AS code FROM (
+                SELECT vec_id, j, crank,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, crank) AS rn
+                FROM cdist
+            ) WHERE rn = 1
+        ), approx AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   SUM(q.d2) AS ad2
+            FROM codes c
+            JOIN cdist q ON q.j = c.j AND q.crank = c.code
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+            GROUP BY 1, 2
+        ), shortlist AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad2, neighbor_id) AS rn
+                FROM approx
+            ) WHERE rn <= 100
+        ), scored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   list_cosine_similarity(
+                       list_transform(qe.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(ce.embedding, x -> CAST(x AS DOUBLE))
+                   ) AS sim_raw
+            FROM shortlist s
+            JOIN embeddings qe ON qe.vec_id = s.query_id
+            JOIN embeddings ce ON ce.vec_id = s.neighbor_id
         ), ranked AS (
             SELECT query_id, neighbor_id,
                    CAST(ROW_NUMBER() OVER (
