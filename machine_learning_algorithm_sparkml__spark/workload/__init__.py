@@ -22,117 +22,108 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
-# least-recently-verified keys FIRST each round. Round-10 window,
-# exactly as pre-declared in ROUND9.md §12 + VERDICT r9 "Next round":
-# (1) keys NEW this round (never driver-checked) and the four
-# decimal-output keys whose contract changed this round (r9 hash-fails
-# fixed by emitting BIGINT cents/milli-units — each needs a driver row
-# under the NEW output schema); (2) window_range_time (r5 row, oracle
-# upgraded since); (3) the contract trio dedup_minhash_mllib /
-# decontaminate_fuzzy / decontaminate_fuzzy_large (latest driver row
-# predates the current oracle/witness contract); (4) simsearch_topk +
-# the six r6 streaming keys; (5) the r6-stale block oldest-first. The
-# slip tail past index ~50 is the lowest-risk end of the r6 block:
-# rows-only ANN keys with pytest recall invariants, plain
-# projections/filters exercised indirectly by nearly every other key —
-# pre-adjudicated in ROUND10.md. Regenerate the staleness table with
+# least-recently-verified keys FIRST each round. Round-12 window,
+# exactly as VERDICT r11 "Next round" #1/#2/#3/#4/#6 directs: (1) the
+# six keys new this round (portable semdedup/PQ oracles + the
+# unblocked partsupp quartet); (2) the r7-stale block — oldest rows in
+# the registry; (3) the r8-stale fill led by the eight rows-only ML
+# keys. Slip tail = the rest of the r8 block, heading the r13
+# rotation. Regenerate the staleness table with
 # `python tools/staleness.py` after each round's CORRECTNESS file
 # lands.
 PRIORITY_KEYS = [
-    # r11 head: the three r10 hash-fails, fixed this round (CAST the
-    # oracle's integer SUMs to BIGINT — DuckDB HUGEINT lands as
-    # float64 under the driver's pandas canonicalization while Spark
-    # SUM emits int64). agg_incremental_merge is on its THIRD window
-    # attempt (r9 Decimal output, r10 HUGEINT oracle) — it leads.
-    "agg_incremental_merge",
-    "sql_tpch_q12",
-    "sql_collation_ci",
-    # new in round 11 (never driver-checked): non-ASCII collation —
-    # UNICODE_CI == nfc_normalize(lower()) replay, a domain where the
-    # ASCII sibling's lower()-oracle equivalence breaks
-    "sql_collation_unicode",
-    # new in round 11: BM25 lexical scoring (the lexical-retrieval
-    # complement to the ANN keys)
-    "text_bm25",
-    # new in round 11: deterministic epoch shuffle (bucketed total
-    # ordering, no single-partition window)
-    "corpus_shuffle_epoch",
-    # new in round 11: datasketches widening — frequent-items and
-    # theta set operations (exact-mode oracles)
-    "agg_heavy_hitters",
-    "agg_distinct_setops_sketch",
-    # the r6-stale block (oldest driver rows in the registry; includes
-    # the four rows-only ANN keys slipped in r10 — no key's latest row
-    # may predate r7 after this sweep):
-    "ml_model_save_load",
-    "sink_orc",
-    "sink_csv",
-    "scan_parquet",
-    "join_drop_dup_key",
-    "embedding_neardup",
-    "simsearch_lsh",
-    "simsearch_ivf",
-    "simsearch_pq",
-    "simsearch_brp",
-    "project_select",
-    "project_alias_cast",
-    "filter_eq",
-    "filter_and_not",
-    "filter_dropna",
-    # r7-stale fill, rotation.py order (registry order within round):
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "asof_join",
-    "range_join",
-    "agg_distinct_count",
-    "pivot_status_by_priority",
-    "agg_rollup",
-    "agg_cube",
-    "agg_percentiles",
-    "json_extract",
-    "merge_upsert",
-    "unpivot_wide_metrics",
-    "window_rank_topk",
-    "sort_limit_topk",
-    "agg_count",
-    "agg_groupby_count",
-    "agg_pricing_summary",
-    "union_all",
-    "set_intersect",
-    "set_except",
-    "sample_fraction",
-    "random_split",
-    "sql_tpch_q4",
-    "sql_tpch_q16",
-    "sql_tpch_q7",
-    # slip tail (positions 50+): sql_tpch_q14/q19/q22/q13 were
-    # displaced from the window by the five r11 keys; with the rest
-    # of the next-oldest r7 block they head the r12 rotation unless
-    # new keys displace them:
-    "sql_tpch_q14",
-    "sql_tpch_q19",
-    "sql_tpch_q22",
-    "sql_tpch_q13",
-    "text_gopher_quality",
-    "text_unigram_familiarity",
-    "text_normalize",
+    # --- r12 window (50 slots; driver records indices 0-49) ---
+    # Slots 0-5: keys NEW this round, never driver-checked — the two
+    # portable-oracle upgrades (VERDICT r11 #2/#4) and the unblocked
+    # partsupp TPC-H quartet (VERDICT r11 #3, synthesized partsupp):
+    "semantic_dedup_portable",
+    "simsearch_pq_portable",
+    "sql_tpch_q2",
+    "sql_tpch_q9",
+    "sql_tpch_q11",
+    "sql_tpch_q20",
+    # Slots 6-27: the r7-stale block — the oldest driver rows in the
+    # registry after the r11 sweep (staleness.py r7 row, 22 keys,
+    # includes semantic_dedup whose portable sibling now anchors the
+    # family and simsearch_ivfpq, the last rows-only composite ANN):
+    "agg_approx",
+    "agg_conditional",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_hll_sketch_merge",
+    "agg_stats",
+    "agg_string_collect",
+    "decontaminate_ngram",
+    "dedup_clusters",
+    "dedup_exact",
+    "doc_chunk_long",
     "domain_top_docs",
     "embedding_quantize_int8",
     "semantic_dedup",
-    "agg_conditional",
-    "agg_string_collect",
-    "agg_stats",
-    "agg_grouping_sets",
-    "agg_approx",
-    "agg_hll_sketch_merge",
-    "agg_histogram",
-    "doc_chunk_long",
-    "decontaminate_ngram",
-    "dedup_exact",
-    "dedup_clusters",
     "simsearch_ivfpq",
+    "sql_tpch_q13",
+    "sql_tpch_q14",
+    "sql_tpch_q19",
+    "sql_tpch_q22",
+    "text_gopher_quality",
+    "text_normalize",
+    "text_unigram_familiarity",
+    # Slots 28-49: r8-stale fill — the eight ML keys VERDICT r11 #6
+    # names (rows-only since r8) plus their oracle-backed feature
+    # siblings, then the r8 dedup/doc block (oracle-backed anchors at
+    # the slip boundary per the window-bookkeeping rule):
+    "ml_random_forest",
+    "ml_pipeline",
+    "ml_evaluate_accuracy",
+    "ml_cross_validate",
+    "ml_fit_predict_eval",
+    "ml_undersample_balance",
+    "ml_text_features",
+    "sample_stratified",
+    "ml_string_index",
+    "ml_string_index_multi",
+    "ml_one_hot",
+    "ml_vector_assemble",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_passage",
+    "dedup_pipeline_keep",
+    "dedup_simhash",
+    "doc_chunk_fixed",
+    "doc_fingerprint",
+    "doc_hash_split",
+    "doc_pack_sequences",
+    "doc_tokens_explode",
+    # --- slip tail (positions 50+): the remaining r8 block heads the
+    # r13 rotation; all oracle-backed or invariant-tested, each with a
+    # current-contract r8 driver row ---
+    "event_funnel",
+    "filter_outlier_iqr",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "layout_zorder",
+    "mixture_token_budget",
+    "mixture_weighted_sample",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_frames",
+    "retention_cohort",
+    "scalar_date_funcs",
+    "scalar_string_funcs",
+    "session_window_native",
+    "split_leakage_safe",
+    "sql_tpch_q15",
+    "sql_tpch_q17",
+    "sql_tpch_q8",
+    "text_bigram_familiarity",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_quality",
+    "text_quality_filter",
+    "text_token_count",
+    "text_top_terms",
+    "text_zscore_by_lang",
+    "window_first_last",
 ]
 
 ALL_QUERY_MODULES = [relational, streaming, scale, quality, analytics, ml, llm]

@@ -1,146 +1,111 @@
-"""Pre-staged TPC-H q2/q9/q11/q20 — the four sweep queries blocked on
-the `partsupp` table the driver testdata does not ship (VERDICT r10
-"What's missing" #1). The SQL is written and oracle-paired NOW so the
-gap is one fixture away: if a future testdata regeneration ships
-`partsupp.parquet` (expected columns ps_partkey, ps_suppkey,
-ps_availqty, ps_supplycost), these tests un-skip and run the full
-Spark-vs-DuckDB compare; until then they skip with the gap named.
+"""TPC-H q2/q9/q11/q20 — formerly blocked on the `partsupp` table the
+driver testdata does not ship (VERDICT r10 missing #1). Round 12
+unblocked the quartet by SYNTHESIZING partsupp deterministically from
+part x supplier in both engines (workload/relational.synth_partsupp +
+the `_PARTSUPP_DUCK` oracle CTE): dbgen's 4-suppliers-per-part modular
+spread, portable-md5 availqty and integer-cents supplycost.
 
-Adaptations to the shipped trimmed schemas (no p_mfgr, s_address,
-s_phone, s_comment, n_comment): projections keep every column the
-shipped tables carry; the join/agg/subquery SHAPE of each query is
-unchanged. Double aggregates are ROUNDed on both sides; integer SUMs
-are CAST to BIGINT (DuckDB HUGEINT -> pandas float64 otherwise —
-the r10 hash-fail class).
+Spark-vs-DuckDB value parity for the four queries is covered by
+tests/test_oracle_parity.py (they are ordinary oracle keys now). This
+file pins the SYNTHESIS invariants the queries' semantics depend on,
+plus an engine-neutrality replay of the seeded columns in pure Python
+(the DuckDB-replayability claim, checked without DuckDB).
 """
 
 from __future__ import annotations
 
-import os
+import hashlib
 
-import pytest
+from pyspark.sql import functions as F
 
+from machine_learning_algorithm_sparkml__spark.sources import load_table
+from machine_learning_algorithm_sparkml__spark.workload.relational import synth_partsupp
 from tests.conftest import SF_DIR_ORACLE
-from tests.oracle import compare_query, duck_connection
-
-PARTSUPP = os.path.join(SF_DIR_ORACLE, "partsupp.parquet")
-EXPECTED_COLS = {"ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost"}
-
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(PARTSUPP),
-    reason="partsupp.parquet not shipped in driver testdata — q2/q9/q11/q20 "
-    "blocked on the fixture, SQL pre-staged (VERDICT r10 missing #1)",
-)
 
 
-@pytest.fixture(scope="module")
-def duck_ps(sf_dir):
-    con = duck_connection(SF_DIR_ORACLE)
-    con.sql(
-        f"CREATE OR REPLACE VIEW partsupp AS SELECT * FROM read_parquet('{PARTSUPP}')"
+def test_partsupp_distinct_suppliers_per_part(spark, sf_dir):
+    """(ps_partkey, ps_suppkey) is a primary key; per-part supplier
+    counts equal the dbgen spread's true image size (always 4 at
+    dbgen-realistic S; the S=10 sf0.001 fixture collides for stride
+    multiples of S/2 and the expansion must dedupe, not duplicate)."""
+    ps = synth_partsupp(spark, sf_dir).cache()
+    n_parts = load_table(spark, sf_dir, "part").count()
+    s_cnt = load_table(spark, sf_dir, "supplier").count()
+    step = s_cnt // 4
+
+    def expected_n(p):
+        # int() truncates toward zero like Spark DIV and DuckDB //
+        # (partkeys start at 0, so p-1 can be negative)
+        return len({(p + i * (step + int((p - 1) / s_cnt))) % s_cnt + 1 for i in range(4)})
+
+    per_part = {
+        r.ps_partkey: (r.n_supp, r.lo, r.hi)
+        for r in ps.groupBy("ps_partkey")
+        .agg(
+            F.countDistinct("ps_suppkey").alias("n_supp"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ps_suppkey").alias("lo"),
+            F.max("ps_suppkey").alias("hi"),
+        )
+        .withColumn("pk_ok", F.col("n_supp") == F.col("n_rows"))
+        .collect()
+    }
+    assert len(per_part) == n_parts
+    for p, (n_supp, lo, hi) in per_part.items():
+        assert n_supp == expected_n(p), p
+        assert 1 <= lo and hi <= s_cnt, p
+    # the primary key holds: no (part, supplier) pair twice
+    assert ps.count() == ps.select("ps_partkey", "ps_suppkey").distinct().count()
+    ps.unpersist()
+
+
+def test_partsupp_always_four_at_dbgen_realistic_scale(spark):
+    """At the oracle SF (S=100, stride in [25,44] — never 0 or S/2 mod
+    S) every part must have exactly 4 distinct suppliers, matching
+    dbgen's guarantee at its own scales."""
+    ps = synth_partsupp(spark, SF_DIR_ORACLE)
+    bad = (
+        ps.groupBy("ps_partkey")
+        .agg(F.countDistinct("ps_suppkey").alias("n"))
+        .filter(F.col("n") != 4)
+        .count()
     )
-    cols = {r[0] for r in con.sql("DESCRIBE partsupp").fetchall()}
-    if not EXPECTED_COLS <= cols:
-        pytest.skip(f"partsupp shipped with unexpected columns {cols}")
-    yield con
-    con.close()
+    assert bad == 0
 
 
-def _spark_with_views(spark):
-    from machine_learning_algorithm_sparkml__spark.sources import load_table
+def test_partsupp_seeded_columns_replay_in_pure_python(spark, sf_dir):
+    """availqty/supplycost_cents must equal an independent md5 replay
+    — the engine-neutral arithmetic the DuckDB CTE relies on."""
+    rows = synth_partsupp(spark, sf_dir).filter(F.col("ps_partkey") <= 3).collect()
+    assert rows
+    s_cnt = load_table(spark, sf_dir, "supplier").count()
+    step = s_cnt // 4
+    for r in rows:
+        # suppkey must come from the dbgen spread for this part
+        spread = {
+            (r.ps_partkey + i * (step + int((r.ps_partkey - 1) / s_cnt))) % s_cnt + 1
+            for i in range(4)
+        }
+        assert r.ps_suppkey in spread
+        aq = int(hashlib.md5(f"aq:{r.ps_partkey}:{r.ps_suppkey}".encode()).hexdigest()[:15], 16) % 9999 + 1
+        sc = int(hashlib.md5(f"sc:{r.ps_partkey}:{r.ps_suppkey}".encode()).hexdigest()[:15], 16) % 99901 + 100
+        assert r.ps_availqty == aq
+        assert r.ps_supplycost_cents == sc
+        assert 1 <= r.ps_availqty <= 9999
+        assert 100 <= r.ps_supplycost_cents <= 100000
 
-    for t in ("region", "nation", "supplier", "part", "orders", "lineitem"):
-        load_table(spark, SF_DIR_ORACLE, t).createOrReplaceTempView(t)
-    spark.read.parquet(PARTSUPP).createOrReplaceTempView("partsupp")
-    return spark
 
-
-# q2: min-cost supplier per (part, region) — correlated min subquery.
-# Broadcast region/nation/supplier (tiny dims), shuffle on partkey.
-Q2 = """
-    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
-           ROUND(ps.ps_supplycost, 2) AS supplycost
-    FROM part p
-    JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
-    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
-      AND ps.ps_supplycost = (
-          SELECT MIN(ps2.ps_supplycost)
-          FROM partsupp ps2
-          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
-          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
-          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
-          WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
-      )
-    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
-    LIMIT 100
-"""
-
-# q9: product-type profit by nation and year.
-Q9 = """
-    SELECT n.n_name AS nation,
-           YEAR(o.o_orderdate) AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                     - ps.ps_supplycost * l.l_quantity), 2) AS sum_profit
-    FROM part p
-    JOIN lineitem l ON p.p_partkey = l.l_partkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN partsupp ps ON ps.ps_suppkey = l.l_suppkey
-                    AND ps.ps_partkey = l.l_partkey
-    JOIN orders o ON o.o_orderkey = l.l_orderkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE p.p_name LIKE '%green%'
-    GROUP BY n.n_name, YEAR(o.o_orderdate)
-"""
-
-# q11: important stock by nation — HAVING over a scalar subquery total.
-Q11 = """
-    SELECT ps.ps_partkey,
-           ROUND(SUM(ps.ps_supplycost * ps.ps_availqty), 2) AS value
-    FROM partsupp ps
-    JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE n.n_name = 'GERMANY'
-    GROUP BY ps.ps_partkey
-    HAVING SUM(ps.ps_supplycost * ps.ps_availqty) > (
-        SELECT SUM(ps2.ps_supplycost * ps2.ps_availqty) * 0.0001
-        FROM partsupp ps2
-        JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
-        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
-        WHERE n2.n_name = 'GERMANY'
+def test_partsupp_quartet_nonempty_at_oracle_sf(spark):
+    """Dataset-strength guard: at the oracle SF every quartet key must
+    return rows (an all-empty compare certifies nothing). q11's HAVING
+    keeps ~half the NATION_7 parts; q20 is naturally thin (3 suppliers
+    in NATION_3) but must not be empty."""
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_tpch_q2,
+        q_sql_tpch_q9,
+        q_sql_tpch_q11,
+        q_sql_tpch_q20,
     )
-"""
 
-# q20: suppliers whose availqty exceeds half the year's shipments.
-Q20 = """
-    SELECT s.s_name, CAST(s.s_suppkey AS BIGINT) AS suppkey
-    FROM supplier s
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE n.n_name = 'CANADA'
-      AND s.s_suppkey IN (
-          SELECT ps.ps_suppkey FROM partsupp ps
-          WHERE ps.ps_partkey IN (
-              SELECT p_partkey FROM part WHERE p_name LIKE 'forest%'
-          )
-          AND ps.ps_availqty > (
-              SELECT 0.5 * SUM(l.l_quantity)
-              FROM lineitem l
-              WHERE l.l_partkey = ps.ps_partkey
-                AND l.l_suppkey = ps.ps_suppkey
-                AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-                AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-          )
-      )
-    ORDER BY s.s_name
-"""
-
-
-@pytest.mark.parametrize("name,sql", [("q2", Q2), ("q9", Q9), ("q11", Q11), ("q20", Q20)])
-def test_partsupp_query_matches_oracle(spark, duck_ps, name, sql):
-    _spark_with_views(spark)
-    compare_query(
-        spark, duck_ps, lambda sp, _sf: sp.sql(sql), sql, SF_DIR_ORACLE,
-        name=f"sql_tpch_{name}",
-    )
+    for fn in (q_sql_tpch_q2, q_sql_tpch_q9, q_sql_tpch_q11, q_sql_tpch_q20):
+        assert fn(spark, SF_DIR_ORACLE).count() > 0, fn.__name__
