@@ -56,7 +56,14 @@ MAX_RUNS = 3
 #: get exactly one timed run: whichever runs first in the sweep carries
 #: the one fit (exactly what a user's single pass through the workload
 #: pays), the rest report their true memoized cost.
-SESSION_MEMO_KEYS = {"ml_confusion", "ml_evaluate_accuracy", "ml_random_forest"}
+SESSION_MEMO_KEYS = {
+    "ml_confusion",
+    "ml_evaluate_accuracy",
+    "ml_random_forest",
+    # bucketed-table pair memo (workload/scale._bucketed_pair): the
+    # one-time writes are setup; the key measures the co-located join
+    "join_bucketed",
+}
 
 
 def foreign_workloads() -> list[str]:

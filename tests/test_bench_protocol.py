@@ -92,13 +92,19 @@ def test_session_memo_keys_exist_and_share_one_fit():
     import inspect
 
     from machine_learning_algorithm_sparkml__spark.workload import ml as ml_workload
+    from machine_learning_algorithm_sparkml__spark.workload import scale as scale_workload
 
     consumers = {
         name[2:]
         for name, fn in vars(ml_workload).items()
         if name.startswith("q_") and "_rf_predictions(" in inspect.getsource(fn)
     }
+    consumers |= {
+        name[2:]
+        for name, fn in vars(scale_workload).items()
+        if name.startswith("q_") and "_session_bucketed_pair(" in inspect.getsource(fn)
+    }
     assert consumers == bench.SESSION_MEMO_KEYS, (
-        f"memoized-fit consumers {consumers} != SESSION_MEMO_KEYS "
+        f"memoized consumers {consumers} != SESSION_MEMO_KEYS "
         f"{bench.SESSION_MEMO_KEYS}"
     )
