@@ -253,3 +253,21 @@ def test_group_ridge_shrinks_toward_zero_and_degenerates_to_ols(spark, sf_dir):
     }
     assert lam0 == ols
     events.unpersist()
+
+
+def test_mla_cv_best_params_stable_under_fixed_seed(covid_df):
+    """VERDICT r11 #6: the CV selection itself must be deterministic —
+    two full runs under the reference seed (754, MLA:91) must pick the
+    same (maxDepth, impurity) and reproduce every fold-averaged grid
+    metric exactly. Seeded fold assignment + seeded RF makes all 12
+    fits deterministic for a fixed input partitioning, which
+    covid_like_frame pins; a nondeterministic selection would make
+    ml_cross_validate's driver rows unreproducible."""
+    a = mla_pipeline(covid_df)
+    b = mla_pipeline(covid_df)
+    rf_a = a.model.bestModel.stages[-1]
+    rf_b = b.model.bestModel.stages[-1]
+    assert rf_a.getMaxDepth() == rf_b.getMaxDepth()
+    assert rf_a.getImpurity() == rf_b.getImpurity()
+    assert a.model.avgMetrics == b.model.avgMetrics
+    assert a.accuracy == b.accuracy

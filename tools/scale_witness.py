@@ -89,6 +89,40 @@ FAMILY_KEYS = {
     # same build as scan-bound controls (their shuffles grow with
     # vocabulary/doc count, still ~linear).
     "text": ["text_bm25", "text_top_terms", "text_gopher_quality"],
+    # r12: the two ANN-family members that had no witness row
+    # (VERDICT r11 #7), over the same 100x embeddings build (200k
+    # vectors). Claims under test: PQ's compressed-code scan grows
+    # ~linearly in corpus size with the fixed 10-query set (encode +
+    # per-partition ADC shortlists; the exchange stays bounded by
+    # n_partitions x S x q); portable SemDeDup with k scaled as
+    # choose_k(n) keeps the within-cluster pair term ~linear in n
+    # (n/t clusters x t^2 pairs = n*t), the paper's blast-radius
+    # contract — the WORKLOAD key pins k=32 for the DuckDB oracle at
+    # test scale, so the witness times the operator at the k a 100 TB
+    # deployment would pass (see _semantic_dedup_portable_scaled).
+    "ann2": ["simsearch_pq_portable", "semantic_dedup_portable_scaled"],
+}
+
+
+def _semantic_dedup_portable_scaled(spark, sf_dir):
+    """semantic_dedup_portable with the cluster count a production
+    run would use: k = choose_k(n, target_cluster_rows=64), so the
+    pair term is n*64 at any scale (vs the workload key's oracle-
+    pinned k=32, which is quadratic past test scale by design)."""
+    from machine_learning_algorithm_sparkml__spark.operators.semdedup import (
+        choose_k,
+        semantic_dedup_portable,
+    )
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = choose_k(emb.count(), target_cluster_rows=64)
+    return semantic_dedup_portable(emb, k=k)
+
+
+#: witness-local callables (not registry keys): timed like any key
+WITNESS_LOCAL = {
+    "semantic_dedup_portable_scaled": _semantic_dedup_portable_scaled,
 }
 REPLICAS = 10
 ANN_REPLICAS = 100
@@ -217,7 +251,8 @@ def main() -> int:
     import __spark_entry__ as entry
 
     spark = get_session("scale-witness")
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    qs.update(WITNESS_LOCAL)
 
     sf1_dir = os.path.join(tempfile.gettempdir(), "spark_graft_sf1")
     builders = {
@@ -227,6 +262,7 @@ def main() -> int:
         "maintenance": build_sf1_relational,
         "maintenance2": build_sf1_relational,
         "text": build_sf1_documents,
+        "ann2": build_sf1_embeddings,
     }
     built = set()
     for fam in families:
