@@ -101,10 +101,19 @@ _bucketed_pair: dict = {}
 def _session_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = (spark.sparkContext.applicationId, id(spark), sf_dir)
     if key not in _bucketed_pair:
-        # fixed per-sf names + overwrite mode: re-runs and crashed
-        # sessions overwrite instead of accumulating warehouse dirs
+        # fixed per-sf names so re-runs never accumulate warehouse
+        # dirs; a FRESH session's in-memory catalog doesn't know a
+        # previous session's table even though its location survives
+        # on disk, so clear both (DROP covers same-session re-entry,
+        # rmtree covers the orphaned location) before the one write
+        import shutil
+
         tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
         t_orders, t_cust = f"orders_bjoin_{tag}", f"customer_bjoin_{tag}"
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in (t_orders, t_cust):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
         orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
         cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
         write_bucketed(orders, t_orders, "o_custkey", num_buckets=8)
