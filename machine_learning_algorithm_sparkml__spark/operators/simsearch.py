@@ -1041,3 +1041,125 @@ def portable_pq_topk(
         .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
     )
     return _topk_per_query(scored, k)
+
+
+def portable_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    ks: int = 16,
+    shortlist_factor: int = 20,
+    cell_tag: str = "ivfc",
+    code_tag: str = "pqc",
+    exclude_self: bool = True,
+    max_broadcast_queries: int = 10_000,
+) -> DataFrame:
+    """IVF+PQ (the IVFADC composition of :func:`ivfpq_topk`) with
+    EVERY stage engine-replayable — the portable-ANN playbook's
+    capstone, composing the two proven recipes verbatim: coarse cells
+    are the md5-ranked sampled centroids + exact int64 squared-L2
+    assignment of :func:`portable_ivf_topk` (same ``ivfc`` ranking —
+    the C=16 centroid set is a prefix of the IVF key's 32), PQ codes
+    are the per-subspace md5-sampled codebooks + int64 encode of
+    :func:`portable_pq_topk` (same ``pqc`` sample), and scoring is the
+    exact int64 ADC shortlist masked per query to its probed cells,
+    ranked (distance asc, id asc), re-ranked by the shared rounded
+    cosine. DuckDB replays cell choice, probe lists, every code, the
+    masked shortlist, and the final top-k value-exactly.
+
+    Plan shape matches :func:`ivfpq_topk` exactly: one Arrow-batched
+    assign+encode projection, the scan pruned to the union of probed
+    cells (partition pruning once the codes table is written
+    partitioned by cell), per-partition local shortlists, exact
+    re-rank on the global top-S survivors."""
+    dim = _vector_dim(corpus, vec_col)
+    if dim == 0:
+        return _empty_topk_result(corpus, id_col)
+    if dim % m != 0:
+        raise ValueError(f"portable_ivfpq_topk: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    n_queries = len(q_rows)
+    if n_queries > max_broadcast_queries:
+        raise ValueError(
+            f"portable_ivfpq_topk ships per-query lookup tables to every "
+            f"task: got {n_queries} query rows > max_broadcast_queries="
+            f"{max_broadcast_queries}; batch the query set or raise the cap"
+        )
+    if n_queries == 0:
+        return _empty_topk_result(corpus, id_col)
+    n_probe = min(n_probe, num_centroids)
+
+    cz = _portable_centroids(corpus, id_col, vec_col, num_centroids, cell_tag)
+    cw = _portable_centroids(corpus, id_col, vec_col, ks, code_tag)
+    assign_udf = _portable_cells_udf(cz, 1)
+    encode_udf = _portable_pq_encode_udf(cw, m, sub)
+
+    qids = [r.qid for r in q_rows]
+    qmat = np.vstack([np.asarray(r.qv, dtype="float64") for r in q_rows])
+    zq = np.floor(qmat * 1000.0).astype(np.int64)
+    # exact int64 probe lists, ties to the smaller crank (stable
+    # argsort over crank-ordered rows == ORDER BY d2, crank)
+    qd2_cells = (
+        (zq * zq).sum(axis=1)[:, None] - 2 * (zq @ cz.T) + (cz * cz).sum(axis=1)[None, :]
+    )
+    probe_order = np.argsort(qd2_cells, axis=1, kind="stable")[:, :n_probe]
+    probe_mask = np.zeros((n_queries, num_centroids), dtype=bool)
+    probe_mask[np.arange(n_queries)[:, None], probe_order] = True
+    allowed_cells = sorted({int(c) for c in probe_order.ravel()})
+
+    lut = np.empty((n_queries, m, ks), dtype=np.int64)
+    for j in range(m):
+        xq = zq[:, j * sub : (j + 1) * sub]
+        bj = cw[:, j * sub : (j + 1) * sub]
+        lut[:, j, :] = ((xq[:, None, :] - bj[None, :, :]) ** 2).sum(axis=2)
+    qid_arr = np.asarray(qids)
+    S = shortlist_factor * k
+
+    def score_batch(pdf):
+        codes = np.vstack(pdf["codes"].to_numpy())
+        ids = pdf["neighbor_id"].to_numpy()
+        cells = pdf["cell"].to_numpy()
+        d2 = np.zeros((n_queries, len(ids)), dtype=np.int64)
+        for j in range(m):
+            d2 += lut[:, j, :][:, codes[:, j]]
+        sims = -d2.astype(np.float64)  # exact: ADC sums < 2^40
+        # per-query IVF pruning: a row competes only for queries that
+        # probed its cell
+        sims = np.where(probe_mask[:, cells], sims, -np.inf)
+        if exclude_self:
+            sims = np.where(qid_arr[:, None] == ids[None, :], -np.inf, sims)
+        return ids, sims
+
+    id_type = dict(corpus.dtypes)[id_col]
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(assign_udf(F.col(vec_col)), 1).alias("cell"),
+        encode_udf(F.col(vec_col)).alias("codes"),
+    ).filter(F.col("cell").isin(allowed_cells))
+    local = coded.mapInPandas(
+        _partition_shortlister(qid_arr, S, score_batch),
+        schema=f"query_id {id_type}, neighbor_id {id_type}, approx_sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    shortlist = (
+        local.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= S)
+        .select("query_id", "neighbor_id")
+    )
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        shortlist.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    return _topk_per_query(scored, k)

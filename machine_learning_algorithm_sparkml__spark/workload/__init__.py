@@ -38,6 +38,7 @@ PRIORITY_KEYS = [
     # partsupp TPC-H quartet (VERDICT r11 #3, synthesized partsupp):
     "semantic_dedup_portable",
     "simsearch_pq_portable",
+    "simsearch_ivfpq_portable",
     "sql_tpch_q2",
     "sql_tpch_q9",
     "sql_tpch_q11",
@@ -93,10 +94,11 @@ PRIORITY_KEYS = [
     "doc_fingerprint",
     "doc_hash_split",
     "doc_pack_sequences",
+    # --- slip tail (positions 50+): doc_tokens_explode displaced from
+    # index 49 by the late-round simsearch_ivfpq_portable (the
+    # window-bookkeeping rule: slip an oracle-backed low-risk key);
+    # with the remaining r8 block it heads the r13 rotation ---
     "doc_tokens_explode",
-    # --- slip tail (positions 50+): the remaining r8 block heads the
-    # r13 rotation; all oracle-backed or invariant-tested, each with a
-    # current-contract r8 driver row ---
     "event_funnel",
     "filter_outlier_iqr",
     "graph_pagerank",

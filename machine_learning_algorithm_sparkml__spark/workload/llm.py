@@ -48,6 +48,7 @@ from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
     embedding_near_dup_pairs,
     hyperplane_lsh_topk,
     portable_ivf_topk,
+    portable_ivfpq_topk,
     portable_lsh_topk,
     portable_pq_topk,
 )
@@ -999,6 +1000,25 @@ def q_simsearch_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simsearch_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable-ANN capstone: IVF+PQ (IVFADC) with both quantizers
+    from the proven md5-sampled recipes — coarse cells reuse the
+    `ivfc` centroid ranking (C=16 prefix), codes reuse the `pqc`
+    codebooks — and the ADC shortlist masked per query to its probed
+    cells, all in exact int64
+    (operators/simsearch.py:portable_ivfpq_topk). DuckDB replays the
+    ENTIRE composed program. Measured recall at sf0.01: 0.64 probing
+    8 of 16 cells (~50% of the uniform-random corpus — the same probed
+    fraction/recall trade the portable IVF key documents; fitted-
+    KMeans `simsearch_ivfpq` reads 0.6+ at 6/16). With this key every
+    ANN family (LSH, IVF, PQ, IVF+PQ) has an oracle-backed sibling."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return portable_ivfpq_topk(
+        emb, _query_vectors(emb), k=5, num_centroids=16, n_probe=8, m=16, ks=16,
+        shortlist_factor=20,
+    )
+
+
 def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: KMeans-quantized inverted-file ANN. ``recall_ok``
     pins recall >= 0.6 vs brute force (n_probe=6 of 16 cells probes
@@ -1227,6 +1247,7 @@ QUERIES = {
     "simsearch_ivf": q_simsearch_ivf,
     "simsearch_pq": q_simsearch_pq,
     "simsearch_pq_portable": q_simsearch_pq_portable,
+    "simsearch_ivfpq_portable": q_simsearch_ivfpq_portable,
     "simsearch_ivfpq": q_simsearch_ivfpq,
     "simsearch_brp": q_simsearch_brp,
     "embedding_neardup": q_embedding_neardup,
@@ -2193,6 +2214,98 @@ ORACLE = {
             FROM codes c
             JOIN cdist q ON q.j = c.j AND q.crank = c.code
             WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+            GROUP BY 1, 2
+        ), shortlist AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad2, neighbor_id) AS rn
+                FROM approx
+            ) WHERE rn <= 100
+        ), scored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   list_cosine_similarity(
+                       list_transform(qe.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(ce.embedding, x -> CAST(x AS DOUBLE))
+                   ) AS sim_raw
+            FROM shortlist s
+            JOIN embeddings qe ON qe.vec_id = s.query_id
+            JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id ASC
+                   ) AS INTEGER) AS rank,
+                   ROUND(sim_raw, 6) AS sim
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+    """,
+    # portable IVF+PQ replay: the ivfc cell program (LIMIT 16 prefix
+    # of the same md5 ranking, assignment rn=1, probes rn<=8) composed
+    # with the pqc code/ADC program, candidates masked to probed cells
+    # (operators/simsearch.py:portable_ivfpq_topk; C=16, P=8, m=16,
+    # ks=16, S=100)
+    "simsearch_ivfpq_portable": """
+        WITH z AS (
+            SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS z
+            FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS cid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST('0x' || substr(md5('ivfc:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                                vec_id
+                   ) - 1 AS crank
+            FROM embeddings
+            ORDER BY CAST('0x' || substr(md5('ivfc:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                     vec_id
+            LIMIT 16
+        ), czc AS (
+            SELECT cents.crank, z.d, z.z FROM z JOIN cents ON z.vec_id = cents.cid
+        ), cdistc AS (
+            SELECT z.vec_id, czc.crank, SUM((z.z - czc.z) * (z.z - czc.z)) AS d2
+            FROM z JOIN czc ON z.d = czc.d GROUP BY 1, 2
+        ), ranked_cells AS (
+            SELECT vec_id, crank,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, crank) AS rn
+            FROM cdistc
+        ), assign AS (
+            SELECT vec_id, crank AS cell FROM ranked_cells WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, crank AS cell FROM ranked_cells
+            WHERE rn <= 8 AND vec_id < 10
+        ), cw AS (
+            SELECT vec_id AS cid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST('0x' || substr(md5('pqc:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                                vec_id
+                   ) - 1 AS crank
+            FROM embeddings
+            ORDER BY CAST('0x' || substr(md5('pqc:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                     vec_id
+            LIMIT 16
+        ), book AS (
+            SELECT cw.crank, z.d // 4 AS j, z.d, z.z
+            FROM z JOIN cw ON z.vec_id = cw.cid
+        ), cdist AS (
+            SELECT z.vec_id, book.j, book.crank,
+                   SUM((z.z - book.z) * (z.z - book.z)) AS d2
+            FROM z JOIN book ON z.d = book.d
+            GROUP BY 1, 2, 3
+        ), codes AS (
+            SELECT vec_id, j, crank AS code FROM (
+                SELECT vec_id, j, crank,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, crank) AS rn
+                FROM cdist
+            ) WHERE rn = 1
+        ), approx AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   SUM(q.d2) AS ad2
+            FROM codes c
+            JOIN assign a ON a.vec_id = c.vec_id
+            JOIN probes p ON p.cell = a.cell
+            JOIN cdist q ON q.vec_id = p.query_id AND q.j = c.j AND q.crank = c.code
+            WHERE c.vec_id <> p.query_id
             GROUP BY 1, 2
         ), shortlist AS (
             SELECT query_id, neighbor_id FROM (
