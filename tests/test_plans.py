@@ -968,3 +968,58 @@ def test_bm25_single_postings_subtree_and_pruned_scans(spark, sf_dir):
         if "Exchange hashpartitioning" in l and "term" in l and "len_d" in l
     )
     assert filt > exch, (filt, exch)
+
+
+def test_partsupp_quartet_plans_decorrelate_and_push_down(spark, sf_dir):
+    """The r12 quartet's physical shapes (synthesized partsupp):
+
+    - q9: the `p_name LIKE '%bolt%'` filter must reach the part scan
+      as a pushed StringContains, and the 6-table join tree must plan
+      without any nested-loop/cartesian node.
+    - q2: the correlated MIN subquery must de-correlate into an
+      aggregate + join (no per-row re-scan node).
+    - q20: the correlated SUM threshold likewise de-correlates; the
+      doubly-nested IN chain plans as semi joins.
+    - q11: the scalar-subquery total is a one-row subquery (allowed);
+      the group side must still be a hash aggregate over a join, no
+      cartesian.
+
+    The ONLY nested-loop node any quartet plan may contain is the
+    partsupp derivation's own broadcast cross join against the 4-row
+    spread range (`Range (0, 4`) — a deliberate, bounded build side;
+    every occurrence must be exactly that Cross shape."""
+    import re
+
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_tpch_q2,
+        q_sql_tpch_q9,
+        q_sql_tpch_q11,
+        q_sql_tpch_q20,
+    )
+
+    def executed(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def assert_no_unbounded_nested_loop(plan):
+        assert "CartesianProduct" not in plan, plan
+        nl = [l for l in plan.splitlines() if "NestedLoopJoin" in l]
+        assert all("Cross" in l for l in nl), nl
+        if nl:  # the bounded build side must be the 4-row spread range
+            assert "Range (0, 4" in plan, plan
+
+    p9 = executed(q_sql_tpch_q9(spark, sf_dir))
+    assert_no_unbounded_nested_loop(p9)
+    assert re.search(r"PushedFilters: \[[^\]]*StringContains\(p_name,bolt\)", p9), p9
+
+    p2 = executed(q_sql_tpch_q2(spark, sf_dir))
+    assert_no_unbounded_nested_loop(p2)
+    # de-correlated MIN: a min aggregate feeds an equi-join on
+    # (cents, partkey) — never a per-row re-scan
+    assert re.search(r"min\(ps_supplycost_cents", p2), p2
+
+    p20 = executed(q_sql_tpch_q20(spark, sf_dir))
+    assert_no_unbounded_nested_loop(p20)
+    assert "LeftSemi" in p20, p20
+
+    p11 = executed(q_sql_tpch_q11(spark, sf_dir))
+    assert_no_unbounded_nested_loop(p11)
