@@ -43,6 +43,8 @@ PRIORITY_KEYS = [
     "sql_tpch_q9",
     "sql_tpch_q11",
     "sql_tpch_q20",
+    "timeseries_downsample_ohlc",
+    "sample_reservoir_per_group",
     # Slots 6-27: the r7-stale block — the oldest driver rows in the
     # registry after the r11 sweep (staleness.py r7 row, 22 keys,
     # includes semantic_dedup whose portable sibling now anchors the
@@ -92,12 +94,14 @@ PRIORITY_KEYS = [
     "dedup_simhash",
     "doc_chunk_fixed",
     "doc_fingerprint",
+    # --- slip tail (positions 50+): doc_hash_split /
+    # doc_pack_sequences / doc_tokens_explode displaced from indices
+    # 47-49 by the late-round simsearch_ivfpq_portable +
+    # timeseries_downsample_ohlc + sample_reservoir_per_group (the
+    # window-bookkeeping rule: slip oracle-backed low-risk keys); with
+    # the remaining r8 block they head the r13 rotation ---
     "doc_hash_split",
     "doc_pack_sequences",
-    # --- slip tail (positions 50+): doc_tokens_explode displaced from
-    # index 49 by the late-round simsearch_ivfpq_portable (the
-    # window-bookkeeping rule: slip an oracle-backed low-risk key);
-    # with the remaining r8 block it heads the r13 rotation ---
     "doc_tokens_explode",
     "event_funnel",
     "filter_outlier_iqr",

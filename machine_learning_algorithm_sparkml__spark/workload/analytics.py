@@ -484,8 +484,42 @@ def q_ps_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.set_option("compute.default_index_type", prev)
 
 
+def q_timeseries_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-bucket downsampling: per (event_type, hour) the
+    open/high/low/close of ``value`` plus count and exact-decimal sum
+    — the pass that turns a raw event stream into a bar series
+    (telemetry/financial downsampling). ONE groupBy = one shuffle with
+    map-side partial aggregation; open/close are ``min_by``/``max_by``
+    over a zero-padded (epoch_us, event_id) string — fixed-width, so
+    lexicographic equals numeric order, tie-free (event_id is unique)
+    and replayable by any engine's arg_min/arg_max over the identical
+    string (DuckDB's arg_min takes no composite ordering key, hence
+    the string encoding). At 100 TB this is the canonical
+    reduce-by-bucket shape: the output is |types| x |hours| rows,
+    never event-sized, and the shuffle carries one partial bar per
+    (task, group)."""
+    ev = load_table(spark, sf_dir, "events")
+    ordk = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        ).agg(
+            F.min_by(F.col("value"), ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by(F.col("value"), ordk).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "ps_groupby_agg": q_ps_groupby_agg,
+    "timeseries_downsample_ohlc": q_timeseries_downsample_ohlc,
     "window_ntile_cume": q_window_ntile_cume,
     "window_lag_lead": q_window_lag_lead,
     "window_moving_avg": q_window_moving_avg,
@@ -508,6 +542,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    # OHLC bars: arg_min/arg_max over the zero-padded (epoch_us, id)
+    # string replay Spark's min_by/max_by over the identical string
+    "timeseries_downsample_ohlc": """
+        SELECT event_type,
+               date_trunc('hour', ts) AS bucket_ts,
+               arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
     # the pandas front-end must produce the same answer as SQL —
     # that is the key's whole claim
     "ps_groupby_agg": """

@@ -204,6 +204,28 @@ def q_semantic_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source k-reservoir (k=3): keep the k docs per
+    source whose portable md5 rank is smallest — an UNBIASED
+    (hash-uniform) per-domain cap, the sampling complement of
+    ``domain_top_docs``\'s size-biased cap, and the standard way a
+    corpus pipeline bounds any one domain\'s contribution without
+    favoring long documents. One window shuffle; the rank-then-filter
+    shape keeps the exchange at each task\'s local top-k
+    (InferWindowGroupLimit — the flagship plan). DuckDB replays the
+    md5 ranking exactly."""
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash60(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
 def q_text_repetition_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-repetition signals (Gopher §A1.1's n-gram repetition
     family, word-bigram variant): per doc, the number of bigram
@@ -237,6 +259,7 @@ QUERIES = {
     "embedding_quantize_arrow": q_embedding_quantize_arrow,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_portable": q_semantic_dedup_portable,
+    "sample_reservoir_per_group": q_sample_reservoir_per_group,
 }
 
 # DuckDB mirrors. Token macro identical to workload/llm.py's _TOKENS:
@@ -455,6 +478,17 @@ ORACLE = {
         SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
                (d.vec_id IS NULL) AS is_kept
         FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+    """,
+    "sample_reservoir_per_group": """
+        SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST('0x' || substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                                doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= 3
     """,
     "domain_top_docs": """
         SELECT doc_id, source, n_chars, CAST(rn AS INTEGER) AS rn

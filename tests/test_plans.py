@@ -1023,3 +1023,29 @@ def test_partsupp_quartet_plans_decorrelate_and_push_down(spark, sf_dir):
 
     p11 = executed(q_sql_tpch_q11(spark, sf_dir))
     assert_no_unbounded_nested_loop(p11)
+
+
+def test_r12_capability_keys_plan_shapes(spark, sf_dir):
+    """OHLC downsampling must be a single partial-then-final hash
+    aggregate (ONE exchange; the map side emits one partial bar per
+    (task, group)); the per-source reservoir must keep the
+    rank-then-filter WindowGroupLimit shape (window partitioned by
+    source; the exchange carries local top-k only)."""
+    import re
+
+    from machine_learning_algorithm_sparkml__spark.workload.analytics import (
+        q_timeseries_downsample_ohlc,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.quality import (
+        q_sample_reservoir_per_group,
+    )
+
+    ohlc = q_timeseries_downsample_ohlc(spark, sf_dir)
+    p = ohlc._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1, p
+    assert "partial_min" in p and "partial_max" in p, p
+
+    rsv = q_sample_reservoir_per_group(spark, sf_dir)
+    p2 = rsv._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p2, p2
+    assert re.search(r"windowspecdefinition\(source#", p2), p2
