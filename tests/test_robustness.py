@@ -702,6 +702,12 @@ def test_keys_invariant_to_shuffle_partition_count(spark, sf_dir):
         "doc_pack_sequences",
         "simsearch_lsh_portable",
         "corpus_shuffle_epoch",
+        # r12 additions: the composed portable-ANN capstone (ADC
+        # shortlists cross the exchange), portable SemDeDup (pair join
+        # on cluster), OHLC bars (min_by/max_by partial merges)
+        "simsearch_ivfpq_portable",
+        "semantic_dedup_portable",
+        "timeseries_downsample_ohlc",
     ]
     base = {k: sorted(map(tuple, qs[k](spark, sf_dir).collect())) for k in keys}
     prev = spark.conf.get("spark.sql.shuffle.partitions")
