@@ -208,10 +208,10 @@ def q_sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source k-reservoir (k=3): keep the k docs per
     source whose portable md5 rank is smallest — an UNBIASED
     (hash-uniform) per-domain cap, the sampling complement of
-    ``domain_top_docs``\'s size-biased cap, and the standard way a
-    corpus pipeline bounds any one domain\'s contribution without
+    the size-biased ``domain_top_docs`` cap, and the standard way a
+    corpus pipeline bounds any one domain's contribution without
     favoring long documents. One window shuffle; the rank-then-filter
-    shape keeps the exchange at each task\'s local top-k
+    shape keeps the exchange at each task's local top-k
     (InferWindowGroupLimit — the flagship plan). DuckDB replays the
     md5 ranking exactly."""
     from machine_learning_algorithm_sparkml__spark.operators.dedup import portable_hash60
