@@ -45,6 +45,7 @@ PRIORITY_KEYS = [
     "sql_tpch_q20",
     "timeseries_downsample_ohlc",
     "sample_reservoir_per_group",
+    "streaming_corpus_dedup",
     # Slots 6-27: the r7-stale block — the oldest driver rows in the
     # registry after the r11 sweep (staleness.py r7 row, 22 keys,
     # includes semantic_dedup whose portable sibling now anchors the
@@ -93,13 +94,14 @@ PRIORITY_KEYS = [
     "dedup_pipeline_keep",
     "dedup_simhash",
     "doc_chunk_fixed",
-    "doc_fingerprint",
-    # --- slip tail (positions 50+): doc_hash_split /
+    # --- slip tail (positions 50+): doc_fingerprint / doc_hash_split /
     # doc_pack_sequences / doc_tokens_explode displaced from indices
-    # 47-49 by the late-round simsearch_ivfpq_portable +
-    # timeseries_downsample_ohlc + sample_reservoir_per_group (the
-    # window-bookkeeping rule: slip oracle-backed low-risk keys); with
-    # the remaining r8 block they head the r13 rotation ---
+    # 46-49 by the late-round additions (simsearch_ivfpq_portable,
+    # timeseries_downsample_ohlc, sample_reservoir_per_group,
+    # streaming_corpus_dedup — the window-bookkeeping rule: slip
+    # oracle-backed low-risk keys); with the remaining r8 block they
+    # head the r13 rotation ---
+    "doc_fingerprint",
     "doc_hash_split",
     "doc_pack_sequences",
     "doc_tokens_explode",

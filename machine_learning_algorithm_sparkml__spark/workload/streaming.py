@@ -342,6 +342,22 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.crossJoin(F.broadcast(invariant))
 
 
+def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus dedup whose fingerprint state SURVIVES a
+    restart (streaming/corpus_dedup.py): two availableNow incarnations
+    share a checkpoint; phase 2 re-sends exact clones of phase-1 docs
+    (doc_id % 50 == 0 at id+10M) and every clone must be dropped by
+    state recovered from the checkpoint — the continuous-ingestion
+    shape of dedup_incremental, keyed by the portable md5-60bit
+    fingerprint so DuckDB replays every keep/drop verdict
+    (ROW_NUMBER over (fp ORDER BY phase, doc_id) = 1)."""
+    from machine_learning_algorithm_sparkml__spark.streaming.corpus_dedup import (
+        run_streaming_corpus_dedup,
+    )
+
+    return run_streaming_corpus_dedup(spark, sf_dir, num_state_partitions=8)
+
+
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateless stream-static broadcast join: events enriched with the
     customer dim. Oracle: the equivalent batch join."""
@@ -411,6 +427,7 @@ QUERIES = {
     "streaming_sliding_counts": q_streaming_sliding_counts,
     "streaming_session_window": q_streaming_session_window,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_corpus_dedup": q_streaming_corpus_dedup,
     "stream_static_join": q_stream_static_join,
     "streaming_stateful_totals": q_streaming_stateful_totals,
     "sessionize": q_sessionize,
@@ -432,6 +449,30 @@ QUERIES = {
 }
 
 ORACLE = {
+    # the full two-incarnation dedup program replayed in SQL: same
+    # normalization chain as text_normalize, same md5-60bit
+    # fingerprint, phase = which incarnation delivered the doc, keeper
+    # = lexicographic-min (phase, doc_id) per fingerprint
+    "streaming_corpus_dedup": """
+        WITH half AS (SELECT MAX(doc_id) // 2 AS h FROM documents),
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text
+            FROM documents WHERE doc_id % 50 = 0
+        ), fp AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(
+                       trim(regexp_replace(regexp_replace(lower(COALESCE(text, '')),
+                            '[.,;:!?]', '', 'g'), '\s+', ' ', 'g'))
+                   ), 1, 15) AS BIGINT) AS fp,
+                   CASE WHEN doc_id < (SELECT h FROM half) THEN 1 ELSE 2 END AS phase
+            FROM corpus
+        )
+        SELECT doc_id, fp, CAST(phase AS INTEGER) AS phase,
+               (ROW_NUMBER() OVER (PARTITION BY fp ORDER BY phase, doc_id) = 1) AS is_kept
+        FROM fp
+    """,
     # identical SQL to streaming_checkpoint_recovery BY DESIGN: the
     # re-delivered copies must leave no trace, so the oracle sees only
     # the original events over watermark-finalized windows

@@ -797,3 +797,47 @@ def test_state_changefeed_folds_to_live_state(spark, sf_dir):
         assert folded == live, (len(folded), len(live))
     finally:
         feed.unpersist()
+
+
+def test_streaming_corpus_dedup_state_survives_restart(spark, sf_dir):
+    """The restart semantics behind the streaming_corpus_dedup oracle:
+    every planted phase-2 clone (an exact duplicate of a phase-1-or-2
+    original delivered AFTER the checkpointed restart) must be dropped
+    by state recovered from the checkpoint; every fingerprint keeps
+    exactly one member; each streamed doc is emitted exactly once."""
+    from machine_learning_algorithm_sparkml__spark.streaming.corpus_dedup import (
+        run_streaming_corpus_dedup,
+    )
+
+    out = run_streaming_corpus_dedup(spark, sf_dir, num_state_partitions=8).cache()
+    rows = out.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_planted = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    ).count()
+    assert n_planted > 0
+    # exactly-once emission: one verdict per streamed doc
+    assert len(rows) == n_docs + n_planted
+    assert out.select("doc_id").distinct().count() == len(rows)
+    by_id = {r.doc_id: r for r in rows}
+    for r in rows:
+        if r.doc_id >= 10_000_000:
+            # clone: delivered in phase 2, dropped via recovered state
+            assert r.phase == 2
+            assert not r.is_kept, r.doc_id
+            orig = by_id[r.doc_id - 10_000_000]
+            assert orig.fp == r.fp
+    # one keeper per fingerprint, and it's the (phase, doc_id) minimum
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[r.fp].append(r)
+    for fp, members in groups.items():
+        keepers = [m for m in members if m.is_kept]
+        assert len(keepers) == 1, fp
+        assert min((m.phase, m.doc_id) for m in members) == (
+            keepers[0].phase,
+            keepers[0].doc_id,
+        )
+    out.unpersist()
