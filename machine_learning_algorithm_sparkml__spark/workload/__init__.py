@@ -46,6 +46,7 @@ PRIORITY_KEYS = [
     "timeseries_downsample_ohlc",
     "sample_reservoir_per_group",
     "streaming_corpus_dedup",
+    "retrieval_hybrid",
     # Slots 6-27: the r7-stale block — the oldest driver rows in the
     # registry after the r11 sweep (staleness.py r7 row, 22 keys,
     # includes semantic_dedup whose portable sibling now anchors the
@@ -93,14 +94,15 @@ PRIORITY_KEYS = [
     "dedup_passage",
     "dedup_pipeline_keep",
     "dedup_simhash",
-    "doc_chunk_fixed",
-    # --- slip tail (positions 50+): doc_fingerprint / doc_hash_split /
-    # doc_pack_sequences / doc_tokens_explode displaced from indices
-    # 46-49 by the late-round additions (simsearch_ivfpq_portable,
-    # timeseries_downsample_ohlc, sample_reservoir_per_group,
-    # streaming_corpus_dedup — the window-bookkeeping rule: slip
+    # --- slip tail (positions 50+): doc_chunk_fixed / doc_fingerprint
+    # / doc_hash_split / doc_pack_sequences / doc_tokens_explode
+    # displaced from indices 45-49 by the late-round additions
+    # (simsearch_ivfpq_portable, timeseries_downsample_ohlc,
+    # sample_reservoir_per_group, streaming_corpus_dedup,
+    # retrieval_hybrid — the window-bookkeeping rule: slip
     # oracle-backed low-risk keys); with the remaining r8 block they
     # head the r13 rotation ---
+    "doc_chunk_fixed",
     "doc_fingerprint",
     "doc_hash_split",
     "doc_pack_sequences",

@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from machine_learning_algorithm_sparkml__spark.functions.vectors import cosine_similarity
 from machine_learning_algorithm_sparkml__spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -309,6 +310,101 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_terms_matched"),
             F.round(F.sum("w"), 4).alias("score"),
+        )
+    )
+
+
+#: hybrid-retrieval query set: (query_id, its BM25 terms, its query
+#: vector's vec_id). Term lists are kept at TWO terms so each
+#: (query, doc) BM25 score is a sum of two IEEE doubles — addition is
+#: commutative, so the score is bit-identical on any engine and the
+#: shortlist boundary needs no rounding crutch.
+_HYBRID_QUERIES = (
+    (0, ("spark", "stream"), 0),
+    (1, ("vector", "merge"), 1),
+    (2, ("spark", "vector"), 2),
+)
+
+
+def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the canonical RAG composition the lexical
+    and ANN families exist FOR: per query, a BM25 lexical shortlist
+    (top-20 by score, doc_id ties) over the query's own term set, then
+    an exact rounded-cosine re-rank of the shortlist against the
+    query's embedding (top-5). Lexical recall catches exact-phrase
+    matches embeddings blur; the embedding re-rank orders them
+    semantically.
+
+    Shape at 100 TB: the corpus side is the text_bm25 plan (explode
+    pre-filtered to the UNION of all query terms before the term-
+    frequency aggregation, df via a window on the tf frame, stats row
+    broadcast), the query set broadcasts, and the re-rank touches
+    embeddings ONLY for the <= 20*|Q| shortlist survivors (a semi-join
+    sized by the shortlist, never a corpus-embedding scan). Determinism:
+    two-addend BM25 sums are bit-identical (commutative IEEE add), the
+    shortlist orders by (raw score desc, doc_id), and the final rank by
+    the shared rounded cosine — DuckDB replays the whole program."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    all_terms = sorted({t for _, ts, _ in _HYBRID_QUERIES for t in ts})
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts, _ in _HYBRID_QUERIES for t in ts],
+        "query_id int, term string",
+    )
+    qvecs = spark.createDataFrame(
+        [(qid, vid) for qid, _, vid in _HYBRID_QUERIES], "query_id int, vec_id long"
+    ).join(emb, "vec_id").select("query_id", F.col("embedding").alias("q_vec"))
+
+    toks = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+    ).select("doc_id", F.size("t").alias("len_d"), F.explode("t").alias("term"))
+    tf = (
+        toks.filter(F.col("term").isin(*all_terms))
+        .groupBy("doc_id", "len_d", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    )
+    stats = docs.select(tokens(F.lower(F.col("text"))).alias("t")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("t")).alias("avgdl")
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("len_d") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", idf * norm)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("bm25_raw"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(F.desc("bm25_raw"), F.asc("doc_id"))
+    shortlist = (
+        scored.withColumn("lex_rank", F.row_number().over(w_lex).cast("int"))
+        .filter(F.col("lex_rank") <= 20)
+    )
+    reranked = (
+        shortlist.join(
+            emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("d_vec")),
+            "doc_id",
+        )
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("d_vec")))
+    )
+    w_sem = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w_sem).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            "lex_rank",
+            "rank",
+            F.round("bm25_raw", 4).alias("bm25"),
+            F.round("sim", 6).alias("sim"),
         )
     )
 
@@ -1220,6 +1316,7 @@ QUERIES = {
     "udtf_dynamic_schema": q_udtf_dynamic_schema,
     "text_top_terms": q_text_top_terms,
     "text_bm25": q_text_bm25,
+    "retrieval_hybrid": q_retrieval_hybrid,
     "corpus_shuffle_epoch": q_corpus_shuffle_epoch,
     "agg_heavy_hitters": q_agg_heavy_hitters,
     "doc_hash_split": q_doc_hash_split,
@@ -1778,6 +1875,69 @@ ORACLE = {
                ), 4) AS score
         FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
         GROUP BY tf.doc_id
+    """,
+    # the full hybrid program: per-query BM25 over its own 2-term set
+    # (2-addend sums are commutative-exact, no rounding crutch at the
+    # shortlist boundary), top-20 lexical shortlist, rounded-cosine
+    # re-rank top-5 against the query's embedding
+    "retrieval_hybrid": """
+        WITH queries(query_id, term) AS (
+            VALUES (0, 'spark'), (0, 'stream'),
+                   (1, 'vector'), (1, 'merge'),
+                   (2, 'spark'), (2, 'vector')
+        ), qvec(query_id, vec_id) AS (
+            VALUES (0, 0), (1, 1), (2, 2)
+        ), toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '\\s+'), x -> length(x) > 0) AS t
+            FROM documents
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks
+        ), tf AS (
+            SELECT doc_id, len(t) AS len_d, u.term, COUNT(*) AS tf
+            FROM toks, UNNEST(t) AS u(term)
+            WHERE u.term IN ('merge', 'spark', 'stream', 'vector')
+            GROUP BY doc_id, len(t), u.term
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   SUM(
+                       ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.len_d / s.avgdl))
+                   ) AS bm25_raw
+            FROM tf
+            JOIN queries q USING (term)
+            JOIN dfreq d USING (term)
+            CROSS JOIN stats s
+            GROUP BY q.query_id, tf.doc_id
+        ), shortlist AS (
+            SELECT query_id, doc_id, bm25_raw,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY bm25_raw DESC, doc_id ASC
+                   ) AS INTEGER) AS lex_rank
+            FROM scored
+            QUALIFY lex_rank <= 20
+        ), reranked AS (
+            SELECT sl.query_id, sl.doc_id, sl.lex_rank, sl.bm25_raw,
+                   list_cosine_similarity(
+                       list_transform(qe.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(de.embedding, x -> CAST(x AS DOUBLE))
+                   ) AS sim_raw
+            FROM shortlist sl
+            JOIN qvec ON qvec.query_id = sl.query_id
+            JOIN embeddings qe ON qe.vec_id = qvec.vec_id
+            JOIN embeddings de ON de.vec_id = sl.doc_id
+        )
+        SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, lex_rank,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY sim_raw DESC, doc_id ASC
+               ) AS INTEGER) AS rank,
+               ROUND(bm25_raw, 4) AS bm25,
+               ROUND(sim_raw, 6) AS sim
+        FROM reranked
+        QUALIFY rank <= 5
     """,
     "text_top_terms": f"""
         WITH toks AS (
