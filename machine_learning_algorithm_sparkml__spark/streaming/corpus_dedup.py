@@ -55,7 +55,15 @@ def _dedup_group(
     """Per-fingerprint keeper state: the first (phase, doc_id) ever
     seen wins; every other member of the group — in this batch or any
     later one, before or after a restart — is emitted with
-    ``is_kept=false``. Each input row is emitted exactly once."""
+    ``is_kept=false``. Each input row is emitted exactly once.
+
+    The ROW_NUMBER-min oracle equivalence (module docstring) holds only
+    under monotonic delivery — every row in a later batch sorts after
+    the stored keeper. This runner constructs that (one file per phase,
+    ascending phases); the assert makes any other delivery order fail
+    loudly instead of silently keeping a non-minimal keeper (ADVICE
+    r12: re-election after emission would be unsound in append mode,
+    so out-of-order arrival must be rejected, not absorbed)."""
     best = tuple(state.get) if state.exists else None
     pdf = pd.concat(list(batches)).sort_values(["phase", "doc_id"])
     kept = []
@@ -64,6 +72,13 @@ def _dedup_group(
             best = (int(phase), int(doc_id))
             kept.append(True)
         else:
+            if (int(phase), int(doc_id)) < best:
+                raise ValueError(
+                    "corpus_dedup: non-monotonic arrival "
+                    f"({int(phase)}, {int(doc_id)}) < stored keeper {best}; "
+                    "the append-mode keeper contract requires delivery in "
+                    "(phase, doc_id) order across batches"
+                )
             kept.append(False)
     state.update((int(best[0]), int(best[1])))
     yield pd.DataFrame(

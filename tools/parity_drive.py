@@ -84,7 +84,14 @@ def _klass(series):
     # all-NaT timedelta64 column must not degrade to 'empty').
     # Width-insensitive like the int rule: kind, not the full dtype.
     if dt != object:
-        return {"m": "timedelta"}.get(getattr(dt, "kind", "?"), str(dt))
+        return {
+            "f": "float",
+            "i": "int",
+            "u": "int",
+            "b": "bool",
+            "M": "datetime",
+            "m": "timedelta",
+        }.get(getattr(dt, "kind", "?"), str(dt))
     return "empty"
 
 
