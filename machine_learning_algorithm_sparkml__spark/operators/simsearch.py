@@ -792,6 +792,68 @@ def portable_lsh_topk(
     return _topk_per_query(scored, k)
 
 
+def portable_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 16,
+    num_tables: int = 4,
+    tag: str = "ndp",
+) -> DataFrame:
+    """Near-duplicate pair search whose ENTIRE pipeline an external
+    engine can replay value-exactly — the pair-search twin of
+    :func:`portable_lsh_topk` (VERDICT r12 #3: the last ANN-family key
+    without an oracle-backed sibling). Bucket assignment runs in exact
+    integer space (md5-seeded integer planes over floor-quantized
+    vectors, exact int64 dots — :func:`_portable_buckets_udf`);
+    candidates are per-(table, bucket) self-join collisions with
+    ``id_a < id_b``; verification is the shared exact rounded cosine.
+    Identical vectors land in the same bucket of EVERY table, so exact
+    duplicates have recall 1.0 by construction regardless of banding —
+    which is why this key can afford 16-bit buckets (few random
+    collisions) where the top-k path uses 8.
+
+    Same plan shape as :func:`embedding_near_dup_pairs` (bucketed
+    candidate self-join, no all-pairs product — the property that
+    holds at 100 TB); only the hash family changed. Output:
+    (id_a, id_b, sim)."""
+    dim = _vector_dim(df, vec_col)
+    if dim == 0:
+        id_type = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, sim double"
+        )
+    coeffs = _portable_plane_coeffs(num_tables, num_planes, dim, tag)
+    udf = _portable_buckets_udf(coeffs, num_tables, num_planes)
+    # localCheckpoint, not cache: both legs of the candidate self-join
+    # read these buckets (same rationale as embedding_near_dup_pairs)
+    buckets = (
+        df.select(F.col(id_col).alias("vid"), udf(F.col(vec_col)).alias("bks"))
+        .select("vid", F.posexplode("bks").alias("table", "bucket"))
+        .localCheckpoint(eager=True)
+    )
+    a = buckets.select(F.col("vid").alias("id_a"), "table", "bucket")
+    b = buckets.select(F.col("vid").alias("id_b"), "table", "bucket")
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    scored = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6)
+        )
+    )
+    return scored.filter(F.col("sim") >= threshold).select("id_a", "id_b", "sim")
+
+
 def _portable_centroids(
     df: DataFrame, id_col: str, vec_col: str, k: int, tag: str = "ivfc"
 ) -> np.ndarray:

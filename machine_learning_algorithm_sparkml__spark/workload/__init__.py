@@ -22,86 +22,25 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
-# least-recently-verified keys FIRST each round. Round-12 window,
-# exactly as VERDICT r11 "Next round" #1/#2/#3/#4/#6 directs: (1) the
-# six keys new this round (portable semdedup/PQ oracles + the
-# unblocked partsupp quartet); (2) the r7-stale block — oldest rows in
-# the registry; (3) the r8-stale fill led by the eight rows-only ML
-# keys. Slip tail = the rest of the r8 block, heading the r13
-# rotation. Regenerate the staleness table with
-# `python tools/staleness.py` after each round's CORRECTNESS file
+# least-recently-verified keys FIRST each round. Round-13 window,
+# exactly as VERDICT r12 "Next round" #1/#3/#4 directs: (1) the two
+# keys new this round (the portable near-dup oracle twin and the real
+# BMP decode), never driver-checked; (2) the full 32-key r8-stale
+# block — the oldest driver rows in the registry (the r12 slip tail);
+# (3) a 16-key fill from the oldest r9 rows. Slip tail = the remaining
+# 30 r9 keys, heading the r14 rotation. Regenerate the staleness table
+# with `python tools/staleness.py` after each round's CORRECTNESS file
 # lands.
 PRIORITY_KEYS = [
-    # --- r12 window (50 slots; driver records indices 0-49) ---
-    # Slots 0-5: keys NEW this round, never driver-checked — the two
-    # portable-oracle upgrades (VERDICT r11 #2/#4) and the unblocked
-    # partsupp TPC-H quartet (VERDICT r11 #3, synthesized partsupp):
-    "semantic_dedup_portable",
-    "simsearch_pq_portable",
-    "simsearch_ivfpq_portable",
-    "sql_tpch_q2",
-    "sql_tpch_q9",
-    "sql_tpch_q11",
-    "sql_tpch_q20",
-    "timeseries_downsample_ohlc",
-    "sample_reservoir_per_group",
-    "streaming_corpus_dedup",
-    "retrieval_hybrid",
-    # Slots 6-27: the r7-stale block — the oldest driver rows in the
-    # registry after the r11 sweep (staleness.py r7 row, 22 keys,
-    # includes semantic_dedup whose portable sibling now anchors the
-    # family and simsearch_ivfpq, the last rows-only composite ANN):
-    "agg_approx",
-    "agg_conditional",
-    "agg_grouping_sets",
-    "agg_histogram",
-    "agg_hll_sketch_merge",
-    "agg_stats",
-    "agg_string_collect",
-    "decontaminate_ngram",
-    "dedup_clusters",
-    "dedup_exact",
-    "doc_chunk_long",
-    "domain_top_docs",
-    "embedding_quantize_int8",
-    "semantic_dedup",
-    "simsearch_ivfpq",
-    "sql_tpch_q13",
-    "sql_tpch_q14",
-    "sql_tpch_q19",
-    "sql_tpch_q22",
-    "text_gopher_quality",
-    "text_normalize",
-    "text_unigram_familiarity",
-    # Slots 28-49: r8-stale fill — the eight ML keys VERDICT r11 #6
-    # names (rows-only since r8) plus their oracle-backed feature
-    # siblings, then the r8 dedup/doc block (oracle-backed anchors at
-    # the slip boundary per the window-bookkeeping rule):
-    "ml_random_forest",
-    "ml_pipeline",
-    "ml_evaluate_accuracy",
-    "ml_cross_validate",
-    "ml_fit_predict_eval",
-    "ml_undersample_balance",
-    "ml_text_features",
-    "sample_stratified",
-    "ml_string_index",
-    "ml_string_index_multi",
-    "ml_one_hot",
-    "ml_vector_assemble",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_passage",
-    "dedup_pipeline_keep",
-    "dedup_simhash",
-    # --- slip tail (positions 50+): doc_chunk_fixed / doc_fingerprint
-    # / doc_hash_split / doc_pack_sequences / doc_tokens_explode
-    # displaced from indices 45-49 by the late-round additions
-    # (simsearch_ivfpq_portable, timeseries_downsample_ohlc,
-    # sample_reservoir_per_group, streaming_corpus_dedup,
-    # retrieval_hybrid — the window-bookkeeping rule: slip
-    # oracle-backed low-risk keys); with the remaining r8 block they
-    # head the r13 rotation ---
+    # --- r13 window (50 slots; driver records indices 0-49) ---
+    # Slots 0-1: keys NEW this round, never driver-checked — the
+    # oracle-backed near-dup twin (VERDICT r12 #3) and the real
+    # numpy-BMP decode (VERDICT r12 #4):
+    "embedding_neardup_portable",
+    "multimodal_decode_real",
+    # Slots 2-33: the complete r8-stale block (staleness.py r8 row,
+    # 32 keys — no key's latest driver row may predate r9 after this
+    # round, VERDICT r12 #1):
     "doc_chunk_fixed",
     "doc_fingerprint",
     "doc_hash_split",
@@ -134,6 +73,58 @@ PRIORITY_KEYS = [
     "text_top_terms",
     "text_zscore_by_lang",
     "window_first_last",
+    # Slots 34-49: 16-key fill from the r9-stale block (oldest rows
+    # after r8; includes ml_confusion per VERDICT r12 "keep the
+    # invariant rows in rotation", with oracle-backed keys as the
+    # slip-boundary anchors per the window-bookkeeping rule):
+    "agg_argmax_maxby",
+    "agg_time_rollup",
+    "cdc_snapshot_diff",
+    "cdc_soft_delete",
+    "dq_expectations",
+    "dq_referential_integrity",
+    "embedding_quantize_arrow",
+    "json_variant_extract",
+    "layout_compaction",
+    "layout_compaction_clustered",
+    "ml_confusion",
+    "ml_group_ols",
+    "ml_group_ridge",
+    "observe_metrics",
+    "random_split_portable",
+    "sample_hash_portable",
+    # --- slip tail (positions 50+): the remaining 30 r9-stale keys;
+    # they head the r14 rotation ---
+    "sample_stratified_portable",
+    "scalar_try_funcs",
+    "scan_binary_files",
+    "scan_csv_malformed",
+    "scan_json_malformed",
+    "scan_python_datasource",
+    "scan_python_datasource_pushdown",
+    "scan_schema_evolution",
+    "scan_xml",
+    "sink_dynamic_partition_overwrite",
+    "sink_python_datasource",
+    "sql_lateral_agg",
+    "sql_lateral_topn",
+    "sql_recursive_cte",
+    "sql_recursive_cte_bounded",
+    "sql_session_variables",
+    "sql_tpch_q21",
+    "sql_udf_scalar_table",
+    "streaming_checkpoint_recovery",
+    "streaming_foreach_batch_upsert",
+    "streaming_late_data",
+    "streaming_python_source",
+    "streaming_rocksdb_state",
+    "streaming_upsert_restart",
+    "udtf_dynamic_schema",
+    "udtf_partition_stats",
+    "udtf_token_runs",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_ntile_cume",
 ]
 
 ALL_QUERY_MODULES = [relational, streaming, scale, quality, analytics, ml, llm]

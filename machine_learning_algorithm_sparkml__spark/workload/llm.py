@@ -51,6 +51,7 @@ from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
     portable_ivf_topk,
     portable_ivfpq_topk,
     portable_lsh_topk,
+    portable_near_dup_pairs,
     portable_pq_topk,
 )
 from machine_learning_algorithm_sparkml__spark.sources import load_table
@@ -1187,6 +1188,28 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED near-dup pair search (VERDICT r12 #3 — the last
+    ANN-family key without an oracle-backed twin): the same planted-
+    duplicate corpus as the rows-only ``embedding_neardup``, with
+    bucket assignment in engine-neutral exact integer arithmetic
+    (md5-seeded planes over floor-quantized vectors,
+    operators/simsearch.py:portable_near_dup_pairs), so DuckDB replays
+    the banding AND every verified pair value-exactly. Identical
+    vectors collide in every table by construction — planted-pair
+    recall is 1.0 regardless of banding — and at threshold 0.9 the
+    uniform-random corpus (top natural cosine ~0.32) contributes no
+    boundary-risk pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    corpus = emb.unionByName(planted)
+    return portable_near_dup_pairs(
+        corpus, id_col="vec_id", vec_col="embedding", threshold=0.9
+    )
+
+
 # --- multimodal -----------------------------------------------------------------
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1206,6 +1229,28 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     wrapped = attach_binary_payload(docs, "doc_id", "text", mime="text/plain;fake")
     return decode_media(wrapped)
+
+
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED REAL image decode (VERDICT r12 #4): every document
+    row becomes a REAL 24-bit uncompressed BMP (header + bottom-up
+    padded pixel rows, built executor-side from portable-md5 pixel
+    bytes — operators/multimodal.py:make_bmp), and a pure-struct/numpy
+    parser decodes it back (decode_bmp: magic check, data-offset from
+    the file header, stride/padding strip, bottom-up flip). The decoded
+    (width, height, pixel_sum) projection is DuckDB-replayable because
+    the pixel fixture is the portable hash family — the oracle
+    regenerates the bytes the DECODER must recover, so a parser bug
+    (wrong stride, unflipped rows, padding counted into the sum) is a
+    value mismatch, not a silent pass. Widths 5-8 sweep all four BMP
+    row-padding classes."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_bmp_media,
+        encode_bmp_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_bmp_media(encode_bmp_media(docs))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1348,8 +1393,10 @@ QUERIES = {
     "simsearch_ivfpq": q_simsearch_ivfpq,
     "simsearch_brp": q_simsearch_brp,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_portable": q_embedding_neardup_portable,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -2277,6 +2324,54 @@ ORACLE = {
         )
         SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
     """,
+    # portable near-dup replay: the planted corpus, the ndp-tagged
+    # integer planes (4 tables x 16 bits), the bucket-collision
+    # candidate self-join, and the rounded-cosine verification — the
+    # full banding is replayed because LSH candidate recall is
+    # probabilistic (the MinHash rule; identical vectors make planted
+    # recall 1.0, but the ORACLE must mirror the candidate set, not
+    # assume it) (operators/simsearch.py:portable_near_dup_pairs)
+    "embedding_neardup_portable": """
+        WITH corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000000 AS vec_id, embedding
+            FROM embeddings WHERE vec_id % 100 = 0
+        ), coef AS (
+            SELECT t.g AS t, b.g AS b, d.g AS d,
+                   (CAST('0x' || substr(md5('ndp:' || t.g || ':' || b.g || ':' || d.g), 1, 15) AS BIGINT) % 5) - 2 AS c
+            FROM generate_series(0, 3) t(g),
+                 generate_series(0, 15) b(g),
+                 generate_series(0, 63) d(g)
+        ), z AS (
+            SELECT vec_id,
+                   unnest(range(0, len(embedding))) AS d,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS z
+            FROM corpus
+        ), bits AS (
+            SELECT vec_id, coef.t, coef.b,
+                   CASE WHEN SUM(z.z * coef.c) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM z JOIN coef ON coef.d = z.d
+            GROUP BY vec_id, coef.t, coef.b
+        ), buckets AS (
+            SELECT vec_id, t, CAST(SUM(bit * (1 << b)) AS INTEGER) AS bucket
+            FROM bits GROUP BY vec_id, t
+        ), cands AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+            WHERE a.vec_id < b.vec_id
+        ), scored AS (
+            SELECT id_a, id_b,
+                   ROUND(list_cosine_similarity(
+                       list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(eb.embedding, x -> CAST(x AS DOUBLE))
+                   ), 6) AS sim
+            FROM cands
+            JOIN corpus ea ON ea.vec_id = cands.id_a
+            JOIN corpus eb ON eb.vec_id = cands.id_b
+        )
+        SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.9
+    """,
     # portable IVF replay: md5-ranked centroid sample, exact int64
     # squared-L2 assignment/probing over floor-quantized vectors,
     # rounded-cosine rerank (operators/simsearch.py:portable_ivf_topk)
@@ -2517,6 +2612,27 @@ ORACLE = {
                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                sha256(text) AS sha256
         FROM documents
+    """,
+    # REAL-decode replay: the oracle regenerates the portable-md5
+    # pixel bytes the BMP ENCODER serialized, so it checks what the
+    # numpy DECODER recovered through the actual file format (stride
+    # padding, bottom-up flip, data offset) — a parser bug is a value
+    # mismatch (operators/multimodal.py:decode_bmp)
+    "multimodal_decode_real": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(5 + doc_id % 4 AS INTEGER) AS width,
+                   CAST(3 + doc_id % 5 AS INTEGER) AS height
+            FROM documents
+        ), px AS (
+            SELECT doc_id, width, height,
+                   unnest(range(0, width * height * 3)) AS p
+            FROM dims
+        )
+        SELECT doc_id, width, height,
+               CAST(SUM(CAST('0x' || substr(md5('bmp:' || doc_id || ':' || p), 1, 15) AS BIGINT) % 256) AS BIGINT) AS pixel_sum
+        FROM px
+        GROUP BY doc_id, width, height
     """,
     # sha256-derived stub decode/features are fully SQL-expressible:
     # DuckDB's hex sha256 + '0x' casts reproduce the python digest

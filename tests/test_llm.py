@@ -293,6 +293,63 @@ def test_embedding_neardup_recall_on_constructed_set(spark):
     assert found - planted == set(), "false positives above 0.95 threshold"
 
 
+def test_portable_neardup_recall_and_engine_neutral_buckets(spark):
+    """The portable pair finder on the same constructed set: planted
+    near-identical pairs recovered, no false positives, and the bucket
+    of one vector recomputed from first principles (md5 integer planes
+    over floor-quantized components) matches the operator's — the
+    engine-neutrality pin mirroring the portable_lsh_topk test."""
+    import hashlib
+
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
+        _portable_plane_coeffs,
+        portable_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((20, 32))
+    rows = []
+    planted = set()
+    vid = 0
+    for i in range(20):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append((vid, [float(x) for x in v]))
+        rows.append((vid + 1, [float(x) for x in v]))  # exact duplicate
+        planted.add((vid, vid + 1))
+        vid += 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    found = {
+        (r.id_a, r.id_b)
+        for r in portable_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    # identical vectors share every bucket: recall is exactly 1.0
+    assert planted <= found, f"missed planted pairs: {planted - found}"
+    assert found - planted == set(), "false positives above 0.95 threshold"
+
+    # engine-neutrality: recompute vector 0's table-0 bucket by hand
+    coeffs = _portable_plane_coeffs(4, 16, 32, "ndp")
+    z = np.floor(np.asarray(rows[0][1], dtype=np.float64) * 1000.0).astype(np.int64)
+    by_hand = 0
+    for b in range(16):
+        h = int(hashlib.md5(f"ndp:0:{b}:0".encode()).hexdigest()[:15], 16)
+        assert coeffs[b, 0] == (h % 5) - 2  # coefficient derivation pinned
+        if int(z @ coeffs[b]) >= 0:
+            by_hand |= 1 << b
+    from machine_learning_algorithm_sparkml__spark.operators.simsearch import (
+        _portable_buckets_udf,
+    )
+    from pyspark.sql import functions as F
+
+    got = (
+        df.filter(F.col("vec_id") == 0)
+        .select(_portable_buckets_udf(coeffs, 4, 16)(F.col("embedding")).alias("bks"))
+        .first()["bks"][0]
+    )
+    assert got == by_hand
+
+
 def test_multimodal_payload_and_decode(docs):
     wrapped = attach_binary_payload(docs, "doc_id", "text", mime="text/plain;fake")
     assert dict(wrapped.dtypes)["payload"] == "binary"
@@ -307,6 +364,85 @@ def test_multimodal_decode_refuses_real_media(spark):
     wrapped = attach_binary_payload(df, "doc_id", "text", mime="image/png")
     with pytest.raises(Exception, match="NotImplementedError|stubbed"):
         decode_media(wrapped).collect()
+
+
+def test_bmp_roundtrip_all_padding_classes():
+    """make_bmp -> decode_bmp is the identity on the logical pixel
+    array for every row-padding class (w=5..8 gives pad 1,2,3,0) and
+    several flip depths — the decoder must strip padding and undo the
+    bottom-up row order exactly."""
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_bmp,
+        make_bmp,
+    )
+
+    rng = np.random.default_rng(3)
+    for w in (5, 6, 7, 8):
+        for h in (1, 3, 7):
+            pixels = bytes(rng.integers(0, 256, size=w * h * 3, dtype=np.uint8))
+            w2, h2, arr = decode_bmp(make_bmp(w, h, pixels))
+            assert (w2, h2) == (w, h)
+            assert bytes(arr.reshape(-1)) == pixels
+
+
+def test_bmp_decode_top_down_variant_and_refusals():
+    """Negative-height (top-down) BMPs decode without the flip; 8-bit
+    or compressed headers are refused, not guessed."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_bmp,
+        make_bmp,
+    )
+
+    pixels = bytes(range(5 * 2 * 3))  # w=5, h=2
+    bottom_up = make_bmp(5, 2, pixels)
+    # hand-flip to the top-down variant: negate height, swap the rows
+    stride = (5 * 3 + 3) & ~3
+    hdr, rows = bottom_up[:54], bottom_up[54:]
+    info = struct.pack("<Iii", 40, 5, -2) + hdr[26:54]
+    top_down = hdr[:14] + info + rows[stride:] + rows[:stride]
+    w, h, arr = decode_bmp(top_down)
+    assert (w, h) == (5, 2) and bytes(arr.reshape(-1)) == pixels
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"PNG" + bottom_up)
+    bad_bpp = bytearray(bottom_up)
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_bmp(bytes(bad_bpp))
+
+
+def test_decode_media_really_decodes_bmp(spark):
+    """decode_media routes image/bmp through the REAL parser: the
+    reported dims come from the file header, not the sha stub."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        bmp_dims,
+        decode_bmp_media,
+        encode_bmp_media,
+    )
+
+    docs = spark.range(20).withColumnRenamed("id", "doc_id")
+    encoded = encode_bmp_media(docs)
+    rows = decode_media(encoded).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r.width, r.height) == bmp_dims(r.doc_id)
+        assert r.n_channels == 3
+    # the projection kernel agrees with an in-process decode
+    proj = {r.doc_id: r for r in decode_bmp_media(encoded).collect()}
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _bmp_pixel_bytes,
+    )
+
+    for did in (0, 7, 13):
+        w, h = bmp_dims(did)
+        assert proj[did].pixel_sum == sum(_bmp_pixel_bytes(did, w * h * 3))
 
 
 def test_multimodal_features_fixed_dim(docs):
