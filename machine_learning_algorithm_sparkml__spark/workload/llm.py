@@ -345,17 +345,28 @@ def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-addend BM25 sums are bit-identical (commutative IEEE add), the
     shortlist orders by (raw score desc, doc_id), and the final rank by
     the shared rounded cosine — DuckDB replays the whole program."""
+    return hybrid_retrieval(spark, sf_dir, _HYBRID_QUERIES)
+
+
+def hybrid_retrieval(
+    spark: SparkSession, sf_dir: str, queries: tuple
+) -> DataFrame:
+    """The hybrid-retrieval program over an arbitrary (query_id,
+    term-tuple, vec_id) query set — ``q_retrieval_hybrid`` pins the
+    3-query oracle instance; the scale witness passes a 10x set to
+    show the re-rank term scales with |Q|*20, not the corpus
+    (tools/scale_witness.py, retrieval family)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    all_terms = sorted({t for _, ts, _ in _HYBRID_QUERIES for t in ts})
+    all_terms = sorted({t for _, ts, _ in queries for t in ts})
     qterms = spark.createDataFrame(
-        [(qid, t) for qid, ts, _ in _HYBRID_QUERIES for t in ts],
+        [(qid, t) for qid, ts, _ in queries for t in ts],
         "query_id int, term string",
     )
     qvecs = spark.createDataFrame(
-        [(qid, vid) for qid, _, vid in _HYBRID_QUERIES], "query_id int, vec_id long"
+        [(qid, vid) for qid, _, vid in queries], "query_id int, vec_id long"
     ).join(emb, "vec_id").select("query_id", F.col("embedding").alias("q_vec"))
 
     toks = docs.select(

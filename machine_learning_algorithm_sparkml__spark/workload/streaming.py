@@ -28,13 +28,21 @@ def q_streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same connector are scan_python_datasource*; this is the
     third plane a real connector needs. Oracle replays the feed
     formula from generate_series (see
-    streaming/events.py:run_streaming_python_source)."""
+    streaming/events.py:run_streaming_python_source).
+
+    rows_per_batch=3750 -> exactly TWO incarnations: the minimum that
+    still witnesses an offset recovery (incarnation 2 resumes from the
+    checkpointed pos=3750), and one fewer full query start/stop than
+    the r12 2500-row batching — the family's dominant cost is
+    incarnation setup, not rows (VERDICT r12 #6; the sink contents and
+    oracle are batching-invariant). The 3-incarnation drive stays
+    pinned at the runner level in tests/test_streaming.py."""
     from machine_learning_algorithm_sparkml__spark.streaming import (
         run_streaming_python_source,
     )
 
     return run_streaming_python_source(
-        spark, sf_dir, rows_per_batch=2500, max_rows=7500, rows_per_partition=2500
+        spark, sf_dir, rows_per_batch=3750, max_rows=7500, rows_per_partition=2500
     )
 
 
@@ -70,12 +78,20 @@ def q_streaming_python_source_windowed(spark: SparkSession, sf_dir: str) -> Data
         run_streaming_python_source_windowed,
     )
 
-    # rows_per_batch=3750: two data batches + the heartbeat batch =
-    # the minimum incarnation count (the heartbeat must land in its
-    # own batch AFTER all real data for the flush to see the final
-    # watermark); batching layout does not affect the final sink
+    # rows_per_batch=7500: ONE data batch + the heartbeat batch = two
+    # incarnations, the minimum that still witnesses the three-log
+    # co-recovery (incarnation 2 recovers the cursor at pos=7500, the
+    # batch-1 watermark, AND the full open-window state store — a
+    # recovery bug in any of the three dups/loses windows). The
+    # heartbeat must land in its own batch AFTER all real data for the
+    # flush to see the final watermark, which 7500 guarantees (7501
+    # feed rows -> batches of 7500 + 1). Batching layout does not
+    # affect the final sink; one fewer query start/stop than the r12
+    # two-data-batch drive (VERDICT r12 #6). Multi-data-batch
+    # incremental finalization stays pinned at the runner level in
+    # tests/test_streaming.py.
     return run_streaming_python_source_windowed(
-        spark, sf_dir, rows_per_batch=3750, max_rows=7500,
+        spark, sf_dir, rows_per_batch=7500, max_rows=7500,
         rows_per_partition=2500, window_duration="1 hour",
         watermark="30 minutes", seconds_per_id=4, num_state_partitions=8,
     )
@@ -95,8 +111,11 @@ def q_streaming_python_source_static_join(
         run_streaming_python_source_static_join,
     )
 
+    # rows_per_batch=3750 -> two incarnations (same rationale as
+    # streaming_python_source: offset recovery witnessed at minimum
+    # setup cost; sink and oracle batching-invariant)
     return run_streaming_python_source_static_join(
-        spark, sf_dir, rows_per_batch=2500, max_rows=7500,
+        spark, sf_dir, rows_per_batch=3750, max_rows=7500,
         rows_per_partition=2500,
     )
 

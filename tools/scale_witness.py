@@ -89,6 +89,16 @@ FAMILY_KEYS = {
     # same build as scan-bound controls (their shuffles grow with
     # vocabulary/doc count, still ~linear).
     "text": ["text_bm25", "text_top_terms", "text_gopher_quality"],
+    # r13: the hybrid-retrieval flagship (VERDICT r12 #5). Two axes:
+    # 10x corpus (replica word-renaming keeps the probe terms only in
+    # replica 0, so the BM25-side wide exchanges — the pre-filtered
+    # (doc,term) agg and the shortlist window — stay CONSTANT while
+    # scan+tokenize grows 10x, the text_bm25 contract), and 10x query
+    # count at BOTH scales (the re-rank term is bounded by |Q|*20
+    # shortlist survivors, so growing |Q| 3->30 must cost ~the same
+    # increment at either corpus size — if it scaled with the corpus,
+    # the q30/q3 ratio would grow with sf).
+    "retrieval": ["retrieval_hybrid", "retrieval_hybrid_q30"],
     # r12: the two ANN-family members that had no witness row
     # (VERDICT r11 #7), over the same 100x embeddings build (200k
     # vectors). Claims under test: PQ's compressed-code scan grows
@@ -120,9 +130,26 @@ def _semantic_dedup_portable_scaled(spark, sf_dir):
     return semantic_dedup_portable(emb, k=k)
 
 
+def _retrieval_hybrid_q30(spark, sf_dir):
+    """retrieval_hybrid with a 10x query set (30 queries, two terms
+    each drawn round-robin from the 4-term probe pool, query vectors
+    vec_id 0..29): times the |Q|-scaling axis of the hybrid plan."""
+    import itertools
+
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        _BM25_TERMS,
+        hybrid_retrieval,
+    )
+
+    pairs = list(itertools.combinations(_BM25_TERMS, 2))
+    qset = tuple((qid, pairs[qid % len(pairs)], qid) for qid in range(30))
+    return hybrid_retrieval(spark, sf_dir, qset)
+
+
 #: witness-local callables (not registry keys): timed like any key
 WITNESS_LOCAL = {
     "semantic_dedup_portable_scaled": _semantic_dedup_portable_scaled,
+    "retrieval_hybrid_q30": _retrieval_hybrid_q30,
 }
 REPLICAS = 10
 ANN_REPLICAS = 100
@@ -181,6 +208,21 @@ def build_sf1_embeddings(spark, out_dir: str) -> None:
     for p in parts[1:]:
         out = out.unionAll(p)
     out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+def build_sf1_retrieval(spark, out_dir: str) -> None:
+    """documents 10x (renamed replicas — probe terms only in replica
+    0) plus the embeddings table passed through unchanged: the hybrid
+    re-rank joins shortlist doc_ids against vec_ids, and the renamed
+    replicas can never enter the shortlist, so the same embedding
+    population serves the 10x corpus exactly as it would in
+    production (embeddings exist for the retrievable subset)."""
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+    build_sf1_documents(spark, out_dir)
+    load_table(spark, SF01, "embeddings").write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
 
@@ -263,6 +305,7 @@ def main() -> int:
         "maintenance2": build_sf1_relational,
         "text": build_sf1_documents,
         "ann2": build_sf1_embeddings,
+        "retrieval": build_sf1_retrieval,
     }
     built = set()
     for fam in families:
