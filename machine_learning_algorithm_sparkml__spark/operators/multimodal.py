@@ -254,6 +254,138 @@ def decode_bmp_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(_decode, schema=DECODED_BMP_SCHEMA)
 
 
+# --- real WAV (RIFF/PCM) codec — the audio sibling of the BMP path ------------
+
+#: Output schema of the REAL WAV decode (amp_sum = exact signed sum of
+#: all decoded 16-bit samples — the oracle-comparable projection).
+DECODED_WAV_SCHEMA = "doc_id long, sample_rate int, n_samples int, amp_sum long"
+
+
+def make_wav(sample_rate: int, samples: "np.ndarray", *, comment: bytes = b"spark-graft") -> bytes:
+    """Serialize a REAL mono 16-bit PCM WAV (RIFF container: fmt chunk,
+    an INFO-style comment chunk, data chunk). The comment chunk is
+    deliberately odd-length-capable: RIFF pads odd chunk bodies with
+    one byte that is NOT counted in the chunk size, and a parser that
+    forgets the pad walks into garbage — so the fixture exercises it."""
+    samples = np.asarray(samples, dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = [(b"fmt ", fmt), (b"cmt ", comment), (b"data", data)]
+    body = b"WAVE"
+    for tag, payload in chunks:
+        body += tag + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            body += b"\x00"  # RIFF pad byte, excluded from the size field
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """REAL WAV decode: verify the RIFF/WAVE magic, then WALK the chunk
+    list (arbitrary chunk order and unknown chunks are legal in RIFF —
+    a fixed-offset "parser" breaks on any real-world file) honoring the
+    odd-size pad byte, pick up fmt and data, and reject anything that
+    is not mono 16-bit PCM rather than guessing. Returns
+    (sample_rate, int16 sample array)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    fmt = data = None
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # odd chunk bodies carry a pad byte
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt
+    if (audio_format, n_channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"unsupported WAV variant (format={audio_format}, "
+            f"channels={n_channels}, bits={bits}); only mono 16-bit PCM"
+        )
+    return sample_rate, np.frombuffer(data, dtype="<i2")
+
+
+def _wav_samples(doc_id: int, n: int) -> "np.ndarray":
+    """Deterministic portable sample fixture: sample ``i`` is the
+    md5-60bit parse of ``'wav:doc_id:i'`` mod 65536, shifted to the
+    signed int16 range — DuckDB regenerates the identical signal."""
+    return np.array(
+        [
+            int(hashlib.md5(f"wav:{doc_id}:{i}".encode()).hexdigest()[:15], 16) % 65536
+            - 32768
+            for i in range(n)
+        ],
+        dtype=np.int16,
+    )
+
+
+def wav_params(doc_id: int) -> tuple[int, int]:
+    """Per-doc fixture (sample_rate, n_samples): three standard rates,
+    lengths 40-56 (odd and even — an odd sample count makes the data
+    chunk even anyway at 16-bit, while the odd-length comment chunk
+    exercises the RIFF pad)."""
+    return 8000 + (doc_id % 3) * 4000, 40 + doc_id % 17
+
+
+def encode_wav_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL WAV payloads per row (Arrow-batched kernel), then
+    attach the standard metadata struct JVM-side."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                rate, n = wav_params(did)
+                payloads.append(make_wav(rate, _wav_samples(did, n)))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = df.mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_wav_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched REAL decode of WAV payloads to the
+    oracle-comparable projection (doc_id, sample_rate, n_samples,
+    amp_sum) — bytes stay executor-side."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rates, counts, sums = [], [], []
+            for payload in pdf["payload"]:
+                rate, samples = decode_wav(bytes(payload))
+                rates.append(rate)
+                counts.append(len(samples))
+                sums.append(int(samples.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "sample_rate": rates,
+                    "n_samples": counts,
+                    "amp_sum": sums,
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=DECODED_WAV_SCHEMA)
+
+
 def extract_features(df: DataFrame, *, id_col: str = "doc_id", dim: int = FEATURE_DIM) -> DataFrame:
     """Arrow-batched feature extraction stub: a deterministic
     ``dim``-float vector per payload (sha256-seeded). Real version:

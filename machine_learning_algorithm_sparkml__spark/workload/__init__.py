@@ -33,12 +33,13 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # lands.
 PRIORITY_KEYS = [
     # --- r13 window (50 slots; driver records indices 0-49) ---
-    # Slots 0-1: keys NEW this round, never driver-checked — the
+    # Slots 0-2: keys NEW this round, never driver-checked — the
     # oracle-backed near-dup twin (VERDICT r12 #3) and the real
-    # numpy-BMP decode (VERDICT r12 #4):
+    # BMP/WAV decodes (VERDICT r12 #4 + its audio sibling):
     "embedding_neardup_portable",
     "multimodal_decode_real",
-    # Slots 2-33: the complete r8-stale block (staleness.py r8 row,
+    "multimodal_wav_decode",
+    # Slots 3-34: the complete r8-stale block (staleness.py r8 row,
     # 32 keys — no key's latest driver row may predate r9 after this
     # round, VERDICT r12 #1):
     "doc_chunk_fixed",
@@ -73,7 +74,7 @@ PRIORITY_KEYS = [
     "text_top_terms",
     "text_zscore_by_lang",
     "window_first_last",
-    # Slots 34-49: 16-key fill from the r9-stale block (oldest rows
+    # Slots 35-49: 15-key fill from the r9-stale block (oldest rows
     # after r8; includes ml_confusion per VERDICT r12 "keep the
     # invariant rows in rotation", with oracle-backed keys as the
     # slip-boundary anchors per the window-bookkeeping rule):
@@ -92,9 +93,11 @@ PRIORITY_KEYS = [
     "ml_group_ridge",
     "observe_metrics",
     "random_split_portable",
+    # --- slip tail (positions 50+): sample_hash_portable displaced
+    # from slot 49 by the late multimodal_wav_decode addition (the
+    # window-bookkeeping rule: slip an oracle-backed low-risk key),
+    # then the remaining 30 r9-stale keys; they head the r14 rotation ---
     "sample_hash_portable",
-    # --- slip tail (positions 50+): the remaining 30 r9-stale keys;
-    # they head the r14 rotation ---
     "sample_stratified_portable",
     "scalar_try_funcs",
     "scan_binary_files",

@@ -1264,6 +1264,26 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_bmp_media(encode_bmp_media(docs))
 
 
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED REAL audio decode — the WAV sibling of
+    ``multimodal_decode_real``: every document row becomes a REAL mono
+    16-bit PCM WAV (RIFF container with fmt, an odd-length comment
+    chunk, and data chunks — operators/multimodal.py:make_wav), and
+    the pure-struct/numpy parser decodes it back by WALKING the chunk
+    list (arbitrary order, unknown chunks, odd-size pad bytes — the
+    parts of RIFF a fixed-offset reader gets wrong). Samples are the
+    portable-md5 fixture, so DuckDB regenerates the signal the decoder
+    must recover; a chunk-walk bug (pad byte missed, comment bytes
+    read as samples) is a value mismatch."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_wav_media,
+        encode_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_wav_media(encode_wav_media(docs))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: Arrow-batched feature-extraction stub. The feature
     vector is summarized to scalar columns (dim / L1 norm / first slot)
@@ -1408,6 +1428,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_real": q_multimodal_decode_real,
+    "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -2644,6 +2665,27 @@ ORACLE = {
                CAST(SUM(CAST('0x' || substr(md5('bmp:' || doc_id || ':' || p), 1, 15) AS BIGINT) % 256) AS BIGINT) AS pixel_sum
         FROM px
         GROUP BY doc_id, width, height
+    """,
+    # REAL WAV replay: same contract as multimodal_decode_real — the
+    # oracle regenerates the portable-md5 PCM samples the RIFF encoder
+    # serialized, checking what the chunk-walking decoder recovered
+    # (operators/multimodal.py:decode_wav). amp_sum is a signed exact
+    # integer sum (values span the full int16 range)
+    "multimodal_wav_decode": """
+        WITH params AS (
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+                   CAST(40 + doc_id % 17 AS INTEGER) AS n_samples
+            FROM documents
+        ), sm AS (
+            SELECT doc_id, sample_rate, n_samples,
+                   unnest(range(0, n_samples)) AS i
+            FROM params
+        )
+        SELECT doc_id, sample_rate, n_samples,
+               CAST(SUM(CAST('0x' || substr(md5('wav:' || doc_id || ':' || i), 1, 15) AS BIGINT) % 65536 - 32768) AS BIGINT) AS amp_sum
+        FROM sm
+        GROUP BY doc_id, sample_rate, n_samples
     """,
     # sha256-derived stub decode/features are fully SQL-expressible:
     # DuckDB's hex sha256 + '0x' casts reproduce the python digest

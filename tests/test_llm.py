@@ -445,6 +445,66 @@ def test_decode_media_really_decodes_bmp(spark):
         assert proj[did].pixel_sum == sum(_bmp_pixel_bytes(did, w * h * 3))
 
 
+def test_wav_roundtrip_chunk_walk_and_refusals():
+    """make_wav -> decode_wav recovers the exact int16 signal through
+    the RIFF chunk walk: odd-length comment chunks (pad byte), odd and
+    even sample counts, chunks in non-canonical order; stereo and
+    non-PCM variants are refused."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_wav,
+        make_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    for n, comment in ((40, b"odd-len!!"), (41, b"even-len"), (1, b"x")):
+        samples = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        rate, out = decode_wav(make_wav(16000, samples, comment=comment))
+        assert rate == 16000 and np.array_equal(out, samples)
+
+    # non-canonical chunk order: data before fmt is legal RIFF
+    samples = np.array([1, -2, 3], dtype="<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"data" + struct.pack("<I", 6) + samples.tobytes()
+        + b"fmt " + struct.pack("<I", 16) + fmt
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, out = decode_wav(payload)
+    assert rate == 8000 and np.array_equal(out, samples)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + payload[4:])
+    stereo = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body2 = body.replace(fmt, stereo)
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body2)) + body2)
+
+
+def test_wav_decode_media_projection(spark):
+    """The Spark kernels agree with an in-process encode/decode."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _wav_samples,
+        decode_wav_media,
+        encode_wav_media,
+        wav_params,
+    )
+
+    docs = spark.range(17).withColumnRenamed("id", "doc_id")
+    proj = {r.doc_id: r for r in decode_wav_media(encode_wav_media(docs)).collect()}
+    assert len(proj) == 17
+    for did in (0, 3, 16):
+        rate, n = wav_params(did)
+        r = proj[did]
+        assert (r.sample_rate, r.n_samples) == (rate, n)
+        assert r.amp_sum == int(_wav_samples(did, n).astype("int64").sum())
+
+
 def test_multimodal_features_fixed_dim(docs):
     wrapped = attach_binary_payload(docs.limit(20), "doc_id", "text")
     feats = extract_features(wrapped)
