@@ -472,7 +472,7 @@ ORACLE = {
     # normalization chain as text_normalize, same md5-60bit
     # fingerprint, phase = which incarnation delivered the doc, keeper
     # = lexicographic-min (phase, doc_id) per fingerprint
-    "streaming_corpus_dedup": """
+    "streaming_corpus_dedup": r"""
         WITH half AS (SELECT MAX(doc_id) // 2 AS h FROM documents),
         corpus AS (
             SELECT doc_id, text FROM documents

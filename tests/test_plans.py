@@ -1049,3 +1049,29 @@ def test_r12_capability_keys_plan_shapes(spark, sf_dir):
     p2 = rsv._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in p2, p2
     assert re.search(r"windowspecdefinition\(source#", p2), p2
+
+
+def test_r13_capability_keys_plan_shapes(spark, sf_dir):
+    """Portable near-dup pairs: the candidate generator must be the
+    bucketed (table, bucket) equi-self-join — never a cartesian/NL
+    product over the corpus (the property that survives 100x); the
+    verified-pair scoring joins by id. BMP/WAV decode keys: one
+    ArrowEvalPython-free mapInPandas pipeline per side (encode +
+    decode), no exchange at all — decode is embarrassingly parallel."""
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_embedding_neardup_portable,
+        q_multimodal_decode_real,
+        q_multimodal_wav_decode,
+    )
+
+    nd = q_embedding_neardup_portable(spark, sf_dir)
+    p = nd._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    # the bucket self-join keys on BOTH band columns
+    assert "table#" in p and "bucket#" in p, p
+
+    for q in (q_multimodal_decode_real, q_multimodal_wav_decode):
+        d = q(spark, sf_dir)
+        pd_ = d._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in pd_, pd_  # scan -> encode -> decode, no shuffle
+        assert pd_.count("MapInPandas") == 2, pd_
