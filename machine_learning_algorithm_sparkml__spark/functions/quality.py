@@ -234,6 +234,72 @@ def gopher_signals(df: DataFrame, id_cols: list[str], text_col: str = "text") ->
     )
 
 
+def token_entropy_signals(df: DataFrame, id_cols: list[str], text_col: str = "text") -> DataFrame:
+    """Per-document token Shannon entropy — the distribution-shape
+    quality signal the count-based Gopher rules can't see (a doc that
+    repeats five words in rotation passes ``repetition_ratio`` checks
+    scaled to the TOP token but scores near log2(5) here, far below a
+    natural-text entropy).
+
+    Same SHUFFLE-FREE plan shape as :func:`gopher_signals` — the point
+    at 100 TB: the naive formulation explodes tokens and aggregates
+    twice (shuffling ~n_tokens rows per doc across the cluster, with
+    the (doc, token) term-frequency frame as an intermediate); here
+    term frequencies are RUN LENGTHS of the sorted token array, and
+    one ``F.aggregate`` fold accumulates Σ c·log2(c) as each run
+    closes — zero exchanges, zero Python, one pass per row,
+    materialized once via the ``F.inline`` generator (interpreted
+    higher-order functions get no CSE — the bigram_signals rule).
+
+    entropy = log2(n) − (Σ c·log2(c))/n, rounded to 6 (the one
+    non-integer: log2 is irrational, and the oracle's per-group SUM
+    order differs — same rounding contract as the cosine keys).
+    Zero-token docs score (0, 0, 0.0)."""
+    toks_sorted = F.array_sort(tokens(F.col(text_col)))
+
+    def _close(run):
+        # a closing run of length c contributes c*log2(c); log2(1)=0
+        return F.when(run > 1, run.cast("double") * F.log2(run.cast("double"))).otherwise(F.lit(0.0))
+
+    def _step(acc, x):
+        is_run = x.eqNullSafe(acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            (F.when(is_run, acc["run"] + 1).otherwise(F.lit(1))).alias("run"),
+            (acc["clog"] + F.when(is_run, F.lit(0.0)).otherwise(_close(acc["run"]))).alias("clog"),
+            (acc["types"] + F.when(is_run, F.lit(0)).otherwise(F.lit(1))).alias("types"),
+            (acc["cnt"] + 1).alias("cnt"),
+        )
+
+    stats = F.aggregate(
+        toks_sorted,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0.0).alias("clog"),
+            F.lit(0).alias("types"),
+            F.lit(0).alias("cnt"),
+        ),
+        _step,
+        lambda acc: F.struct(
+            acc["cnt"].alias("n_tokens"),
+            acc["types"].alias("n_types"),
+            (acc["clog"] + _close(acc["run"])).alias("_clog"),
+        ),
+    )
+    mid = df.select(*id_cols, F.inline(F.array(stats)))
+    n = F.col("n_tokens")
+    entropy = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(F.log2(n.cast("double")) - F.col("_clog") / n.cast("double"), 6)
+    )
+    return mid.select(
+        *id_cols,
+        "n_tokens",
+        "n_types",
+        entropy.alias("token_entropy"),
+    )
+
+
 def gopher_flags(text: Column) -> dict[str, Column]:
     """The individual Gopher rule verdicts plus the conjunction.
     Returned as named columns so a pipeline can log WHY a doc was

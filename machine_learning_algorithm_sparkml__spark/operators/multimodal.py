@@ -9,17 +9,23 @@ The Spark-side plumbing here is REAL and tested: schemas, Arrow-batched
 (VERDICT r12 #4): **uncompressed 24-bit BMP is decoded for real** —
 pure-struct/numpy header parse, bottom-up row order, 4-byte row
 padding (:func:`decode_bmp`) — because a BMP needs no codec library.
-Compressed formats (PNG/JPEG/audio/video) remain STUBBED behind
-``decode_stub``: a clearly-marked deterministic fake that derives
-"decoded" properties from the payload bytes and *raises* on real
-compressed mimes rather than faking a decode. Swapping in a real
-decoder changes ONE function body, not the pipeline.
+**8-bit truecolor PNG is decoded for real too** (:func:`decode_png`):
+PNG's compression is DEFLATE, which the Python *standard library*
+ships (``zlib``), so the chunk walk, CRC verification, IDAT inflate,
+and all five scanline filter reconstructions (None/Sub/Up/Average/
+Paeth) need no external codec. Formats whose codecs genuinely are
+absent from this container (JPEG/GIF/video/compressed audio) remain
+STUBBED behind ``decode_stub``: a clearly-marked deterministic fake
+that derives "decoded" properties from the payload bytes and *raises*
+on those mimes rather than faking a decode. Swapping in a real decoder
+changes ONE function body, not the pipeline.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -78,9 +84,10 @@ def decode_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     only the decoded properties leave the executor — payload bytes
     never cross back to the JVM.
 
-    ``image/bmp`` payloads are decoded FOR REAL (:func:`decode_bmp` —
-    header parse, not a fake); other image/audio/video mimes raise, so
-    the stub never masquerades as a decode it cannot do."""
+    ``image/bmp`` and ``image/png`` payloads are decoded FOR REAL
+    (:func:`decode_bmp` / :func:`decode_png` — header parse + DEFLATE
+    inflate, not fakes); other image/audio/video mimes raise, so the
+    stub never masquerades as a decode it cannot do."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -88,10 +95,12 @@ def decode_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                 continue
             mimes = pdf["media_meta"].map(lambda m: m["mime"])
             is_bmp = mimes.str.startswith("image/bmp")
-            if (mimes.str.startswith(("image/", "audio/", "video/")) & ~is_bmp).any():
+            is_png = mimes.str.startswith("image/png")
+            is_real = is_bmp | is_png
+            if (mimes.str.startswith(("image/", "audio/", "video/")) & ~is_real).any():
                 raise NotImplementedError(
-                    "real media decoding beyond uncompressed BMP is stubbed "
-                    "in this environment; swap decode_stub for a codec-backed "
+                    "real media decoding beyond BMP/PNG is stubbed in this "
+                    "environment; swap decode_stub for a codec-backed "
                     "implementation"
                 )
 
@@ -99,10 +108,13 @@ def decode_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                 if row["is_bmp"]:
                     w, h, _ = decode_bmp(row["payload"])
                     return w, h, 3
+                if row["is_png"]:
+                    w, h, _ = decode_png(row["payload"])
+                    return w, h, 3
                 return decode_stub(row["payload"])
 
             decoded = pd.DataFrame(
-                {"payload": pdf["payload"], "is_bmp": is_bmp}
+                {"payload": pdf["payload"], "is_bmp": is_bmp, "is_png": is_png}
             ).apply(_one, axis=1)
             yield pd.DataFrame(
                 {
@@ -384,6 +396,238 @@ def decode_wav_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(_decode, schema=DECODED_WAV_SCHEMA)
+
+
+# --- real PNG codec (DEFLATE via stdlib zlib — no external library) ------------
+
+#: Output schema of the REAL PNG decode (pixel_sum = exact integer sum
+#: of all decoded RGB bytes — the oracle-comparable projection).
+DECODED_PNG_SCHEMA = "doc_id long, width int, height int, pixel_sum long"
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    """One PNG chunk: 4-byte big-endian length, tag, body, CRC-32 over
+    tag+body (the actual file format's integrity check)."""
+    return struct.pack(">I", len(body)) + tag + body + struct.pack(
+        ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PaethPredictor from the PNG spec (filter type 4): pick whichever
+    of left/up/up-left is closest to a+b-c, ties left > up > up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def make_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize a REAL 8-bit truecolor PNG (signature, IHDR, a tEXt
+    ancillary chunk, IDAT split across two chunks, IEND). ``pixels`` is
+    the top-down row-major RGB byte array of length ``width*height*3``.
+
+    Scanline ``y`` is filtered with type ``y % 5`` — cycling
+    None/Sub/Up/Average/Paeth — so any image of height ≥ 5 forces the
+    DECODER to implement every filter reconstruction in the spec, and
+    the IDAT split forces multi-chunk inflate. The output opens in any
+    image viewer: DEFLATE is stdlib ``zlib``, this is the actual
+    format, not a container stub."""
+    bpp = 3
+    row_bytes = width * bpp
+    if len(pixels) != row_bytes * height:
+        raise ValueError(f"need {row_bytes * height} pixel bytes, got {len(pixels)}")
+    raw = np.frombuffer(pixels, dtype=np.uint8).reshape(height, row_bytes).astype(np.int32)
+    filtered = bytearray()
+    prior = np.zeros(row_bytes, dtype=np.int32)
+    for y in range(height):
+        row = raw[y]
+        ftype = y % 5
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), row[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int32), prior[:-bpp]])
+        if ftype == 0:
+            out = row
+        elif ftype == 1:
+            out = row - left
+        elif ftype == 2:
+            out = row - prior
+        elif ftype == 3:
+            out = row - (left + prior) // 2
+        else:
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prior, ul)],
+                dtype=np.int32,
+            )
+            out = row - pred
+        filtered.append(ftype)
+        filtered += (out % 256).astype(np.uint8).tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    compressed = zlib.compress(bytes(filtered), 6)
+    split = max(1, len(compressed) // 2)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tEXt", b"Software\x00spark-graft")
+        + _png_chunk(b"IDAT", compressed[:split])
+        + _png_chunk(b"IDAT", compressed[split:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np.ndarray]:
+    """REAL PNG decode with no codec library: verify the signature,
+    walk the chunk list (CRC-checking each chunk, skipping ancillary
+    chunks a fixed-offset reader would trip over), parse IHDR, inflate
+    the CONCATENATION of all IDAT chunks (one zlib stream may span
+    many chunks), then reconstruct every scanline filter the spec
+    defines — None/Sub/Up/Average/Paeth, the inverse of
+    :func:`make_png`'s forward filters. Returns (width, height,
+    pixels) where ``pixels`` is the top-down ``(height, width*3)``
+    uint8 array. Only 8-bit truecolor non-interlaced PNGs are decoded
+    — palette/alpha/16-bit/Adam7 raise rather than guessing."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if verify_crc:
+            (crc,) = struct.unpack(">I", payload[pos + 8 + size : pos + 12 + size])
+            if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+                raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR or IDAT chunk")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if (depth, color_type, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color_type}, "
+            f"interlace={interlace}); only 8-bit truecolor non-interlaced"
+        )
+    bpp = 3
+    row_bytes = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (row_bytes + 1) * height:
+        raise ValueError("inflated scanline data has the wrong length")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, row_bytes + 1)
+    out = np.zeros((height, row_bytes), dtype=np.int32)
+    prior = np.zeros(row_bytes, dtype=np.int32)
+    for y in range(height):
+        ftype = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int32)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 2:
+            rec = (cur + prior) % 256
+        elif ftype in (1, 3, 4):
+            # left-dependent filters reconstruct sequentially across x
+            rec = np.zeros(row_bytes, dtype=np.int32)
+            for x in range(row_bytes):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prior[x - bpp]) if x >= bpp else 0
+                    pred = _paeth(a, b, c)
+                rec[x] = (int(cur[x]) + pred) % 256
+        else:
+            raise ValueError(f"unknown scanline filter type {ftype}")
+        out[y] = rec
+        prior = rec
+    return width, height, out.astype(np.uint8)
+
+
+def _png_pixel_bytes(doc_id: int, n: int) -> bytes:
+    """Deterministic portable pixel fixture (same md5-60bit family as
+    the BMP/WAV fixtures): byte ``p`` = md5('png:doc_id:p') % 256, so
+    DuckDB regenerates the identical array and the decoded
+    (width, height, pixel_sum) projection is oracle-checkable."""
+    return bytes(
+        int(hashlib.md5(f"png:{doc_id}:{p}".encode()).hexdigest()[:15], 16) % 256
+        for p in range(n)
+    )
+
+
+def png_dims(doc_id: int) -> tuple[int, int]:
+    """Per-doc fixture dimensions: height 5-8 keeps every image tall
+    enough that the y%5 filter cycle exercises ALL FIVE scanline
+    filters in every single file; width 4-8 varies the left-dependency
+    run length."""
+    return 4 + doc_id % 5, 5 + doc_id % 4
+
+
+def encode_png_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL PNG payloads per row (Arrow-batched kernel; the
+    DEFLATE compression runs executor-side), then attach the standard
+    metadata struct JVM-side."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = png_dims(did)
+                payloads.append(make_png(w, h, _png_pixel_bytes(did, w * h * 3)))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = df.mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_png_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched REAL decode of PNG payloads to the
+    oracle-comparable projection (doc_id, width, height, pixel_sum) —
+    inflate + filter reconstruction run entirely executor-side; only
+    three ints per image cross back to the JVM."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            widths, heights, sums = [], [], []
+            for payload in pdf["payload"]:
+                w, h, pixels = decode_png(bytes(payload))
+                widths.append(w)
+                heights.append(h)
+                sums.append(int(pixels.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": widths,
+                    "height": heights,
+                    "pixel_sum": sums,
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=DECODED_PNG_SCHEMA)
 
 
 def extract_features(df: DataFrame, *, id_col: str = "doc_id", dim: int = FEATURE_DIM) -> DataFrame:

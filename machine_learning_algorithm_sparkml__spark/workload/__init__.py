@@ -33,12 +33,18 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # lands.
 PRIORITY_KEYS = [
     # --- r13 window (50 slots; driver records indices 0-49) ---
-    # Slots 0-2: keys NEW this round, never driver-checked — the
-    # oracle-backed near-dup twin (VERDICT r12 #3) and the real
-    # BMP/WAV decodes (VERDICT r12 #4 + its audio sibling):
+    # Slots 0-5: keys NEW this round, never driver-checked — the
+    # oracle-backed near-dup twin (VERDICT r12 #3), the real
+    # BMP/WAV decodes (VERDICT r12 #4 + its audio sibling), then the
+    # session-2 additions: the real PNG decode (compressed format,
+    # stdlib-zlib DEFLATE), gzip JSONL ingestion, and the shuffle-free
+    # token-entropy quality signal (all three oracle-backed):
     "embedding_neardup_portable",
     "multimodal_decode_real",
     "multimodal_wav_decode",
+    "multimodal_png_decode",
+    "scan_jsonl_gzip",
+    "text_token_entropy",
     # Slots 3-34: the complete r8-stale block (staleness.py r8 row,
     # 32 keys — no key's latest driver row may predate r9 after this
     # round, VERDICT r12 #1):
@@ -90,13 +96,16 @@ PRIORITY_KEYS = [
     "layout_compaction_clustered",
     "ml_confusion",
     "ml_group_ols",
+    # --- slip tail (positions 50+): ml_group_ridge /
+    # observe_metrics / random_split_portable displaced from slots
+    # 47-49 by the three session-2 additions, after
+    # sample_hash_portable was displaced from slot 49 by the late
+    # multimodal_wav_decode addition (the window-bookkeeping rule:
+    # slip oracle-backed low-risk keys), then the remaining 30
+    # r9-stale keys; they head the r14 rotation ---
     "ml_group_ridge",
     "observe_metrics",
     "random_split_portable",
-    # --- slip tail (positions 50+): sample_hash_portable displaced
-    # from slot 49 by the late multimodal_wav_decode addition (the
-    # window-bookkeeping rule: slip an oracle-backed low-risk key),
-    # then the remaining 30 r9-stale keys; they head the r14 rotation ---
     "sample_hash_portable",
     "sample_stratified_portable",
     "scalar_try_funcs",

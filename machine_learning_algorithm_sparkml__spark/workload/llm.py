@@ -1284,6 +1284,29 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav_media(encode_wav_media(docs))
 
 
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED REAL **compressed**-format decode — the first
+    codec key whose payload is not raw bytes under a header: every
+    document row becomes a REAL 8-bit truecolor PNG (signature, CRC'd
+    chunks, tEXt ancillary chunk, DEFLATE-compressed scanlines split
+    across two IDAT chunks — operators/multimodal.py:make_png), and
+    the pure stdlib-zlib/numpy parser decodes it back (chunk walk with
+    CRC verify, multi-IDAT inflate, and ALL FIVE scanline filter
+    reconstructions — the fixture cycles None/Sub/Up/Average/Paeth per
+    row, so a filter bug in any of the five is a value mismatch).
+    Pixels are the portable-md5 family, so DuckDB regenerates the
+    bytes the decoder must recover through compression + filtering.
+    Closes most of the r12 "compressed codecs env-blocked" caveat:
+    PNG's codec (DEFLATE) ships in the Python standard library."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_png_media,
+        encode_png_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_png_media(encode_png_media(docs))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: Arrow-batched feature-extraction stub. The feature
     vector is summarized to scalar columns (dim / L1 norm / first slot)
@@ -1429,6 +1452,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_wav_decode": q_multimodal_wav_decode,
+    "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -2663,6 +2687,28 @@ ORACLE = {
         )
         SELECT doc_id, width, height,
                CAST(SUM(CAST('0x' || substr(md5('bmp:' || doc_id || ':' || p), 1, 15) AS BIGINT) % 256) AS BIGINT) AS pixel_sum
+        FROM px
+        GROUP BY doc_id, width, height
+    """,
+    # REAL PNG replay: the oracle regenerates the portable-md5 pixel
+    # bytes the PNG ENCODER compressed (DEFLATE + per-row filter
+    # cycle), so it checks what the stdlib-zlib/numpy DECODER
+    # recovered through the actual compressed format — a chunk-walk,
+    # inflate, or filter-reconstruction bug is a value mismatch
+    # (operators/multimodal.py:decode_png)
+    "multimodal_png_decode": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(4 + doc_id % 5 AS INTEGER) AS width,
+                   CAST(5 + doc_id % 4 AS INTEGER) AS height
+            FROM documents
+        ), px AS (
+            SELECT doc_id, width, height,
+                   unnest(range(0, width * height * 3)) AS p
+            FROM dims
+        )
+        SELECT doc_id, width, height,
+               CAST(SUM(CAST('0x' || substr(md5('png:' || doc_id || ':' || p), 1, 15) AS BIGINT) % 256) AS BIGINT) AS pixel_sum
         FROM px
         GROUP BY doc_id, width, height
     """,

@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from machine_learning_algorithm_sparkml__spark.functions.quality import gopher_signals
+from machine_learning_algorithm_sparkml__spark.functions.quality import (
+    gopher_signals,
+    token_entropy_signals,
+)
 from machine_learning_algorithm_sparkml__spark.operators.lm import (
     bigram_familiarity,
     token_budget_mixture,
@@ -53,6 +56,19 @@ def q_text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-exact without rounding."""
     docs = load_table(spark, sf_dir, "documents")
     return bigram_familiarity(docs, "doc_id", "text")
+
+
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token Shannon entropy, types, and token count
+    (functions/quality.py: token_entropy_signals) — the
+    distribution-shape quality signal (low-entropy docs are template/
+    boilerplate spam even when top-token repetition rules pass).
+    Shuffle-free: term frequencies are run lengths of the sorted token
+    array, Σ c·log2(c) accumulates in ONE fold per row — no explode,
+    no exchange, the per-row projection shape that survives 1000
+    executors untouched."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy_signals(docs, ["doc_id"], "text")
 
 
 def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,6 +265,7 @@ def q_text_repetition_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_gopher_quality": q_text_gopher_quality,
+    "text_token_entropy": q_text_token_entropy,
     "text_repetition_bigram": q_text_repetition_bigram,
     "text_unigram_familiarity": q_text_unigram_familiarity,
     "text_bigram_familiarity": q_text_bigram_familiarity,
@@ -305,6 +322,32 @@ ORACLE = {
                (CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
                      ELSE 1.0 - CAST(p.distinct_bigrams AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
                 END <= 0.90) AS bigram_repetition_ok
+        FROM documents d LEFT JOIN p USING (doc_id)
+    """,
+    # text_token_entropy: the oracle rebuilds term frequencies
+    # relationally (unnest → per-(doc, token) counts) where the Spark
+    # side reads them as sorted-array run lengths — identical integer
+    # counts, so log2(n) − Σ c·log2(c)/n agrees to well inside the
+    # shared ROUND(…, 6) (the summation-order caveat in
+    # functions/quality.token_entropy_signals).
+    "text_token_entropy": f"""
+        WITH t AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ), c AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok
+        ), p AS (
+            SELECT doc_id,
+                   SUM(c) AS n,
+                   COUNT(*) AS k,
+                   SUM(CASE WHEN c > 1 THEN c * log2(CAST(c AS DOUBLE)) ELSE 0.0 END) AS clog
+            FROM c GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n, 0) AS INTEGER) AS n_tokens,
+               CAST(COALESCE(p.k, 0) AS INTEGER) AS n_types,
+               CASE WHEN COALESCE(p.n, 0) = 0 THEN 0.0
+                    ELSE ROUND(log2(CAST(p.n AS DOUBLE)) - p.clog / CAST(p.n AS DOUBLE), 6)
+               END AS token_entropy
         FROM documents d LEFT JOIN p USING (doc_id)
     """,
     "text_gopher_quality": f"""

@@ -156,6 +156,33 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def q_scan_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed JSONL ingestion — the wire format most raw web
+    corpora actually arrive in (Common Crawl WET/WARC derivatives are
+    .gz shards). Spark's text/json sources handle the codec natively
+    (Hadoop CompressionCodecFactory, keyed on the .gz extension), so
+    the operator is declarative: write documents as gzip JSONL, read
+    back with an EXPLICIT schema.
+
+    The 100 TB design point is the SHARDING, not the codec: gzip is
+    NOT splittable — one .gz file = one task, no matter how large —
+    so a corpus must arrive as many modest shards (the 8-way
+    repartition here stands in for Common Crawl's ~100 MB shards; a
+    single 100 GB .gz would serialize the whole scan onto one core).
+    The read side then parallelizes per-file. Explicit schema for the
+    usual reason: inferSchema on compressed JSON is a full extra
+    decompress-and-scan of every shard."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    path = scratch_sink_path(sf_dir, "documents_jsonl_gz")
+    docs.repartition(8).write.mode("overwrite").option("compression", "gzip").json(path)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    return spark.read.schema(schema).json(path)
+
+
 def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``binaryFile`` source — the multimodal INGESTION step the
     in-frame keys stop short of: `multimodal_*` fabricate the binary
@@ -638,6 +665,7 @@ QUERIES = {
     "layout_zorder": q_layout_zorder,
     "join_bucketed": q_join_bucketed,
     "sink_json": q_sink_json_roundtrip,
+    "scan_jsonl_gzip": q_scan_jsonl_gzip,
     "scan_json_malformed": q_scan_json_malformed,
     "scan_binary_files": q_scan_binary_files,
     "scan_schema_evolution": q_scan_schema_evolution,
@@ -724,6 +752,11 @@ ORACLE = {
         GROUP BY c.c_mktsegment
     """,
     "sink_json": """
+        SELECT doc_id, lang, text FROM documents
+    """,
+    # gzip JSONL round-trip is semantics-preserving: the oracle reads
+    # the original table; the codec + sharding are the operator
+    "scan_jsonl_gzip": """
         SELECT doc_id, lang, text FROM documents
     """,
     "scan_binary_files": """

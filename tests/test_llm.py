@@ -360,8 +360,10 @@ def test_multimodal_payload_and_decode(docs):
 
 
 def test_multimodal_decode_refuses_real_media(spark):
+    # image/jpeg stays stubbed (no DEFLATE-free JPEG decode exists);
+    # bmp/png are now really decoded so they no longer belong here
     df = spark.createDataFrame([(1, "xx")], "doc_id long, text string")
-    wrapped = attach_binary_payload(df, "doc_id", "text", mime="image/png")
+    wrapped = attach_binary_payload(df, "doc_id", "text", mime="image/jpeg")
     with pytest.raises(Exception, match="NotImplementedError|stubbed"):
         decode_media(wrapped).collect()
 
@@ -503,6 +505,110 @@ def test_wav_decode_media_projection(spark):
         r = proj[did]
         assert (r.sample_rate, r.n_samples) == (rate, n)
         assert r.amp_sum == int(_wav_samples(did, n).astype("int64").sum())
+
+
+def test_png_roundtrip_every_filter_type():
+    """make_png -> decode_png is the identity on the RGB array through
+    DEFLATE + the per-row filter cycle: every image of height ≥ 5
+    carries all five scanline filters (None/Sub/Up/Average/Paeth), so
+    a bug in any single reconstruction corrupts the roundtrip. Also
+    pins the two-IDAT split (multi-chunk inflate is exercised, not
+    just supported)."""
+    import struct
+
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_png,
+        make_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for w in (1, 4, 8):
+        for h in (5, 6, 9):
+            pixels = bytes(rng.integers(0, 256, size=w * h * 3, dtype=np.uint8))
+            payload = make_png(w, h, pixels)
+            w2, h2, arr = decode_png(payload)
+            assert (w2, h2) == (w, h)
+            assert bytes(arr.reshape(-1)) == pixels
+            # structural pins: two IDAT chunks, filter bytes cycle y%5
+            tags = []
+            pos = 8
+            while pos + 8 <= len(payload):
+                (size,) = struct.unpack(">I", payload[pos : pos + 4])
+                tags.append(payload[pos + 4 : pos + 8])
+                pos += 12 + size
+            assert tags.count(b"IDAT") == 2
+    # gradient rows make Sub/Paeth predictions non-trivial (uniform
+    # noise alone can mask a swapped a/b predictor)
+    w, h = 6, 10
+    grad = bytes(((x * 7 + y * 13) % 256) for y in range(h) for x in range(w * 3))
+    w2, h2, arr = decode_png(make_png(w, h, grad))
+    assert bytes(arr.reshape(-1)) == grad
+
+
+def test_png_decode_crc_and_variant_refusals():
+    """A flipped byte anywhere in a chunk is a CRC error; non-PNG
+    signatures, interlaced and palette variants are refused rather
+    than guessed."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        make_png,
+    )
+
+    good = make_png(5, 6, bytes(i % 256 for i in range(5 * 6 * 3)))
+    bad = bytearray(good)
+    bad[30] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"BM" + good)
+
+    def variant(color_type, interlace):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, color_type, 0, 0, interlace)
+        idat = zlib.compress(b"\x00" * ((2 * 3 + 1) * 2))
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(variant(2, 1))  # Adam7 interlaced
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(variant(3, 0))  # palette
+
+
+def test_png_decode_media_projection(spark):
+    """decode_media routes image/png through the REAL parser, and the
+    Spark projection kernel agrees with an in-process decode of the
+    portable fixture."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _png_pixel_bytes,
+        decode_png_media,
+        encode_png_media,
+        png_dims,
+    )
+
+    docs = spark.range(20).withColumnRenamed("id", "doc_id")
+    encoded = encode_png_media(docs)
+    rows = decode_media(encoded).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r.width, r.height) == png_dims(r.doc_id)
+        assert r.n_channels == 3
+    proj = {r.doc_id: r for r in decode_png_media(encoded).collect()}
+    for did in (0, 7, 13, 19):
+        w, h = png_dims(did)
+        assert proj[did].pixel_sum == sum(_png_pixel_bytes(did, w * h * 3))
 
 
 def test_multimodal_features_fixed_dim(docs):

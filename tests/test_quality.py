@@ -89,6 +89,53 @@ def test_gopher_signals_equals_gopher_flags(spark, sf_dir):
     assert a == b
 
 
+def test_token_entropy_on_crafted_docs(spark):
+    """Known-entropy fixtures: uniform distributions hit log2(k)
+    exactly, degenerate docs hit 0, null/blank text is total."""
+    import math
+
+    from machine_learning_algorithm_sparkml__spark.functions.quality import (
+        token_entropy_signals,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a a b b"),       # uniform over 2 -> 1.0
+            (2, "a b c d"),       # uniform over 4 -> 2.0
+            (3, "a a a a"),       # degenerate -> 0.0
+            (4, "a a b"),         # log2(3) - 2/3
+            (5, "x"),             # single token -> 0.0
+            (6, ""),              # empty -> (0, 0, 0.0)
+            (7, None),            # null -> (0, 0, 0.0)
+            (8, " \t\n "),        # whitespace-only -> (0, 0, 0.0)
+        ],
+    )
+    out = {r["doc_id"]: r for r in token_entropy_signals(docs, ["doc_id"]).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_types"], out[1]["token_entropy"]) == (4, 2, 1.0)
+    assert out[2]["token_entropy"] == 2.0
+    assert out[3]["token_entropy"] == 0.0
+    assert abs(out[4]["token_entropy"] - round(math.log2(3) - 2 / 3, 6)) < 1e-12
+    assert (out[5]["n_tokens"], out[5]["token_entropy"]) == (1, 0.0)
+    for did in (6, 7, 8):
+        assert (out[did]["n_tokens"], out[did]["n_types"], out[did]["token_entropy"]) == (0, 0, 0.0)
+
+
+def test_token_entropy_is_shuffle_free(spark, sf_dir):
+    """The fold formulation must stay a projection — no explode, no
+    Exchange (the naive TF formulation shuffles twice)."""
+    from machine_learning_algorithm_sparkml__spark.workload.quality import (
+        q_text_token_entropy,
+    )
+
+    spark.catalog.clearCache()
+    plan = formatted_plan(q_text_token_entropy(spark, sf_dir))
+    # (F.inline shows up as a one-row Generate — the row-multiplying
+    # explode-of-tokens formulation would also carry two Exchanges,
+    # which is what this pins against)
+    assert "Exchange" not in plan, "token entropy must stay a projection"
+
+
 def test_bigram_signals_on_crafted_docs(spark):
     from machine_learning_algorithm_sparkml__spark.functions.quality import bigram_signals
 

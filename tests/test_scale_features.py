@@ -517,3 +517,25 @@ def test_variant_extract_nested_missing_and_typed(spark):
     assert out[1] == (1, "x", None)
     assert out[2] == (2, None, None)  # "2" coerced to long
     assert out[3] == (None, None, True)
+
+
+def test_scan_jsonl_gzip_shards_and_roundtrip(spark, sf_dir):
+    """The gzip JSONL round-trip must actually shard (gzip is not
+    splittable — parallelism is per-FILE, so a single .gz would
+    serialize the scan) and must be content-lossless."""
+    import glob
+    import os
+
+    from machine_learning_algorithm_sparkml__spark.sources import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_scan_jsonl_gzip,
+    )
+
+    back = q_scan_jsonl_gzip(spark, sf_dir)
+    path = scratch_sink_path(sf_dir, "documents_jsonl_gz")
+    shards = glob.glob(os.path.join(path, "part-*.json.gz"))
+    assert len(shards) == 8, "8-way repartition must yield 8 .gz shards"
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # the read parallelizes per shard: 8 files -> 8 input partitions
+    assert back.rdd.getNumPartitions() == 8
