@@ -192,3 +192,46 @@ def doc_fingerprint(text: Column) -> Column:
     # newlines survive a trim-first order and change the hash
     normalized = F.trim(F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"\s+", " "))
     return F.md5(normalized)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL form for crawl-frontier / corpus dedup: two
+    spellings of the same resource must hash identically BEFORE
+    exact-dedup sees them, or the dedup silently under-merges.
+
+    Rules (the conservative, semantics-preserving subset):
+    - drop the fragment (``#…`` is client-side only);
+    - lowercase the scheme and host (case-insensitive per RFC 3986) —
+      but NOT the path or query, which are case-sensitive;
+    - strip the scheme's DEFAULT port only (``https://h:443`` ≡
+      ``https://h``, but ``:8443`` is preserved — it names a
+      different server);
+    - strip one trailing slash from a non-root path (``/docs/`` ≡
+      ``/docs``; the root path stays ``/``);
+    - sort query parameters (order is almost never semantic, and
+      crawlers see every permutation).
+
+    Pure projection (regexp + array ops, JVM-side, shuffle-free);
+    every step is plain-regex-replayable so the DuckDB oracle can
+    mirror it literally. Deliberately NOT done: percent-decoding and
+    ``www.`` stripping (both change semantics for some sites)."""
+    nofrag = F.regexp_replace(F.coalesce(url, F.lit("")), "#.*", "")
+    scheme = F.lower(F.regexp_extract(nofrag, "^([^:/?]+)://", 1))
+    after = F.regexp_replace(nofrag, "^[^:/?]+://", "")
+    hostport = F.lower(F.regexp_extract(after, "^([^/?]+)", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .otherwise(hostport)
+    )
+    pathquery = F.regexp_replace(after, "^[^/?]+", "")
+    path = F.regexp_extract(pathquery, "^([^?]*)", 1)
+    cpath = (
+        F.when((path == "") | (path == "/"), F.lit("/"))
+        .otherwise(F.regexp_replace(path, "/$", ""))
+    )
+    query = F.regexp_extract(pathquery, r"\?(.*)$", 1)
+    cquery = F.when(
+        query == "", F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&")))
+    return F.concat(scheme, F.lit("://"), host, cpath, cquery)

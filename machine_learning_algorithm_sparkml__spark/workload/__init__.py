@@ -45,6 +45,8 @@ PRIORITY_KEYS = [
     "multimodal_png_decode",
     "scan_jsonl_gzip",
     "text_token_entropy",
+    "sql_scripting_while",
+    "dedup_url",
     # Slots 3-34: the complete r8-stale block (staleness.py r8 row,
     # 32 keys — no key's latest driver row may predate r9 after this
     # round, VERDICT r12 #1):
@@ -93,16 +95,18 @@ PRIORITY_KEYS = [
     "embedding_quantize_arrow",
     "json_variant_extract",
     "layout_compaction",
-    "layout_compaction_clustered",
     "ml_confusion",
+    # --- slip tail (positions 50+): layout_compaction_clustered /
+    # ml_group_ols / ml_group_ridge / observe_metrics /
+    # random_split_portable displaced from the window's tail by the
+    # five session-2 additions (ml_confusion retained per VERDICT
+    # r12's "keep in rotation"), after sample_hash_portable was
+    # displaced from slot 49 by the late multimodal_wav_decode
+    # addition (the window-bookkeeping rule: slip oracle-backed
+    # low-risk keys), then the remaining 30 r9-stale keys; they head
+    # the r14 rotation ---
+    "layout_compaction_clustered",
     "ml_group_ols",
-    # --- slip tail (positions 50+): ml_group_ridge /
-    # observe_metrics / random_split_portable displaced from slots
-    # 47-49 by the three session-2 additions, after
-    # sample_hash_portable was displaced from slot 49 by the late
-    # multimodal_wav_decode addition (the window-bookkeeping rule:
-    # slip oracle-backed low-risk keys), then the remaining 30
-    # r9-stale keys; they head the r14 rotation ---
     "ml_group_ridge",
     "observe_metrics",
     "random_split_portable",

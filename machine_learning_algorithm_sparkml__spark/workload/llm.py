@@ -20,6 +20,7 @@ from machine_learning_algorithm_sparkml__spark.functions.vectors import cosine_s
 from machine_learning_algorithm_sparkml__spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
+    canonicalize_url,
     doc_fingerprint,
     lang_id,
     punct_ratio,
@@ -670,6 +671,36 @@ def q_decontaminate_fuzzy_large(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup_representatives(docs.select("doc_id", "text"), ["text"], "doc_id")
+
+
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the step a crawl pipeline runs
+    BEFORE any content fetch or text dedup: the same resource arrives
+    under many spellings (case-shifted scheme/host, explicit default
+    port, fragment, trailing slash, permuted query params), and
+    exact-dedup on the raw string silently under-merges. The fixture
+    derives four messy spellings per doc from (doc_id, source) —
+    variants 0/1/2 canonicalize to the SAME https URL, variant 3 to
+    its http twin (scheme is semantic: it must NOT merge) — then
+    ``functions/text.canonicalize_url`` (pure shuffle-free regexp/
+    array projection) normalizes and one groupBy keeps the min-id
+    representative per canonical URL with its variant count. The
+    DuckDB oracle replays construction AND canonicalization literally
+    (all string ops, no floats)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pid = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"), pid, F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("HTTPS://WWW."), F.upper(F.col("source")), F.lit(".EXAMPLE.COM:443/docs/"), pid, F.lit("?a=1&b=2#ref")))
+        .when(v == 2, F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"), pid, F.lit("/?a=1&b=2")))
+        .otherwise(F.concat(F.lit("http://www."), F.col("source"), F.lit(".example.com:80/docs/"), pid, F.lit("?a=1&b=2")))
+    )
+    canon = docs.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1424,6 +1455,7 @@ QUERIES = {
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "decontaminate_fuzzy_large": q_decontaminate_fuzzy_large,
     "dedup_exact": q_dedup_exact,
+    "dedup_url": q_dedup_url,
     "dedup_incremental": q_dedup_incremental,
     "dedup_passage": q_dedup_passage,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2093,6 +2125,47 @@ ORACLE = {
     "dedup_exact": """
         SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text
+    """,
+    # url fixture construction + canonicalization replayed literally:
+    # all string ops (regexp subset common to Java and RE2), no floats
+    "dedup_url": """
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'https://www.' || source || '.example.com/docs/' || (doc_id % 50) || '?b=2&a=1'
+                     WHEN 1 THEN 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/docs/' || (doc_id % 50) || '?a=1&b=2#ref'
+                     WHEN 2 THEN 'https://www.' || source || '.example.com/docs/' || (doc_id % 50) || '/?a=1&b=2'
+                     ELSE 'http://www.' || source || '.example.com:80/docs/' || (doc_id % 50) || '?a=1&b=2'
+                   END AS url
+            FROM documents
+        ), parts AS (
+            SELECT doc_id,
+                   lower(regexp_extract(regexp_replace(url, '#.*', ''), '^([^:/?]+)://', 1)) AS scheme,
+                   regexp_replace(regexp_replace(url, '#.*', ''), '^[^:/?]+://', '') AS after
+            FROM raw
+        ), comps AS (
+            SELECT doc_id, scheme,
+                   lower(regexp_extract(after, '^([^/?]+)', 1)) AS hostport,
+                   regexp_replace(after, '^[^/?]+', '') AS pathquery
+            FROM parts
+        ), norm AS (
+            SELECT doc_id, scheme,
+                   CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                        WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                        ELSE hostport END AS host,
+                   regexp_extract(pathquery, '^([^?]*)', 1) AS path,
+                   regexp_extract(pathquery, '\?(.*)$', 1) AS query
+            FROM comps
+        ), canon AS (
+            SELECT doc_id,
+                   scheme || '://' || host ||
+                   CASE WHEN path = '' OR path = '/' THEN '/' ELSE regexp_replace(path, '/$', '') END ||
+                   CASE WHEN query = '' THEN '' ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END
+                   AS canonical_url
+            FROM norm
+        )
+        SELECT canonical_url, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_variants
+        FROM canon GROUP BY canonical_url
     """,
     "dedup_incremental": """
         WITH batch AS (

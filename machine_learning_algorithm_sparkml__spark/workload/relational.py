@@ -1803,6 +1803,57 @@ def q_sql_frontend_conveniences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_scripting_while(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4's procedural surface: BEGIN…END blocks
+    with DECLARE'd session variables, data-dependent WHILE loops, and
+    IF/ELSE control flow) — the front-end for iterative admin/ETL
+    logic that would otherwise be a driver-side Python loop issuing N
+    queries. The script doubles a price threshold until at most 5% of
+    orders exceed it (a quantile-bracketing sweep — the classic "find
+    a cutoff" maintenance script), then labels the result by how many
+    doublings it took. Every loop iteration is one Catalyst-planned
+    aggregate; the scripting layer only sequences them, so the 100 TB
+    story is unchanged (each COUNT is the same pruned scan+agg any
+    spelling gets, and the loop runs O(log range) times on the
+    DRIVER's control plane — no per-row procedural work).
+
+    The loop is genuinely data-dependent (iters follows the price
+    distribution, not a constant), and the DuckDB oracle replays it in
+    closed form: the first threshold in the doubling sequence with
+    n_above·20 ≤ n_total. Thresholds are 1000·2^j — exactly
+    representable doubles — so both engines' comparisons are exact."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t DOUBLE DEFAULT 1000.0;
+          DECLARE iters INT DEFAULT 0;
+          DECLARE n_above BIGINT DEFAULT 0;
+          DECLARE n_total BIGINT DEFAULT 0;
+          DECLARE band STRING DEFAULT 'low';
+          SET n_total = (SELECT COUNT(*) FROM orders);
+          SET n_above = (SELECT COUNT(*) FROM orders WHERE o_totalprice > t);
+          WHILE n_above * 20 > n_total DO
+            SET t = t * 2;
+            SET iters = iters + 1;
+            SET n_above = (SELECT COUNT(*) FROM orders WHERE o_totalprice > t);
+          END WHILE;
+          IF iters > 5 THEN
+            SET band = 'high';
+          ELSE
+            SET band = 'low';
+          END IF;
+          SELECT CAST(t AS DOUBLE) AS threshold,
+                 iters,
+                 n_above,
+                 n_total,
+                 band;
+        END
+        """
+    )
+
+
 def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 (parts/supplier relationship), adapted to the
     testdata schema: the spec's partsupp table does not exist, so
@@ -2434,6 +2485,7 @@ QUERIES = {
     "sql_collation_ci": q_sql_collation_ci,
     "sql_collation_unicode": q_sql_collation_unicode,
     "sql_frontend_conveniences": q_sql_frontend_conveniences,
+    "sql_scripting_while": q_sql_scripting_while,
     "sql_tpch_q16": q_sql_tpch_q16,
     "sql_tpch_q7": q_sql_tpch_q7,
     "sql_tpch_q14": q_sql_tpch_q14,
@@ -3115,6 +3167,33 @@ ORACLE = {
                    AS n_lowercase_rows
         FROM mixed
         GROUP BY lower(st)
+    """,
+    # closed-form replay of the scripting WHILE loop: the first
+    # threshold in the 1000·2^j doubling sequence with
+    # n_above·20 ≤ n_total (the loop checks its condition BEFORE each
+    # doubling, so j counts completed doublings); IF/ELSE band is a
+    # CASE. Powers of two are exact doubles — comparisons agree
+    "sql_scripting_while": """
+        WITH tot AS (SELECT COUNT(*) AS n_total FROM orders),
+        cand AS (
+            SELECT j, 1000.0 * POW(2.0, j) AS t,
+                   (SELECT COUNT(*) FROM orders
+                    WHERE o_totalprice > 1000.0 * POW(2.0, j)) AS n_above
+            FROM (SELECT unnest(generate_series(0, 60)) AS j)
+        ),
+        pick AS (
+            SELECT cand.j, cand.t, cand.n_above, tot.n_total
+            FROM cand, tot
+            WHERE cand.n_above * 20 <= tot.n_total
+            ORDER BY cand.j
+            LIMIT 1
+        )
+        SELECT CAST(t AS DOUBLE) AS threshold,
+               CAST(j AS INTEGER) AS iters,
+               CAST(n_above AS BIGINT) AS n_above,
+               CAST(n_total AS BIGINT) AS n_total,
+               CASE WHEN j > 5 THEN 'high' ELSE 'low' END AS band
+        FROM pick
     """,
     # the named parameter binds to the literal; lateral aliases are
     # written out explicitly (the features are front-end sugar)

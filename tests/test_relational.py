@@ -714,3 +714,28 @@ def test_collation_ci_domain_is_ascii_only(spark, sf_dir):
     ]
     assert vals
     assert all(v is not None and v.isascii() for v in vals), vals
+
+
+def test_sql_scripting_while_matches_driver_replay(spark, sf_dir):
+    """The scripting WHILE loop's fixpoint must equal a driver-side
+    replay of the same doubling sweep (loop semantics: condition
+    checked before each doubling, iters counts completed doublings),
+    and the IF/ELSE band must follow iters. Also idempotent — the
+    script re-runs in a shared session without state bleed."""
+    from machine_learning_algorithm_sparkml__spark.workload.relational import (
+        q_sql_scripting_while,
+    )
+
+    row = q_sql_scripting_while(spark, sf_dir).collect()[0]
+    again = q_sql_scripting_while(spark, sf_dir).collect()[0]
+    assert row == again
+
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    n_total = orders.count()
+    t, iters = 1000.0, 0
+    n_above = orders.filter(F.col("o_totalprice") > t).count()
+    while n_above * 20 > n_total:
+        t, iters = t * 2, iters + 1
+        n_above = orders.filter(F.col("o_totalprice") > t).count()
+    assert (row.threshold, row.iters, row.n_above, row.n_total) == (t, iters, n_above, n_total)
+    assert row.band == ("high" if iters > 5 else "low")

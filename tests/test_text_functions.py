@@ -99,3 +99,50 @@ def test_tokens_handle_tabs_newlines_and_padding(spark):
     assert out[4] == (1, ["x"])
     assert out[5] == (0, [])
     assert out[6] == (0, [])
+
+
+def test_canonicalize_url_rules(spark):
+    """Each canonicalization rule on a crafted URL, plus the
+    non-rules: non-default ports, path/query case, and scheme are
+    preserved (merging across those would be semantic corruption)."""
+    from machine_learning_algorithm_sparkml__spark.functions.text import canonicalize_url
+
+    cases = [
+        # (id, raw, expected-canonical)
+        (1, "HTTPS://WWW.Ex.COM:443/Docs/A/?b=2&a=1#frag",
+            "https://www.ex.com/Docs/A?a=1&b=2"),
+        (2, "https://www.ex.com/docs/a", "https://www.ex.com/docs/a"),
+        (3, "http://ex.com:80/", "http://ex.com/"),
+        (4, "http://ex.com", "http://ex.com/"),
+        (5, "https://ex.com:8443/x", "https://ex.com:8443/x"),  # non-default port kept
+        (6, "http://ex.com:443/x", "http://ex.com:443/x"),      # 443 is not http's default
+        (7, "https://ex.com/CaseSensitive?Q=V", "https://ex.com/CaseSensitive?Q=V"),
+        (8, "http://ex.com/a", "http://ex.com/a"),               # scheme preserved
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "id long, url string")
+    got = {r["id"]: r["c"] for r in df.select("id", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_dedup_url_merges_variants_not_schemes(spark, sf_dir):
+    """The three https spellings of a (source, path) merge into one
+    canonical row with their min doc_id; the http twin stays its own
+    row (scheme is semantic)."""
+    from machine_learning_algorithm_sparkml__spark.workload.llm import q_dedup_url
+
+    rows = q_dedup_url(spark, sf_dir).collect()
+    by_url = {r["canonical_url"]: r for r in rows}
+    https = [u for u in by_url if u.startswith("https://")]
+    http = [u for u in by_url if u.startswith("http://")]
+    assert https and http
+    # every https row merged at least 2 variants somewhere in the set
+    assert any(by_url[u]["n_variants"] >= 2 for u in https)
+    # no canonical url carries a port, a fragment, or an unsorted query
+    for u, r in by_url.items():
+        assert ":443" not in u and ":80" not in u and "#" not in u
+        if "?" in u:
+            params = u.split("?", 1)[1].split("&")
+            assert params == sorted(params)
+        # keeper is the min over its variant group by construction
+        assert r["keep_doc_id"] >= 0
