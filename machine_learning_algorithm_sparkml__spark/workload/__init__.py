@@ -23,22 +23,24 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
 # least-recently-verified keys FIRST each round. Round-13 window,
-# exactly as VERDICT r12 "Next round" #1/#3/#4 directs: (1) the two
-# keys new this round (the portable near-dup oracle twin and the real
-# BMP decode), never driver-checked; (2) the full 32-key r8-stale
-# block — the oldest driver rows in the registry (the r12 slip tail);
-# (3) a 16-key fill from the oldest r9 rows. Slip tail = the remaining
-# 30 r9 keys, heading the r14 rotation. Regenerate the staleness table
-# with `python tools/staleness.py` after each round's CORRECTNESS file
+# per VERDICT r12 "Next round" #1/#3/#4: (1) every key new this round
+# (never driver-checked — 9 after the session-2 additions); (2) the
+# full 32-key r8-stale block — the oldest driver rows in the registry
+# (the r12 slip tail); (3) a fill from the oldest r9 rows. Slip tail =
+# the displaced oracle-backed fill keys + the remaining r9 keys,
+# heading the r14 rotation. Regenerate the staleness table with
+# `python tools/staleness.py` after each round's CORRECTNESS file
 # lands.
 PRIORITY_KEYS = [
     # --- r13 window (50 slots; driver records indices 0-49) ---
-    # Slots 0-5: keys NEW this round, never driver-checked — the
+    # Slots 0-8: keys NEW this round, never driver-checked — the
     # oracle-backed near-dup twin (VERDICT r12 #3), the real
     # BMP/WAV decodes (VERDICT r12 #4 + its audio sibling), then the
-    # session-2 additions: the real PNG decode (compressed format,
-    # stdlib-zlib DEFLATE), gzip JSONL ingestion, and the shuffle-free
-    # token-entropy quality signal (all three oracle-backed):
+    # six session-2 additions: the real PNG decode (compressed format,
+    # stdlib-zlib DEFLATE), gzip JSONL ingestion, the shuffle-free
+    # token-entropy quality signal, the SQL-scripting WHILE loop, URL
+    # canonicalization dedup, and the bounded-window EWMA (all
+    # oracle-backed):
     "embedding_neardup_portable",
     "multimodal_decode_real",
     "multimodal_wav_decode",
@@ -47,7 +49,8 @@ PRIORITY_KEYS = [
     "text_token_entropy",
     "sql_scripting_while",
     "dedup_url",
-    # Slots 3-34: the complete r8-stale block (staleness.py r8 row,
+    "timeseries_ewma",
+    # Slots 9-40: the complete r8-stale block (staleness.py r8 row,
     # 32 keys — no key's latest driver row may predate r9 after this
     # round, VERDICT r12 #1):
     "doc_chunk_fixed",
@@ -82,10 +85,9 @@ PRIORITY_KEYS = [
     "text_top_terms",
     "text_zscore_by_lang",
     "window_first_last",
-    # Slots 35-49: 15-key fill from the r9-stale block (oldest rows
+    # Slots 41-49: 9-key fill from the r9-stale block (oldest rows
     # after r8; includes ml_confusion per VERDICT r12 "keep the
-    # invariant rows in rotation", with oracle-backed keys as the
-    # slip-boundary anchors per the window-bookkeeping rule):
+    # invariant rows in rotation"):
     "agg_argmax_maxby",
     "agg_time_rollup",
     "cdc_snapshot_diff",
@@ -94,9 +96,9 @@ PRIORITY_KEYS = [
     "dq_referential_integrity",
     "embedding_quantize_arrow",
     "json_variant_extract",
-    "layout_compaction",
     "ml_confusion",
-    # --- slip tail (positions 50+): layout_compaction_clustered /
+    # --- slip tail (positions 50+): layout_compaction /
+    # layout_compaction_clustered /
     # ml_group_ols / ml_group_ridge / observe_metrics /
     # random_split_portable displaced from the window's tail by the
     # five session-2 additions (ml_confusion retained per VERDICT
@@ -105,6 +107,7 @@ PRIORITY_KEYS = [
     # addition (the window-bookkeeping rule: slip oracle-backed
     # low-risk keys), then the remaining 30 r9-stale keys; they head
     # the r14 rotation ---
+    "layout_compaction",
     "layout_compaction_clustered",
     "ml_group_ols",
     "ml_group_ridge",

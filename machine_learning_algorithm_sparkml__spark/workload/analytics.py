@@ -517,9 +517,45 @@ def q_timeseries_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window exponentially-weighted moving average per user —
+    the online-feature shape (fraud scores, rate trackers) that a plain
+    moving average misses because recency must dominate. Window = the
+    last 8 events (ROWS BETWEEN 7 PRECEDING AND CURRENT), decay 0.5,
+    weights normalized over the PRESENT rows (short heads at each
+    user's start use the partial-window normalizer, not zero-padding).
+
+    Plan shape: ONE window (collect_list over the bounded frame) + a
+    per-row fold — no self-join (the relational formulation joins each
+    event to its 7 predecessors: an 8× row blowup the 100 TB plan
+    can't afford; the DuckDB ORACLE uses exactly that self-join, which
+    is the point — same values, different physics). Weights are powers
+    of two, so each product is an EXACT double scaling; only the
+    summation order differs between the fold and the oracle's SUM,
+    hence the one ROUND(…, 6)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
+    vals = F.collect_list("value").over(w)
+    frame = ev.select("event_id", "user_id", vals.alias("vals"))
+    m = F.size("vals")
+    # oldest list slot gets the smallest weight: 0.5^(m-1-i)
+    weighted = F.transform(
+        "vals", lambda x, i: x * F.pow(F.lit(0.5), (m - 1 - i).cast("double"))
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
+    den = F.lit(2.0) - F.pow(F.lit(0.5), (m - 1).cast("double"))  # Σ 0.5^i, i<m
+    return frame.select(
+        "event_id",
+        "user_id",
+        m.alias("n_window"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
 QUERIES = {
     "ps_groupby_agg": q_ps_groupby_agg,
     "timeseries_downsample_ohlc": q_timeseries_downsample_ohlc,
+    "timeseries_ewma": q_timeseries_ewma,
     "window_ntile_cume": q_window_ntile_cume,
     "window_lag_lead": q_window_lag_lead,
     "window_moving_avg": q_window_moving_avg,
@@ -544,6 +580,24 @@ QUERIES = {
 ORACLE = {
     # OHLC bars: arg_min/arg_max over the zero-padded (epoch_us, id)
     # string replay Spark's min_by/max_by over the identical string
+    # EWMA replayed relationally: each event joins its ≤7 predecessors
+    # (rn-windowed self-join) and SUMs pow(0.5, rn_gap)-weighted
+    # values — same exact power-of-two products as the Spark fold,
+    # summation order differs, hence ROUND 6 on both sides
+    "timeseries_ewma": """
+        WITH e AS (
+            SELECT event_id, user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT a.event_id, a.user_id,
+               CAST(COUNT(*) AS INTEGER) AS n_window,
+               ROUND(SUM(b.value * POW(0.5, a.rn - b.rn))
+                     / (2.0 - POW(0.5, COUNT(*) - 1)), 6) AS ewma
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 7 AND a.rn
+        GROUP BY a.event_id, a.user_id
+    """,
     "timeseries_downsample_ohlc": """
         SELECT event_type,
                date_trunc('hour', ts) AS bucket_ts,

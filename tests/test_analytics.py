@@ -248,3 +248,48 @@ def test_theta_setops_identities_and_partitioning_invariance(spark, sf_dir):
             .collect()[0]["e"]
         )
         assert redo == r["n_96"], n
+
+
+def test_timeseries_ewma_hand_computed_and_plan(spark, sf_dir):
+    """Hand-computed EWMA on a crafted series (decay 0.5, window 8,
+    partial-window normalizer at the head), and the plan pin: ONE
+    window, no self-join (the oracle's relational formulation is an
+    8x row blowup the production plan must not use)."""
+    import datetime
+
+    from machine_learning_algorithm_sparkml__spark.workload.analytics import (
+        q_timeseries_ewma,
+    )
+
+    # crafted: one user, values 1, 2, 4 at increasing ts
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, i), 1, "e", float(2 ** i), "{}")
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.createOrReplaceTempView("_ewma_crafted")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
+    vals = F.collect_list("value").over(w)
+    frame = df.select("event_id", vals.alias("vals"))
+    got = {r["event_id"]: r["vals"] for r in frame.collect()}
+    assert got[2] == [1.0, 2.0, 4.0]  # frame order is oldest -> newest
+
+    # full-key values are oracle-checked; here check the math on the
+    # crafted frame with the SAME expression pipeline:
+    # t=0: 1/1; t=1: (0.5*1 + 2)/1.5; t=2: (0.25*1 + 0.5*2 + 4)/1.75
+    m = F.size("vals")
+    weighted = F.transform("vals", lambda x, i: x * F.pow(F.lit(0.5), (m - 1 - i).cast("double")))
+    num = F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
+    den = F.lit(2.0) - F.pow(F.lit(0.5), (m - 1).cast("double"))
+    res = {r["event_id"]: r["e"] for r in frame.select("event_id", F.round(num / den, 6).alias("e")).collect()}
+    assert res[0] == 1.0
+    assert abs(res[1] - round((0.5 * 1 + 2) / 1.5, 6)) < 1e-12
+    assert abs(res[2] - round((0.25 * 1 + 0.5 * 2 + 4) / 1.75, 6)) < 1e-12
+
+    plan = _physical_plan(q_timeseries_ewma(spark, sf_dir))
+    assert "Join" not in plan, "EWMA must be a window + fold, not a self-join"
+    assert plan.count("Window") >= 1
