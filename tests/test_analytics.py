@@ -269,7 +269,6 @@ def test_timeseries_ewma_hand_computed_and_plan(spark, sf_dir):
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     )
-    df.createOrReplaceTempView("_ewma_crafted")
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)

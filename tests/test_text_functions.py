@@ -8,6 +8,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from machine_learning_algorithm_sparkml__spark.sources import load_table
 from machine_learning_algorithm_sparkml__spark.functions.text import (
     doc_fingerprint,
     lang_id,
@@ -144,5 +145,15 @@ def test_dedup_url_merges_variants_not_schemes(spark, sf_dir):
         if "?" in u:
             params = u.split("?", 1)[1].split("&")
             assert params == sorted(params)
-        # keeper is the min over its variant group by construction
-        assert r["keep_doc_id"] >= 0
+    # keeper = min doc_id per canonical group: recompute the grouping
+    # independently from the fixture's construction rule
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    groups = {}
+    for d in docs:
+        scheme = "http" if d["doc_id"] % 4 == 3 else "https"
+        key = f"{scheme}://www.{d['source']}.example.com/docs/{d['doc_id'] % 50}?a=1&b=2"
+        groups.setdefault(key, []).append(d["doc_id"])
+    assert len(groups) == len(by_url)
+    for key, ids in groups.items():
+        assert by_url[key]["keep_doc_id"] == min(ids)
+        assert by_url[key]["n_variants"] == len(ids)
