@@ -1075,3 +1075,26 @@ def test_r13_capability_keys_plan_shapes(spark, sf_dir):
         pd_ = d._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in pd_, pd_  # scan -> encode -> decode, no shuffle
         assert pd_.count("MapInPandas") == 2, pd_
+
+
+def test_r13_session2_keys_plan_shapes(spark, sf_dir):
+    """Session-2 capability keys keep their 100 TB shapes: PNG decode
+    is the same exchange-free two-kernel mapInPandas pipeline as
+    BMP/WAV; URL dedup is ONE hash-aggregate exchange over the
+    canonical string (the regexp canonicalization itself must not add
+    a shuffle or a Python crossing)."""
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_dedup_url,
+        q_multimodal_png_decode,
+    )
+
+    png = q_multimodal_png_decode(spark, sf_dir)
+    p = png._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert p.count("MapInPandas") == 2, p
+
+    url = q_dedup_url(spark, sf_dir)
+    p2 = url._jdf.queryExecution().executedPlan().toString()
+    assert p2.count("Exchange") == 1, p2  # the one groupBy shuffle
+    assert "Python" not in p2 and "MapInPandas" not in p2, p2  # JVM-side regexps
+    assert "HashAggregate" in p2, p2

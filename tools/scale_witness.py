@@ -111,6 +111,22 @@ FAMILY_KEYS = {
     # test scale, so the witness times the operator at the k a 100 TB
     # deployment would pass (see _semantic_dedup_portable_scaled).
     "ann2": ["simsearch_pq_portable", "semantic_dedup_portable_scaled"],
+    # r13 session-2 keys over the same 10x documents build. Claims
+    # under test: token entropy is a shuffle-free projection, so 10x
+    # docs is pure per-partition fold cost (~linear, no exchange term
+    # to grow super-linearly); URL dedup's one hash-agg exchange
+    # carries |distinct canonical urls| partials — the replica
+    # fixture multiplies VARIANTS per canonical url (doc_id%50 and %4
+    # repeat within each replica), so the shuffle stays
+    # canonical-set-sized while the scan grows 10x.
+    "quality2": ["text_token_entropy", "dedup_url"],
+    # r13 session-2: bounded-window EWMA over 10x events (replica k
+    # shifts event_id and user_id, so per-user series stay intact and
+    # the user population grows 10x — the organic-telemetry shape).
+    # Claim under test: cost is ONE keyed-window exchange growing
+    # ~linearly in events; the oracle's self-join formulation (8x row
+    # blowup) is exactly what this plan avoids.
+    "events": ["timeseries_ewma"],
 }
 
 
@@ -265,6 +281,32 @@ def build_sf1_documents(spark, out_dir: str) -> None:
     )
 
 
+def build_sf1_events(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+    ev = load_table(spark, SF01, "events")
+    parts = []
+    for k in range(REPLICAS):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(k * 10_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(k * 1_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
+
 def time_key(spark, qs, key: str, sf_dir: str) -> float:
     runs = []
     for _ in range(3):
@@ -306,6 +348,8 @@ def main() -> int:
         "text": build_sf1_documents,
         "ann2": build_sf1_embeddings,
         "retrieval": build_sf1_retrieval,
+        "quality2": build_sf1_documents,
+        "events": build_sf1_events,
     }
     built = set()
     for fam in families:
