@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from machine_learning_algorithm_sparkml__spark.functions.text import tokens
@@ -181,6 +181,98 @@ def ngram_jaccard_pairs(
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Directional near-dup pairs by n-gram CONTAINMENT
+    C(src→dst) = |S(src) ∩ S(dst)| / |S(src)| — the asymmetric measure
+    every symmetric dedup misses: a document embedded verbatim inside
+    a 10× larger one has Jaccard ≈ 0.1 (invisible to
+    :func:`ngram_jaccard_pairs` at any useful threshold) but
+    containment 1.0. This is the quote/boilerplate/subset-duplication
+    detector of a crawl pipeline.
+
+    Candidate generation is PPJoin-style PREFIX FILTERING, and —
+    unlike MinHash banding — it is EXACT (the SimHash-oracle rule):
+    rank each doc's shingles by a global rarity total order
+    (document frequency, shingle); if C(src→dst) ≥ t then src misses
+    at most ⌊(1−t)·|S(src)|⌋ shingles from dst, so among src's
+    ⌊(1−t)·|S(src)|⌋+1 RAREST shingles at least one is in dst
+    (pigeonhole over ANY size-(miss+1) subset). Joining only that
+    prefix against the inverted index therefore has recall 1.0, and
+    the DuckDB oracle may verify against the TRUE all-pairs
+    containment directly — no candidate replay needed.
+
+    At 100 TB the prefix side is the knob: the inverted-index join
+    probes |prefix| ≈ (1−t)·|S(src)|+1 shingles per doc (2-3 at
+    t=0.9) ordered by RARITY, so hot shingles never enter the probe
+    side; verification then joins each candidate pair's src shingles
+    against the (dst, shingle) index — bounded by candidates, not by
+    the corpus square.
+
+    The threshold compare runs in EXACT INTEGER space
+    (q·n_common ≥ p·n_src for t = p/q) — no float boundary; the
+    reported ``containment`` is one IEEE division of exact ints
+    (bit-deterministic, unrounded — the ngram_jaccard rule).
+    Output: (src_id, dst_id, n_src, n_common, containment), one row
+    per ordered pair with C(src→dst) ≥ t.
+    """
+    from fractions import Fraction
+
+    t = Fraction(threshold).limit_denominator(1000)
+    sh = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_src"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df_"), F.asc("shingle"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    # prefix length ⌊(1−t)·n_src⌋ + 1, computed in exact integers:
+    # ⌊((q−p)·n_src)/q⌋ + 1 for t = p/q
+    p_, q_ = t.numerator, t.denominator
+    prefix_len = ((q_ - p_) * F.col("n_src")) / q_
+    prefix = ranked.filter(F.col("rn") <= F.floor(prefix_len) + 1).select(
+        F.col(id_col).alias("src_id"), "shingle"
+    )
+    index = sh.select(F.col(id_col).alias("dst_id"), "shingle")
+    cand = (
+        prefix.join(index, "shingle")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+    # verification: per candidate pair, count src's shingles present
+    # in dst — probes the (dst, shingle) index, bounded by |cand|·|src|
+    src_sh = sh.select(F.col(id_col).alias("src_id"), "shingle")
+    common = (
+        cand.join(src_sh, "src_id")
+        .join(index, ["dst_id", "shingle"])
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sized = common.join(
+        sizes.select(F.col(id_col).alias("src_id"), "n_src"), "src_id"
+    )
+    return sized.filter(
+        F.lit(q_) * F.col("n_common") >= F.lit(p_) * F.col("n_src")
+    ).select(
+        "src_id",
+        "dst_id",
+        "n_src",
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_src").cast("double")).alias(
+            "containment"
+        ),
+    )
 
 
 def decontaminate_by_shingle(

@@ -33,14 +33,14 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # lands.
 PRIORITY_KEYS = [
     # --- r13 window (50 slots; driver records indices 0-49) ---
-    # Slots 0-8: keys NEW this round, never driver-checked — the
+    # Slots 0-9: keys NEW this round, never driver-checked — the
     # oracle-backed near-dup twin (VERDICT r12 #3), the real
     # BMP/WAV decodes (VERDICT r12 #4 + its audio sibling), then the
-    # six session-2 additions: the real PNG decode (compressed format,
+    # session-2 additions: the real PNG decode (compressed format,
     # stdlib-zlib DEFLATE), gzip JSONL ingestion, the shuffle-free
     # token-entropy quality signal, the SQL-scripting WHILE loop, URL
-    # canonicalization dedup, and the bounded-window EWMA (all
-    # oracle-backed):
+    # canonicalization dedup, the bounded-window EWMA, and asymmetric
+    # containment dedup (all oracle-backed):
     "embedding_neardup_portable",
     "multimodal_decode_real",
     "multimodal_wav_decode",
@@ -50,7 +50,8 @@ PRIORITY_KEYS = [
     "sql_scripting_while",
     "dedup_url",
     "timeseries_ewma",
-    # Slots 9-40: the complete r8-stale block (staleness.py r8 row,
+    "dedup_containment",
+    # Slots 10-41: the complete r8-stale block (staleness.py r8 row,
     # 32 keys — no key's latest driver row may predate r9 after this
     # round, VERDICT r12 #1):
     "doc_chunk_fixed",
@@ -85,7 +86,7 @@ PRIORITY_KEYS = [
     "text_top_terms",
     "text_zscore_by_lang",
     "window_first_last",
-    # Slots 41-49: 9-key fill from the r9-stale block (oldest rows
+    # Slots 42-49: 8-key fill from the r9-stale block (oldest rows
     # after r8; includes ml_confusion per VERDICT r12 "keep the
     # invariant rows in rotation"):
     "agg_argmax_maxby",
@@ -95,9 +96,9 @@ PRIORITY_KEYS = [
     "dq_expectations",
     "dq_referential_integrity",
     "embedding_quantize_arrow",
-    "json_variant_extract",
     "ml_confusion",
-    # --- slip tail (positions 50+): layout_compaction /
+    # --- slip tail (positions 50+): json_variant_extract /
+    # layout_compaction /
     # layout_compaction_clustered /
     # ml_group_ols / ml_group_ridge / observe_metrics /
     # random_split_portable displaced from the window's tail by the
@@ -107,6 +108,7 @@ PRIORITY_KEYS = [
     # addition (the window-bookkeeping rule: slip oracle-backed
     # low-risk keys), then the remaining 30 r9-stale keys; they head
     # the r14 rotation ---
+    "json_variant_extract",
     "layout_compaction",
     "layout_compaction_clustered",
     "ml_group_ols",

@@ -31,6 +31,7 @@ from machine_learning_algorithm_sparkml__spark.functions.text import (
     word_token_count,
 )
 from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+    containment_pairs,
     MINHASH_PRIME,
     exact_dedup_representatives,
     incremental_exact_dedup,
@@ -546,6 +547,7 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:decontaminate_by_shingle). Output: surviving
     corpus doc_ids."""
     from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+    containment_pairs,
         decontaminate_by_shingle,
     )
 
@@ -577,6 +579,7 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-soup corpus; other corpus docs MAY still legitimately drop —
     the invariant claims recall, not precision."""
     from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+    containment_pairs,
         decontaminate_by_minhash,
     )
 
@@ -622,6 +625,7 @@ def q_decontaminate_fuzzy_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, the driver correctness run and tests keep the verdicts
     ON."""
     from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+    containment_pairs,
         decontaminate_by_minhash,
     )
 
@@ -701,6 +705,28 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         F.count(F.lit(1)).alias("n_variants"),
     )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (containment) near-dup pairs — the subset-duplication
+    detector symmetric dedup misses: every 97th sufficiently-long doc
+    is re-planted (id+20M) as its own FIRST HALF, giving containment
+    1.0 toward its original while Jaccard sits near 0.5 (below every
+    Jaccard key's threshold — the planted pairs are EXACTLY the ones
+    `dedup_ngram_jaccard` cannot see). Candidate generation is exact
+    prefix filtering (operators/dedup.py:containment_pairs — recall
+    1.0 by pigeonhole, unlike MinHash banding), so the DuckDB oracle
+    verifies against TRUE all-pairs containment with no candidate
+    replay; the threshold compare is integer-exact (10·common ≥
+    9·|src|) on both sides."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    planted = docs.filter((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 8)).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, (F.size(toks) / 2).cast("int")), " ").alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    return containment_pairs(corpus, "doc_id", "text", n=3, threshold=0.9)
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1396,6 +1422,7 @@ def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_mllib_pairs,
     )
     from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+    containment_pairs,
         minhash_near_dup_pairs,
     )
 
@@ -1456,6 +1483,7 @@ QUERIES = {
     "decontaminate_fuzzy_large": q_decontaminate_fuzzy_large,
     "dedup_exact": q_dedup_exact,
     "dedup_url": q_dedup_url,
+    "dedup_containment": q_dedup_containment,
     "dedup_incremental": q_dedup_incremental,
     "dedup_passage": q_dedup_passage,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2125,6 +2153,45 @@ ORACLE = {
     "dedup_exact": """
         SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text
+    """,
+    # containment truth computed DIRECTLY (all co-occurring pairs ->
+    # exact |src∩dst| / |src|): the Spark side's prefix filter has
+    # recall 1.0 by pigeonhole, so no candidate replay is needed (the
+    # SimHash-oracle rule, not the MinHash one); threshold compare in
+    # exact integers on both sides
+    "dedup_containment": """
+        WITH tk0 AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0) AS t
+            FROM documents
+        ), corpus AS (
+            SELECT doc_id, t FROM tk0
+            UNION ALL
+            SELECT doc_id + 20000000 AS doc_id, t[1:len(t) // 2] AS t
+            FROM tk0 WHERE doc_id % 97 = 0 AND len(t) >= 8
+        ), sh_raw AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
+                        ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                   END AS sh
+            FROM corpus
+        ), shingles AS (
+            SELECT DISTINCT doc_id, u.shingle
+            FROM sh_raw, UNNEST(sh) AS u(shingle)
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_src FROM shingles GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS src_id, b.doc_id AS dst_id, COUNT(*) AS n_common
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT src_id, dst_id,
+               CAST(s.n_src AS BIGINT) AS n_src,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(n_common AS DOUBLE) / s.n_src AS containment
+        FROM inter JOIN sizes s ON s.doc_id = src_id
+        WHERE 10 * n_common >= 9 * s.n_src
     """,
     # url fixture construction + canonicalization replayed literally:
     # all string ops (regexp subset common to Java and RE2), no floats

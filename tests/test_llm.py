@@ -1459,3 +1459,67 @@ def test_portable_ivfpq_topk_recall_and_composition(emb):
         per_q.setdefault(r.query_id, []).append(r.rank)
         assert -1.0 <= r.sim <= 1.0
     assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
+
+
+def test_containment_pairs_asymmetric_and_exact_recall(spark):
+    """Containment finds the subset-duplication Jaccard misses: a doc
+    embedded in one 3x larger scores C=1.0 / Jaccard≈0.33. Also pins
+    the prefix-filter exactness claim by comparing against a brute
+    all-pairs computation on a corpus WITH hot shingles (the rarity
+    ordering must not lose recall)."""
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        shingle_sets,
+    )
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " zeta eta theta iota kappa " + "lam mu nu xi omicron pi rho sigma"
+    # hot-shingle corpus noise: every filler doc shares "common words here"
+    filler = [f"common words here filler{i} x{i} y{i} z{i}" for i in range(6)]
+    rows = [(1, small), (2, big)] + [(10 + i, t) for i, t in enumerate(filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["src_id"], r["dst_id"]): r
+        for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)]["containment"] == 1.0
+    assert (2, 1) not in got  # asymmetric: big is NOT contained in small
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in jac)
+
+    # brute-force truth: every ordered pair with C >= 0.9 must appear
+    sh = {did: set() for did, _ in rows}
+    for r in shingle_sets(df, "doc_id", "text", 3).collect():
+        sh[r["doc_id"]].add(r["shingle"])
+    truth = {
+        (a, b)
+        for a in sh for b in sh
+        if a != b and sh[a] and 10 * len(sh[a] & sh[b]) >= 9 * len(sh[a])
+    }
+    assert set(got) == truth
+
+
+def test_dedup_containment_planted_halves(spark, sf_dir):
+    """Every planted half-doc (id+20M) must report containment 1.0
+    toward its original — and its (half, original) pair must be
+    invisible to the Jaccard key (the gap this operator closes)."""
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_dedup_containment,
+        q_dedup_ngram_jaccard,
+    )
+
+    rows = q_dedup_containment(spark, sf_dir).collect()
+    planted = {r["src_id"]: r for r in rows if r["src_id"] >= 20_000_000}
+    assert planted, "fixture must plant at least one half-doc"
+    for src, r in planted.items():
+        if r["dst_id"] == src - 20_000_000:
+            assert r["containment"] == 1.0
+    assert any(r["dst_id"] == src - 20_000_000 for src, r in planted.items())
+    jac_pairs = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    for src in planted:
+        assert frozenset((src, src - 20_000_000)) not in jac_pairs

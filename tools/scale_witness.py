@@ -119,7 +119,11 @@ FAMILY_KEYS = {
     # fixture multiplies VARIANTS per canonical url (doc_id%50 and %4
     # repeat within each replica), so the shuffle stays
     # canonical-set-sized while the scan grows 10x.
-    "quality2": ["text_token_entropy", "dedup_url"],
+    # dedup_containment rides the same build: replica word-renaming
+    # keeps shingle sets disjoint ACROSS replicas, so the rarity-
+    # prefix inverted-index join and the per-candidate verification
+    # both stay within-replica — pair density constant, cost ~linear.
+    "quality2": ["text_token_entropy", "dedup_url", "dedup_containment"],
     # r13 session-2: bounded-window EWMA over 10x events (replica k
     # shifts event_id and user_id, so per-user series stay intact and
     # the user population grows 10x — the organic-telemetry shape).
