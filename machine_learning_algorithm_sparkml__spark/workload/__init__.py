@@ -33,14 +33,15 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # lands.
 PRIORITY_KEYS = [
     # --- r13 window (50 slots; driver records indices 0-49) ---
-    # Slots 0-9: keys NEW this round, never driver-checked — the
+    # Slots 0-10: keys NEW this round, never driver-checked — the
     # oracle-backed near-dup twin (VERDICT r12 #3), the real
     # BMP/WAV decodes (VERDICT r12 #4 + its audio sibling), then the
     # session-2 additions: the real PNG decode (compressed format,
     # stdlib-zlib DEFLATE), gzip JSONL ingestion, the shuffle-free
     # token-entropy quality signal, the SQL-scripting WHILE loop, URL
-    # canonicalization dedup, the bounded-window EWMA, and asymmetric
-    # containment dedup (all oracle-backed):
+    # canonicalization dedup, the bounded-window EWMA, asymmetric
+    # containment dedup, and the from-scratch-LZW GIF decode (all
+    # oracle-backed):
     "embedding_neardup_portable",
     "multimodal_decode_real",
     "multimodal_wav_decode",
@@ -51,7 +52,8 @@ PRIORITY_KEYS = [
     "dedup_url",
     "timeseries_ewma",
     "dedup_containment",
-    # Slots 10-41: the complete r8-stale block (staleness.py r8 row,
+    "multimodal_gif_decode",
+    # Slots 11-42: the complete r8-stale block (staleness.py r8 row,
     # 32 keys — no key's latest driver row may predate r9 after this
     # round, VERDICT r12 #1):
     "doc_chunk_fixed",
@@ -86,7 +88,7 @@ PRIORITY_KEYS = [
     "text_top_terms",
     "text_zscore_by_lang",
     "window_first_last",
-    # Slots 42-49: 8-key fill from the r9-stale block (oldest rows
+    # Slots 43-49: 7-key fill from the r9-stale block (oldest rows
     # after r8; includes ml_confusion per VERDICT r12 "keep the
     # invariant rows in rotation"):
     "agg_argmax_maxby",
@@ -95,9 +97,9 @@ PRIORITY_KEYS = [
     "cdc_soft_delete",
     "dq_expectations",
     "dq_referential_integrity",
-    "embedding_quantize_arrow",
     "ml_confusion",
-    # --- slip tail (positions 50+): json_variant_extract /
+    # --- slip tail (positions 50+): embedding_quantize_arrow /
+    # json_variant_extract /
     # layout_compaction /
     # layout_compaction_clustered /
     # ml_group_ols / ml_group_ridge / observe_metrics /
@@ -108,6 +110,7 @@ PRIORITY_KEYS = [
     # addition (the window-bookkeeping rule: slip oracle-backed
     # low-risk keys), then the remaining 30 r9-stale keys; they head
     # the r14 rotation ---
+    "embedding_quantize_arrow",
     "json_variant_extract",
     "layout_compaction",
     "layout_compaction_clustered",

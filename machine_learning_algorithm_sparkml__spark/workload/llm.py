@@ -1364,6 +1364,29 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_media(encode_png_media(docs))
 
 
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED REAL GIF decode — the third real image codec, and
+    the one whose compression algorithm is implemented FROM SCRATCH
+    (LZW: dictionary growth, code-width boundaries, CLEAR resets, the
+    KwKwK corner — operators/multimodal.py:_lzw_compress/_decompress;
+    no library involved at all, unlike PNG's stdlib zlib). Every
+    document row becomes a real GIF89a (CRC-free container: screen
+    descriptor, grayscale global color table, a comment extension the
+    decoder must sub-block-skip, multi-sub-block image data), decoded
+    back by the chunk-walking parser. The decoder is ALSO validated
+    against a public hand-crafted 1x1 GIF in tests — external ground
+    truth, so a shared encoder/decoder bit-order bug cannot hide in
+    the round-trip. Indices are the portable-md5 family; DuckDB
+    regenerates the array the decoder must recover through real LZW."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_gif_media,
+        encode_gif_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_gif_media(encode_gif_media(docs))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: Arrow-batched feature-extraction stub. The feature
     vector is summarized to scalar columns (dim / L1 norm / first slot)
@@ -1513,6 +1536,7 @@ QUERIES = {
     "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_png_decode": q_multimodal_png_decode,
+    "multimodal_gif_decode": q_multimodal_gif_decode,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -2849,6 +2873,26 @@ ORACLE = {
         )
         SELECT doc_id, width, height,
                CAST(SUM(CAST('0x' || substr(md5('png:' || doc_id || ':' || p), 1, 15) AS BIGINT) % 256) AS BIGINT) AS pixel_sum
+        FROM px
+        GROUP BY doc_id, width, height
+    """,
+    # REAL GIF replay: the oracle regenerates the portable-md5
+    # palette indices the from-scratch LZW compressed, checking what
+    # the decoder recovered through real dictionary-building
+    # compression (operators/multimodal.py:decode_gif)
+    "multimodal_gif_decode": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(6 + doc_id % 4 AS INTEGER) AS width,
+                   CAST(4 + doc_id % 5 AS INTEGER) AS height
+            FROM documents
+        ), px AS (
+            SELECT doc_id, width, height,
+                   unnest(range(0, width * height)) AS p
+            FROM dims
+        )
+        SELECT doc_id, width, height,
+               CAST(SUM(CAST('0x' || substr(md5('gif:' || doc_id || ':' || p), 1, 15) AS BIGINT) % 256) AS BIGINT) AS index_sum
         FROM px
         GROUP BY doc_id, width, height
     """,

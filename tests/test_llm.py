@@ -611,6 +611,91 @@ def test_png_decode_media_projection(spark):
         assert proj[did].pixel_sum == sum(_png_pixel_bytes(did, w * h * 3))
 
 
+def test_gif_lzw_roundtrip_and_boundaries():
+    """The from-scratch LZW pair is the identity across code-width
+    boundaries, dictionary resets at 4096, the KwKwK corner (constant
+    runs), and a small alphabet (min_code_size=2 crosses widths
+    fastest). 120k symbols force multiple CLEAR resets."""
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in (1, 300, 5000, 120_000):
+        for data in (
+            bytes(rng.integers(0, 256, n, dtype=np.uint8)),  # incompressible
+            bytes([1, 2] * (n // 2 + 1))[:n],                # deep dictionary
+            bytes([5] * n),                                  # KwKwK chains
+        ):
+            assert _lzw_decompress(_lzw_compress(data, 8), 8) == data
+    for n in (5, 3000):
+        data = bytes(rng.integers(0, 4, n, dtype=np.uint8))
+        assert _lzw_decompress(_lzw_compress(data, 2), 2) == data
+
+
+def test_gif_decode_external_ground_truth_and_refusals():
+    """The decoder parses a PUBLIC hand-crafted 1x1 GIF (the classic
+    transparent-pixel byte string) — external ground truth, so a
+    shared encoder/decoder bit-order bug cannot hide in the
+    round-trip. Interlaced images, local color tables, and non-GIF
+    signatures are refused."""
+    import base64
+
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_gif,
+        make_gif,
+    )
+
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    w, h, arr = decode_gif(tiny)
+    assert (w, h) == (1, 1) and arr.tolist() == [[0]]
+
+    good = bytearray(make_gif(2, 2, bytes(4)))
+    desc = 6 + 7 + 768 + 15  # header+screen, 256-entry palette, comment ext
+    assert good[desc] == 0x2C
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"PNG89a" + bytes(good[6:]))
+    inter = bytearray(good)
+    inter[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(inter))
+    local = bytearray(good)
+    local[desc + 9] |= 0x80
+    with pytest.raises(ValueError, match="local color"):
+        decode_gif(bytes(local))
+
+
+def test_gif_decode_media_projection(spark):
+    """decode_media routes image/gif through the REAL parser (1
+    channel: palette-indexed), and the Spark projection kernel agrees
+    with an in-process decode of the portable fixture."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _gif_indices,
+        decode_gif_media,
+        encode_gif_media,
+        gif_dims,
+    )
+
+    docs = spark.range(20).withColumnRenamed("id", "doc_id")
+    encoded = encode_gif_media(docs)
+    rows = decode_media(encoded).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r.width, r.height) == gif_dims(r.doc_id)
+        assert r.n_channels == 1
+    proj = {r.doc_id: r for r in decode_gif_media(encoded).collect()}
+    for did in (0, 7, 13, 19):
+        w, h = gif_dims(did)
+        assert proj[did].index_sum == sum(_gif_indices(did, w * h))
+
+
 def test_multimodal_features_fixed_dim(docs):
     wrapped = attach_binary_payload(docs.limit(20), "doc_id", "text")
     feats = extract_features(wrapped)

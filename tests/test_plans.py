@@ -1088,10 +1088,15 @@ def test_r13_session2_keys_plan_shapes(spark, sf_dir):
         q_multimodal_png_decode,
     )
 
-    png = q_multimodal_png_decode(spark, sf_dir)
-    p = png._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in p, p
-    assert p.count("MapInPandas") == 2, p
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_multimodal_gif_decode,
+    )
+
+    for q in (q_multimodal_png_decode, q_multimodal_gif_decode):
+        d = q(spark, sf_dir)
+        p = d._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p, p
+        assert p.count("MapInPandas") == 2, p
 
     url = q_dedup_url(spark, sf_dir)
     p2 = url._jdf.queryExecution().executedPlan().toString()
