@@ -13,8 +13,11 @@ padding (:func:`decode_bmp`) — because a BMP needs no codec library.
 PNG's compression is DEFLATE, which the Python *standard library*
 ships (``zlib``), so the chunk walk, CRC verification, IDAT inflate,
 and all five scanline filter reconstructions (None/Sub/Up/Average/
-Paeth) need no external codec. Formats whose codecs genuinely are
-absent from this container (JPEG/GIF/video/compressed audio) remain
+Paeth) need no external codec. **GIF is decoded for real as well**
+(:func:`decode_gif`): its LZW is implemented from scratch in this
+module (:func:`_lzw_compress` / :func:`_lzw_decompress`), so no
+library is involved at all. Formats whose codecs genuinely are
+absent from this container (JPEG/video/compressed audio) remain
 STUBBED behind ``decode_stub``: a clearly-marked deterministic fake
 that derives "decoded" properties from the payload bytes and *raises*
 on those mimes rather than faking a decode. Swapping in a real decoder
@@ -84,10 +87,11 @@ def decode_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     only the decoded properties leave the executor — payload bytes
     never cross back to the JVM.
 
-    ``image/bmp`` and ``image/png`` payloads are decoded FOR REAL
-    (:func:`decode_bmp` / :func:`decode_png` — header parse + DEFLATE
-    inflate, not fakes); other image/audio/video mimes raise, so the
-    stub never masquerades as a decode it cannot do."""
+    ``image/bmp``, ``image/png``, and ``image/gif`` payloads are
+    decoded FOR REAL (:func:`decode_bmp` / :func:`decode_png` /
+    :func:`decode_gif` — header parse, DEFLATE inflate, from-scratch
+    LZW; not fakes); other image/audio/video mimes raise, so the stub
+    never masquerades as a decode it cannot do."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -508,6 +512,8 @@ def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np
     while pos + 8 <= len(payload):
         (size,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
+        if pos + 12 + size > len(payload):
+            raise ValueError(f"truncated PNG {tag!r} chunk")
         body = payload[pos + 8 : pos + 8 + size]
         if verify_crc:
             (crc,) = struct.unpack(">I", payload[pos + 8 + size : pos + 12 + size])
@@ -796,25 +802,34 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
     pos = 13
     if packed & 0x80:
         pos += 3 * (2 << (packed & 0x07))  # skip global color table
+    def _at(i: int) -> int:
+        if i >= len(payload):
+            raise ValueError("truncated GIF (ran off the end of a block)")
+        return payload[i]
+
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # extension: label byte, then sub-blocks
             pos += 2
-            while payload[pos] != 0:
+            while _at(pos) != 0:
                 pos += 1 + payload[pos]
             pos += 1
         elif b == 0x2C:
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
             left, top, w, h, ipacked = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
             pos += 10
             if ipacked & 0x40:
                 raise ValueError("interlaced GIFs are not decoded")
             if ipacked & 0x80:
                 raise ValueError("local color tables are not decoded")
-            min_code = payload[pos]
+            min_code = _at(pos)
             pos += 1
             lzw = bytearray()
-            while payload[pos] != 0:
+            while _at(pos) != 0:
                 n = payload[pos]
+                if pos + 1 + n > len(payload):
+                    raise ValueError("truncated GIF image sub-block")
                 lzw += payload[pos + 1 : pos + 1 + n]
                 pos += 1 + n
             indices = _lzw_decompress(bytes(lzw), min_code)

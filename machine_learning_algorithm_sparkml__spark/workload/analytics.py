@@ -533,7 +533,16 @@ def q_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     of two, so each product is an EXACT double scaling; only the
     summation order differs between the fold and the oracle's SUM,
     hence the one ROUND(…, 6)."""
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    # NULL discipline: collect_list silently DROPS nulls, which would
+    # desync the frame against the oracle's COUNT(*)-weighted
+    # self-join — so null readings are excluded from the series on
+    # BOTH sides before any window math (the feature semantics: a
+    # missing reading contributes neither weight nor decay).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
     vals = F.collect_list("value").over(w)
     frame = ev.select("event_id", "user_id", vals.alias("vals"))
@@ -588,7 +597,7 @@ ORACLE = {
         WITH e AS (
             SELECT event_id, user_id, value,
                    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-            FROM events
+            FROM events WHERE value IS NOT NULL
         )
         SELECT a.event_id, a.user_id,
                CAST(COUNT(*) AS INTEGER) AS n_window,

@@ -547,7 +547,6 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:decontaminate_by_shingle). Output: surviving
     corpus doc_ids."""
     from machine_learning_algorithm_sparkml__spark.operators.dedup import (
-    containment_pairs,
         decontaminate_by_shingle,
     )
 
@@ -579,7 +578,6 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-soup corpus; other corpus docs MAY still legitimately drop —
     the invariant claims recall, not precision."""
     from machine_learning_algorithm_sparkml__spark.operators.dedup import (
-    containment_pairs,
         decontaminate_by_minhash,
     )
 
@@ -625,7 +623,6 @@ def q_decontaminate_fuzzy_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, the driver correctness run and tests keep the verdicts
     ON."""
     from machine_learning_algorithm_sparkml__spark.operators.dedup import (
-    containment_pairs,
         decontaminate_by_minhash,
     )
 
@@ -1445,7 +1442,6 @@ def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_mllib_pairs,
     )
     from machine_learning_algorithm_sparkml__spark.operators.dedup import (
-    containment_pairs,
         minhash_near_dup_pairs,
     )
 

@@ -1823,9 +1823,16 @@ def q_sql_scripting_while(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_above·20 ≤ n_total. Thresholds are 1000·2^j — exactly
     representable doubles — so both engines' comparisons are exact."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # the scripting grammar is only needed at PARSE time (spark.sql
+    # executes the script eagerly and returns the final SELECT's
+    # frame), so restore the session conf afterwards — a leaked
+    # override would make every later key's parse order-dependent
+    # (the frozen_shuffle_partitions rule for session confs)
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(
-        """
+    try:
+        return spark.sql(
+            """
         BEGIN
           DECLARE t DOUBLE DEFAULT 1000.0;
           DECLARE iters INT DEFAULT 0;
@@ -1851,7 +1858,12 @@ def q_sql_scripting_while(spark: SparkSession, sf_dir: str) -> DataFrame:
                  band;
         END
         """
-    )
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
 
 
 def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:

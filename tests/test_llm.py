@@ -585,6 +585,10 @@ def test_png_decode_crc_and_variant_refusals():
         decode_png(variant(2, 1))  # Adam7 interlaced
     with pytest.raises(ValueError, match="unsupported"):
         decode_png(variant(3, 0))  # palette
+    # truncation is a ValueError, never a struct.error/IndexError (the
+    # malformed-payload contract callers distinguish from decoder bugs)
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(good[: len(good) // 2])
 
 
 def test_png_decode_media_projection(spark):
@@ -670,6 +674,12 @@ def test_gif_decode_external_ground_truth_and_refusals():
     local[desc + 9] |= 0x80
     with pytest.raises(ValueError, match="local color"):
         decode_gif(bytes(local))
+    # truncation anywhere in the block walk is a ValueError, never an
+    # IndexError (same malformed-payload contract as PNG)
+    with pytest.raises(ValueError, match="truncated|no image"):
+        decode_gif(bytes(good[: len(good) // 2]))
+    with pytest.raises(ValueError, match="truncated|no image"):
+        decode_gif(bytes(good[:-3]))
 
 
 def test_gif_decode_media_projection(spark):

@@ -82,16 +82,15 @@ def _klass(series):
     # all-NULL: only an OBJECT column is truly class-less; any other
     # dtype still carries its class through pandas (ADVICE r11 — an
     # all-NaT timedelta64 column must not degrade to 'empty').
-    # Width-insensitive like the int rule: kind, not the full dtype.
+    # Float/int/bool/datetime kinds never reach here — the dtype
+    # checks at the top of the function already classed them (an
+    # all-NaN float64 IS float dtype) — so the only kind needing a
+    # class name is 'm' (timedelta64, which has no is_* check above);
+    # anything else (category, period, ...) reports its dtype string
+    # so a class split stays visible rather than collapsing to
+    # 'empty'.
     if dt != object:
-        return {
-            "f": "float",
-            "i": "int",
-            "u": "int",
-            "b": "bool",
-            "M": "datetime",
-            "m": "timedelta",
-        }.get(getattr(dt, "kind", "?"), str(dt))
+        return {"m": "timedelta"}.get(getattr(dt, "kind", "?"), str(dt))
     return "empty"
 
 
