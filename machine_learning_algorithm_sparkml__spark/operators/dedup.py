@@ -227,7 +227,18 @@ def containment_pairs(
     from fractions import Fraction
 
     t = Fraction(threshold).limit_denominator(1000)
-    sh = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=True)
+    # Empty/whitespace-only docs shingle to {''} under shingle_array's
+    # short-doc convention; every pair of them would report containment
+    # 1.0 (n_src=1, n_common=1) — spurious "subset duplicates" and a
+    # quadratic ordered-pair blowup among empty docs at crawl scale.
+    # Non-empty docs never produce the empty shingle (concat_ws over
+    # ≥1 non-empty tokens), so dropping it removes exactly the
+    # zero-token docs. The oracle applies the same guard.
+    sh = (
+        shingle_sets(df, id_col, text_col, n)
+        .filter(F.col("shingle") != "")
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_src"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     w = Window.partitionBy(id_col).orderBy(F.asc("df_"), F.asc("shingle"))

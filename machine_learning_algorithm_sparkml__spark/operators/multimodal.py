@@ -520,6 +520,8 @@ def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np
             if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
                 raise ValueError(f"CRC mismatch in {tag!r} chunk")
         if tag == b"IHDR":
+            if size != 13:
+                raise ValueError("truncated PNG IHDR chunk (body must be 13 bytes)")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
             idat += body
@@ -798,6 +800,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
     the round-trip)."""
     if payload[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF payload (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF (payload shorter than the screen descriptor)")
     sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     if packed & 0x80:

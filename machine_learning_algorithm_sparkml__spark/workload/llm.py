@@ -2196,8 +2196,11 @@ ORACLE = {
                    END AS sh
             FROM corpus
         ), shingles AS (
+            -- empty-doc guard mirrors containment_pairs: zero-token
+            -- docs shingle to {''} and would pair quadratically
             SELECT DISTINCT doc_id, u.shingle
             FROM sh_raw, UNNEST(sh) AS u(shingle)
+            WHERE u.shingle <> ''
         ), sizes AS (
             SELECT doc_id, COUNT(*) AS n_src FROM shingles GROUP BY doc_id
         ), inter AS (
@@ -2241,7 +2244,7 @@ ORACLE = {
                         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
                         ELSE hostport END AS host,
                    regexp_extract(pathquery, '^([^?]*)', 1) AS path,
-                   regexp_extract(pathquery, '\?(.*)$', 1) AS query
+                   regexp_extract(pathquery, '\\?(.*)$', 1) AS query
             FROM comps
         ), canon AS (
             SELECT doc_id,

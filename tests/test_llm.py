@@ -589,6 +589,11 @@ def test_png_decode_crc_and_variant_refusals():
     # malformed-payload contract callers distinguish from decoder bugs)
     with pytest.raises(ValueError, match="truncated|missing"):
         decode_png(good[: len(good) // 2])
+    # an IHDR whose body is shorter than 13 bytes but carries a
+    # self-consistent CRC must be a ValueError, not a struct.error
+    short_ihdr = _PNG_SIG + _png_chunk(b"IHDR", b"\x00" * 8) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(short_ihdr)
 
 
 def test_png_decode_media_projection(spark):
@@ -680,6 +685,10 @@ def test_gif_decode_external_ground_truth_and_refusals():
         decode_gif(bytes(good[: len(good) // 2]))
     with pytest.raises(ValueError, match="truncated|no image"):
         decode_gif(bytes(good[:-3]))
+    # a valid signature with fewer than 13 bytes (no complete screen
+    # descriptor) is a ValueError, never a struct.error
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(b"GIF89a\x01\x00")
 
 
 def test_gif_decode_media_projection(spark):
@@ -1572,7 +1581,14 @@ def test_containment_pairs_asymmetric_and_exact_recall(spark):
     big = small + " zeta eta theta iota kappa " + "lam mu nu xi omicron pi rho sigma"
     # hot-shingle corpus noise: every filler doc shares "common words here"
     filler = [f"common words here filler{i} x{i} y{i} z{i}" for i in range(6)]
-    rows = [(1, small), (2, big)] + [(10 + i, t) for i, t in enumerate(filler)]
+    # zero-token docs must NOT pair with each other (they shingle to
+    # {''} under the short-doc convention; the operator's empty-doc
+    # guard drops them instead of reporting spurious C=1.0 pairs)
+    rows = (
+        [(1, small), (2, big)]
+        + [(10 + i, t) for i, t in enumerate(filler)]
+        + [(90, ""), (91, "   "), (92, None)]
+    )
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
     got = {
@@ -1581,13 +1597,17 @@ def test_containment_pairs_asymmetric_and_exact_recall(spark):
     }
     assert (1, 2) in got and got[(1, 2)]["containment"] == 1.0
     assert (2, 1) not in got  # asymmetric: big is NOT contained in small
+    empty_ids = {90, 91, 92}
+    assert not any(s in empty_ids or d in empty_ids for s, d in got)
     jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
     assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in jac)
 
     # brute-force truth: every ordered pair with C >= 0.9 must appear
+    # ('' excluded to mirror the operator's zero-token guard)
     sh = {did: set() for did, _ in rows}
     for r in shingle_sets(df, "doc_id", "text", 3).collect():
-        sh[r["doc_id"]].add(r["shingle"])
+        if r["shingle"] != "":
+            sh[r["doc_id"]].add(r["shingle"])
     truth = {
         (a, b)
         for a in sh for b in sh
@@ -1606,15 +1626,21 @@ def test_dedup_containment_planted_halves(spark, sf_dir):
     )
 
     rows = q_dedup_containment(spark, sf_dir).collect()
-    planted = {r["src_id"]: r for r in rows if r["src_id"] >= 20_000_000}
+    by_pair = {(r["src_id"], r["dst_id"]): r for r in rows}
+    planted = {s for s, _ in by_pair if s >= 20_000_000}
     assert planted, "fixture must plant at least one half-doc"
-    for src, r in planted.items():
-        if r["dst_id"] == src - 20_000_000:
-            assert r["containment"] == 1.0
-    assert any(r["dst_id"] == src - 20_000_000 for src, r in planted.items())
+    # EVERY planted half must report containment 1.0 toward its
+    # original — per-src, not a single any() over an arbitrary
+    # surviving row per src
+    for src in planted:
+        r = by_pair.get((src, src - 20_000_000))
+        assert r is not None, f"planted {src} missing its original pair"
+        assert r["containment"] == 1.0
     jac_pairs = {
         frozenset((r["id_a"], r["id_b"]))
         for r in q_dedup_ngram_jaccard(spark, sf_dir).collect()
     }
     for src in planted:
         assert frozenset((src, src - 20_000_000)) not in jac_pairs
+    # zero-token originals never enter the pair set (empty-doc guard)
+    assert all(r["n_src"] > 0 for r in rows)

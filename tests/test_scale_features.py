@@ -537,5 +537,9 @@ def test_scan_jsonl_gzip_shards_and_roundtrip(spark, sf_dir):
     assert len(shards) == 8, "8-way repartition must yield 8 .gz shards"
     src = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
-    # the read parallelizes per shard: 8 files -> 8 input partitions
-    assert back.rdd.getNumPartitions() == 8
+    # gzip is unsplittable, so a shard can never SPLIT into more than
+    # one partition; whether 8 tiny shards coalesce below 8 depends on
+    # spark.sql.files bin-packing (maxPartitionBytes/openCostInBytes),
+    # so pin only the unsplittability bound — the 8-shards-on-disk
+    # check above is what proves the write-side parallelism
+    assert 1 <= back.rdd.getNumPartitions() <= 8
