@@ -63,6 +63,57 @@ def test_report_stat_lower_median():
     assert bench.report_stat([0.4, 0.5, 0.45]) == 0.45
 
 
+def test_merge_priors_takes_per_key_floor():
+    # r13 incident: the driver's contaminated sweep (46 s) became the
+    # committed BENCH_FULL prior, so the next 46 s spike looked normal.
+    # The curated floor must win regardless of source order.
+    curated = {"decon": 1.2, "only_curated": 3.0}
+    contaminated = {"decon": 46.3, "only_full": 0.5, "bad": "n/a"}
+    merged = bench.merge_priors([curated, contaminated])
+    assert merged["decon"] == 1.2
+    assert merged["only_curated"] == 3.0 and merged["only_full"] == 0.5
+    assert "bad" not in merged  # non-numeric entries ignored
+    assert bench.merge_priors([contaminated, curated])["decon"] == 1.2
+
+
+def test_contaminated_prior_cannot_mask_spike():
+    # with only the contaminated prior, a 46 s run on a 1.2 s-floor key
+    # is "normal" (the r13 hole); with the curated floor it must repeat
+    assert not bench.should_repeat([46.0], prior=46.3)
+    assert bench.should_repeat([46.0], prior=1.2)
+    # and once contention clears, lower median reports the honest runs
+    assert bench.report_stat([46.0, 1.3, 1.4]) == 1.4
+
+
+def test_load_priors_reads_curated_and_full(tmp_path):
+    import json
+
+    (tmp_path / "BENCH_PRIORS.json").write_text(
+        json.dumps({"queries": {"a": 1.0, "c": 2.0}})
+    )
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"queries": {"a": 5.0, "b": 0.3}})
+    )
+    assert bench.load_priors(str(tmp_path)) == {"a": 1.0, "b": 0.3, "c": 2.0}
+    # missing files -> empty floor, never an exception
+    assert bench.load_priors(str(tmp_path / "nope")) == {}
+
+
+def test_priors_file_covers_registry():
+    """BENCH_PRIORS.json must track the live registry: every floor key
+    is a registry key (renames must not linger as dead floors)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(bench.__file__), "BENCH_PRIORS.json")
+    floors = json.load(open(path))["queries"]
+    from machine_learning_algorithm_sparkml__spark import workload
+
+    live = set(workload.all_queries())
+    dead = sorted(set(floors) - live)
+    assert not dead, f"stale prior keys (run tools/update_priors.py): {dead}"
+
+
 def test_bench_diff_classification():
     from tools.bench_diff import diff
 
