@@ -16,11 +16,15 @@ and all five scanline filter reconstructions (None/Sub/Up/Average/
 Paeth) need no external codec. **GIF is decoded for real as well**
 (:func:`decode_gif`): its LZW is implemented from scratch in this
 module (:func:`_lzw_compress` / :func:`_lzw_decompress`), so no
-library is involved at all. Formats whose codecs genuinely are
-absent from this container (JPEG/video/compressed audio) remain
-STUBBED behind ``decode_stub``: a clearly-marked deterministic fake
-that derives "decoded" properties from the payload bytes and *raises*
-on those mimes rather than faking a decode. Swapping in a real decoder
+library is involved at all. **Baseline JPEG is decoded for real too**
+(:func:`decode_jpeg`): canonical Huffman tables rebuilt from DHT,
+differential-DC/run-length-AC entropy decode with byte un-stuffing,
+dequantization, 2-D IDCT, and YCbCr->RGB — all numpy/struct, no
+library. Formats whose codecs genuinely are absent from this
+container (video/compressed audio) remain STUBBED behind
+``decode_stub``: a clearly-marked deterministic fake that derives
+"decoded" properties from the payload bytes and *raises* on those
+mimes rather than faking a decode. Swapping in a real decoder
 changes ONE function body, not the pipeline.
 """
 
@@ -87,11 +91,12 @@ def decode_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     only the decoded properties leave the executor — payload bytes
     never cross back to the JVM.
 
-    ``image/bmp``, ``image/png``, and ``image/gif`` payloads are
-    decoded FOR REAL (:func:`decode_bmp` / :func:`decode_png` /
-    :func:`decode_gif` — header parse, DEFLATE inflate, from-scratch
-    LZW; not fakes); other image/audio/video mimes raise, so the stub
-    never masquerades as a decode it cannot do."""
+    ``image/bmp``, ``image/png``, ``image/gif``, and ``image/jpeg``
+    payloads are decoded FOR REAL (:func:`decode_bmp` /
+    :func:`decode_png` / :func:`decode_gif` / :func:`decode_jpeg` —
+    header parse, DEFLATE inflate, from-scratch LZW, baseline
+    Huffman+IDCT; not fakes); other image/audio/video mimes raise, so
+    the stub never masquerades as a decode it cannot do."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -101,11 +106,12 @@ def decode_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
             is_bmp = mimes.str.startswith("image/bmp")
             is_png = mimes.str.startswith("image/png")
             is_gif = mimes.str.startswith("image/gif")
-            is_real = is_bmp | is_png | is_gif
+            is_jpeg = mimes.str.startswith("image/jpeg")
+            is_real = is_bmp | is_png | is_gif | is_jpeg
             if (mimes.str.startswith(("image/", "audio/", "video/")) & ~is_real).any():
                 raise NotImplementedError(
-                    "real media decoding beyond BMP/PNG/GIF is stubbed in "
-                    "this environment; swap decode_stub for a codec-backed "
+                    "real media decoding beyond BMP/PNG/GIF/JPEG is stubbed "
+                    "in this environment; swap decode_stub for a codec-backed "
                     "implementation"
                 )
 
@@ -119,6 +125,9 @@ def decode_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                 if row["is_gif"]:
                     w, h, _ = decode_gif(row["payload"])
                     return w, h, 1  # palette-indexed: one channel
+                if row["is_jpeg"]:
+                    w, h, _ = decode_jpeg(row["payload"])
+                    return w, h, 3
                 return decode_stub(row["payload"])
 
             decoded = pd.DataFrame(
@@ -127,6 +136,7 @@ def decode_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                     "is_bmp": is_bmp,
                     "is_png": is_png,
                     "is_gif": is_gif,
+                    "is_jpeg": is_jpeg,
                 }
             ).apply(_one, axis=1)
             yield pd.DataFrame(
@@ -957,3 +967,505 @@ def frame_sample(df: DataFrame, *, id_col: str = "doc_id", n_frames: int = 4) ->
         "frame_idx",
         F.substring(F.col("payload"), (F.col("frame_idx") * width + 1).cast("int"), width).alias("frame_bytes"),
     )
+
+
+# --- real JPEG codec (baseline sequential: Huffman + DCT + YCbCr, from scratch) ---
+
+#: Output schema of the REAL JPEG decode (pixel_sum = exact integer sum
+#: of all decoded RGB bytes — the oracle-comparable projection).
+DECODED_JPEG_SCHEMA = "doc_id long, width int, height int, pixel_sum long"
+
+#: Orthonormal 8-point DCT-II basis: F = C @ f @ C.T, f = C.T @ F @ C.
+_DCT_C = np.array(
+    [
+        [
+            np.sqrt((1.0 if u == 0 else 2.0) / 8.0)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _zigzag_order() -> list[int]:
+    """Raster index visited at each zigzag position (T.81 Figure 5) —
+    generated from the diagonal-walk definition instead of a 64-entry
+    literal so a typo cannot silently corrupt one coefficient slot."""
+    out = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        for r in rows if s % 2 else reversed(rows):
+            out.append(r * 8 + (s - r))
+    return out
+
+
+_ZZ = _zigzag_order()
+
+#: Huffman table specs in the DHT wire format (BITS count per code
+#: length 1..16, then symbol values in code order). These are CUSTOM
+#: canonical tables — legal because JPEG files DEFINE their tables;
+#: the decoder must build whatever DHT declares, exactly as for the
+#: Annex K defaults. DC: 12 categories, all 4-bit codes (codes 0..11,
+#: the reserved all-ones 1111 unused). AC: EOB, ZRL, then every
+#: (run, size) symbol, all 8-bit codes (0..161, all-ones unused).
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+
+#: Quantization tables. The DC entry is 8 ON PURPOSE: a flat 8x8 block
+#: of value v has exactly one nonzero coefficient, DC = 8*(v-128), and
+#: 8 | 8*(v-128), so quantize->dequantize->IDCT reconstructs v BIT
+#: EXACTLY — which is what makes a lossy format oracle-checkable: the
+#: fixture below is flat-per-block, so DuckDB regenerates the exact
+#: bytes the decoder must recover through real entropy coding. AC
+#: entries never matter for flat blocks (the coefficients are 0).
+_Q_LUMA = np.full((8, 8), 16, dtype=np.int32)
+_Q_LUMA[0, 0] = 8
+_Q_CHROMA = np.full((8, 8), 24, dtype=np.int32)
+_Q_CHROMA[0, 0] = 8
+
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) by the spec's canonical assignment
+    (T.81 Annex C): within a length codes count up; doubling the
+    running code moves to the next length."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, the decoder-side view of the same
+    canonical assignment (built from DHT bytes at decode time)."""
+    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, values).items()}
+
+
+class _BitWriter:
+    """MSB-first bit packer with JPEG byte stuffing (0xFF -> 0xFF 0x00)
+    and the spec's 1-bit padding on flush."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.write(1, 1)
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment: un-stuffs
+    0xFF 0x00 and treats any other 0xFF-marker mid-stream as an error
+    (this encoder never emits restart intervals)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG entropy stream")
+                if self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside JPEG entropy stream")
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(
+    bw: _BitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-code one zigzag-ordered quantized block; returns its DC
+    for the next block's differential prediction."""
+    diff = int(zz[0]) - pred
+    s = _category(diff)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) if len(nz) else -1
+    run = 0
+    for i in range(last + 1):
+        c = int(zz[1 + i])
+        if c == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(c)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(c if c >= 0 else c + (1 << s) - 1, s)
+        run = 0
+    if last < 62:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def _decode_block(
+    br: _BitReader,
+    dc_tbl: dict[tuple[int, int], int],
+    ac_tbl: dict[tuple[int, int], int],
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    """Decode one block to zigzag-ordered coefficients; returns the
+    coefficients and the resolved DC (next block's prediction)."""
+    s = _huff_read(br, dc_tbl)
+    diff = 0
+    if s:
+        v = br.bits(s)
+        diff = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+    dc = pred + diff
+    zz = np.zeros(64, dtype=np.int32)
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = _huff_read(br, ac_tbl)
+        if sym == 0x00:
+            break
+        if sym == 0xF0:
+            k += 16
+            continue
+        run, s = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63 or s == 0:
+            raise ValueError("corrupt JPEG AC coefficient run")
+        v = br.bits(s)
+        zz[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        k += 1
+    return zz, dc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def make_jpeg(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize a REAL baseline sequential JFIF JPEG (SOI, APP0, a COM
+    segment the decoder must skip, one DQT holding BOTH quant tables,
+    SOF0, one DHT holding all FOUR Huffman tables, SOS, entropy-coded
+    data with byte stuffing, EOI). ``pixels`` is the top-down row-major
+    RGB byte array; dimensions must be multiples of 8 (this encoder
+    does no edge padding — the DECODER handles non-multiple dims by
+    MCU-cover + crop, like real files need).
+
+    The full pipeline runs: RGB->YCbCr, per-block forward DCT,
+    quantization, zigzag, differential-DC + run-length-AC canonical
+    Huffman coding across interleaved 3-component MCUs (1x1 sampling).
+    The output opens in any image viewer."""
+    if width % 8 or height % 8:
+        raise ValueError("make_jpeg requires multiple-of-8 dimensions")
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} pixel bytes, got {len(pixels)}")
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255),
+        np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255),
+        np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255),
+    ]
+    qtabs = [_Q_LUMA, _Q_CHROMA, _Q_CHROMA]
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            for ci, plane in enumerate(planes):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                fq = np.round((_DCT_C @ blk @ _DCT_C.T) / qtabs[ci]).astype(np.int32)
+                zz = fq.reshape(64)[_ZZ]
+                preds[ci] = _encode_block(bw, zz, preds[ci], dc_codes, ac_codes)
+
+    def _zz_bytes(q: np.ndarray) -> bytes:
+        return bytes(int(q.reshape(64)[_ZZ[z]]) for z in range(64))
+
+    dqt = _seg(0xDB, b"\x00" + _zz_bytes(_Q_LUMA) + b"\x01" + _zz_bytes(_Q_CHROMA))
+    sof = _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = _seg(
+        0xC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + b"\x01" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x11" + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    sos = _seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    com = _seg(0xFE, b"spark-graft")
+    return (
+        b"\xff\xd8" + app0 + com + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    )
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL baseline JPEG decode with no codec library: marker walk
+    (APPn/COM skipped by length), DQT parse (multiple tables per
+    segment, zigzag layout), DHT canonical-code reconstruction from
+    BITS/HUFFVAL (T.81 Annex C — whatever tables the file declares),
+    SOF0 frame parse, then the interleaved-MCU entropy decode:
+    canonical Huffman, DC differential + EXTEND, AC run-length with
+    ZRL/EOB, byte un-stuffing, dequantization, 2-D IDCT, level shift,
+    and YCbCr->RGB. Returns (width, height, pixels) with ``pixels``
+    the top-down (height, width*3) uint8 RGB array; images whose
+    dimensions are not MCU multiples are decoded MCU-covered then
+    cropped, as the spec requires. Progressive (SOF2), arithmetic
+    coding, subsampled chroma, restart intervals, and 12-bit precision
+    raise rather than guessing."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (bad SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (width, height, [(comp_id, qtab_id)])
+    scan = None  # [(comp_id, dc_id, ac_id)], entropy start pos
+
+    while True:
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG (ran out of markers)")
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:  # standalone
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment body")
+        if marker == 0xDB:  # DQT: one or more tables
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("unsupported JPEG variant: 16-bit quant tables")
+                if i + 65 > len(body):
+                    raise ValueError("truncated JPEG DQT table")
+                q = np.zeros(64, dtype=np.int32)
+                for z in range(64):
+                    q[_ZZ[z]] = body[i + 1 + z]
+                qtabs[tq] = q.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT: one or more tables
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("truncated JPEG DHT table")
+                huff[(tc, th)] = _decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("unsupported JPEG variant: 12-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError("unsupported JPEG variant: subsampled chroma")
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("unsupported JPEG variant: only baseline sequential (SOF0)")
+        elif marker == 0xDD:
+            raise ValueError("unsupported JPEG variant: restart intervals")
+        elif marker == 0xDA:  # SOS: component->table map, then entropy data
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = body[0]
+            scan = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+                for c in range(ns)
+            ]
+            pos += seglen
+            break  # entropy-coded data follows
+        pos += seglen
+
+    if frame is None or scan is None:
+        raise ValueError("missing JPEG SOF0 or SOS")
+    w, h, comps = frame
+    if len(scan) != len(comps):
+        raise ValueError("JPEG scan/frame component mismatch")
+    bx_n, by_n = (w + 7) // 8, (h + 7) // 8
+    br = _BitReader(payload, pos)
+    planes = [np.zeros((by_n * 8, bx_n * 8), dtype=np.float64) for _ in comps]
+    preds = [0] * len(comps)
+    by_comp = {cid: i for i, (cid, _) in enumerate(comps)}
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for cid, dc_id, ac_id in scan:
+                ci = by_comp[cid]
+                try:
+                    dc_tbl, ac_tbl = huff[(0, dc_id)], huff[(1, ac_id)]
+                    q = qtabs[comps[ci][1]]
+                except KeyError:
+                    raise ValueError("JPEG scan references an undeclared table")
+                zz, preds[ci] = _decode_block(br, dc_tbl, ac_tbl, preds[ci])
+                fq = np.zeros(64, dtype=np.int32)
+                fq[_ZZ] = zz
+                blk = _DCT_C.T @ (fq.reshape(8, 8) * q) @ _DCT_C
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk + 128.0
+
+    samples = [np.clip(np.round(p[:h, :w]), 0, 255) for p in planes]
+    if len(samples) == 1:
+        y = samples[0]
+        out = np.stack([y, y, y], axis=-1)
+    else:
+        y, cb, cr = samples[0], samples[1] - 128.0, samples[2] - 128.0
+        out = np.stack(
+            [
+                np.clip(np.round(y + 1.402 * cr), 0, 255),
+                np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255),
+                np.clip(np.round(y + 1.772 * cb), 0, 255),
+            ],
+            axis=-1,
+        )
+    return w, h, out.astype(np.uint8).reshape(h, w * 3)
+
+
+def jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """Per-doc fixture dimensions: MCU multiples (8/16/24 wide by
+    8..32 tall) so every file is a real multi-MCU interleaved scan."""
+    return 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 4)
+
+
+def _jpeg_block_values(doc_id: int, n_blocks: int) -> list[int]:
+    """Deterministic portable per-BLOCK gray values (md5-60bit family):
+    block ``b`` = md5('jpeg:doc_id:b') % 256. Flat 8x8 blocks are what
+    make a LOSSY codec oracle-checkable: with the DC quant step of 8
+    they survive quantize->dequantize->IDCT bit-exactly (see _Q_LUMA),
+    while still driving every piece of real machinery — varying DC
+    categories, negative differentials, EXTEND, EOB, byte stuffing."""
+    return [
+        int(hashlib.md5(f"jpeg:{doc_id}:{b}".encode()).hexdigest()[:15], 16) % 256
+        for b in range(n_blocks)
+    ]
+
+
+def encode_jpeg_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL baseline JPEG payloads per row (Arrow-batched kernel;
+    DCT + Huffman coding run executor-side), then attach the standard
+    metadata struct JVM-side."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = jpeg_dims(did)
+                vals = _jpeg_block_values(did, (w // 8) * (h // 8))
+                grid = np.array(vals, dtype=np.uint8).reshape(h // 8, w // 8)
+                gray = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+                rgb = np.repeat(gray[..., None], 3, axis=-1)
+                payloads.append(make_jpeg(w, h, rgb.tobytes()))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = df.mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_jpeg_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched REAL decode of JPEG payloads to the
+    oracle-comparable projection (doc_id, width, height, pixel_sum) —
+    Huffman + IDCT + color conversion run entirely executor-side; only
+    three ints per image cross back to the JVM."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            widths, heights, sums = [], [], []
+            for payload in pdf["payload"]:
+                w, h, pixels = decode_jpeg(bytes(payload))
+                widths.append(w)
+                heights.append(h)
+                sums.append(int(pixels.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": widths,
+                    "height": heights,
+                    "pixel_sum": sums,
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=DECODED_JPEG_SCHEMA)

@@ -32,6 +32,10 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # `python tools/staleness.py` after each round's CORRECTNESS file
 # lands.
 PRIORITY_KEYS = [
+    # --- r14 staging: keys NEW this round lead (never driver-checked);
+    # the full r14 window rewrite follows once the round's additions
+    # are complete ---
+    "multimodal_jpeg_decode",
     # --- r13 window (50 slots; driver records indices 0-49) ---
     # Slots 0-10: keys NEW this round, never driver-checked — the
     # oracle-backed near-dup twin (VERDICT r12 #3), the real

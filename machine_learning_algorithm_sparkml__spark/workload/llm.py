@@ -1384,6 +1384,35 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_gif_media(encode_gif_media(docs))
 
 
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED REAL baseline JPEG decode — the web-crawl image
+    format the codec suite lacked (VERDICT r13 #4), and the first
+    LOSSY one. Every document row becomes a real baseline sequential
+    JFIF (custom canonical Huffman tables declared in DHT, both quant
+    tables in one DQT, a COM segment the decoder must skip, 3-component
+    interleaved MCU scan with byte stuffing —
+    operators/multimodal.py:make_jpeg), decoded back by the
+    from-scratch parser (decode_jpeg: canonical-code reconstruction
+    from BITS/HUFFVAL, DC differential + EXTEND, AC run-length with
+    ZRL/EOB, dequantize, 2-D IDCT, YCbCr->RGB). Lossiness is tamed by
+    construction, not by tolerance: the fixture is FLAT per 8x8 block
+    (per-block portable-md5 gray values) and the DC quant step is 8,
+    which divides every flat block's DC of 8*(v-128) — so the decode
+    is bit-exact and DuckDB replays it by regenerating block values
+    (each contributes 64 pixels x 3 channels x v to pixel_sum). The
+    entropy machinery still runs for real: varying DC categories,
+    negative differentials, per-component predictors, EOB on every
+    block. Non-flat content is covered by pytest's tolerance
+    round-trip (quantization-bounded error)."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_jpeg_media,
+        encode_jpeg_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_jpeg_media(encode_jpeg_media(docs))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: Arrow-batched feature-extraction stub. The feature
     vector is summarized to scalar columns (dim / L1 norm / first slot)
@@ -1532,6 +1561,7 @@ QUERIES = {
     "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_png_decode": q_multimodal_png_decode,
+    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_gif_decode": q_multimodal_gif_decode,
     "multimodal_features": q_multimodal_features,
 }
@@ -2873,6 +2903,27 @@ ORACLE = {
         SELECT doc_id, width, height,
                CAST(SUM(CAST('0x' || substr(md5('png:' || doc_id || ':' || p), 1, 15) AS BIGINT) % 256) AS BIGINT) AS pixel_sum
         FROM px
+        GROUP BY doc_id, width, height
+    """,
+    # REAL JPEG replay: flat-per-block fixture + DC quant step 8 make
+    # the lossy pipeline bit-exact (operators/multimodal.py:make_jpeg
+    # docstring has the divisibility argument), so the oracle just
+    # regenerates per-block gray values — each flat 8x8 block
+    # contributes 64 pixels x 3 RGB channels x value to pixel_sum
+    "multimodal_jpeg_decode": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+                   CAST(8 * (1 + doc_id % 4) AS INTEGER) AS height
+            FROM documents
+        ), blocks AS (
+            SELECT doc_id, width, height,
+                   unnest(range(0, (width // 8) * (height // 8))) AS b
+            FROM dims
+        )
+        SELECT doc_id, width, height,
+               CAST(SUM((CAST('0x' || substr(md5('jpeg:' || doc_id || ':' || b), 1, 15) AS BIGINT) % 256) * 192) AS BIGINT) AS pixel_sum
+        FROM blocks
         GROUP BY doc_id, width, height
     """,
     # REAL GIF replay: the oracle regenerates the portable-md5

@@ -715,6 +715,157 @@ def test_gif_decode_media_projection(spark):
         assert proj[did].index_sum == sum(_gif_indices(did, w * h))
 
 
+def test_jpeg_flat_block_exact_roundtrip():
+    """The lossy-format-made-exact contract: flat 8x8 blocks with the
+    DC quant step of 8 survive the FULL baseline pipeline (YCbCr, DCT,
+    quantize, canonical Huffman across interleaved MCUs, byte
+    stuffing, and all the way back) BIT EXACTLY — this is what makes
+    multimodal_jpeg_decode oracle-checkable despite JPEG being lossy."""
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _jpeg_block_values,
+        decode_jpeg,
+        jpeg_dims,
+        make_jpeg,
+    )
+
+    for did in range(60):
+        w, h = jpeg_dims(did)
+        vals = _jpeg_block_values(did, (w // 8) * (h // 8))
+        grid = np.array(vals, dtype=np.uint8).reshape(h // 8, w // 8)
+        gray = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+        rgb = np.repeat(gray[..., None], 3, axis=-1)
+        w2, h2, out = decode_jpeg(make_jpeg(w, h, rgb.tobytes()))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(out, rgb.reshape(h, w * 3)), f"doc {did}"
+
+
+def test_jpeg_lossy_roundtrip_bounded_and_nonflat():
+    """Non-flat content exercises the AC path (run-length coding, ZRL,
+    EXTEND on AC magnitudes); reconstruction error must stay bounded
+    by the quantization step (coefficient error <= q/2 -> pixel error
+    well under 64 for these tables), never explode the way a Huffman
+    desync or zigzag bug would."""
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_jpeg,
+        make_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    for w, h in ((24, 16), (8, 32)):
+        px = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8)
+        w2, h2, out = decode_jpeg(make_jpeg(w, h, px.tobytes()))
+        assert (w2, h2) == (w, h)
+        err = np.abs(out.astype(int) - px.reshape(h, w * 3).astype(int)).max()
+        assert err <= 64, f"quantization-bounded error exceeded: {err}"
+    # a gradient (smooth content) reconstructs much tighter
+    grad = np.fromfunction(
+        lambda y, x: (x + y) % 256, (16, 24 * 3), dtype=np.int64
+    ).astype(np.uint8)
+    _, _, out = decode_jpeg(make_jpeg(24, 16, grad.tobytes()))
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 32
+
+
+def test_jpeg_bit_stuffing_and_huffman_tables():
+    """The entropy-layer primitives, pinned independently of the full
+    pipeline: (a) a 0xFF byte in the code stream is stuffed with 0x00
+    by the writer and un-stuffed by the reader; (b) the canonical code
+    assignment matches hand-derived spec values (DC category c gets
+    4-bit code c; the reserved all-ones code is never assigned)."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _AC_BITS,
+        _AC_VALS,
+        _BitReader,
+        _BitWriter,
+        _DC_BITS,
+        _DC_VALS,
+        _canonical_codes,
+    )
+
+    bw = _BitWriter()
+    bw.write(0xFF, 8)
+    bw.write(0b1010, 4)
+    data = bw.flush()
+    assert data[:2] == b"\xff\x00", "0xFF must be stuffed"
+    br = _BitReader(data, 0)
+    assert br.bits(8) == 0xFF and br.bits(4) == 0b1010
+
+    dc = _canonical_codes(_DC_BITS, _DC_VALS)
+    assert all(dc[c] == (c, 4) for c in range(12))
+    ac = _canonical_codes(_AC_BITS, _AC_VALS)
+    assert ac[0x00] == (0, 8) and ac[0xF0] == (1, 8)
+    assert len(ac) == 162
+    assert all(code != (1 << ln) - 1 for code, ln in ac.values()), (
+        "all-ones codes are reserved by the spec"
+    )
+
+
+def test_jpeg_refusals_and_truncation_contract():
+    """Malformed/unsupported payloads raise ValueError (never
+    struct.error/IndexError): bad SOI, progressive SOF2, restart
+    intervals, truncation anywhere, and markers inside the entropy
+    stream."""
+    import numpy as np
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_jpeg,
+        make_jpeg,
+    )
+
+    good = make_jpeg(8, 8, np.full(8 * 8 * 3, 90, np.uint8).tobytes())
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"BM" + good)
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be refused
+    i = good.find(b"\xff\xc0")
+    prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    # inject a DRI segment right after APP0: restart intervals refused
+    j = good.find(b"\xff\xfe")  # before the COM segment
+    dri = good[:j] + b"\xff\xdd\x00\x04\x00\x08" + good[j:]
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(dri)
+    for cut in (len(good) // 4, len(good) // 2, len(good) - 3):
+        with pytest.raises(ValueError, match="truncated|desync|missing"):
+            decode_jpeg(good[:cut])
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:2])
+    # encoder contract: dims must be MCU multiples, pixel count exact
+    with pytest.raises(ValueError, match="multiple"):
+        make_jpeg(12, 8, bytes(12 * 8 * 3))
+    with pytest.raises(ValueError, match="pixel bytes"):
+        make_jpeg(8, 8, bytes(10))
+
+
+def test_jpeg_decode_media_projection(spark):
+    """decode_media routes image/jpeg through the REAL parser, and the
+    Spark projection kernel agrees with the per-block fixture sum
+    (64 pixels x 3 channels x block value)."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _jpeg_block_values,
+        decode_jpeg_media,
+        encode_jpeg_media,
+        jpeg_dims,
+    )
+
+    docs = spark.range(20).withColumnRenamed("id", "doc_id")
+    encoded = encode_jpeg_media(docs)
+    rows = decode_media(encoded).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r.width, r.height) == jpeg_dims(r.doc_id)
+        assert r.n_channels == 3
+    proj = {r.doc_id: r for r in decode_jpeg_media(encoded).collect()}
+    for did in (0, 7, 13, 19):
+        w, h = jpeg_dims(did)
+        vals = _jpeg_block_values(did, (w // 8) * (h // 8))
+        assert proj[did].pixel_sum == 192 * sum(vals)
+
+
 def test_multimodal_features_fixed_dim(docs):
     wrapped = attach_binary_payload(docs.limit(20), "doc_id", "text")
     feats = extract_features(wrapped)
