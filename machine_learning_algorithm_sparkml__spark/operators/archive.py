@@ -1,0 +1,230 @@
+"""WARC archive ingestion — the container format a real web crawl
+arrives in (Common Crawl delivers ~100 MB WARC shards; 100 TB of crawl
+is ~a million of them).
+
+The scale shape mirrors ``scan_jsonl_gzip``: the SHARDING is the
+parallelism (one archive file = one scan task), so a corpus must
+arrive as many modest shards, and the record walk inside each shard is
+sequential by construction (records are length-prefixed by their
+``Content-Length`` header — there is no mid-file sync point to split
+on). Spark's ``binaryFile`` source distributes the shard listing;
+parsing runs in an Arrow-batched ``mapInPandas`` kernel, and only the
+extracted columns (url, mime, digest, text) return to the JVM — never
+the archive bytes.
+
+The writer here is the deterministic FIXTURE side (every document
+becomes one ``response`` record wrapped in a real HTTP/1.1 envelope,
+with ``warcinfo``/``metadata`` records the parser must skip, byte
+lengths computed on utf-8), so the DuckDB oracle can replay the
+construction; the PARSER is the operator under test and handles the
+real format: header block terminated by CRLFCRLF, case-insensitive
+header names, Content-Length-framed payloads, the two-CRLF record
+separator, and the HTTP envelope strip.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of the WARC scan: one row per response record.
+WARC_SCAN_SCHEMA = "url string, mime string, payload_sha256 string, text string"
+
+_CRLF = b"\r\n"
+_FIXED_DATE = "2026-01-01T00:00:00Z"  # fixture timestamp (determinism)
+
+
+def _warc_record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    head = b"WARC/1.0" + _CRLF
+    for k, v in headers:
+        head += f"{k}: {v}".encode() + _CRLF
+    head += f"Content-Length: {len(payload)}".encode() + _CRLF + _CRLF
+    return head + payload + _CRLF + _CRLF
+
+
+def warc_url(doc_id: int) -> str:
+    return f"https://corpus.example.com/docs/{doc_id}"
+
+
+def make_warc_shard(rows: list[tuple[int, str]], shard: int) -> bytes:
+    """One deterministic WARC/1.0 shard: a ``warcinfo`` head record
+    (real files carry one; the parser must skip it), then per document
+    a ``response`` record whose payload is a full HTTP/1.1 envelope
+    around the utf-8 text, and for every 10th doc an extra ``metadata``
+    record (another skip case). Record IDs are md5-derived pseudo-UUIDs
+    so re-runs are byte-identical."""
+    out = bytearray()
+    info = f"software: spark-graft\r\nshard: {shard}\r\n".encode()
+    out += _warc_record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Date", _FIXED_DATE),
+            ("WARC-Record-ID", f"<urn:uuid:{hashlib.md5(f'warcinfo:{shard}'.encode()).hexdigest()}>"),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        info,
+    )
+    for doc_id, text in rows:
+        body = text.encode("utf-8")
+        http = (
+            b"HTTP/1.1 200 OK" + _CRLF
+            + b"Content-Type: text/plain; charset=utf-8" + _CRLF
+            + f"Content-Length: {len(body)}".encode() + _CRLF
+            + _CRLF
+            + body
+        )
+        out += _warc_record(
+            [
+                ("WARC-Type", "response"),
+                ("WARC-Target-URI", warc_url(doc_id)),
+                ("WARC-Date", _FIXED_DATE),
+                ("WARC-Record-ID", f"<urn:uuid:{hashlib.md5(f'response:{doc_id}'.encode()).hexdigest()}>"),
+                ("Content-Type", "application/http;msgtype=response"),
+            ],
+            http,
+        )
+        if doc_id % 10 == 0:
+            out += _warc_record(
+                [
+                    ("WARC-Type", "metadata"),
+                    ("WARC-Target-URI", warc_url(doc_id)),
+                    ("WARC-Date", _FIXED_DATE),
+                    ("WARC-Record-ID", f"<urn:uuid:{hashlib.md5(f'metadata:{doc_id}'.encode()).hexdigest()}>"),
+                    ("Content-Type", "application/warc-fields"),
+                ],
+                f"fetchTimeMs: {doc_id % 997}\r\n".encode(),
+            )
+    return bytes(out)
+
+
+def parse_warc(payload: bytes) -> list[tuple[str, str, str, str]]:
+    """Walk one WARC shard: for each record, read the header block up
+    to CRLFCRLF, frame the payload by ``Content-Length``, require the
+    two-CRLF separator, and for ``response`` records strip the HTTP
+    envelope and emit (url, mime, payload_sha256, text). Non-response
+    records (warcinfo, metadata, request, ...) are skipped — framed and
+    stepped over, never guessed at. Malformed framing raises
+    ValueError (the codec-module contract: truncation is a ValueError,
+    not an IndexError)."""
+    out = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        head_end = payload.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            raise ValueError("truncated WARC record header")
+        head = payload[pos:head_end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError("WARC record desync (missing version line)")
+        headers = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC record missing a numeric Content-Length")
+        body_start = head_end + 4
+        body_end = body_start + length
+        if body_end + 4 > n:
+            raise ValueError("truncated WARC record payload")
+        if payload[body_end : body_end + 4] != _CRLF + _CRLF:
+            raise ValueError("WARC record separator missing")
+        if headers.get("warc-type") == "response":
+            body = payload[body_start:body_end]
+            http_end = body.find(_CRLF + _CRLF)
+            if http_end < 0 or not body.startswith(b"HTTP/"):
+                raise ValueError("response record payload is not an HTTP message")
+            mime = "application/octet-stream"
+            for line in body[:http_end].decode("utf-8", "replace").split("\r\n")[1:]:
+                k, _, v = line.partition(":")
+                if k.strip().lower() == "content-type":
+                    mime = v.strip()
+            doc = body[http_end + 4 :]
+            out.append(
+                (
+                    headers.get("warc-target-uri", ""),
+                    mime,
+                    hashlib.sha256(doc).hexdigest(),
+                    doc.decode("utf-8"),
+                )
+            )
+        pos = body_end + 4
+    return out
+
+
+def write_warc_shards(docs: DataFrame, out_dir: str, *, n_shards: int = 8) -> None:
+    """Write the corpus as ``n_shards`` WARC files, built EXECUTOR-side
+    (the fixture equivalent of a crawler fleet emitting shards): docs
+    are repartitioned on ``doc_id % n_shards`` so each shard's records
+    land in exactly one task, and each task serializes its shard(s)
+    with :func:`make_warc_shard`. Files open ``wb`` on first touch
+    within the task, so a task retry rewrites its shards cleanly
+    instead of appending duplicates. Record order within a shard is
+    batch-arrival order — the scan output is a SET of records, so
+    order carries no meaning."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        opened: set[int] = set()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for shard, grp in pdf.groupby(pdf["doc_id"] % n_shards):
+                shard = int(shard)
+                rows = list(zip(grp["doc_id"].astype(int), grp["text"]))
+                mode = "ab" if shard in opened else "wb"
+                opened.add(shard)
+                with open(os.path.join(out_dir, f"shard-{shard}.warc"), mode) as f:
+                    f.write(make_warc_shard(rows, shard))
+        yield pd.DataFrame({"n": []}, dtype="int64")
+
+    (
+        docs.select("doc_id", "text")
+        .repartition(n_shards, F.col("doc_id") % n_shards)
+        .mapInPandas(_write, schema="n long")
+        .write.format("noop").mode("overwrite").save()
+    )
+
+
+def scan_warc(spark, warc_dir: str) -> DataFrame:
+    """Distributed WARC scan: ``binaryFile`` lists and distributes the
+    shards (one task per file — the gzip-style unsplittability story),
+    and the Arrow-batched kernel walks each shard's records. Only the
+    extracted columns return to the JVM."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            urls, mimes, digests, texts = [], [], [], []
+            for content in pdf["content"]:
+                for url, mime, digest, text in parse_warc(bytes(content)):
+                    urls.append(url)
+                    mimes.append(mime)
+                    digests.append(digest)
+                    texts.append(text)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "mime": mimes,
+                    "payload_sha256": digests,
+                    "text": texts,
+                }
+            )
+
+    shards = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc")
+        .load(warc_dir)
+        .select("content")
+    )
+    return shards.mapInPandas(_parse, schema=WARC_SCAN_SCHEMA)

@@ -36,6 +36,7 @@ PRIORITY_KEYS = [
     # the full r14 window rewrite follows once the round's additions
     # are complete ---
     "multimodal_jpeg_decode",
+    "scan_warc",
     # --- r13 window (50 slots; driver records indices 0-49) ---
     # Slots 0-10: keys NEW this round, never driver-checked — the
     # oracle-backed near-dup twin (VERDICT r12 #3), the real

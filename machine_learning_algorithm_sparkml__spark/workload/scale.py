@@ -183,6 +183,33 @@ def q_scan_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def q_scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC archive ingestion (VERDICT r13 #3) — the container a real
+    100 TB crawl arrives in, and the composition point for the codec
+    suite + text pipeline. The corpus is written as 8 deterministic
+    WARC/1.0 shards EXECUTOR-side (warcinfo head records, HTTP/1.1
+    response envelopes, metadata records the parser must skip —
+    operators/archive.py:make_warc_shard), then scanned back: the
+    ``binaryFile`` source distributes the shard listing (one task per
+    file — like gzip, there is no mid-archive split point) and an
+    Arrow-batched kernel walks Content-Length-framed records, strips
+    the HTTP envelope, and emits (url, mime, payload_sha256, text);
+    archive bytes never return to the JVM. Oracle: DuckDB replays the
+    deterministic construction straight from the documents table."""
+    import shutil
+
+    from machine_learning_algorithm_sparkml__spark.operators.archive import (
+        scan_warc,
+        write_warc_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = scratch_sink_path(sf_dir, "documents_warc")
+    shutil.rmtree(path, ignore_errors=True)
+    write_warc_shards(docs, path, n_shards=8)
+    return scan_warc(spark, path)
+
+
 def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``binaryFile`` source — the multimodal INGESTION step the
     in-frame keys stop short of: `multimodal_*` fabricate the binary
@@ -666,6 +693,7 @@ QUERIES = {
     "join_bucketed": q_join_bucketed,
     "sink_json": q_sink_json_roundtrip,
     "scan_jsonl_gzip": q_scan_jsonl_gzip,
+    "scan_warc": q_scan_warc,
     "scan_json_malformed": q_scan_json_malformed,
     "scan_binary_files": q_scan_binary_files,
     "scan_schema_evolution": q_scan_schema_evolution,
@@ -758,6 +786,16 @@ ORACLE = {
     # the original table; the codec + sharding are the operator
     "scan_jsonl_gzip": """
         SELECT doc_id, lang, text FROM documents
+    """,
+    # WARC replay: the fixture construction is deterministic, so the
+    # oracle regenerates the response-record projection directly —
+    # warcinfo/metadata records never surface from the parser
+    "scan_warc": """
+        SELECT 'https://corpus.example.com/docs/' || doc_id AS url,
+               'text/plain; charset=utf-8' AS mime,
+               sha256(text) AS payload_sha256,
+               text
+        FROM documents
     """,
     "scan_binary_files": """
         SELECT 'doc_' || doc_id || '.bin' AS fname,

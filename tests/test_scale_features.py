@@ -543,3 +543,70 @@ def test_scan_jsonl_gzip_shards_and_roundtrip(spark, sf_dir):
     # so pin only the unsplittability bound — the 8-shards-on-disk
     # check above is what proves the write-side parallelism
     assert 1 <= back.rdd.getNumPartitions() <= 8
+
+
+def test_parse_warc_framing_skips_and_refusals():
+    """The record walk frames by Content-Length (never by scanning for
+    separators inside payloads — a payload containing CRLFCRLF must
+    not break the walk), skips non-response records, and raises
+    ValueError on every malformed-framing case."""
+    import hashlib
+
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.archive import (
+        make_warc_shard,
+        parse_warc,
+        warc_url,
+    )
+
+    # a text containing the record separator sequence itself
+    tricky = "before\r\n\r\nafter WARC/1.0 fake"
+    rows = [(5, tricky), (10, "plain"), (21, "")]
+    shard = make_warc_shard(rows, 0)
+    out = parse_warc(shard)
+    assert [(u, t) for u, _, _, t in out] == [(warc_url(d), t) for d, t in rows]
+    assert all(
+        dig == hashlib.sha256(t.encode()).hexdigest() for _, _, dig, t in out
+    )
+    # doc 10 also planted a metadata record and the shard heads with
+    # warcinfo: neither may surface
+    assert len(out) == 3
+
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(shard[: len(shard) // 2])
+    with pytest.raises(ValueError, match="separator"):
+        parse_warc(shard[:-1] + b"X")
+    with pytest.raises(ValueError, match="desync"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n\r\n\r\n")
+    bad = shard.replace(b"Content-Length", b"Content-Lengthx", 1)
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(bad)
+
+
+def test_scan_warc_shards_and_roundtrip(spark, sf_dir):
+    """End-to-end: 8 shards on disk, every document comes back exactly
+    once with its url/digest, and the scan parallelizes per shard
+    (binaryFile never splits a file)."""
+    import glob
+    import hashlib
+    import os
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.workload.scale import q_scan_warc
+
+    back = q_scan_warc(spark, sf_dir)
+    path = scratch_sink_path(sf_dir, "documents_warc")
+    assert len(glob.glob(os.path.join(path, "shard-*.warc"))) == 8
+    src = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    rows = back.collect()
+    assert len(rows) == len(src)
+    for r in rows:
+        did = int(r["url"].rsplit("/", 1)[1])
+        assert r["text"] == src[did]
+        assert r["payload_sha256"] == hashlib.sha256(src[did].encode()).hexdigest()
+        assert r["mime"] == "text/plain; charset=utf-8"
+    assert 1 <= back.rdd.getNumPartitions() <= 8
