@@ -102,16 +102,15 @@ def make_warc_shard(rows: list[tuple[int, str]], shard: int) -> bytes:
     return bytes(out)
 
 
-def parse_warc(payload: bytes) -> list[tuple[str, str, str, str]]:
+def iter_response_records(payload: bytes) -> Iterator[tuple[str, str, bytes]]:
     """Walk one WARC shard: for each record, read the header block up
     to CRLFCRLF, frame the payload by ``Content-Length``, require the
     two-CRLF separator, and for ``response`` records strip the HTTP
-    envelope and emit (url, mime, payload_sha256, text). Non-response
-    records (warcinfo, metadata, request, ...) are skipped — framed and
-    stepped over, never guessed at. Malformed framing raises
-    ValueError (the codec-module contract: truncation is a ValueError,
-    not an IndexError)."""
-    out = []
+    envelope and yield (url, mime, body-bytes). Non-response records
+    (warcinfo, metadata, request, ...) are skipped — framed and stepped
+    over, never guessed at. Malformed framing raises ValueError (the
+    codec-module contract: truncation is a ValueError, not an
+    IndexError)."""
     pos = 0
     n = len(payload)
     while pos < n:
@@ -146,17 +145,17 @@ def parse_warc(payload: bytes) -> list[tuple[str, str, str, str]]:
                 k, _, v = line.partition(":")
                 if k.strip().lower() == "content-type":
                     mime = v.strip()
-            doc = body[http_end + 4 :]
-            out.append(
-                (
-                    headers.get("warc-target-uri", ""),
-                    mime,
-                    hashlib.sha256(doc).hexdigest(),
-                    doc.decode("utf-8"),
-                )
-            )
+            yield headers.get("warc-target-uri", ""), mime, body[http_end + 4 :]
         pos = body_end + 4
-    return out
+
+
+def parse_warc(payload: bytes) -> list[tuple[str, str, str, str]]:
+    """Text-corpus projection of :func:`iter_response_records`:
+    (url, mime, payload_sha256, text) per response record."""
+    return [
+        (url, mime, hashlib.sha256(body).hexdigest(), body.decode("utf-8"))
+        for url, mime, body in iter_response_records(payload)
+    ]
 
 
 def write_warc_shards(docs: DataFrame, out_dir: str, *, n_shards: int = 8) -> None:
@@ -228,3 +227,146 @@ def scan_warc(spark, warc_dir: str) -> DataFrame:
         .select("content")
     )
     return shards.mapInPandas(_parse, schema=WARC_SCAN_SCHEMA)
+
+
+# --- mixed-payload WARC: the codecs + text pipeline composition point ----------
+
+#: Output schema of the mixed-media WARC scan: text records carry
+#: ``text`` (image columns NULL), image records carry the decoded
+#: (width, height, pixel_sum) projection (text NULL).
+WARC_MEDIA_SCHEMA = (
+    "url string, mime string, width int, height int, pixel_sum long, text string"
+)
+
+
+def is_media_doc(doc_id: int) -> bool:
+    """Fixture rule: every 5th document's WARC record carries a REAL
+    baseline JPEG payload instead of text (crawls are mixed-content;
+    the scan must dispatch by mime, not assume a corpus-wide type)."""
+    return doc_id % 5 == 0
+
+
+def make_warc_media_shard(rows: list[tuple[int, str]], shard: int) -> bytes:
+    """Mixed-content sibling of :func:`make_warc_shard`: text docs keep
+    their utf-8 HTTP envelope; media docs (:func:`is_media_doc`) carry
+    the SAME real JPEG bytes the ``multimodal_jpeg_decode`` fixture
+    encodes (operators/multimodal.py:make_jpeg over per-block
+    portable-md5 values), under ``image/jpeg``. One container, two
+    payload kinds — the shape a real crawl shard has."""
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _jpeg_block_values,
+        jpeg_dims,
+        make_jpeg,
+    )
+
+    out = bytearray()
+    out += _warc_record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Date", _FIXED_DATE),
+            ("WARC-Record-ID", f"<urn:uuid:{hashlib.md5(f'warcinfo-media:{shard}'.encode()).hexdigest()}>"),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        f"software: spark-graft\r\nshard: {shard}\r\n".encode(),
+    )
+    for doc_id, text in rows:
+        if is_media_doc(doc_id):
+            w, h = jpeg_dims(doc_id)
+            vals = _jpeg_block_values(doc_id, (w // 8) * (h // 8))
+            grid = np.array(vals, dtype=np.uint8).reshape(h // 8, w // 8)
+            gray = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+            body = make_jpeg(w, h, np.repeat(gray[..., None], 3, axis=-1).tobytes())
+            ctype = b"image/jpeg"
+        else:
+            body = text.encode("utf-8")
+            ctype = b"text/plain; charset=utf-8"
+        http = (
+            b"HTTP/1.1 200 OK" + _CRLF
+            + b"Content-Type: " + ctype + _CRLF
+            + f"Content-Length: {len(body)}".encode() + _CRLF
+            + _CRLF
+            + body
+        )
+        out += _warc_record(
+            [
+                ("WARC-Type", "response"),
+                ("WARC-Target-URI", warc_url(doc_id)),
+                ("WARC-Date", _FIXED_DATE),
+                ("WARC-Record-ID", f"<urn:uuid:{hashlib.md5(f'response-media:{doc_id}'.encode()).hexdigest()}>"),
+                ("Content-Type", "application/http;msgtype=response"),
+            ],
+            http,
+        )
+    return bytes(out)
+
+
+def write_warc_media_shards(docs: DataFrame, out_dir: str, *, n_shards: int = 8) -> None:
+    """Mixed-content variant of :func:`write_warc_shards` (same
+    executor-side, retry-safe, one-task-per-shard construction)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        opened: set[int] = set()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for shard, grp in pdf.groupby(pdf["doc_id"] % n_shards):
+                shard = int(shard)
+                rows = list(zip(grp["doc_id"].astype(int), grp["text"]))
+                mode = "ab" if shard in opened else "wb"
+                opened.add(shard)
+                with open(os.path.join(out_dir, f"shard-{shard}.warc"), mode) as f:
+                    f.write(make_warc_media_shard(rows, shard))
+        yield pd.DataFrame({"n": []}, dtype="int64")
+
+    (
+        docs.select("doc_id", "text")
+        .repartition(n_shards, F.col("doc_id") % n_shards)
+        .mapInPandas(_write, schema="n long")
+        .write.format("noop").mode("overwrite").save()
+    )
+
+
+def scan_warc_media(spark, warc_dir: str) -> DataFrame:
+    """Mixed-content WARC scan — the composition point of the archive
+    walk and the codec suite: one Arrow-batched kernel walks the
+    records AND dispatches each response by mime (``image/jpeg`` →
+    the from-scratch baseline JPEG decoder's (width, height,
+    pixel_sum) projection; ``text/*`` → the utf-8 text). At 100 TB
+    this one-pass shape matters: the alternative — scan the archive
+    once per modality — re-reads the crawl N times. Archive and image
+    bytes both stay executor-side."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for content in pdf["content"]:
+                for url, mime, body in iter_response_records(bytes(content)):
+                    if mime.startswith("image/jpeg"):
+                        w, h, px = decode_jpeg(body)
+                        rows.append((url, mime, w, h, int(px.astype(np.int64).sum()), None))
+                    else:
+                        rows.append((url, mime, None, None, None, body.decode("utf-8")))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "mime", "width", "height", "pixel_sum", "text"],
+            )
+
+    shards = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc")
+        .load(warc_dir)
+        .select("content")
+    )
+    return shards.mapInPandas(_parse, schema=WARC_MEDIA_SCHEMA)

@@ -37,6 +37,7 @@ PRIORITY_KEYS = [
     # are complete ---
     "multimodal_jpeg_decode",
     "scan_warc",
+    "scan_warc_media",
     # --- r13 window (50 slots; driver records indices 0-49) ---
     # Slots 0-10: keys NEW this round, never driver-checked — the
     # oracle-backed near-dup twin (VERDICT r12 #3), the real

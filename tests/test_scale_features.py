@@ -584,6 +584,39 @@ def test_parse_warc_framing_skips_and_refusals():
         parse_warc(bad)
 
 
+def test_scan_warc_media_dispatches_by_mime(spark, sf_dir):
+    """The mixed-content scan decodes image records through the REAL
+    JPEG parser and passes text records through — one kernel, one pass
+    over the archive; both branches verified against the fixture."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _jpeg_block_values,
+        jpeg_dims,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_scan_warc_media,
+    )
+
+    rows = {r["url"]: r for r in q_scan_warc_media(spark, sf_dir).collect()}
+    src = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert len(rows) == len(src)
+    for url, r in rows.items():
+        did = int(url.rsplit("/", 1)[1])
+        if did % 5 == 0:
+            w, h = jpeg_dims(did)
+            assert (r["mime"], r["width"], r["height"]) == ("image/jpeg", w, h)
+            assert r["pixel_sum"] == 192 * sum(
+                _jpeg_block_values(did, (w // 8) * (h // 8))
+            )
+            assert r["text"] is None
+        else:
+            assert r["mime"].startswith("text/plain")
+            assert r["text"] == src[did]
+            assert r["width"] is None and r["pixel_sum"] is None
+
+
 def test_scan_warc_shards_and_roundtrip(spark, sf_dir):
     """End-to-end: 8 shards on disk, every document comes back exactly
     once with its url/digest, and the scan parallelizes per shard
