@@ -22,100 +22,29 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
-# least-recently-verified keys FIRST each round. Round-13 window,
-# per VERDICT r12 "Next round" #1/#3/#4: (1) every key new this round
-# (never driver-checked — 9 after the session-2 additions); (2) the
-# full 32-key r8-stale block — the oldest driver rows in the registry
-# (the r12 slip tail); (3) a fill from the oldest r9 rows. Slip tail =
-# the displaced oracle-backed fill keys + the remaining r9 keys,
-# heading the r14 rotation. Regenerate the staleness table with
+# least-recently-verified keys FIRST each round. Round-14 window,
+# per VERDICT r13 "Next round" #1: (1) the 3 keys new this round
+# (never driver-checked); (2) the complete 39-key r9-stale block (the
+# r13 slip tail — after this round no registry key's latest driver row
+# predates r10); (3) an 8-key fill from the oldest r10 rows, leading
+# with the keys VERDICT r13 named (decontaminate_fuzzy,
+# join_inner_equi, scan_csv_header, TPC-H q3/q5/q6). Slip tail = the
+# remaining 39 r10 keys in rotation-proposal order, heading the r15
+# window. Regenerate the staleness table with
 # `python tools/staleness.py` after each round's CORRECTNESS file
 # lands.
 PRIORITY_KEYS = [
-    # --- r14 staging: keys NEW this round lead (never driver-checked);
-    # the full r14 window rewrite follows once the round's additions
-    # are complete ---
+    # --- r14 window (50 slots; driver records indices 0-49) ---
+    # Slots 0-2: the 3 keys NEW this round, never driver-checked —
+    # the real baseline JPEG decode (VERDICT r13 #4), WARC archive
+    # ingestion (VERDICT r13 #3), and the mixed-content WARC scan
+    # that dispatches the codec by mime (all oracle-backed):
     "multimodal_jpeg_decode",
     "scan_warc",
     "scan_warc_media",
-    # --- r13 window (50 slots; driver records indices 0-49) ---
-    # Slots 0-10: keys NEW this round, never driver-checked — the
-    # oracle-backed near-dup twin (VERDICT r12 #3), the real
-    # BMP/WAV decodes (VERDICT r12 #4 + its audio sibling), then the
-    # session-2 additions: the real PNG decode (compressed format,
-    # stdlib-zlib DEFLATE), gzip JSONL ingestion, the shuffle-free
-    # token-entropy quality signal, the SQL-scripting WHILE loop, URL
-    # canonicalization dedup, the bounded-window EWMA, asymmetric
-    # containment dedup, and the from-scratch-LZW GIF decode (all
-    # oracle-backed):
-    "embedding_neardup_portable",
-    "multimodal_decode_real",
-    "multimodal_wav_decode",
-    "multimodal_png_decode",
-    "scan_jsonl_gzip",
-    "text_token_entropy",
-    "sql_scripting_while",
-    "dedup_url",
-    "timeseries_ewma",
-    "dedup_containment",
-    "multimodal_gif_decode",
-    # Slots 11-42: the complete r8-stale block (staleness.py r8 row,
-    # 32 keys — no key's latest driver row may predate r9 after this
-    # round, VERDICT r12 #1):
-    "doc_chunk_fixed",
-    "doc_fingerprint",
-    "doc_hash_split",
-    "doc_pack_sequences",
-    "doc_tokens_explode",
-    "event_funnel",
-    "filter_outlier_iqr",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "layout_zorder",
-    "mixture_token_budget",
-    "mixture_weighted_sample",
-    "multimodal_decode",
-    "multimodal_features",
-    "multimodal_frames",
-    "retention_cohort",
-    "scalar_date_funcs",
-    "scalar_string_funcs",
-    "session_window_native",
-    "split_leakage_safe",
-    "sql_tpch_q15",
-    "sql_tpch_q17",
-    "sql_tpch_q8",
-    "text_bigram_familiarity",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_quality",
-    "text_quality_filter",
-    "text_token_count",
-    "text_top_terms",
-    "text_zscore_by_lang",
-    "window_first_last",
-    # Slots 43-49: 7-key fill from the r9-stale block (oldest rows
-    # after r8; includes ml_confusion per VERDICT r12 "keep the
-    # invariant rows in rotation"):
-    "agg_argmax_maxby",
-    "agg_time_rollup",
-    "cdc_snapshot_diff",
-    "cdc_soft_delete",
-    "dq_expectations",
-    "dq_referential_integrity",
-    "ml_confusion",
-    # --- slip tail (positions 50+): embedding_quantize_arrow /
-    # json_variant_extract /
-    # layout_compaction /
-    # layout_compaction_clustered /
-    # ml_group_ols / ml_group_ridge / observe_metrics /
-    # random_split_portable displaced from the window's tail by the
-    # five session-2 additions (ml_confusion retained per VERDICT
-    # r12's "keep in rotation"), after sample_hash_portable was
-    # displaced from slot 49 by the late multimodal_wav_decode
-    # addition (the window-bookkeeping rule: slip oracle-backed
-    # low-risk keys), then the remaining 30 r9-stale keys; they head
-    # the r14 rotation ---
+    # Slots 3-41: the complete 39-key r9-stale block (staleness.py
+    # r9 row = the r13 slip tail, VERDICT r13 #1 — after this round
+    # no key's latest driver row predates r10):
     "embedding_quantize_arrow",
     "json_variant_extract",
     "layout_compaction",
@@ -155,6 +84,57 @@ PRIORITY_KEYS = [
     "window_lag_lead",
     "window_moving_avg",
     "window_ntile_cume",
+    # Slots 42-49: 8-key fill from the oldest r10 rows, leading
+    # with the keys VERDICT r13 #1 named:
+    "decontaminate_fuzzy",
+    "join_inner_equi",
+    "scan_csv_header",
+    "sql_tpch_q3",
+    "sql_tpch_q5",
+    "sql_tpch_q6",
+    "scan_text_logs",
+    "agg_decimal_exact",
+    # --- slip tail (positions 50+): the remaining 39 r10 keys in
+    # rotation-proposal order; they head the r15 window ---
+    "agg_incremental_retract",
+    "profile_table",
+    "scd2_intervals",
+    "fuzzy_join_blocked",
+    "scalar_array_map_funcs",
+    "scalar_math_funcs",
+    "sql_tpch_q18",
+    "sql_tpch_q10",
+    "sql_frontend_conveniences",
+    "streaming_window_counts",
+    "streaming_sliding_counts",
+    "streaming_session_window",
+    "streaming_dedup",
+    "stream_static_join",
+    "streaming_stateful_totals",
+    "sessionize",
+    "session_stats",
+    "timeseries_gapfill",
+    "stream_stream_join",
+    "streaming_python_source_static_join",
+    "streaming_python_source_windowed",
+    "streaming_rocksdb_changelog",
+    "streaming_state_reader",
+    "streaming_state_changefeed",
+    "join_skew_salted",
+    "sink_partitioned_scan",
+    "join_bucketed",
+    "sink_json",
+    "text_repetition_bigram",
+    "ps_groupby_agg",
+    "window_range_time",
+    "dedup_minhash_mllib",
+    "decontaminate_fuzzy_large",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "simsearch_topk",
+    "simsearch_lsh_portable",
+    "simsearch_ivf_portable",
+    "multimodal_meta",
 ]
 
 ALL_QUERY_MODULES = [relational, streaming, scale, quality, analytics, ml, llm]

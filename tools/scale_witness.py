@@ -124,6 +124,16 @@ FAMILY_KEYS = {
     # prefix inverted-index join and the per-candidate verification
     # both stay within-replica — pair density constant, cost ~linear.
     "quality2": ["text_token_entropy", "dedup_url", "dedup_containment"],
+    # r14 keys over the same 10x documents build. Claims under test:
+    # the WARC scans are one-task-per-shard kernels with NO exchange
+    # anywhere (write side repartitions on doc_id%8, read side maps
+    # shard files), so 10x docs is pure serialize+parse cost — the
+    # shard COUNT is held at 8, so per-task payload grows 10x and the
+    # witness measures the kernel's linearity, not task scheduling;
+    # the JPEG key is a per-row Arrow kernel (encode+decode), the
+    # embarrassingly-parallel shape — ~linear or better, no shuffle
+    # term to grow.
+    "ingest": ["scan_warc", "scan_warc_media", "multimodal_jpeg_decode"],
     # r13 session-2: bounded-window EWMA over 10x events (replica k
     # shifts event_id and user_id, so per-user series stay intact and
     # the user population grows 10x — the organic-telemetry shape).
@@ -353,6 +363,7 @@ def main() -> int:
         "ann2": build_sf1_embeddings,
         "retrieval": build_sf1_retrieval,
         "quality2": build_sf1_documents,
+        "ingest": build_sf1_documents,
         "events": build_sf1_events,
     }
     built = set()
