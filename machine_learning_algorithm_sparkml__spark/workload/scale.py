@@ -235,6 +235,33 @@ def q_scan_warc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_warc_media(spark, path)
 
 
+def q_scan_warc_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.warc.gz`` ingestion — the EXACT wire layout Common Crawl
+    ships: each WARC record compressed as its own gzip member, members
+    concatenated per shard (operators/archive.py:make_warc_gz_shard,
+    mtime=0 for byte-identical re-runs). Member-per-record is the
+    random-access contract — an offset index lets a reader inflate one
+    record without touching the shard — and the scan kernel walks the
+    members explicitly via zlib ``unused_data`` hand-off
+    (iter_gzip_members) rather than flattening through a whole-stream
+    decompress, because the member boundaries ARE the format. Same
+    projection as ``scan_warc``: the compressed and plain layouts are
+    drop-in interchangeable downstream, and the oracle is the same
+    deterministic replay."""
+    import shutil
+
+    from machine_learning_algorithm_sparkml__spark.operators.archive import (
+        scan_warc_gz,
+        write_warc_gz_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = scratch_sink_path(sf_dir, "documents_warc_gz")
+    shutil.rmtree(path, ignore_errors=True)
+    write_warc_gz_shards(docs, path, n_shards=8)
+    return scan_warc_gz(spark, path)
+
+
 def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``binaryFile`` source — the multimodal INGESTION step the
     in-frame keys stop short of: `multimodal_*` fabricate the binary
@@ -720,6 +747,7 @@ QUERIES = {
     "scan_jsonl_gzip": q_scan_jsonl_gzip,
     "scan_warc": q_scan_warc,
     "scan_warc_media": q_scan_warc_media,
+    "scan_warc_gzip": q_scan_warc_gzip,
     "scan_json_malformed": q_scan_json_malformed,
     "scan_binary_files": q_scan_binary_files,
     "scan_schema_evolution": q_scan_schema_evolution,
@@ -817,6 +845,14 @@ ORACLE = {
     # oracle regenerates the response-record projection directly —
     # warcinfo/metadata records never surface from the parser
     "scan_warc": """
+        SELECT 'https://corpus.example.com/docs/' || doc_id AS url,
+               'text/plain; charset=utf-8' AS mime,
+               sha256(text) AS payload_sha256,
+               text
+        FROM documents
+    """,
+    # .warc.gz carries the same records as scan_warc — one replay
+    "scan_warc_gzip": """
         SELECT 'https://corpus.example.com/docs/' || doc_id AS url,
                'text/plain; charset=utf-8' AS mime,
                sha256(text) AS payload_sha256,

@@ -584,6 +584,67 @@ def test_parse_warc_framing_skips_and_refusals():
         parse_warc(bad)
 
 
+def test_warc_gz_member_per_record_random_access():
+    """The .warc.gz contract: ONE record per gzip member, so any
+    member is independently decompressible (the offset-index
+    random-access property), member boundaries survive concatenation,
+    and construction is byte-deterministic (mtime=0). Corrupt and
+    truncated members raise ValueError."""
+    import gzip
+
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.archive import (
+        _split_records,
+        iter_gzip_members,
+        iter_response_records,
+        make_warc_gz_shard,
+        make_warc_shard,
+    )
+
+    rows = [(1, "one"), (10, "ten"), (23, "twenty three")]
+    gz = make_warc_gz_shard(rows, 4)
+    assert gz == make_warc_gz_shard(rows, 4)  # byte-deterministic
+    members = list(iter_gzip_members(gz))
+    plain_records = list(_split_records(make_warc_shard(rows, 4)))
+    assert members == plain_records  # one member == one record
+    # each member parses standalone — the random-access property
+    for m in members:
+        recs = list(iter_response_records(m))
+        assert len(recs) <= 1
+    # re-compressing a single member and parsing it alone works too
+    alone = gzip.compress(members[1], mtime=0)
+    assert list(iter_gzip_members(alone)) == [members[1]]
+
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        list(iter_gzip_members(gz[:-5]))
+    with pytest.raises(ValueError, match="corrupt gzip member"):
+        list(iter_gzip_members(b"\x1f\x8b\x08\x00junkjunk"))
+
+
+def test_scan_warc_gzip_roundtrip(spark, sf_dir):
+    """End-to-end .warc.gz: 8 shards, every document back exactly once
+    with the same projection as the plain-WARC scan."""
+    import glob
+    import os
+
+    from machine_learning_algorithm_sparkml__spark.sources.io import scratch_sink_path
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_scan_warc_gzip,
+    )
+
+    back = q_scan_warc_gzip(spark, sf_dir)
+    path = scratch_sink_path(sf_dir, "documents_warc_gz")
+    assert len(glob.glob(os.path.join(path, "shard-*.warc.gz"))) == 8
+    src = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    rows = back.collect()
+    assert len(rows) == len(src)
+    assert all(r["text"] == src[int(r["url"].rsplit("/", 1)[1])] for r in rows)
+
+
 def test_scan_warc_media_dispatches_by_mime(spark, sf_dir):
     """The mixed-content scan decodes image records through the REAL
     JPEG parser and passes text records through — one kernel, one pass
