@@ -235,3 +235,62 @@ def canonicalize_url(url: Column) -> Column:
         query == "", F.lit("")
     ).otherwise(F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&")))
     return F.concat(scheme, F.lit("://"), host, cpath, cquery)
+
+
+def html_escape(text: Column) -> Column:
+    """Minimal HTML entity escape for the fixture side (&, <, > — in
+    that order, so already-escaped sequences never double-decode on
+    the way back). Literal ``replace``, not regex: DuckDB mirrors it
+    with its own literal replace()."""
+    out = F.coalesce(text, F.lit(""))
+    out = F.replace(out, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
+def html_unescape(text: Column) -> Column:
+    """Inverse of :func:`html_escape` plus the ``&quot;``/``&#39;``
+    forms a crawl actually sees; ``&amp;`` decodes LAST so escaped
+    ampersands cannot cascade into a second decode."""
+    out = F.replace(text, F.lit("&lt;"), F.lit("<"))
+    out = F.replace(out, F.lit("&gt;"), F.lit(">"))
+    out = F.replace(out, F.lit("&quot;"), F.lit('"'))
+    out = F.replace(out, F.lit("&#39;"), F.lit("'"))
+    return F.replace(out, F.lit("&amp;"), F.lit("&"))
+
+
+def html_title(html: Column) -> Column:
+    """``<title>`` content, entity-decoded. ``(?s)`` because titles
+    may wrap across lines."""
+    return html_unescape(F.regexp_extract(html, r"(?s)<title>(.*?)</title>", 1))
+
+
+def html_main_text(html: Column) -> Column:
+    """Main-content extraction — the first transform a crawled page
+    goes through before any quality/dedup signal, kept ENTIRELY
+    JVM-side (regexp/replace chain, shuffle-free; at 100 TB a Python
+    hop here would dominate the whole pipeline):
+
+    1. drop ``<head>`` wholesale (its text — title/style/script — is
+       not content);
+    2. drop ``<script>``/``<style>`` blocks (their BODIES contain
+       ``<``/``&`` that are not markup — block removal must precede
+       tag stripping or ``1 < 2`` in a script leaks into the text);
+    3. drop ``<nav>``/``<footer>`` blocks (boilerplate);
+    4. strip remaining tags to spaces;
+    5. entity-decode;
+    6. collapse whitespace and trim.
+
+    Deliberately regex-based and minimal: a real crawl pipeline uses
+    exactly this shape for the 99% path and routes pathological
+    documents (unclosed blocks, CDATA) to a quarantine; every step is
+    replayable literally by the DuckDB oracle."""
+    out = F.coalesce(html, F.lit(""))
+    out = F.regexp_replace(out, r"(?s)<head>.*?</head>", " ")
+    out = F.regexp_replace(out, r"(?s)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?s)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<nav[^>]*>.*?</nav>", " ")
+    out = F.regexp_replace(out, r"(?s)<footer[^>]*>.*?</footer>", " ")
+    out = F.regexp_replace(out, r"<[^>]+>", " ")
+    out = html_unescape(out)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

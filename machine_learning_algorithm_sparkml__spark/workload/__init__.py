@@ -35,16 +35,18 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # lands.
 PRIORITY_KEYS = [
     # --- r14 window (50 slots; driver records indices 0-49) ---
-    # Slots 0-3: the 4 keys NEW this round, never driver-checked —
+    # Slots 0-4: the 5 keys NEW this round, never driver-checked —
     # the real baseline JPEG decode (VERDICT r13 #4), WARC archive
     # ingestion (VERDICT r13 #3), the mixed-content WARC scan that
-    # dispatches the codec by mime, and the member-per-record .warc.gz
-    # layout (all oracle-backed):
+    # dispatches the codec by mime, the member-per-record .warc.gz
+    # layout, and JVM-side HTML main-content extraction (all
+    # oracle-backed):
     "multimodal_jpeg_decode",
     "scan_warc",
     "scan_warc_media",
     "scan_warc_gzip",
-    # Slots 4-42: the complete 39-key r9-stale block (staleness.py
+    "text_html_extract",
+    # Slots 5-43: the complete 39-key r9-stale block (staleness.py
     # r9 row = the r13 slip tail, VERDICT r13 #1 — after this round
     # no key's latest driver row predates r10):
     "embedding_quantize_arrow",
@@ -86,19 +88,19 @@ PRIORITY_KEYS = [
     "window_lag_lead",
     "window_moving_avg",
     "window_ntile_cume",
-    # Slots 43-49: 7-key fill from the oldest r10 rows, leading
-    # with the keys VERDICT r13 #1 named:
+    # Slots 44-49: the 6-key fill from the oldest r10 rows — exactly
+    # the keys VERDICT r13 #1 named:
     "decontaminate_fuzzy",
     "join_inner_equi",
     "scan_csv_header",
     "sql_tpch_q3",
     "sql_tpch_q5",
     "sql_tpch_q6",
+    # --- slip tail (positions 50+): the remaining 41 r10 keys in
+    # rotation-proposal order (scan_text_logs and agg_decimal_exact
+    # displaced from the fill by the late scan_warc_gzip and
+    # text_html_extract additions); they head the r15 window ---
     "scan_text_logs",
-    # --- slip tail (positions 50+): the remaining 40 r10 keys in
-    # rotation-proposal order (agg_decimal_exact displaced from the
-    # fill by the late scan_warc_gzip addition); they head the r15
-    # window ---
     "agg_decimal_exact",
     "agg_incremental_retract",
     "profile_table",

@@ -263,8 +263,49 @@ def q_text_repetition_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_signals(docs, ["doc_id"], "text")
 
 
+def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction — the first transform a crawled
+    page goes through, kept ENTIRELY JVM-side (functions/text.py:
+    html_main_text — a regexp/replace projection, zero shuffles, zero
+    Python; at 100 TB a Python hop on this step would dominate the
+    pipeline). Each document is wrapped in a deterministic page
+    (head with title/style/script, nav + footer boilerplate, an
+    entity-escaped body paragraph, a body script whose ``1 < 2`` bare
+    ``<`` leaks into the text unless block removal precedes tag
+    stripping), then title + main text are extracted back. The escape
+    → extract → unescape loop is the identity on the body text, so
+    the DuckDB oracle replays the EXPECTED OUTPUT directly from the
+    documents table rather than re-deriving the regex chain."""
+    from machine_learning_algorithm_sparkml__spark.functions.text import (
+        html_escape,
+        html_main_text,
+        html_title,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title>\n<style>body { color: #333; }</style>\n'
+              '<script>var t = 1 < 2 && "x";</script></head>\n<body>\n'
+              "<nav>Home | About | Archive</nav>\n<h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; co</h1>\n<p>"),
+        html_escape(F.col("text")),
+        F.lit("</p>\n<script>track(1 < 2);</script>\n"
+              "<footer>corpus.example.com &copy; 2026</footer>\n</body></html>"),
+    )
+    page = docs.select("doc_id", html.alias("html"))
+    return page.select(
+        "doc_id",
+        html_title(F.col("html")).alias("title"),
+        html_main_text(F.col("html")).alias("main_text"),
+    )
+
+
 QUERIES = {
     "text_gopher_quality": q_text_gopher_quality,
+    "text_html_extract": q_text_html_extract,
     "text_token_entropy": q_text_token_entropy,
     "text_repetition_bigram": q_text_repetition_bigram,
     "text_unigram_familiarity": q_text_unigram_familiarity,
@@ -286,6 +327,16 @@ _TOKS = "list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> len
 _NTOK = f"len({_TOKS})"
 
 ORACLE = {
+    # text_html_extract: the page construction is deterministic and
+    # escape→extract→unescape is the identity on the body text, so the
+    # oracle states the expected OUTPUT directly ('g' flag: DuckDB's
+    # regexp_replace is first-match-only without it, Spark's is global)
+    "text_html_extract": """
+        SELECT doc_id,
+               'Doc ' || doc_id AS title,
+               trim(regexp_replace('Doc ' || doc_id || ' & co ' || COALESCE(text, ''), '\\s+', ' ', 'g')) AS main_text
+        FROM documents
+    """,
     # text_repetition_bigram: the oracle rebuilds the same integer
     # counts relationally (unnest → per-(doc, bigram) counts) — the
     # Spark side's sorted-array fold and this GROUP BY agree exactly

@@ -157,3 +157,50 @@ def test_dedup_url_merges_variants_not_schemes(spark, sf_dir):
     for key, ids in groups.items():
         assert by_url[key]["keep_doc_id"] == min(ids)
         assert by_url[key]["n_variants"] == len(ids)
+
+
+def test_html_extraction_blocks_entities_and_plan(spark, sf_dir):
+    """html_main_text: block removal before tag stripping (a script's
+    bare ``1 < 2`` must never leak into the text), nav/footer
+    boilerplate dropped, entities decoded exactly once, and the whole
+    key stays a shuffle-free projection."""
+    from machine_learning_algorithm_sparkml__spark.functions.text import (
+        html_escape,
+        html_main_text,
+        html_title,
+        html_unescape,
+    )
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+    from machine_learning_algorithm_sparkml__spark.workload.quality import (
+        q_text_html_extract,
+    )
+
+    page = (
+        "<html><head><title>T &amp; U</title><style>a { x: 1; }</style>"
+        "</head><body><nav>Home | About</nav>"
+        "<script>if (1 < 2 && 3 > 0) { track(); }</script>"
+        "<h1>Heading</h1><p>alpha &lt;tag&gt; &amp;amp; beta</p>"
+        "<footer>footer text</footer></body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], "id long, html string")
+    row = df.select(
+        html_title(F.col("html")).alias("t"),
+        html_main_text(F.col("html")).alias("m"),
+    ).collect()[0]
+    assert row["t"] == "T & U"
+    # script body, nav, footer, style all gone; entities decoded ONCE
+    # (&amp;amp; -> &amp;, never cascading to &)
+    assert row["m"] == "Heading alpha <tag> &amp; beta"
+
+    # escape -> unescape is the identity, including on pre-escaped text
+    tricky = 'a & b < c > d "q" &lt;already&gt; &#39;'
+    got = (
+        spark.createDataFrame([(tricky,)], "text string")
+        .select(html_unescape(html_escape(F.col("text"))).alias("x"))
+        .collect()[0]["x"]
+    )
+    assert got == tricky
+
+    # the workload key is a pure projection: no Exchange anywhere
+    plan = formatted_plan(q_text_html_extract(spark, sf_dir))
+    assert "Exchange" not in plan, "HTML extraction must stay shuffle-free"
