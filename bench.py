@@ -138,14 +138,21 @@ def merge_priors(sources: list[dict]) -> dict[str, float]:
     return merged
 
 
-def load_priors(repo_root: str) -> dict[str, float]:
+def load_priors(repo_root: str, sf: float) -> dict[str, float]:
+    """Floors are only comparable WITHIN a scale factor: an sf0.001
+    smoke run's timings merged as floors for an sf0.1 sweep would flag
+    every key as a spike and triple the sweep (and the reverse would
+    recreate the r13 masking hole at small scale). Sources whose
+    recorded sf differs from the current run's are skipped."""
     sources = []
     for fname in ("BENCH_PRIORS.json", "BENCH_FULL.json"):
         try:
             with open(os.path.join(repo_root, fname)) as f:
-                sources.append(json.load(f).get("queries", {}))
+                data = json.load(f)
+            if data.get("sf") == sf:
+                sources.append(data.get("queries", {}))
         except Exception:
-            sources.append({})
+            pass
     return merge_priors(sources)
 
 
@@ -226,7 +233,7 @@ def main() -> None:
     # BENCH_FULL timing — see should_repeat()/report_stat() (pure,
     # unit-tested in tests/test_bench_protocol.py).
     repo_root = os.path.dirname(os.path.abspath(__file__))
-    prior = load_priors(repo_root)
+    prior = load_priors(repo_root, _sf_from_dir(sf_dir))
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

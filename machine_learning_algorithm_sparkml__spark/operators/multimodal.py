@@ -233,6 +233,22 @@ def bmp_dims(doc_id: int) -> tuple[int, int]:
     return 5 + doc_id % 4, 3 + doc_id % 5
 
 
+def spread_for_kernel(df: DataFrame) -> DataFrame:
+    """Partition a compute-heavy Arrow kernel's input by COMPUTE, not
+    by input bytes. File bin-packing sizes scan partitions by BYTES
+    (maxPartitionBytes/openCostInBytes), which is right for scans and
+    wrong for per-row-expensive Python kernels: the codec keys' input
+    is a tiny id projection, so a small corpus bin-packs to ONE
+    partition and the whole encode+decode pipeline serializes onto one
+    core (measured: the JPEG key read 4.7 s single-partition vs 2.8 s
+    over 10x MORE docs on a 32-file layout — r14 witness). One
+    round-robin exchange of the id column decouples kernel parallelism
+    from storage layout; the shuffled payload is the projected input
+    (ids), which stays negligible at any corpus size."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def encode_bmp_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """Build REAL BMP payloads per row (Arrow-batched kernel; bytes are
     born executor-side and never leave as anything but the payload
@@ -249,7 +265,7 @@ def encode_bmp_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(make_bmp(w, h, _bmp_pixel_bytes(did, w * h * 3)))
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
-    out = df.mapInPandas(_encode, schema="doc_id long, payload binary")
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
     return out.select(
         "doc_id",
         "payload",
@@ -382,7 +398,7 @@ def encode_wav_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(make_wav(rate, _wav_samples(did, n)))
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
-    out = df.mapInPandas(_encode, schema="doc_id long, payload binary")
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
     return out.select(
         "doc_id",
         "payload",
@@ -617,7 +633,7 @@ def encode_png_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(make_png(w, h, _png_pixel_bytes(did, w * h * 3)))
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
-    out = df.mapInPandas(_encode, schema="doc_id long, payload binary")
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
     return out.select(
         "doc_id",
         "payload",
@@ -892,7 +908,7 @@ def encode_gif_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(make_gif(w, h, _gif_indices(did, w * h)))
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
-    out = df.mapInPandas(_encode, schema="doc_id long, payload binary")
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
     return out.select(
         "doc_id",
         "payload",
@@ -1431,7 +1447,7 @@ def encode_jpeg_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(make_jpeg(w, h, rgb.tobytes()))
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
-    out = df.mapInPandas(_encode, schema="doc_id long, payload binary")
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
     return out.select(
         "doc_id",
         "payload",

@@ -1055,9 +1055,11 @@ def test_r13_capability_keys_plan_shapes(spark, sf_dir):
     """Portable near-dup pairs: the candidate generator must be the
     bucketed (table, bucket) equi-self-join — never a cartesian/NL
     product over the corpus (the property that survives 100x); the
-    verified-pair scoring joins by id. BMP/WAV decode keys: one
-    ArrowEvalPython-free mapInPandas pipeline per side (encode +
-    decode), no exchange at all — decode is embarrassingly parallel."""
+    verified-pair scoring joins by id. BMP/WAV decode keys: a
+    two-kernel mapInPandas pipeline behind exactly ONE
+    compute-spreading round-robin exchange (spread_for_kernel — an
+    exchange-free plan serializes the codec onto one core when the
+    input bin-packs to a single partition)."""
     from machine_learning_algorithm_sparkml__spark.workload.llm import (
         q_embedding_neardup_portable,
         q_multimodal_decode_real,
@@ -1073,13 +1075,19 @@ def test_r13_capability_keys_plan_shapes(spark, sf_dir):
     for q in (q_multimodal_decode_real, q_multimodal_wav_decode):
         d = q(spark, sf_dir)
         pd_ = d._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in pd_, pd_  # scan -> encode -> decode, no shuffle
+        # scan -> ONE compute-spreading round-robin exchange of the id
+        # projection -> encode -> decode; never a keyed shuffle, and
+        # never exchange-FREE either (a single-file scan would
+        # serialize the whole codec pipeline onto one core —
+        # multimodal.spread_for_kernel)
+        assert pd_.count("Exchange") == 1, pd_
+        assert "RoundRobinPartitioning" in pd_, pd_
         assert pd_.count("MapInPandas") == 2, pd_
 
 
 def test_r13_session2_keys_plan_shapes(spark, sf_dir):
     """Session-2 capability keys keep their 100 TB shapes: PNG decode
-    is the same exchange-free two-kernel mapInPandas pipeline as
+    is the same one-spread-exchange two-kernel mapInPandas pipeline as
     BMP/WAV; URL dedup is ONE hash-aggregate exchange over the
     canonical string (the regexp canonicalization itself must not add
     a shuffle or a Python crossing)."""
@@ -1095,7 +1103,8 @@ def test_r13_session2_keys_plan_shapes(spark, sf_dir):
     for q in (q_multimodal_png_decode, q_multimodal_gif_decode):
         d = q(spark, sf_dir)
         p = d._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in p, p
+        # one compute-spreading exchange, same contract as BMP/WAV/JPEG
+        assert p.count("Exchange") == 1 and "RoundRobinPartitioning" in p, p
         assert p.count("MapInPandas") == 2, p
 
     url = q_dedup_url(spark, sf_dir)

@@ -132,8 +132,16 @@ FAMILY_KEYS = {
     # witness measures the kernel's linearity, not task scheduling;
     # the JPEG key is a per-row Arrow kernel (encode+decode), the
     # embarrassingly-parallel shape — ~linear or better, no shuffle
-    # term to grow.
-    "ingest": ["scan_warc", "scan_warc_media", "multimodal_jpeg_decode"],
+    # term to grow; the .warc.gz variant adds per-record gzip
+    # deflate/inflate on the same shape; HTML extraction is a pure
+    # JVM projection (the token-entropy contract: no exchange at all).
+    "ingest": [
+        "scan_warc",
+        "scan_warc_media",
+        "multimodal_jpeg_decode",
+        "scan_warc_gzip",
+        "text_html_extract",
+    ],
     # r13 session-2: bounded-window EWMA over 10x events (replica k
     # shifts event_id and user_id, so per-user series stay intact and
     # the user population grows 10x — the organic-telemetry shape).

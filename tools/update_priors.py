@@ -31,6 +31,9 @@ sys.path.insert(0, REPO)
 from bench import merge_priors  # noqa: E402
 
 
+SF = 0.1  # the bench scale factor; floors from other SFs are not comparable
+
+
 def _historical_queries() -> list[dict]:
     revs = subprocess.run(
         ["git", "log", "--format=%H", "--", "BENCH_FULL.json"],
@@ -45,9 +48,11 @@ def _historical_queries() -> list[dict]:
         if blob.returncode != 0:
             continue
         try:
-            out.append(json.loads(blob.stdout).get("queries", {}))
+            data = json.loads(blob.stdout)
         except json.JSONDecodeError:
             continue
+        if data.get("sf") == SF:
+            out.append(data.get("queries", {}))
     return out
 
 
@@ -56,7 +61,9 @@ def main() -> None:
     for fname in ("BENCH_FULL.json", "BENCH_PRIORS.json"):
         try:
             with open(os.path.join(REPO, fname)) as f:
-                sources.append(json.load(f).get("queries", {}))
+                data = json.load(f)
+            if data.get("sf") == SF:
+                sources.append(data.get("queries", {}))
         except Exception:
             pass
     floors = merge_priors(sources)
@@ -76,6 +83,7 @@ def main() -> None:
                     "all committed BENCH_FULL.json history"
                 ),
                 "queries": {k: round(v, 3) for k, v in sorted(floors.items())},
+                "sf": SF,
             },
             f, indent=1, sort_keys=True,
         )
