@@ -89,14 +89,23 @@ def test_load_priors_reads_curated_and_full(tmp_path):
     import json
 
     (tmp_path / "BENCH_PRIORS.json").write_text(
-        json.dumps({"queries": {"a": 1.0, "c": 2.0}})
+        json.dumps({"queries": {"a": 1.0, "c": 2.0}, "sf": 0.1})
     )
     (tmp_path / "BENCH_FULL.json").write_text(
-        json.dumps({"queries": {"a": 5.0, "b": 0.3}})
+        json.dumps({"queries": {"a": 5.0, "b": 0.3}, "sf": 0.1})
     )
-    assert bench.load_priors(str(tmp_path)) == {"a": 1.0, "b": 0.3, "c": 2.0}
+    assert bench.load_priors(str(tmp_path), 0.1) == {"a": 1.0, "b": 0.3, "c": 2.0}
+    # sf mismatch -> source skipped: an sf0.001 smoke's timings must
+    # never become floors for an sf0.1 sweep (every key would "spike"
+    # and the sweep would triple), nor mask spikes in the reverse
+    # direction
+    assert bench.load_priors(str(tmp_path), 0.001) == {}
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"queries": {"a": 0.01}, "sf": 0.001})
+    )
+    assert bench.load_priors(str(tmp_path), 0.1) == {"a": 1.0, "c": 2.0}
     # missing files -> empty floor, never an exception
-    assert bench.load_priors(str(tmp_path / "nope")) == {}
+    assert bench.load_priors(str(tmp_path / "nope"), 0.1) == {}
 
 
 def test_priors_file_covers_registry():
