@@ -360,12 +360,14 @@ def test_multimodal_payload_and_decode(docs):
 
 
 def test_multimodal_decode_refuses_real_media(spark):
-    # image/jpeg stays stubbed (no DEFLATE-free JPEG decode exists);
-    # bmp/png are now really decoded so they no longer belong here
+    # bmp/png/gif/jpeg are now really decoded so they no longer belong
+    # here; video and non-decodable image codecs still refuse — the
+    # stub must never masquerade as a decode it cannot do
     df = spark.createDataFrame([(1, "xx")], "doc_id long, text string")
-    wrapped = attach_binary_payload(df, "doc_id", "text", mime="image/jpeg")
-    with pytest.raises(Exception, match="NotImplementedError|stubbed"):
-        decode_media(wrapped).collect()
+    for mime in ("video/mp4", "image/webp", "audio/mpeg"):
+        wrapped = attach_binary_payload(df, "doc_id", "text", mime=mime)
+        with pytest.raises(Exception, match="NotImplementedError|stubbed"):
+            decode_media(wrapped).collect()
 
 
 def test_bmp_roundtrip_all_padding_classes():
