@@ -76,6 +76,26 @@ def test_merge_priors_takes_per_key_floor():
     assert bench.merge_priors([contaminated, curated])["decon"] == 1.2
 
 
+def test_decaying_spike_earns_extra_confirmation_runs():
+    # r14 observe_metrics: [13.4, 5.4, 1.2] — contention decaying to
+    # the floor on run 3. Stopping at MAX_RUNS would record the 5.4
+    # median; an unresolved material regression (stat >= 2 s and > 2x
+    # floor) extends to MAX_RUNS_SPIKED until the stat resolves.
+    assert bench.should_repeat([13.4, 5.4, 1.2], prior=0.37)       # 4th run
+    assert not bench.should_repeat([13.4, 5.4, 1.2, 1.2], prior=0.37)
+    assert bench.report_stat([13.4, 5.4, 1.2, 1.2]) == 1.2
+    # a PERSISTENT >2x reading still stops at the spiked cap
+    assert not bench.should_repeat([5.0, 5.1, 5.0, 5.2, 5.1], prior=1.0)
+    # sub-noise-band readings never extend past MAX_RUNS, whatever the
+    # ancient floor says (ambient swing on a 0.5 s key is not a
+    # regression signal)
+    assert not bench.should_repeat([0.69, 0.56, 0.51], prior=0.16)
+    # and the record gate matches: resolved/immaterial -> no record
+    assert not bench.unresolved_spike([13.4, 5.4, 1.2, 1.2], prior=0.37)
+    assert bench.unresolved_spike([5.0, 5.1, 5.0, 5.2, 5.1], prior=1.0)
+    assert not bench.unresolved_spike([0.69, 0.56, 0.51], prior=0.16)
+
+
 def test_contaminated_prior_cannot_mask_spike():
     # with only the contaminated prior, a 46 s run on a 1.2 s-floor key
     # is "normal" (the r13 hole); with the curated floor it must repeat
