@@ -1214,53 +1214,71 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def make_jpeg(width: int, height: int, pixels: bytes) -> bytes:
+def make_jpeg(width: int, height: int, pixels: bytes, *, subsampling: str = "4:4:4") -> bytes:
     """Serialize a REAL baseline sequential JFIF JPEG (SOI, APP0, a COM
     segment the decoder must skip, one DQT holding BOTH quant tables,
     SOF0, one DHT holding all FOUR Huffman tables, SOS, entropy-coded
     data with byte stuffing, EOI). ``pixels`` is the top-down row-major
-    RGB byte array; dimensions must be multiples of 8 (this encoder
-    does no edge padding — the DECODER handles non-multiple dims by
-    MCU-cover + crop, like real files need).
+    RGB byte array; dimensions must be multiples of 8 — of 16 for
+    4:2:0 — (this encoder does no edge padding; the DECODER handles
+    non-multiple dims by MCU-cover + crop, like real files need).
 
-    The full pipeline runs: RGB->YCbCr, per-block forward DCT,
-    quantization, zigzag, differential-DC + run-length-AC canonical
-    Huffman coding across interleaved 3-component MCUs (1x1 sampling).
+    The full pipeline runs: RGB->YCbCr, optional 2x2 chroma
+    downsampling, per-block forward DCT, quantization, zigzag,
+    differential-DC + run-length-AC canonical Huffman coding across
+    interleaved MCUs (1x1x1 for 4:4:4; the 4-Y+Cb+Cr macroblock order
+    of T.81 §A.2.3 for 4:2:0 — what nearly every web JPEG uses).
     The output opens in any image viewer."""
-    if width % 8 or height % 8:
-        raise ValueError("make_jpeg requires multiple-of-8 dimensions")
     if len(pixels) != width * height * 3:
         raise ValueError(f"need {width * height * 3} pixel bytes, got {len(pixels)}")
     rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-    planes = [
-        np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255),
-        np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255),
-        np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255),
-    ]
-    qtabs = [_Q_LUMA, _Q_CHROMA, _Q_CHROMA]
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cb = np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255)
+    cr = np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255)
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
-
     bw = _BitWriter()
     preds = [0, 0, 0]
-    for by in range(height // 8):
-        for bx in range(width // 8):
-            for ci, plane in enumerate(planes):
-                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                fq = np.round((_DCT_C @ blk @ _DCT_C.T) / qtabs[ci]).astype(np.int32)
-                zz = fq.reshape(64)[_ZZ]
-                preds[ci] = _encode_block(bw, zz, preds[ci], dc_codes, ac_codes)
+
+    def _code_block(plane: np.ndarray, r0: int, c0: int, qtab: np.ndarray, ci: int) -> None:
+        blk = plane[r0 : r0 + 8, c0 : c0 + 8] - 128.0
+        fq = np.round((_DCT_C @ blk @ _DCT_C.T) / qtab).astype(np.int32)
+        preds[ci] = _encode_block(bw, fq.reshape(64)[_ZZ], preds[ci], dc_codes, ac_codes)
+
+    if subsampling == "4:4:4":
+        if width % 8 or height % 8:
+            raise ValueError("make_jpeg 4:4:4 requires multiple-of-8 dimensions")
+        for by in range(height // 8):
+            for bx in range(width // 8):
+                for ci, (plane, qtab) in enumerate(
+                    [(y, _Q_LUMA), (cb, _Q_CHROMA), (cr, _Q_CHROMA)]
+                ):
+                    _code_block(plane, by * 8, bx * 8, qtab, ci)
+        sof_comps = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    elif subsampling == "4:2:0":
+        if width % 16 or height % 16:
+            raise ValueError("make_jpeg 4:2:0 requires multiple-of-16 dimensions")
+        # 2x2-mean chroma downsample (the standard reduction; exact on
+        # flat macroblocks, which is what keeps the fixture bit-exact)
+        cb_s = np.round(cb.reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3)))
+        cr_s = np.round(cr.reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3)))
+        for my in range(height // 16):
+            for mx in range(width // 16):
+                for v_ in range(2):
+                    for h_ in range(2):
+                        _code_block(y, (my * 2 + v_) * 8, (mx * 2 + h_) * 8, _Q_LUMA, 0)
+                _code_block(cb_s, my * 8, mx * 8, _Q_CHROMA, 1)
+                _code_block(cr_s, my * 8, mx * 8, _Q_CHROMA, 2)
+        sof_comps = bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
 
     def _zz_bytes(q: np.ndarray) -> bytes:
         return bytes(int(q.reshape(64)[_ZZ[z]]) for z in range(64))
 
     dqt = _seg(0xDB, b"\x00" + _zz_bytes(_Q_LUMA) + b"\x01" + _zz_bytes(_Q_CHROMA))
-    sof = _seg(
-        0xC0,
-        struct.pack(">BHHB", 8, height, width, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
-    )
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, height, width, 3) + sof_comps)
     dht = _seg(
         0xC4,
         b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
@@ -1287,9 +1305,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     and YCbCr->RGB. Returns (width, height, pixels) with ``pixels``
     the top-down (height, width*3) uint8 RGB array; images whose
     dimensions are not MCU multiples are decoded MCU-covered then
-    cropped, as the spec requires. Progressive (SOF2), arithmetic
-    coding, subsampled chroma, restart intervals, and 12-bit precision
-    raise rather than guessing."""
+    cropped, as the spec requires. Per-component sampling factors up
+    to 2 are supported — 4:4:4, 4:2:0 (what nearly every web JPEG
+    uses), 4:2:2, 4:4:0 — with the T.81 §A.2.3 per-MCU block
+    interleave and nearest-neighbor chroma upsampling. Progressive
+    (SOF2), arithmetic coding, sampling factors beyond 2, restart
+    intervals, and 12-bit precision raise rather than guessing."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (bad SOI)")
     pos = 2
@@ -1346,9 +1367,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    raise ValueError("unsupported JPEG variant: subsampled chroma")
-                comps.append((cid, tq))
+                ch, cv = hv >> 4, hv & 0x0F
+                if ch not in (1, 2) or cv not in (1, 2):
+                    raise ValueError(
+                        "unsupported JPEG variant: sampling factors beyond 2"
+                    )
+                comps.append((cid, ch, cv, tq))
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("unsupported JPEG variant: only baseline sequential (SOF0)")
@@ -1371,27 +1395,48 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     w, h, comps = frame
     if len(scan) != len(comps):
         raise ValueError("JPEG scan/frame component mismatch")
-    bx_n, by_n = (w + 7) // 8, (h + 7) // 8
+    hmax = max(ch for _, ch, _, _ in comps)
+    vmax = max(cv for _, _, cv, _ in comps)
+    # MCU grid covers the image at the max sampling factor; each
+    # component contributes (cv x ch) blocks per MCU in raster order —
+    # the interleaving T.81 §A.2.3 defines. (1,1)-everywhere reduces to
+    # the 4:4:4 one-block-per-component case exactly.
+    mcux_n = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy_n = (h + 8 * vmax - 1) // (8 * vmax)
     br = _BitReader(payload, pos)
-    planes = [np.zeros((by_n * 8, bx_n * 8), dtype=np.float64) for _ in comps]
+    planes = [
+        np.zeros((mcuy_n * 8 * cv, mcux_n * 8 * ch), dtype=np.float64)
+        for _, ch, cv, _ in comps
+    ]
     preds = [0] * len(comps)
-    by_comp = {cid: i for i, (cid, _) in enumerate(comps)}
-    for by in range(by_n):
-        for bx in range(bx_n):
+    by_comp = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    for my in range(mcuy_n):
+        for mx in range(mcux_n):
             for cid, dc_id, ac_id in scan:
                 ci = by_comp[cid]
+                _, ch, cv, tq = comps[ci]
                 try:
                     dc_tbl, ac_tbl = huff[(0, dc_id)], huff[(1, ac_id)]
-                    q = qtabs[comps[ci][1]]
+                    q = qtabs[tq]
                 except KeyError:
                     raise ValueError("JPEG scan references an undeclared table")
-                zz, preds[ci] = _decode_block(br, dc_tbl, ac_tbl, preds[ci])
-                fq = np.zeros(64, dtype=np.int32)
-                fq[_ZZ] = zz
-                blk = _DCT_C.T @ (fq.reshape(8, 8) * q) @ _DCT_C
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk + 128.0
+                for v_ in range(cv):
+                    for h_ in range(ch):
+                        zz, preds[ci] = _decode_block(br, dc_tbl, ac_tbl, preds[ci])
+                        fq = np.zeros(64, dtype=np.int32)
+                        fq[_ZZ] = zz
+                        blk = _DCT_C.T @ (fq.reshape(8, 8) * q) @ _DCT_C
+                        r0 = (my * cv + v_) * 8
+                        c0 = (mx * ch + h_) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = blk + 128.0
 
-    samples = [np.clip(np.round(p[:h, :w]), 0, 255) for p in planes]
+    # bring every component to full resolution (nearest-neighbor
+    # chroma upsampling — the baseline-decoder standard), then crop
+    up = [
+        np.kron(p, np.ones((vmax // cv, hmax // ch)))
+        for p, (_, ch, cv, _) in zip(planes, comps)
+    ]
+    samples = [np.clip(np.round(p[:h, :w]), 0, 255) for p in up]
     if len(samples) == 1:
         y = samples[0]
         out = np.stack([y, y, y], axis=-1)
@@ -1485,3 +1530,52 @@ def decode_jpeg_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(_decode, schema=DECODED_JPEG_SCHEMA)
+
+
+def jpeg420_dims(doc_id: int) -> tuple[int, int]:
+    """4:2:0 fixture dimensions: 16-pixel MCU multiples (16/32 wide by
+    16..48 tall) so every file is a real multi-macroblock interleaved
+    scan with the 4-Y+Cb+Cr block order."""
+    return 16 * (1 + doc_id % 2), 16 * (1 + doc_id % 3)
+
+
+def _jpeg420_macroblock_values(doc_id: int, n_mb: int) -> list[int]:
+    """Per-16x16-MACROBLOCK portable gray values: flat macroblocks keep
+    4:2:0 bit-exact end to end — all four Y blocks of an MCU are flat
+    (DC step 8 divides them), and the 2x2 chroma mean of a flat region
+    is exact — so the lossy subsampled pipeline is oracle-replayable."""
+    return [
+        int(hashlib.md5(f"jpeg420:{doc_id}:{m}".encode()).hexdigest()[:15], 16) % 256
+        for m in range(n_mb)
+    ]
+
+
+def encode_jpeg420_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """4:2:0 sibling of :func:`encode_jpeg_media` — the subsampled
+    layout nearly every web JPEG uses."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = jpeg420_dims(did)
+                vals = _jpeg420_macroblock_values(did, (w // 16) * (h // 16))
+                grid = np.array(vals, dtype=np.uint8).reshape(h // 16, w // 16)
+                gray = np.kron(grid, np.ones((16, 16), dtype=np.uint8))
+                rgb = np.repeat(gray[..., None], 3, axis=-1)
+                payloads.append(make_jpeg(w, h, rgb.tobytes(), subsampling="4:2:0"))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )

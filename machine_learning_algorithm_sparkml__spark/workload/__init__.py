@@ -35,18 +35,19 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # lands.
 PRIORITY_KEYS = [
     # --- r14 window (50 slots; driver records indices 0-49) ---
-    # Slots 0-4: the 5 keys NEW this round, never driver-checked —
-    # the real baseline JPEG decode (VERDICT r13 #4), WARC archive
-    # ingestion (VERDICT r13 #3), the mixed-content WARC scan that
-    # dispatches the codec by mime, the member-per-record .warc.gz
-    # layout, and JVM-side HTML main-content extraction (all
-    # oracle-backed):
+    # Slots 0-5: the 6 keys NEW this round, never driver-checked —
+    # the real baseline JPEG decode (VERDICT r13 #4) and its 4:2:0
+    # subsampled sibling, WARC archive ingestion (VERDICT r13 #3), the
+    # mixed-content WARC scan that dispatches the codec by mime, the
+    # member-per-record .warc.gz layout, and JVM-side HTML
+    # main-content extraction (all oracle-backed):
     "multimodal_jpeg_decode",
+    "multimodal_jpeg420_decode",
     "scan_warc",
     "scan_warc_media",
     "scan_warc_gzip",
     "text_html_extract",
-    # Slots 5-43: the complete 39-key r9-stale block (staleness.py
+    # Slots 6-44: the complete 39-key r9-stale block (staleness.py
     # r9 row = the r13 slip tail, VERDICT r13 #1 — after this round
     # no key's latest driver row predates r10):
     "embedding_quantize_arrow",
@@ -88,18 +89,19 @@ PRIORITY_KEYS = [
     "window_lag_lead",
     "window_moving_avg",
     "window_ntile_cume",
-    # Slots 44-49: the 6-key fill from the oldest r10 rows — exactly
+    # Slots 45-49: 5-key fill from the oldest r10 rows, leading with
     # the keys VERDICT r13 #1 named:
     "decontaminate_fuzzy",
     "join_inner_equi",
     "scan_csv_header",
     "sql_tpch_q3",
     "sql_tpch_q5",
+    # --- slip tail (positions 50+): the remaining 42 r10 keys in
+    # rotation-proposal order (sql_tpch_q6, scan_text_logs, and
+    # agg_decimal_exact displaced from the fill by the late
+    # scan_warc_gzip / text_html_extract / jpeg420 additions); they
+    # head the r15 window ---
     "sql_tpch_q6",
-    # --- slip tail (positions 50+): the remaining 41 r10 keys in
-    # rotation-proposal order (scan_text_logs and agg_decimal_exact
-    # displaced from the fill by the late scan_warc_gzip and
-    # text_html_extract additions); they head the r15 window ---
     "scan_text_logs",
     "agg_decimal_exact",
     "agg_incremental_retract",

@@ -1413,6 +1413,28 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_media(encode_jpeg_media(docs))
 
 
+def q_multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED 4:2:0 JPEG decode — the subsampled layout nearly
+    every REAL web JPEG uses, and the part the 4:4:4 key doesn't
+    exercise: per-MCU 4-Y+Cb+Cr block interleave (T.81 §A.2.3),
+    per-component DC predictor chains across macroblocks, 2x2 chroma
+    downsample on the encode side, nearest-neighbor chroma upsample on
+    decode. Flat 16x16 macroblocks keep the doubly-lossy pipeline
+    (quantization AND subsampling) bit-exact — the 2x2 mean of a flat
+    region is exact and the DC quant step of 8 divides each flat
+    block's coefficient — so DuckDB replays the expected pixels by
+    regenerating per-macroblock values (256 pixels x 3 channels x v
+    each). decode_jpeg dispatches on the declared sampling factors;
+    same decoder, no fixture-specific path."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_jpeg_media,
+        encode_jpeg420_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_jpeg_media(encode_jpeg420_media(docs))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: Arrow-batched feature-extraction stub. The feature
     vector is summarized to scalar columns (dim / L1 norm / first slot)
@@ -1562,6 +1584,7 @@ QUERIES = {
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+    "multimodal_jpeg420_decode": q_multimodal_jpeg420_decode,
     "multimodal_gif_decode": q_multimodal_gif_decode,
     "multimodal_features": q_multimodal_features,
 }
@@ -2923,6 +2946,26 @@ ORACLE = {
         )
         SELECT doc_id, width, height,
                CAST(SUM((CAST('0x' || substr(md5('jpeg:' || doc_id || ':' || b), 1, 15) AS BIGINT) % 256) * 192) AS BIGINT) AS pixel_sum
+        FROM blocks
+        GROUP BY doc_id, width, height
+    """,
+    # 4:2:0 JPEG replay: flat 16x16 macroblocks survive BOTH loss
+    # stages (2x2 chroma mean of a flat region is exact; DC quant 8
+    # divides every flat block), so each macroblock contributes
+    # 256 pixels x 3 channels x value
+    "multimodal_jpeg420_decode": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(16 * (1 + doc_id % 2) AS INTEGER) AS width,
+                   CAST(16 * (1 + doc_id % 3) AS INTEGER) AS height
+            FROM documents
+        ), blocks AS (
+            SELECT doc_id, width, height,
+                   unnest(range(0, (width // 16) * (height // 16))) AS m
+            FROM dims
+        )
+        SELECT doc_id, width, height,
+               CAST(SUM((CAST('0x' || substr(md5('jpeg420:' || doc_id || ':' || m), 1, 15) AS BIGINT) % 256) * 768) AS BIGINT) AS pixel_sum
         FROM blocks
         GROUP BY doc_id, width, height
     """,

@@ -843,6 +843,72 @@ def test_jpeg_refusals_and_truncation_contract():
         make_jpeg(8, 8, bytes(10))
 
 
+def test_jpeg420_flat_macroblock_exact_and_lossy_bounds():
+    """4:2:0 — the layout nearly every real web JPEG uses: flat 16x16
+    macroblocks survive BOTH loss stages bit-exactly (2x2 chroma mean
+    of a flat region is exact; DC quant 8 divides every flat block's
+    coefficient); gray random content bounds to luma quantization
+    error (chroma exactly neutral when R=G=B); smooth color gradients
+    stay tight through downsample + nearest upsample."""
+    import hashlib
+
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _jpeg420_macroblock_values,
+        decode_jpeg,
+        jpeg420_dims,
+        make_jpeg,
+    )
+
+    for did in range(40):
+        w, h = jpeg420_dims(did)
+        vals = _jpeg420_macroblock_values(did, (w // 16) * (h // 16))
+        grid = np.array(vals, dtype=np.uint8).reshape(h // 16, w // 16)
+        gray = np.kron(grid, np.ones((16, 16), dtype=np.uint8))
+        rgb = np.repeat(gray[..., None], 3, axis=-1)
+        w2, h2, out = decode_jpeg(make_jpeg(w, h, rgb.tobytes(), subsampling="4:2:0"))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(out, rgb.reshape(h, w * 3)), f"doc {did}"
+        assert (
+            vals
+            == [
+                int(hashlib.md5(f"jpeg420:{did}:{m}".encode()).hexdigest()[:15], 16) % 256
+                for m in range((w // 16) * (h // 16))
+            ]
+        )
+
+    rng = np.random.RandomState(5)
+    gray = rng.randint(0, 256, (32, 48), dtype=np.uint8)
+    rgb = np.repeat(gray[..., None], 3, -1)
+    _, _, out = decode_jpeg(make_jpeg(48, 32, rgb.tobytes(), subsampling="4:2:0"))
+    err = np.abs(out.astype(int) - rgb.reshape(32, 48 * 3).astype(int)).max()
+    assert err <= 32, f"gray-random 4:2:0 error {err}"
+
+    px = np.zeros((32, 48, 3), np.uint8)
+    for yy in range(32):
+        for xx in range(48):
+            px[yy, xx] = ((2 * xx) % 256, (3 * yy) % 256, (xx + yy) % 256)
+    _, _, out = decode_jpeg(make_jpeg(48, 32, px.tobytes(), subsampling="4:2:0"))
+    err = np.abs(out.astype(int) - px.reshape(32, 48 * 3).astype(int)).max()
+    assert err <= 24, f"color-gradient 4:2:0 error {err}"
+
+    # encoder contract: 4:2:0 needs 16-multiples; unknown layouts refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple-of-16"):
+        make_jpeg(24, 16, bytes(24 * 16 * 3), subsampling="4:2:0")
+    with pytest.raises(ValueError, match="unsupported subsampling"):
+        make_jpeg(16, 16, bytes(16 * 16 * 3), subsampling="4:1:1")
+    # decoder refusal: sampling factors beyond 2 (hand-patch the SOF)
+    good = make_jpeg(16, 16, bytes(16 * 16 * 3), subsampling="4:2:0")
+    i = good.find(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[i + 2 + 2 + 6 + 1] = 0x33  # Y component HV -> (3,3)
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(bytes(bad))
+
+
 def test_jpeg_decode_media_projection(spark):
     """decode_media routes image/jpeg through the REAL parser, and the
     Spark projection kernel agrees with the per-block fixture sum
