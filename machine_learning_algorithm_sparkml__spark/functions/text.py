@@ -294,3 +294,24 @@ def html_main_text(html: Column) -> Column:
     out = F.regexp_replace(out, r"<[^>]+>", " ")
     out = html_unescape(out)
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def fixture_html_page(doc_id: Column, text: Column) -> Column:
+    """The deterministic HTML page fixture shared by
+    ``text_html_extract`` and the WARC-of-HTML ingestion key: head
+    with title/style/script, nav + footer boilerplate, an
+    entity-escaped body paragraph, and a body script whose bare
+    ``1 < 2`` leaks into the text unless block removal precedes tag
+    stripping. One definition — the two keys can never drift."""
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        doc_id.cast("string"),
+        F.lit('</title>\n<style>body { color: #333; }</style>\n'
+              '<script>var t = 1 < 2 && "x";</script></head>\n<body>\n'
+              "<nav>Home | About | Archive</nav>\n<h1>Doc "),
+        doc_id.cast("string"),
+        F.lit(" &amp; co</h1>\n<p>"),
+        html_escape(text),
+        F.lit("</p>\n<script>track(1 < 2);</script>\n"
+              "<footer>corpus.example.com &copy; 2026</footer>\n</body></html>"),
+    )

@@ -51,7 +51,12 @@ def warc_url(doc_id: int) -> str:
     return f"https://corpus.example.com/docs/{doc_id}"
 
 
-def make_warc_shard(rows: list[tuple[int, str]], shard: int) -> bytes:
+def make_warc_shard(
+    rows: list[tuple[int, str]],
+    shard: int,
+    *,
+    mime: str = "text/plain; charset=utf-8",
+) -> bytes:
     """One deterministic WARC/1.0 shard: a ``warcinfo`` head record
     (real files carry one; the parser must skip it), then per document
     a ``response`` record whose payload is a full HTTP/1.1 envelope
@@ -73,7 +78,7 @@ def make_warc_shard(rows: list[tuple[int, str]], shard: int) -> bytes:
         body = text.encode("utf-8")
         http = (
             b"HTTP/1.1 200 OK" + _CRLF
-            + b"Content-Type: text/plain; charset=utf-8" + _CRLF
+            + b"Content-Type: " + mime.encode() + _CRLF
             + f"Content-Length: {len(body)}".encode() + _CRLF
             + _CRLF
             + body
@@ -158,7 +163,13 @@ def parse_warc(payload: bytes) -> list[tuple[str, str, str, str]]:
     ]
 
 
-def write_warc_shards(docs: DataFrame, out_dir: str, *, n_shards: int = 8) -> None:
+def write_warc_shards(
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    n_shards: int = 8,
+    mime: str = "text/plain; charset=utf-8",
+) -> None:
     """Write the corpus as ``n_shards`` WARC files, built EXECUTOR-side
     (the fixture equivalent of a crawler fleet emitting shards): docs
     are repartitioned on ``doc_id % n_shards`` so each shard's records
@@ -183,7 +194,7 @@ def write_warc_shards(docs: DataFrame, out_dir: str, *, n_shards: int = 8) -> No
                 mode = "ab" if shard in opened else "wb"
                 opened.add(shard)
                 with open(os.path.join(out_dir, f"shard-{shard}.warc"), mode) as f:
-                    f.write(make_warc_shard(rows, shard))
+                    f.write(make_warc_shard(rows, shard, mime=mime))
         yield pd.DataFrame({"n": []}, dtype="int64")
 
     (

@@ -35,19 +35,21 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # lands.
 PRIORITY_KEYS = [
     # --- r14 window (50 slots; driver records indices 0-49) ---
-    # Slots 0-5: the 6 keys NEW this round, never driver-checked —
+    # Slots 0-6: the 7 keys NEW this round, never driver-checked —
     # the real baseline JPEG decode (VERDICT r13 #4) and its 4:2:0
     # subsampled sibling, WARC archive ingestion (VERDICT r13 #3), the
     # mixed-content WARC scan that dispatches the codec by mime, the
-    # member-per-record .warc.gz layout, and JVM-side HTML
-    # main-content extraction (all oracle-backed):
+    # member-per-record .warc.gz layout, JVM-side HTML main-content
+    # extraction, and the archive→HTML-extract composition (all
+    # oracle-backed):
     "multimodal_jpeg_decode",
     "multimodal_jpeg420_decode",
     "scan_warc",
     "scan_warc_media",
     "scan_warc_gzip",
     "text_html_extract",
-    # Slots 6-44: the complete 39-key r9-stale block (staleness.py
+    "scan_warc_html",
+    # Slots 7-45: the complete 39-key r9-stale block (staleness.py
     # r9 row = the r13 slip tail, VERDICT r13 #1 — after this round
     # no key's latest driver row predates r10):
     "embedding_quantize_arrow",
@@ -89,18 +91,17 @@ PRIORITY_KEYS = [
     "window_lag_lead",
     "window_moving_avg",
     "window_ntile_cume",
-    # Slots 45-49: 5-key fill from the oldest r10 rows, leading with
+    # Slots 46-49: 4-key fill from the oldest r10 rows, leading with
     # the keys VERDICT r13 #1 named:
     "decontaminate_fuzzy",
     "join_inner_equi",
     "scan_csv_header",
     "sql_tpch_q3",
+    # --- slip tail (positions 50+): the remaining 43 r10 keys in
+    # rotation-proposal order (sql_tpch_q5/q6, scan_text_logs, and
+    # agg_decimal_exact displaced from the fill by the four late key
+    # additions); they head the r15 window ---
     "sql_tpch_q5",
-    # --- slip tail (positions 50+): the remaining 42 r10 keys in
-    # rotation-proposal order (sql_tpch_q6, scan_text_logs, and
-    # agg_decimal_exact displaced from the fill by the late
-    # scan_warc_gzip / text_html_extract / jpeg420 additions); they
-    # head the r15 window ---
     "sql_tpch_q6",
     "scan_text_logs",
     "agg_decimal_exact",

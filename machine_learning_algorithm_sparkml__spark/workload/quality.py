@@ -277,25 +277,16 @@ def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle replays the EXPECTED OUTPUT directly from the
     documents table rather than re-deriving the regex chain."""
     from machine_learning_algorithm_sparkml__spark.functions.text import (
-        html_escape,
+        fixture_html_page,
         html_main_text,
         html_title,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    html = F.concat(
-        F.lit("<html><head><title>Doc "),
-        F.col("doc_id").cast("string"),
-        F.lit('</title>\n<style>body { color: #333; }</style>\n'
-              '<script>var t = 1 < 2 && "x";</script></head>\n<body>\n'
-              "<nav>Home | About | Archive</nav>\n<h1>Doc "),
-        F.col("doc_id").cast("string"),
-        F.lit(" &amp; co</h1>\n<p>"),
-        html_escape(F.col("text")),
-        F.lit("</p>\n<script>track(1 < 2);</script>\n"
-              "<footer>corpus.example.com &copy; 2026</footer>\n</body></html>"),
+    page = docs.select(
+        "doc_id",
+        fixture_html_page(F.col("doc_id"), F.col("text")).alias("html"),
     )
-    page = docs.select("doc_id", html.alias("html"))
     return page.select(
         "doc_id",
         html_title(F.col("html")).alias("title"),

@@ -262,6 +262,46 @@ def q_scan_warc_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_warc_gz(spark, path)
 
 
+def q_scan_warc_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl FIRST MILE end to end: WARC shards of REAL HTML pages
+    (the shared fixture page — functions/text.py:fixture_html_page —
+    served as text/html responses), scanned and boilerplate-stripped
+    in one declarative pass: the Arrow kernel only frames records
+    (archive walk), and title + main-text extraction stay JVM-side
+    (functions/text.py:html_main_text regexp chain). This is the
+    composition every 100 TB corpus build starts with — archive →
+    extract → text — expressed as scan_warc piped into a projection,
+    no extra Python hop. Oracle: the page construction is
+    deterministic and escape→extract→unescape is the identity, so
+    DuckDB states the expected output directly."""
+    import shutil
+
+    from machine_learning_algorithm_sparkml__spark.functions.text import (
+        fixture_html_page,
+        html_main_text,
+        html_title,
+    )
+    from machine_learning_algorithm_sparkml__spark.operators.archive import (
+        scan_warc,
+        write_warc_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.select(
+        "doc_id",
+        fixture_html_page(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+    path = scratch_sink_path(sf_dir, "documents_warc_html")
+    shutil.rmtree(path, ignore_errors=True)
+    write_warc_shards(pages, path, n_shards=8, mime="text/html; charset=utf-8")
+    scanned = scan_warc(spark, path)
+    return scanned.select(
+        "url",
+        html_title(F.col("text")).alias("title"),
+        html_main_text(F.col("text")).alias("main_text"),
+    )
+
+
 def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``binaryFile`` source — the multimodal INGESTION step the
     in-frame keys stop short of: `multimodal_*` fabricate the binary
@@ -748,6 +788,7 @@ QUERIES = {
     "scan_warc": q_scan_warc,
     "scan_warc_media": q_scan_warc_media,
     "scan_warc_gzip": q_scan_warc_gzip,
+    "scan_warc_html": q_scan_warc_html,
     "scan_json_malformed": q_scan_json_malformed,
     "scan_binary_files": q_scan_binary_files,
     "scan_schema_evolution": q_scan_schema_evolution,
@@ -849,6 +890,16 @@ ORACLE = {
                'text/plain; charset=utf-8' AS mime,
                sha256(text) AS payload_sha256,
                text
+        FROM documents
+    """,
+    # archive -> HTML-extract composition: construction deterministic,
+    # escape->extract->unescape the identity, so the oracle states the
+    # expected output ('g' flag: DuckDB regexp_replace is
+    # first-match-only without it)
+    "scan_warc_html": """
+        SELECT 'https://corpus.example.com/docs/' || doc_id AS url,
+               'Doc ' || doc_id AS title,
+               trim(regexp_replace('Doc ' || doc_id || ' & co ' || COALESCE(text, ''), '\\s+', ' ', 'g')) AS main_text
         FROM documents
     """,
     # .warc.gz carries the same records as scan_warc — one replay

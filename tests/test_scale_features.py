@@ -645,6 +645,33 @@ def test_scan_warc_gzip_roundtrip(spark, sf_dir):
     assert all(r["text"] == src[int(r["url"].rsplit("/", 1)[1])] for r in rows)
 
 
+def test_scan_warc_html_first_mile(spark, sf_dir):
+    """Archive -> HTML-extract composition: WARC shards of real
+    text/html pages come back with boilerplate stripped — every doc's
+    main_text is 'Doc N & co <text>' (whitespace-collapsed), nav/
+    footer/script content never leaks, and the mime survives the
+    envelope."""
+    import re
+
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_scan_warc_html,
+    )
+
+    rows = {r["url"]: r for r in q_scan_warc_html(spark, sf_dir).collect()}
+    src = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert len(rows) == len(src)
+    for url, r in rows.items():
+        did = int(url.rsplit("/", 1)[1])
+        assert r["title"] == f"Doc {did}"
+        expected = re.sub(r"\s+", " ", f"Doc {did} & co {src[did] or ''}").strip()
+        assert r["main_text"] == expected
+        for boiler in ("Home | About", "corpus.example.com", "track(", "color: #333"):
+            assert boiler not in r["main_text"]
+
+
 def test_scan_warc_media_dispatches_by_mime(spark, sf_dir):
     """The mixed-content scan decodes image records through the REAL
     JPEG parser and passes text records through — one kernel, one pass
