@@ -528,12 +528,15 @@ def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np
     defines — None/Sub/Up/Average/Paeth, the inverse of
     :func:`make_png`'s forward filters. Returns (width, height,
     pixels) where ``pixels`` is the top-down ``(height, width*3)``
-    uint8 array. Only 8-bit truecolor non-interlaced PNGs are decoded
-    — palette/alpha/16-bit/Adam7 raise rather than guessing."""
+    uint8 array. 8-bit truecolor (color type 2) and 8-bit PALETTE
+    (color type 3 — indexed scanlines filtered at bpp=1, expanded
+    through the PLTE table) are decoded; alpha/16-bit/Adam7 raise
+    rather than guessing."""
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload (bad signature)")
     pos = len(_PNG_SIG)
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (size,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -549,6 +552,10 @@ def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np
             if size != 13:
                 raise ValueError("truncated PNG IHDR chunk (body must be 13 bytes)")
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            if len(body) % 3 or len(body) > 768:
+                raise ValueError("malformed PNG PLTE chunk")
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -557,12 +564,16 @@ def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np
     if ihdr is None or not idat:
         raise ValueError("missing IHDR or IDAT chunk")
     width, height, depth, color_type, comp, filt, interlace = ihdr
-    if (depth, color_type, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    if (depth, comp, filt, interlace) != (8, 0, 0, 0) or color_type not in (2, 3):
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={color_type}, "
-            f"interlace={interlace}); only 8-bit truecolor non-interlaced"
+            f"interlace={interlace}); only 8-bit truecolor/palette non-interlaced"
         )
-    bpp = 3
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG is missing its PLTE chunk")
+    # palette scanlines carry one INDEX byte per pixel, so the filters
+    # (including the left-neighbor offsets) operate at bpp=1
+    bpp = 3 if color_type == 2 else 1
     row_bytes = width * bpp
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (row_bytes + 1) * height:
@@ -595,6 +606,12 @@ def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np
             raise ValueError(f"unknown scanline filter type {ftype}")
         out[y] = rec
         prior = rec
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.astype(np.uint8)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return width, height, pal[idx].reshape(height, width * 3)
     return width, height, out.astype(np.uint8)
 
 
@@ -1575,6 +1592,106 @@ def encode_jpeg420_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
         "payload",
         F.struct(
             F.lit("image/jpeg").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )
+
+
+# --- palette (indexed-color) PNG: the other common web PNG layout --------------
+
+
+def make_png_palette(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
+    """Serialize a REAL 8-bit PALETTE PNG (color type 3): signature,
+    IHDR, PLTE (the RGB lookup table), filtered index scanlines
+    DEFLATE-compressed across two IDAT chunks, IEND. ``indices`` is
+    the top-down row-major index byte array; ``palette`` is up to 256
+    RGB triples. Scanline ``y`` cycles filter ``y % 5`` like
+    :func:`make_png`, but at bpp=1 — the left-neighbor offsets the
+    palette layout actually uses."""
+    if len(indices) != width * height:
+        raise ValueError(f"need {width * height} index bytes, got {len(indices)}")
+    if len(palette) % 3 or len(palette) > 768:
+        raise ValueError("palette must be up to 256 RGB triples")
+    raw = np.frombuffer(indices, dtype=np.uint8).reshape(height, width).astype(np.int32)
+    filtered = bytearray()
+    prior = np.zeros(width, dtype=np.int32)
+    for y in range(height):
+        row = raw[y]
+        ftype = y % 5
+        left = np.concatenate([np.zeros(1, dtype=np.int32), row[:-1]])
+        ul = np.concatenate([np.zeros(1, dtype=np.int32), prior[:-1]])
+        if ftype == 0:
+            out = row
+        elif ftype == 1:
+            out = row - left
+        elif ftype == 2:
+            out = row - prior
+        elif ftype == 3:
+            out = row - (left + prior) // 2
+        else:
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prior, ul)],
+                dtype=np.int32,
+            )
+            out = row - pred
+        filtered.append(ftype)
+        filtered += (out % 256).astype(np.uint8).tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    compressed = zlib.compress(bytes(filtered), 6)
+    split = max(1, len(compressed) // 2)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette)
+        + _png_chunk(b"IDAT", compressed[:split])
+        + _png_chunk(b"IDAT", compressed[split:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png8_palette() -> bytes:
+    """Deterministic 256-entry fixture palette: entry ``i`` =
+    (i, 255-i, (7*i) % 256), so a decoded pixel's RGB sum is the
+    closed form 255 + (7*i) % 256 — DuckDB-replayable without
+    materializing the table."""
+    return bytes(
+        b for i in range(256) for b in (i, 255 - i, (7 * i) % 256)
+    )
+
+
+def _png8_indices(doc_id: int, n: int) -> bytes:
+    """Portable per-pixel palette indices (md5-60bit family)."""
+    return bytes(
+        int(hashlib.md5(f"png8:{doc_id}:{p}".encode()).hexdigest()[:15], 16) % 256
+        for p in range(n)
+    )
+
+
+def encode_png8_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Palette-PNG sibling of :func:`encode_png_media` (same
+    spread-exchange Arrow-kernel shape; dims reuse png_dims so every
+    file still exercises all five scanline filters — at bpp=1)."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pal = _png8_palette()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = png_dims(did)
+                payloads.append(make_png_palette(w, h, _png8_indices(did, w * h), pal))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"),
             F.octet_length("payload").alias("n_bytes"),
             F.sha2("payload", 256).alias("sha256"),
         ).alias("media_meta"),

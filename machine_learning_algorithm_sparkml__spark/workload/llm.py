@@ -1361,6 +1361,27 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_media(encode_png_media(docs))
 
 
+def q_multimodal_png8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED PALETTE-PNG decode — the other common web PNG
+    layout (color type 3), and the part the truecolor key doesn't
+    exercise: the PLTE chunk parse, index scanlines filtered at bpp=1
+    (left-neighbor offsets shrink from 3 to 1 — a decoder that
+    hardwires bpp=3 reconstructs garbage), palette-bounds validation,
+    and the index→RGB expansion. The fixture palette is the closed
+    form entry i = (i, 255-i, 7i mod 256), so a decoded pixel's RGB
+    sum is 255 + (7·idx mod 256) and DuckDB replays pixel_sum without
+    materializing the table; indices are the portable-md5 family.
+    Same decoder entry point (decode_png dispatches on the declared
+    color type), same spread-exchange two-kernel plan shape."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_png_media,
+        encode_png8_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_png_media(encode_png8_media(docs))
+
+
 def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-BACKED REAL GIF decode — the third real image codec, and
     the one whose compression algorithm is implemented FROM SCRATCH
@@ -1585,6 +1606,7 @@ QUERIES = {
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_jpeg420_decode": q_multimodal_jpeg420_decode,
+    "multimodal_png8_decode": q_multimodal_png8_decode,
     "multimodal_gif_decode": q_multimodal_gif_decode,
     "multimodal_features": q_multimodal_features,
 }
@@ -2947,6 +2969,24 @@ ORACLE = {
         SELECT doc_id, width, height,
                CAST(SUM((CAST('0x' || substr(md5('jpeg:' || doc_id || ':' || b), 1, 15) AS BIGINT) % 256) * 192) AS BIGINT) AS pixel_sum
         FROM blocks
+        GROUP BY doc_id, width, height
+    """,
+    # palette-PNG replay: pixel RGB sum is the closed form
+    # 255 + (7*idx mod 256) per the fixture palette, idx portable-md5
+    "multimodal_png8_decode": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(4 + doc_id % 5 AS INTEGER) AS width,
+                   CAST(5 + doc_id % 4 AS INTEGER) AS height
+            FROM documents
+        ), px AS (
+            SELECT doc_id, width, height,
+                   unnest(range(0, width * height)) AS p
+            FROM dims
+        )
+        SELECT doc_id, width, height,
+               CAST(SUM(255 + (CAST('0x' || substr(md5('png8:' || doc_id || ':' || p), 1, 15) AS BIGINT) % 256) * 7 % 256) AS BIGINT) AS pixel_sum
+        FROM px
         GROUP BY doc_id, width, height
     """,
     # 4:2:0 JPEG replay: flat 16x16 macroblocks survive BOTH loss

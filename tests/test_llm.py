@@ -586,7 +586,10 @@ def test_png_decode_crc_and_variant_refusals():
     with pytest.raises(ValueError, match="unsupported"):
         decode_png(variant(2, 1))  # Adam7 interlaced
     with pytest.raises(ValueError, match="unsupported"):
-        decode_png(variant(3, 0))  # palette
+        decode_png(variant(6, 0))  # RGBA — alpha still refused
+    # palette is now SUPPORTED (color type 3) — but only with its PLTE
+    with pytest.raises(ValueError, match="missing its PLTE"):
+        decode_png(variant(3, 0))
     # truncation is a ValueError, never a struct.error/IndexError (the
     # malformed-payload contract callers distinguish from decoder bugs)
     with pytest.raises(ValueError, match="truncated|missing"):
@@ -620,6 +623,57 @@ def test_png_decode_media_projection(spark):
     for did in (0, 7, 13, 19):
         w, h = png_dims(did)
         assert proj[did].pixel_sum == sum(_png_pixel_bytes(did, w * h * 3))
+
+
+def test_png_palette_roundtrip_and_refusals(spark):
+    """Palette PNG (color type 3): bpp=1 filter reconstruction, PLTE
+    expansion, bounds validation, and the media-projection parity with
+    the closed-form palette sum. A truncated/oversized PLTE and an
+    out-of-range index are ValueErrors."""
+    import numpy as np
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _png8_indices,
+        _png8_palette,
+        decode_png,
+        decode_png_media,
+        encode_png8_media,
+        make_png_palette,
+        png_dims,
+    )
+
+    pal = _png8_palette()
+    w, h = 5, 7  # height >= 5: all five filters exercised at bpp=1
+    idx = _png8_indices(3, w * h)
+    w2, h2, rgb = decode_png(make_png_palette(w, h, idx, pal))
+    assert (w2, h2) == (w, h)
+    expect = np.frombuffer(pal, np.uint8).reshape(-1, 3)[
+        np.frombuffer(idx, np.uint8).reshape(h, w)
+    ].reshape(h, w * 3)
+    assert np.array_equal(rgb, expect)
+
+    # strip the PLTE chunk (CRCs intact): a palette image without its
+    # table must refuse, not guess
+    full = make_png_palette(w, h, idx, pal)
+    i = full.find(b"PLTE") - 4
+    plte_len = 12 + 768
+    with pytest.raises(ValueError, match="missing its PLTE"):
+        decode_png(full[:i] + full[i + plte_len :])
+    with pytest.raises(ValueError, match="palette"):
+        make_png_palette(w, h, idx, pal + b"x")
+    # a 2-entry palette with index 5 in the scanlines must refuse
+    small = make_png_palette(2, 1, bytes([0, 5]), bytes([1, 2, 3, 4, 5, 6]))
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_png(small)
+
+    docs = spark.range(12).withColumnRenamed("id", "doc_id")
+    proj = {r.doc_id: r for r in decode_png_media(encode_png8_media(docs)).collect()}
+    for did in (0, 5, 11):
+        w, h = png_dims(did)
+        assert proj[did].pixel_sum == sum(
+            255 + (7 * i) % 256 for i in _png8_indices(did, w * h)
+        )
 
 
 def test_gif_lzw_roundtrip_and_boundaries():
