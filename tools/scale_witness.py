@@ -141,6 +141,9 @@ FAMILY_KEYS = {
         "multimodal_jpeg_decode",
         "scan_warc_gzip",
         "text_html_extract",
+        "multimodal_jpeg420_decode",
+        "multimodal_png8_decode",
+        "scan_warc_html",
     ],
     # r13 session-2: bounded-window EWMA over 10x events (replica k
     # shifts event_id and user_id, so per-user series stay intact and
