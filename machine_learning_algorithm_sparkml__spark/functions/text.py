@@ -298,20 +298,54 @@ def html_main_text(html: Column) -> Column:
 
 def fixture_html_page(doc_id: Column, text: Column) -> Column:
     """The deterministic HTML page fixture shared by
-    ``text_html_extract`` and the WARC-of-HTML ingestion key: head
-    with title/style/script, nav + footer boilerplate, an
-    entity-escaped body paragraph, and a body script whose bare
-    ``1 < 2`` leaks into the text unless block removal precedes tag
-    stripping. One definition — the two keys can never drift."""
+    ``text_html_extract``, the WARC-of-HTML ingestion key, and the
+    link-extraction key: head with title/style/script, a nav block
+    carrying three OUTLINKS (anchors live inside nav ON PURPOSE — the
+    main-text extraction drops nav wholesale, so link extraction and
+    boilerplate stripping read the same page without coupling their
+    oracles), footer boilerplate, an entity-escaped body paragraph,
+    and a body script whose bare ``1 < 2`` leaks into the text unless
+    block removal precedes tag stripping. One definition — the keys
+    can never drift."""
+    did = doc_id.cast("string")
+
+    def link(k: int) -> Column:
+        return F.concat(
+            F.lit(f'<a href="/docs/'),
+            ((doc_id * 7 + k * 13) % 1000).cast("string"),
+            F.lit(f'">ref {k}</a>'),
+        )
+
     return F.concat(
         F.lit("<html><head><title>Doc "),
-        doc_id.cast("string"),
+        did,
         F.lit('</title>\n<style>body { color: #333; }</style>\n'
               '<script>var t = 1 < 2 && "x";</script></head>\n<body>\n'
-              "<nav>Home | About | Archive</nav>\n<h1>Doc "),
-        doc_id.cast("string"),
+              "<nav>Home | About | Archive "),
+        link(0),
+        F.lit(" "),
+        link(1),
+        F.lit(" "),
+        link(2),
+        F.lit("</nav>\n<h1>Doc "),
+        did,
         F.lit(" &amp; co</h1>\n<p>"),
         html_escape(text),
         F.lit("</p>\n<script>track(1 < 2);</script>\n"
               "<footer>corpus.example.com &copy; 2026</footer>\n</body></html>"),
+    )
+
+
+def html_links(html: Column) -> Column:
+    """Outlink extraction — the LINK-GRAPH input of a crawl pipeline,
+    entirely JVM-side: ``regexp_extract_all`` over anchor tags yields
+    zipped (href, anchor-text) structs, ready to explode into the edge
+    list PageRank/domain-authority jobs consume. Double-quoted hrefs
+    only (the fixture's shape); anchor text is entity-decoded."""
+    hrefs = F.regexp_extract_all(html, F.lit('<a href="([^"]+)"[^>]*>'), 1)
+    texts = F.regexp_extract_all(html, F.lit('<a href="[^"]+"[^>]*>(.*?)</a>'), 1)
+    return F.zip_with(
+        hrefs,
+        texts,
+        lambda h, t: F.struct(h.alias("href"), html_unescape(t).alias("anchor")),
     )

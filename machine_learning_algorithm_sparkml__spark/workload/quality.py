@@ -294,9 +294,38 @@ def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction — the LINK-GRAPH edge list a crawl pipeline
+    feeds to PageRank/domain-authority, entirely JVM-side
+    (functions/text.py:html_links: regexp_extract_all over anchor
+    tags, zip_with into (href, anchor) structs, one explode). The
+    fixture page plants three deterministic outlinks per doc inside
+    the nav block, so this key and the main-text keys read the SAME
+    page while their outputs stay independent (nav is boilerplate to
+    the extractor, edges to the link grapher — both true of real
+    pages). Oracle: the closed-form link rule replayed per (doc, k)."""
+    from machine_learning_algorithm_sparkml__spark.functions.text import (
+        fixture_html_page,
+        html_links,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    page = docs.select(
+        "doc_id",
+        fixture_html_page(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    edge = page.select("doc_id", F.explode(html_links(F.col("html"))).alias("e"))
+    return edge.select(
+        "doc_id",
+        F.col("e.href").alias("href"),
+        F.col("e.anchor").alias("anchor"),
+    )
+
+
 QUERIES = {
     "text_gopher_quality": q_text_gopher_quality,
     "text_html_extract": q_text_html_extract,
+    "text_html_links": q_text_html_links,
     "text_token_entropy": q_text_token_entropy,
     "text_repetition_bigram": q_text_repetition_bigram,
     "text_unigram_familiarity": q_text_unigram_familiarity,
@@ -327,6 +356,14 @@ ORACLE = {
                'Doc ' || doc_id AS title,
                trim(regexp_replace('Doc ' || doc_id || ' & co ' || COALESCE(text, ''), '\\s+', ' ', 'g')) AS main_text
         FROM documents
+    """,
+    # text_html_links: the fixture's closed-form link rule replayed
+    # per (doc, k) — href target (doc_id*7 + k*13) % 1000
+    "text_html_links": """
+        SELECT doc_id,
+               '/docs/' || ((doc_id * 7 + k.k * 13) % 1000) AS href,
+               'ref ' || k.k AS anchor
+        FROM documents, (SELECT unnest(range(0, 3)) AS k) AS k
     """,
     # text_repetition_bigram: the oracle rebuilds the same integer
     # counts relationally (unnest → per-(doc, bigram) counts) — the

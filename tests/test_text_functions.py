@@ -204,3 +204,42 @@ def test_html_extraction_blocks_entities_and_plan(spark, sf_dir):
     # the workload key is a pure projection: no Exchange anywhere
     plan = formatted_plan(q_text_html_extract(spark, sf_dir))
     assert "Exchange" not in plan, "HTML extraction must stay shuffle-free"
+
+
+def test_html_links_edge_list(spark, sf_dir):
+    """Outlink extraction yields exactly the fixture's three nav links
+    per doc with the closed-form targets, anchors entity-decoded, and
+    the key stays a shuffle-free projection+explode. The main-text
+    keys must NOT see the anchors (nav is dropped wholesale)."""
+    from machine_learning_algorithm_sparkml__spark.functions.text import (
+        fixture_html_page,
+        html_links,
+        html_main_text,
+    )
+    from machine_learning_algorithm_sparkml__spark.plans import formatted_plan
+    from machine_learning_algorithm_sparkml__spark.workload.quality import (
+        q_text_html_links,
+    )
+
+    rows = q_text_html_links(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["href"], r["anchor"]))
+    for did, edges in list(by_doc.items())[:20]:
+        assert sorted(edges) == sorted(
+            (f"/docs/{(did * 7 + k * 13) % 1000}", f"ref {k}") for k in range(3)
+        )
+    assert all(len(v) == 3 for v in by_doc.values())
+
+    # anchors with entities decode once; main text never sees the nav
+    df = spark.createDataFrame([(1, "body words")], "doc_id long, text string")
+    page = df.select(
+        "doc_id", fixture_html_page(F.col("doc_id"), F.col("text")).alias("html")
+    )
+    links = page.select(html_links(F.col("html")).alias("l")).collect()[0]["l"]
+    assert [e["anchor"] for e in links] == ["ref 0", "ref 1", "ref 2"]
+    main = page.select(html_main_text(F.col("html")).alias("m")).collect()[0]["m"]
+    assert "ref 0" not in main and "/docs/" not in main
+
+    plan = formatted_plan(q_text_html_links(spark, sf_dir))
+    assert "Exchange" not in plan, "link extraction must stay shuffle-free"
