@@ -35,14 +35,14 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # lands.
 PRIORITY_KEYS = [
     # --- r14 window (50 slots; driver records indices 0-49) ---
-    # Slots 0-8: the 9 keys NEW this round, never driver-checked —
+    # Slots 0-9: the 10 keys NEW this round, never driver-checked —
     # the real baseline JPEG decode (VERDICT r13 #4) and its 4:2:0
     # subsampled sibling, the palette-PNG variant, WARC archive
     # ingestion (VERDICT r13 #3), the mixed-content WARC scan that
     # dispatches the codec by mime, the member-per-record .warc.gz
     # layout, JVM-side HTML main-content extraction, the
-    # archive→HTML-extract composition, and link-graph extraction
-    # (all oracle-backed):
+    # archive→HTML-extract composition, link-graph extraction, and
+    # PageRank over the extracted link graph (all oracle-backed):
     "multimodal_jpeg_decode",
     "multimodal_jpeg420_decode",
     "multimodal_png8_decode",
@@ -52,7 +52,8 @@ PRIORITY_KEYS = [
     "text_html_extract",
     "scan_warc_html",
     "text_html_links",
-    # Slots 9-47: the complete 39-key r9-stale block (staleness.py
+    "graph_link_pagerank",
+    # Slots 10-48: the complete 39-key r9-stale block (staleness.py
     # r9 row = the r13 slip tail, VERDICT r13 #1 — after this round
     # no key's latest driver row predates r10):
     "embedding_quantize_arrow",
@@ -94,15 +95,16 @@ PRIORITY_KEYS = [
     "window_lag_lead",
     "window_moving_avg",
     "window_ntile_cume",
-    # Slots 48-49: 2-key fill from the oldest r10 rows (the first two
-    # keys VERDICT r13 #1 named; the r9 sweep satisfies the
+    # Slot 49: 1-key fill from the oldest r10 rows (the first key
+    # VERDICT r13 #1 named; the r9 sweep satisfies the
     # no-row-predates-r10 criterion regardless of fill size):
     "decontaminate_fuzzy",
+    # --- slip tail (positions 50+): the remaining 46 r10 keys in
+    # rotation-proposal order (join_inner_equi, scan_csv_header,
+    # sql_tpch_q3/q5/q6, scan_text_logs, and agg_decimal_exact
+    # displaced from the fill by the seven late key additions); they
+    # head the r15 window ---
     "join_inner_equi",
-    # --- slip tail (positions 50+): the remaining 45 r10 keys in
-    # rotation-proposal order (scan_csv_header, sql_tpch_q3/q5/q6,
-    # scan_text_logs, and agg_decimal_exact displaced from the fill by
-    # the six late key additions); they head the r15 window ---
     "scan_csv_header",
     "sql_tpch_q3",
     "sql_tpch_q5",

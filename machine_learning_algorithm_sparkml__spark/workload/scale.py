@@ -738,6 +738,41 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the EXTRACTED link graph — the full crawl chain
+    composed: fixture pages → html_links (functions/text.py) → href
+    parse → operators/graph.pagerank. The edge list is real output of
+    the link extractor (hrefs parsed back to target ids, NOT the
+    closed form re-derived), sources are the 500 crawled docs and
+    targets span 0..999 — half the targets are pages the crawl hasn't
+    fetched, so the dangling-mass redistribution path carries real
+    weight, exactly like a frontier-edge graph. Oracle: the edge rule
+    replayed closed-form + the same 5-iteration recursive-CTE PageRank
+    as graph_pagerank."""
+    from machine_learning_algorithm_sparkml__spark.functions.text import (
+        fixture_html_page,
+        html_links,
+    )
+    from machine_learning_algorithm_sparkml__spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    page = docs.select(
+        "doc_id", fixture_html_page(F.col("doc_id"), F.col("text")).alias("html")
+    )
+    edges = (
+        page.select("doc_id", F.explode(html_links(F.col("html"))).alias("e"))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.element_at(F.split(F.col("e.href"), "/"), -1).cast("long").alias("dst"),
+        )
+    )
+    nodes = edges.select(F.col("src").alias("id")).unionAll(
+        edges.select(F.col("dst").alias("id"))
+    )
+    ranks = pagerank(nodes, edges, iterations=5, damping=0.85)
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over a deterministic sparse hash graph
     derived from events (two independent md5 spreads of event_id over
@@ -801,6 +836,7 @@ QUERIES = {
     "observe_metrics": q_observe_metrics,
     "json_variant_extract": q_json_variant_extract,
     "graph_pagerank": q_graph_pagerank,
+    "graph_link_pagerank": q_graph_link_pagerank,
     "graph_triangle_count": q_graph_triangle_count,
 }
 
@@ -810,6 +846,40 @@ ORACLE = {
     # (aggregation + multiple recursive references are supported), same
     # float expression shapes as operators/graph.pagerank so the
     # round(6) values agree (upgraded from rows-only, round 7)
+    # link-graph PageRank: the fixture's outlink rule replayed
+    # closed-form, then the same 5-iteration recursive-CTE replay as
+    # graph_pagerank below
+    "graph_link_pagerank": """
+        WITH RECURSIVE
+        e AS (
+            SELECT doc_id AS src, (doc_id * 7 + k.k * 13) % 1000 AS dst
+            FROM documents, (SELECT unnest(range(0, 3)) AS k) AS k
+        ),
+        nodes AS (
+            SELECT DISTINCT id
+            FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) u
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        it(i, id, rank) AS (
+            SELECT 0, id, CAST(1.0 AS DOUBLE) FROM nodes
+            UNION ALL
+            SELECT cur.i + 1, cur.id,
+                   ((1.0 - 0.85)
+                    + 0.85 * (SELECT COALESCE(SUM(d.rank), 0.0) FROM it d
+                              WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = d.id))
+                           / (SELECT n FROM nn))
+                   + 0.85 * COALESCE(c.received, 0.0)
+            FROM it cur
+            LEFT JOIN (
+                SELECT e.dst AS id, SUM(p.rank / deg.deg) AS received
+                FROM it p JOIN e ON p.id = e.src JOIN deg ON deg.src = p.id
+                GROUP BY e.dst
+            ) c ON c.id = cur.id
+            WHERE cur.i < 5
+        )
+        SELECT id, ROUND(rank, 6) AS rank FROM it WHERE i = 5
+    """,
     "graph_pagerank": """
         WITH RECURSIVE
         e AS (

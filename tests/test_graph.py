@@ -118,3 +118,30 @@ def test_triangle_count_key_matches_duckdb(spark, sf_dir):
     )
     want = dict(con.sql(ORACLE["graph_triangle_count"]).fetchall())
     assert got == want
+
+
+def test_link_pagerank_composition_invariants(spark, sf_dir):
+    """PageRank over the EXTRACTED link graph: rank mass conserved at
+    |V|, the theoretical floor holds, the node set is exactly the
+    union of crawled sources and href targets (frontier pages
+    included), and edges come from parsing the extractor's real hrefs
+    — recompute the expected node set independently from the fixture
+    rule."""
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+    from machine_learning_algorithm_sparkml__spark.workload.scale import (
+        q_graph_link_pagerank,
+    )
+
+    rows = q_graph_link_pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    assert abs(sum(r["rank"] for r in rows) - n) / n < 1e-5
+    assert min(r["rank"] for r in rows) >= 0.15 - 1e-9
+
+    doc_ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    expected_nodes = set(doc_ids) | {
+        (d * 7 + k * 13) % 1000 for d in doc_ids for k in range(3)
+    }
+    assert {r["id"] for r in rows} == expected_nodes
