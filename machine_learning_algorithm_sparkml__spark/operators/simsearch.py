@@ -245,7 +245,11 @@ def ivf_topk(
     @F.pandas_udf("array<int>")
     def probe_cells(vecs: pd.Series) -> pd.Series:
         mat = np.vstack(vecs.to_numpy())  # (n, dim)
-        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)  # (n, C)
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ centroids.T)
+            + (centroids * centroids).sum(axis=1)
+        )  # (n, C)
         order = np.argsort(d2, axis=1)[:, :n_probe].astype("int32")
         return pd.Series(list(order))
 
@@ -308,15 +312,20 @@ def _partition_shortlister(qid_arr: np.ndarray, S: int, score_batch):
 def _lloyd_kmeans(x: np.ndarray, k: int, rng: np.random.Generator, iters: int = 10) -> np.ndarray:
     """Seeded Lloyd iterations on a bounded driver-side sample; returns
     (k, dim) centers. Shared by the PQ per-subspace codebooks and the
-    IVF+PQ coarse quantizer — one tiny-kmeans definition, no drift."""
+    IVF+PQ coarse quantizer — one tiny-kmeans definition, no drift.
+
+    Distances use the matmul form |x|^2 - 2 x.c + |c|^2 (VERDICT r14
+    #2): no (n, k, dim) broadcast temporary, and the x@centers.T
+    product is BLAS-threaded instead of single-threaded ufunc loops."""
     idx = rng.choice(len(x), size=min(k, len(x)), replace=False)
     centers = x[idx].copy()
     if len(centers) < k:
         centers = np.vstack(
             [centers, centers[rng.integers(0, len(centers), k - len(centers))]]
         )
+    x_sq = (x * x).sum(axis=1)
     for _ in range(iters):
-        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        d2 = x_sq[:, None] - 2.0 * (x @ centers.T) + (centers * centers).sum(axis=1)
         assign = d2.argmin(axis=1)
         for c in range(k):
             pts = x[assign == c]
@@ -429,7 +438,12 @@ def pq_topk(
         codes = np.empty((len(mat), m), dtype="int32")
         for j in range(m):
             x = mat[:, j * sub : (j + 1) * sub]
-            d2 = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            bj = books[j]
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ bj.T)
+                + (bj * bj).sum(axis=1)
+            )
             codes[:, j] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
@@ -552,18 +566,31 @@ def ivfpq_topk(
     @F.pandas_udf("struct<cell:int, codes:array<int>>")
     def assign_and_encode(vecs: pd.Series) -> pd.DataFrame:
         mat = np.vstack(vecs.to_numpy())
-        d2 = ((mat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ coarse.T)
+            + (coarse * coarse).sum(axis=1)
+        )
         cells = d2.argmin(axis=1).astype("int32")
         codes = np.empty((len(mat), m), dtype="int32")
         for j in range(m):
             x = mat[:, j * sub : (j + 1) * sub]
-            d2j = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            bj = books[j]
+            d2j = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ bj.T)
+                + (bj * bj).sum(axis=1)
+            )
             codes[:, j] = d2j.argmin(axis=1)
         return pd.DataFrame({"cell": cells, "codes": list(codes)})
 
     qids = [r.qid for r in q_rows]
     qmat = np.vstack([np.asarray(r.qv, dtype="float64") for r in q_rows])
-    qd2 = ((qmat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    qd2 = (
+        (qmat * qmat).sum(axis=1)[:, None]
+        - 2.0 * (qmat @ coarse.T)
+        + (coarse * coarse).sum(axis=1)
+    )
     probe_order = np.argsort(qd2, axis=1)[:, :n_probe]  # (nq, n_probe)
     probe_mask = np.zeros((n_queries, num_centroids), dtype=bool)
     probe_mask[np.arange(n_queries)[:, None], probe_order] = True
@@ -979,7 +1006,15 @@ def _portable_pq_encode_udf(cw: np.ndarray, m: int, sub: int):
         for j in range(m):
             x = z[:, j * sub : (j + 1) * sub]
             bj = cw[:, j * sub : (j + 1) * sub]
-            d2 = ((x[:, None, :] - bj[None, :, :]) ** 2).sum(axis=2)
+            # int64 matmul form |x|^2 - 2 x.b + |b|^2: bit-identical to
+            # the expanded difference (exact integer arithmetic, every
+            # term << 2^62 at |x|,|b| <= ~1000 x sub<=64), without the
+            # (n, ks, sub) broadcast temporary
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2 * (x @ bj.T)
+                + (bj * bj).sum(axis=1)
+            )
             codes[:, j] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
@@ -1063,7 +1098,11 @@ def portable_pq_topk(
     for j in range(m):
         xq = zq[:, j * sub : (j + 1) * sub]
         bj = cw[:, j * sub : (j + 1) * sub]
-        lut[:, j, :] = ((xq[:, None, :] - bj[None, :, :]) ** 2).sum(axis=2)
+        lut[:, j, :] = (
+            (xq * xq).sum(axis=1)[:, None]
+            - 2 * (xq @ bj.T)
+            + (bj * bj).sum(axis=1)
+        )
     qid_arr = np.asarray(qids)
     S = shortlist_factor * k
 
@@ -1182,7 +1221,11 @@ def portable_ivfpq_topk(
     for j in range(m):
         xq = zq[:, j * sub : (j + 1) * sub]
         bj = cw[:, j * sub : (j + 1) * sub]
-        lut[:, j, :] = ((xq[:, None, :] - bj[None, :, :]) ** 2).sum(axis=2)
+        lut[:, j, :] = (
+            (xq * xq).sum(axis=1)[:, None]
+            - 2 * (xq @ bj.T)
+            + (bj * bj).sum(axis=1)
+        )
     qid_arr = np.asarray(qids)
     S = shortlist_factor * k
 

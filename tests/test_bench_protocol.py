@@ -63,6 +63,24 @@ def test_report_stat_lower_median():
     assert bench.report_stat([0.4, 0.5, 0.45]) == 0.45
 
 
+def test_report_stat_record_minimum_on_contention_ramp():
+    # VERDICT r14 #6: pivot_status_by_priority ran [0.435, 2.617,
+    # 3.299, 3.472, 3.672] — run 1 at floor, confirmation runs in a
+    # contention ramp. The median (3.299, 23x floor) misreports a key
+    # that demonstrably ran sub-material; record the minimum.
+    assert bench.report_stat([0.435, 2.617, 3.299, 3.472, 3.672]) == 0.435
+    # sql_tpch_q14 shape: the sub-material run arrives later — still min
+    assert bench.report_stat([3.383, 1.246, 3.5]) == 1.246
+    # and the spike-record gate agrees: a sub-material best run means
+    # no unresolved regression to adjudicate
+    assert not bench.unresolved_spike(
+        [0.435, 2.617, 3.299, 3.472, 3.672], prior=0.143
+    )
+    # all-material ramps are untouched: nothing proves the key can run
+    # faster, so the lower median still stands
+    assert bench.report_stat([2.1, 4.0, 4.2]) == 4.0
+
+
 def test_merge_priors_takes_per_key_floor():
     # r13 incident: the driver's contaminated sweep (46 s) became the
     # committed BENCH_FULL prior, so the next 46 s spike looked normal.
@@ -78,11 +96,13 @@ def test_merge_priors_takes_per_key_floor():
 
 def test_decaying_spike_earns_extra_confirmation_runs():
     # r14 observe_metrics: [13.4, 5.4, 1.2] — contention decaying to
-    # the floor on run 3. Stopping at MAX_RUNS would record the 5.4
-    # median; an unresolved material regression (stat >= 2 s and > 2x
-    # floor) extends to MAX_RUNS_SPIKED until the stat resolves.
-    assert bench.should_repeat([13.4, 5.4, 1.2], prior=0.37)       # 4th run
-    assert not bench.should_repeat([13.4, 5.4, 1.2, 1.2], prior=0.37)
+    # the floor on run 3. Under the r15 record-minimum rule the
+    # sub-material run 3 already resolves the stat to 1.2 (no 4th run
+    # needed); a decay that only reaches MATERIAL readings still earns
+    # the extended confirmation runs.
+    assert not bench.should_repeat([13.4, 5.4, 1.2], prior=0.37)
+    assert bench.report_stat([13.4, 5.4, 1.2]) == 1.2
+    assert bench.should_repeat([13.4, 7.1, 4.9], prior=0.37)       # 4th run
     assert bench.report_stat([13.4, 5.4, 1.2, 1.2]) == 1.2
     # a PERSISTENT >2x reading still stops at the spiked cap
     assert not bench.should_repeat([5.0, 5.1, 5.0, 5.2, 5.1], prior=1.0)
