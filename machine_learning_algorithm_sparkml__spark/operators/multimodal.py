@@ -1105,11 +1105,20 @@ class _BitWriter:
             self.write(1, 1)
         return bytes(self.buf)
 
+    def restart(self, m: int) -> None:
+        """Byte-align with 1-bit padding (stuffed like any entropy
+        byte, per T.81 §F.1.2.3) and emit RSTm. Markers are raw — no
+        stuffing after the 0xFF of the marker itself."""
+        while self.n:
+            self.write(1, 1)
+        self.buf += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 class _BitReader:
     """MSB-first bit reader over the entropy-coded segment: un-stuffs
-    0xFF 0x00 and treats any other 0xFF-marker mid-stream as an error
-    (this encoder never emits restart intervals)."""
+    0xFF 0x00 and treats any other 0xFF-marker mid-stream as an error —
+    restart markers are consumed explicitly via :meth:`expect_restart`
+    at interval boundaries, never from inside ``bit()``."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -1139,6 +1148,23 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def expect_restart(self, m: int) -> None:
+        """Consume the RSTm marker at a restart boundary (T.81
+        §E.1.4): discard the current byte's padding bits (the encoder
+        1-padded to the boundary; if that padding completed an 0xFF
+        the stuffed 0x00 was already skipped when the byte loaded),
+        then require the exact in-sequence marker — restart markers
+        carry a 3-bit counter precisely so a decoder can detect loss."""
+        self.n = 0
+        want = bytes([0xFF, 0xD0 + (m & 7)])
+        got = self.data[self.pos : self.pos + 2]
+        if got != want:
+            raise ValueError(
+                f"JPEG restart marker missing or out of sequence: "
+                f"expected {want.hex()} got {got.hex()}"
+            )
+        self.pos += 2
 
 
 def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -1231,7 +1257,14 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def make_jpeg(width: int, height: int, pixels: bytes, *, subsampling: str = "4:4:4") -> bytes:
+def make_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    *,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
     """Serialize a REAL baseline sequential JFIF JPEG (SOI, APP0, a COM
     segment the decoder must skip, one DQT holding BOTH quant tables,
     SOF0, one DHT holding all FOUR Huffman tables, SOS, entropy-coded
@@ -1239,6 +1272,12 @@ def make_jpeg(width: int, height: int, pixels: bytes, *, subsampling: str = "4:4
     RGB byte array; dimensions must be multiples of 8 — of 16 for
     4:2:0 — (this encoder does no edge padding; the DECODER handles
     non-multiple dims by MCU-cover + crop, like real files need).
+
+    ``restart_interval`` > 0 emits a DRI segment and the T.81 §E.1.4
+    restart discipline real crawl JPEGs carry: after every
+    ``restart_interval`` MCUs (except the last) the entropy stream is
+    1-bit-padded to a byte boundary, an RSTm marker (m cycling 0..7)
+    is written, and all DC predictors reset to 0.
 
     The full pipeline runs: RGB->YCbCr, optional 2x2 chroma
     downsampling, per-block forward DCT, quantization, zigzag,
@@ -1263,15 +1302,30 @@ def make_jpeg(width: int, height: int, pixels: bytes, *, subsampling: str = "4:4
         fq = np.round((_DCT_C @ blk @ _DCT_C.T) / qtab).astype(np.int32)
         preds[ci] = _encode_block(bw, fq.reshape(64)[_ZZ], preds[ci], dc_codes, ac_codes)
 
+    rst_m = 0
+
+    def _end_mcu(mcu_idx: int, n_mcus: int) -> None:
+        nonlocal rst_m
+        if (
+            restart_interval
+            and mcu_idx + 1 < n_mcus
+            and (mcu_idx + 1) % restart_interval == 0
+        ):
+            bw.restart(rst_m)
+            rst_m = (rst_m + 1) & 7
+            preds[0] = preds[1] = preds[2] = 0
+
     if subsampling == "4:4:4":
         if width % 8 or height % 8:
             raise ValueError("make_jpeg 4:4:4 requires multiple-of-8 dimensions")
+        n_mcus = (height // 8) * (width // 8)
         for by in range(height // 8):
             for bx in range(width // 8):
                 for ci, (plane, qtab) in enumerate(
                     [(y, _Q_LUMA), (cb, _Q_CHROMA), (cr, _Q_CHROMA)]
                 ):
                     _code_block(plane, by * 8, bx * 8, qtab, ci)
+                _end_mcu(by * (width // 8) + bx, n_mcus)
         sof_comps = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
     elif subsampling == "4:2:0":
         if width % 16 or height % 16:
@@ -1280,6 +1334,7 @@ def make_jpeg(width: int, height: int, pixels: bytes, *, subsampling: str = "4:4
         # flat macroblocks, which is what keeps the fixture bit-exact)
         cb_s = np.round(cb.reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3)))
         cr_s = np.round(cr.reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3)))
+        n_mcus = (height // 16) * (width // 16)
         for my in range(height // 16):
             for mx in range(width // 16):
                 for v_ in range(2):
@@ -1287,6 +1342,7 @@ def make_jpeg(width: int, height: int, pixels: bytes, *, subsampling: str = "4:4
                         _code_block(y, (my * 2 + v_) * 8, (mx * 2 + h_) * 8, _Q_LUMA, 0)
                 _code_block(cb_s, my * 8, mx * 8, _Q_CHROMA, 1)
                 _code_block(cr_s, my * 8, mx * 8, _Q_CHROMA, 2)
+                _end_mcu(my * (width // 16) + mx, n_mcus)
         sof_comps = bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
     else:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
@@ -1306,8 +1362,9 @@ def make_jpeg(width: int, height: int, pixels: bytes, *, subsampling: str = "4:4
     sos = _seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
     app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     com = _seg(0xFE, b"spark-graft")
+    dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
-        b"\xff\xd8" + app0 + com + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+        b"\xff\xd8" + app0 + com + dqt + sof + dht + dri + sos + bw.flush() + b"\xff\xd9"
     )
 
 
@@ -1325,9 +1382,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     cropped, as the spec requires. Per-component sampling factors up
     to 2 are supported — 4:4:4, 4:2:0 (what nearly every web JPEG
     uses), 4:2:2, 4:4:0 — with the T.81 §A.2.3 per-MCU block
-    interleave and nearest-neighbor chroma upsampling. Progressive
-    (SOF2), arithmetic coding, sampling factors beyond 2, restart
-    intervals, and 12-bit precision raise rather than guessing."""
+    interleave and nearest-neighbor chroma upsampling. Restart
+    intervals (DRI/RSTn, T.81 §E.1.4 — byte realign, in-sequence
+    marker check, DC predictor reset) are decoded; arithmetic coding,
+    sampling factors beyond 2, and 12-bit precision raise rather than
+    guessing. Progressive (SOF2) dispatches to
+    :func:`decode_jpeg_progressive`."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (bad SOI)")
     pos = 2
@@ -1335,6 +1395,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (width, height, [(comp_id, qtab_id)])
     scan = None  # [(comp_id, dc_id, ac_id)], entropy start pos
+    restart_interval = 0  # MCUs between RSTn markers; 0 = none (DRI)
 
     while True:
         if pos + 2 > len(payload):
@@ -1393,8 +1454,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("unsupported JPEG variant: only baseline sequential (SOF0)")
-        elif marker == 0xDD:
-            raise ValueError("unsupported JPEG variant: restart intervals")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS: component->table map, then entropy data
             if frame is None:
                 raise ValueError("JPEG SOS before SOF0")
@@ -1427,8 +1490,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     ]
     preds = [0] * len(comps)
     by_comp = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    rst_m = 0
     for my in range(mcuy_n):
         for mx in range(mcux_n):
+            mcu_idx = my * mcux_n + mx
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                # T.81 §E.1.4: byte-align, consume the in-sequence
+                # RSTm, reset every DC predictor
+                br.expect_restart(rst_m)
+                rst_m = (rst_m + 1) & 7
+                preds = [0] * len(comps)
             for cid, dc_id, ac_id in scan:
                 ci = by_comp[cid]
                 _, ch, cv, tq = comps[ci]
@@ -1584,6 +1655,68 @@ def encode_jpeg420_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                 gray = np.kron(grid, np.ones((16, 16), dtype=np.uint8))
                 rgb = np.repeat(gray[..., None], 3, axis=-1)
                 payloads.append(make_jpeg(w, h, rgb.tobytes(), subsampling="4:2:0"))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )
+
+
+def jpeg_dri_dims(doc_id: int) -> tuple[int, int]:
+    """DRI fixture dimensions, decoupled from the restart interval so
+    the MCU-count/interval ratio sweeps widely: up to 20 MCUs against
+    intervals 1..4 — doc_id ≡ 44 (mod 60) yields 19 restarts, cycling
+    the RSTm counter past 7 twice (the wrap real decoders must track)."""
+    return 8 * (2 + doc_id % 3), 8 * (1 + doc_id % 5)
+
+
+def jpeg_dri_interval(doc_id: int) -> int:
+    """Per-doc restart interval in MCUs (1..4)."""
+    return 1 + doc_id % 4
+
+
+def _jpeg_dri_block_values(doc_id: int, n_blocks: int) -> list[int]:
+    """Per-block portable gray values for the DRI fixture (md5-60bit
+    family, tag 'jpegdri'). Flat blocks + DC quant step 8 keep the
+    lossy decode bit-exact exactly as in _jpeg_block_values — what the
+    DRI machinery adds is predictor RESETS mid-scan, so the
+    differential-DC chain is re-anchored at every restart boundary."""
+    return [
+        int(hashlib.md5(f"jpegdri:{doc_id}:{b}".encode()).hexdigest()[:15], 16) % 256
+        for b in range(n_blocks)
+    ]
+
+
+def encode_jpeg_dri_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Restart-interval sibling of :func:`encode_jpeg_media` — the
+    marker discipline real crawl JPEGs carry (VERDICT r14 #3). Decoded
+    by the same :func:`decode_jpeg_media`; no fixture-specific path."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = jpeg_dri_dims(did)
+                vals = _jpeg_dri_block_values(did, (w // 8) * (h // 8))
+                grid = np.array(vals, dtype=np.uint8).reshape(h // 8, w // 8)
+                gray = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+                rgb = np.repeat(gray[..., None], 3, axis=-1)
+                payloads.append(
+                    make_jpeg(
+                        w, h, rgb.tobytes(),
+                        restart_interval=jpeg_dri_interval(did),
+                    )
+                )
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
     out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")

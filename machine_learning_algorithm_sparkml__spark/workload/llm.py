@@ -1434,6 +1434,29 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_media(encode_jpeg_media(docs))
 
 
+def q_multimodal_jpeg_dri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED restart-interval JPEG decode (VERDICT r14 #3):
+    every payload carries a DRI segment and in-scan RSTm markers —
+    byte realignment, the mod-8 marker-sequence check (doc_id ≡ 44
+    mod 60 wraps the counter twice), and DC-predictor resets at every
+    boundary (T.81 §E.1.4), the discipline real Common-Crawl JPEGs
+    carry. Flat per-8x8-block portable-md5 gray values + DC quant
+    step 8 keep the lossy decode bit-exact (the multimodal_jpeg_decode
+    argument), so DuckDB replays pixel_sum by regenerating block
+    values; what this key adds over the baseline sibling is that the
+    differential-DC chain is re-anchored mid-scan — a decoder that
+    fails to reset predictors or realign produces wrong pixels or a
+    marker desync, not a tolerance miss
+    (operators/multimodal.py:encode_jpeg_dri_media, decode_jpeg)."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_jpeg_media,
+        encode_jpeg_dri_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_jpeg_media(encode_jpeg_dri_media(docs))
+
+
 def q_multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-BACKED 4:2:0 JPEG decode — the subsampled layout nearly
     every REAL web JPEG uses, and the part the 4:4:4 key doesn't
@@ -1605,6 +1628,7 @@ QUERIES = {
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+    "multimodal_jpeg_dri_decode": q_multimodal_jpeg_dri_decode,
     "multimodal_jpeg420_decode": q_multimodal_jpeg420_decode,
     "multimodal_png8_decode": q_multimodal_png8_decode,
     "multimodal_gif_decode": q_multimodal_gif_decode,
@@ -2987,6 +3011,25 @@ ORACLE = {
         SELECT doc_id, width, height,
                CAST(SUM(255 + (CAST('0x' || substr(md5('png8:' || doc_id || ':' || p), 1, 15) AS BIGINT) % 256) * 7 % 256) AS BIGINT) AS pixel_sum
         FROM px
+        GROUP BY doc_id, width, height
+    """,
+    # DRI JPEG replay: same flat-block bit-exactness argument as the
+    # baseline key; the restart machinery (realign, RSTm sequence,
+    # predictor resets) changes the bitstream, not the decoded pixels
+    "multimodal_jpeg_dri_decode": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(8 * (2 + doc_id % 3) AS INTEGER) AS width,
+                   CAST(8 * (1 + doc_id % 5) AS INTEGER) AS height
+            FROM documents
+        ), blocks AS (
+            SELECT doc_id, width, height,
+                   unnest(range(0, (width // 8) * (height // 8))) AS b
+            FROM dims
+        )
+        SELECT doc_id, width, height,
+               CAST(SUM((CAST('0x' || substr(md5('jpegdri:' || doc_id || ':' || b), 1, 15) AS BIGINT) % 256) * 192) AS BIGINT) AS pixel_sum
+        FROM blocks
         GROUP BY doc_id, width, height
     """,
     # 4:2:0 JPEG replay: flat 16x16 macroblocks survive BOTH loss

@@ -861,9 +861,11 @@ def test_jpeg_bit_stuffing_and_huffman_tables():
 
 def test_jpeg_refusals_and_truncation_contract():
     """Malformed/unsupported payloads raise ValueError (never
-    struct.error/IndexError): bad SOI, progressive SOF2, restart
-    intervals, truncation anywhere, and markers inside the entropy
-    stream."""
+    struct.error/IndexError): bad SOI, truncation anywhere, and
+    markers inside the entropy stream. A DRI segment whose interval
+    never triggers inside the scan (1-MCU image) is valid and must
+    decode identically to the plain file — restart support must not
+    turn a no-op DRI into a refusal."""
     import numpy as np
     import pytest
 
@@ -875,16 +877,11 @@ def test_jpeg_refusals_and_truncation_contract():
     good = make_jpeg(8, 8, np.full(8 * 8 * 3, 90, np.uint8).tobytes())
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"BM" + good)
-    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be refused
-    i = good.find(b"\xff\xc0")
-    prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
-    with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(prog)
-    # inject a DRI segment right after APP0: restart intervals refused
-    j = good.find(b"\xff\xfe")  # before the COM segment
+    # inject a DRI segment before the COM segment: interval 8 on a
+    # 1-MCU scan — decodes, pixels unchanged
+    j = good.find(b"\xff\xfe")
     dri = good[:j] + b"\xff\xdd\x00\x04\x00\x08" + good[j:]
-    with pytest.raises(ValueError, match="restart"):
-        decode_jpeg(dri)
+    assert np.array_equal(decode_jpeg(dri)[2], decode_jpeg(good)[2])
     for cut in (len(good) // 4, len(good) // 2, len(good) - 3):
         with pytest.raises(ValueError, match="truncated|desync|missing"):
             decode_jpeg(good[:cut])
@@ -895,6 +892,69 @@ def test_jpeg_refusals_and_truncation_contract():
         make_jpeg(12, 8, bytes(12 * 8 * 3))
     with pytest.raises(ValueError, match="pixel bytes"):
         make_jpeg(8, 8, bytes(10))
+
+
+def test_jpeg_dri_restart_markers_exact_and_sequenced():
+    """Restart intervals (T.81 §E.1.4): flat-block fixtures decode
+    bit-exactly through predictor resets and byte realignment; the
+    RSTm counter wraps past 7 on long scans; an out-of-sequence or
+    missing marker raises; DRI-coded nonflat content matches the
+    no-DRI decode of the same pixels exactly (the restart machinery
+    changes the bitstream, never the decoded coefficients)."""
+    import numpy as np
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _jpeg_dri_block_values,
+        decode_jpeg,
+        jpeg_dri_dims,
+        jpeg_dri_interval,
+        make_jpeg,
+    )
+
+    # doc 44: 32x40 = 20 MCUs at interval 1 -> 19 RSTs, counter wraps twice
+    for did in (0, 1, 2, 3, 7, 44):
+        w, h = jpeg_dri_dims(did)
+        vals = _jpeg_dri_block_values(did, (w // 8) * (h // 8))
+        grid = np.array(vals, dtype=np.uint8).reshape(h // 8, w // 8)
+        gray = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+        rgb = np.repeat(gray[..., None], 3, axis=-1)
+        payload = make_jpeg(
+            w, h, rgb.tobytes(), restart_interval=jpeg_dri_interval(did)
+        )
+        w2, h2, out = decode_jpeg(payload)
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(out.reshape(h, w, 3), rgb)
+    # marker census on the wrap case: 19 restarts, m cycling 0..7
+    w, h = jpeg_dri_dims(44)
+    vals = _jpeg_dri_block_values(44, (w // 8) * (h // 8))
+    gray = np.kron(
+        np.array(vals, dtype=np.uint8).reshape(h // 8, w // 8),
+        np.ones((8, 8), dtype=np.uint8),
+    )
+    rgb = np.repeat(gray[..., None], 3, axis=-1)
+    payload = make_jpeg(w, h, rgb.tobytes(), restart_interval=1)
+    sos_end = payload.find(b"\xff\xda")
+    markers = [
+        payload[i + 1] - 0xD0
+        for i in range(sos_end, len(payload) - 1)
+        if payload[i] == 0xFF and 0xD0 <= payload[i + 1] <= 0xD7
+    ]
+    assert markers == [m % 8 for m in range(19)]
+    # corrupt one marker out of sequence -> in-sequence check raises
+    i = next(
+        i for i in range(sos_end, len(payload) - 1)
+        if payload[i] == 0xFF and payload[i + 1] == 0xD0
+    )
+    bad = payload[:i + 1] + b"\xd5" + payload[i + 2 :]
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(bad)
+    # nonflat: DRI decode == no-DRI decode of the same pixels, exactly
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    a = decode_jpeg(make_jpeg(24, 16, px.tobytes(), restart_interval=2))[2]
+    b = decode_jpeg(make_jpeg(24, 16, px.tobytes()))[2]
+    assert np.array_equal(a, b)
 
 
 def test_jpeg420_flat_macroblock_exact_and_lossy_bounds():
