@@ -286,6 +286,88 @@ def containment_pairs(
     )
 
 
+def exact_substring_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 16,
+    max_window_doc_freq: int | None = None,
+) -> DataFrame:
+    """Cross-document EXACT substring duplication at token granularity
+    — the complementary pass to MinHash/containment near-dup (VERDICT
+    r14 #4): document-level similarity misses a verbatim k-token run
+    copied between otherwise-unrelated documents, which is exactly the
+    memorization surface a training pipeline scrubs (the
+    suffix-array-dedup use case, at rolling-window granularity).
+
+    Pipeline — bucket by hash, verify exactly, never all-pairs:
+
+    1. windows: every consecutive ``k``-token window per document
+       (distinct per doc; documents shorter than ``k`` tokens emit
+       nothing — a whole-short-doc "window" is exact-dup territory,
+       not substring territory).
+    2. candidates: the SELF-JOIN runs on ``xxhash64(window)`` — 8
+       bytes per window cross the shuffle, not the window text; only
+       buckets holding >= 2 distinct docs survive.
+    3. verify: candidate pairs (and only candidate pairs) join their
+       window TEXTS; the reported count is of exactly-equal strings,
+       so a 64-bit hash collision can create a discarded candidate but
+       never a false count.
+
+    At 100 TB the knobs are ``k`` (windows per doc ≈ tokens, so the
+    exploded frame is ~corpus-token-sized regardless of k) and
+    ``max_window_doc_freq`` — boilerplate windows shared by thousands
+    of docs (licence headers) make the bucket join quadratic in the
+    hot bucket; the cap drops them from CANDIDATE GENERATION only,
+    making reported counts a lower bound (the _cap_hot_shingles
+    contract). Unset, the result is exact and oracle-checkable.
+
+    Output: (id_a, id_b, n_shared_windows), id_a < id_b, one row per
+    unordered pair sharing >= 1 exact k-token window."""
+    toks = tokens(F.col(text_col))
+    wins = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size(toks) >= k, F.array_distinct(shingle_array(F.col(text_col), k))
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("window"),
+        )
+        # feeds the hash projection AND both verify legs — materialize
+        # the tokenize+window pass once (the ngram_jaccard rule)
+        .localCheckpoint(eager=True)
+    )
+    hashed = wins.select(F.col(id_col), F.xxhash64("window").alias("wh"))
+    capped = (
+        hashed
+        if max_window_doc_freq is None
+        else hashed.join(
+            hashed.groupBy("wh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_window_doc_freq)
+            .select("wh"),
+            "wh",
+        )
+    )
+    cand = (
+        capped.select(F.col(id_col).alias("id_a"), "wh")
+        .join(capped.select(F.col(id_col).alias("id_b"), "wh"), "wh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    wa = wins.select(F.col(id_col).alias("id_a"), "window")
+    wb = wins.select(F.col(id_col).alias("id_b"), "window")
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, ["id_b", "window"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+
+
 def decontaminate_by_shingle(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -34,6 +34,7 @@ from machine_learning_algorithm_sparkml__spark.operators.dedup import (
     containment_pairs,
     MINHASH_PRIME,
     exact_dedup_representatives,
+    exact_substring_pairs,
     incremental_exact_dedup,
     minhash_near_dup_pairs,
     minhash_params,
@@ -724,6 +725,24 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(planted)
     return containment_pairs(corpus, "doc_id", "text", n=3, threshold=0.9)
+
+
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication at 16-token granularity (VERDICT
+    r14 #4) — the complementary pass to the MinHash/containment keys:
+    pairs of documents sharing at least one VERBATIM 16-token run,
+    with the count of shared runs. The testdata's planted near-dups
+    carry long verbatim spans, so the result is non-empty at both SFs
+    without fixture planting. Candidates come from xxhash64 window
+    buckets (8 bytes across the shuffle), verification re-joins the
+    window TEXT for candidate pairs only — a hash collision can never
+    inflate the count, so DuckDB verifies against the TRUE shared-
+    window count directly
+    (operators/dedup.py:exact_substring_pairs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_pairs(docs, "doc_id", "text", k=16).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1598,6 +1617,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_url": q_dedup_url,
     "dedup_containment": q_dedup_containment,
+    "dedup_exact_substring": q_dedup_exact_substring,
     "dedup_incremental": q_dedup_incremental,
     "dedup_passage": q_dedup_passage,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2272,6 +2292,29 @@ ORACLE = {
     "dedup_exact": """
         SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text
+    """,
+    # exact-substring truth computed DIRECTLY (distinct 16-token
+    # windows per doc -> pair join on window equality): the Spark
+    # side's hash buckets have recall 1.0 (equal strings hash equal)
+    # and the verify stage counts string-equal windows, so no
+    # candidate replay is needed. ORDER BY inside list_aggregate is
+    # unnecessary: t[i:i+15] is DuckDB's 1-based inclusive slice
+    "dedup_exact_substring": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0) AS t
+            FROM documents
+        ), wins AS (
+            SELECT DISTINCT doc_id,
+                   list_aggregate(t[i:i+15], 'string_agg', ' ') AS w
+            FROM toks, unnest(range(1, len(t) - 14)) AS u(i)
+            WHERE len(t) >= 16
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS n_shared_windows
+        FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        ORDER BY id_a, id_b
     """,
     # containment truth computed DIRECTLY (all co-occurring pairs ->
     # exact |src∩dst| / |src|): the Spark side's prefix filter has

@@ -1898,6 +1898,42 @@ def test_portable_ivfpq_topk_recall_and_composition(emb):
     assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
 
 
+def test_exact_substring_pairs_verbatim_runs_only(spark):
+    """Exact-substring dedup finds a verbatim k-token run copied
+    between otherwise-unrelated docs (Jaccard far below any useful
+    threshold), never pairs docs shorter than k tokens, counts shared
+    windows exactly (an m-token shared run in k-window terms is
+    m-k+1 windows), and the hot-window cap drops boilerplate from
+    candidate generation."""
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    run = " ".join(f"w{i}" for i in range(10))  # the copied 10-token run
+    a = "a1 a2 a3 a4 a5 " + run + " a6 a7 a8 a9 a10"
+    b = "b1 b2 b3 b4 b5 b6 b7 " + run + " b8 b9"
+    # short docs (< k tokens) emit no windows — even when identical
+    rows = [(1, a), (2, b), (3, "tiny doc"), (4, "tiny doc"), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_windows"]
+        for r in exact_substring_pairs(df, "doc_id", "text", k=8).collect()
+    }
+    # 10-token run -> 10-8+1 = 3 shared 8-token windows
+    assert got == {(1, 2): 3}
+    # boilerplate cap: plant the run in 4 docs; doc-freq cap 2 drops
+    # every bucket it creates -> no pairs survive candidate generation
+    many = [(i, f"p{i} q{i} " + run + f" r{i} s{i}") for i in range(10, 14)]
+    df2 = spark.createDataFrame(many, "doc_id long, text string")
+    assert (
+        exact_substring_pairs(
+            df2, "doc_id", "text", k=8, max_window_doc_freq=2
+        ).count()
+        == 0
+    )
+    assert exact_substring_pairs(df2, "doc_id", "text", k=8).count() == 6
+
+
 def test_containment_pairs_asymmetric_and_exact_recall(spark):
     """Containment finds the subset-duplication Jaccard misses: a doc
     embedded in one 3x larger scores C=1.0 / Jaccard≈0.33. Also pins
