@@ -165,12 +165,18 @@ def token_budget_mixture(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    token_count: "Column | None" = None,
 ) -> DataFrame:
     """Greedy per-source token-budget fill — the final mixture-
     construction step of a training-data pipeline: each source
     contributes documents (in a deterministic, unbiased md5-of-id
     order) until its token budget is reached; the first document that
     would overshoot, and everything after it, is excluded.
+
+    ``token_count`` overrides the budget denomination (default:
+    whitespace ``tokens()`` count) — pass a subword counter column
+    (operators/bpe.bpe_count_udf) to budget in the units a training
+    run actually pays for.
 
     Output: one row per input document —
     ``(id, source, n_tokens, cum_tokens, kept)`` where ``cum_tokens``
@@ -199,7 +205,9 @@ def token_budget_mixture(
         ],
         F.lit(default_budget),
     ) if budgets else F.lit(default_budget)
-    n_tokens = F.size(tokens(F.col(text_col)))
+    n_tokens = (
+        token_count if token_count is not None else F.size(tokens(F.col(text_col)))
+    )
     out = docs.select(
         F.col(id_col),
         F.col(source_col),

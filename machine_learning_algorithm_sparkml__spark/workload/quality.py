@@ -71,6 +71,71 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy_signals(docs, ["doc_id"], "text")
 
 
+# BPE fixture merge table (priority = list position). Deliberately
+# SINGLE-LEVEL (every pair is two single characters, outputs never
+# re-merge), which makes the merge sequence closed-form replayable:
+# applying the merges as sequential leftmost-nonoverlapping global
+# replacements in priority order is EXACTLY the BPE merge loop for a
+# single-level vocabulary — an earlier merge can never create a new
+# single-character adjacency (it only removes them), so each rank
+# fires at most once and ranks fire in order. The equivalence is
+# property-tested against the real merge loop in tests/test_llm.py.
+# The Spark kernel (operators/bpe.py) runs the real loop, multi-level
+# capable — the fixture restricts the TABLE, not the algorithm (the
+# flat-JPEG-block pattern: tame the fixture, not the machinery).
+BPE_FIXTURE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("a", "n"), ("i", "n"), ("e", "r"), ("s", "t"),
+    ("o", "r"), ("a", "t"), ("l", "e"), ("d", "a"), ("r", "o"),
+    ("c", "u"), ("b", "a"), ("w", "i"), ("s", "c"), ("q", "u"),
+]
+
+
+def _bpe_len_sql(var: str) -> str:
+    """DuckDB expression for the post-merge token count of one word:
+    the sequential-replace replay of BPE_FIXTURE_MERGES (each merge
+    collapses two characters to one '~', so length(result) = tokens)."""
+    expr = var
+    for left, right in BPE_FIXTURE_MERGES:
+        expr = f"regexp_replace({expr}, '{left}{right}', '~', 'g')"
+    return f"length({expr})"
+
+
+def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc subword accounting with a REAL BPE merge loop (VERDICT
+    r14 #5; operators/bpe.py): whitespace token count, pre-merge
+    character count, and the post-merge subword count under the
+    fixture merge table — the unit a training-data budget is actually
+    denominated in. The kernel is an Arrow-batched pandas UDF running
+    the standard best-rank merge loop with a per-batch word memo;
+    DuckDB replays the merge sequence as priority-ordered sequential
+    replacements (exact for a single-level vocabulary — see
+    BPE_FIXTURE_MERGES)."""
+    from machine_learning_algorithm_sparkml__spark.operators.bpe import bpe_tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_tokenize(docs, "doc_id", "text", BPE_FIXTURE_MERGES)
+
+
+def q_mixture_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture-budget key denominated in SUBWORD tokens: same
+    greedy md5-ordered per-source fill as ``mixture_token_budget``,
+    but ``n_tokens`` comes from the BPE kernel — whitespace-counted
+    budgets misprice documents by the word/subword fan-out, so the
+    kept-set boundary genuinely moves (budgets here are ~2.4x the
+    whitespace key's because each ~4-char word splits to ~2-3
+    subwords). Integer cumulative sums keep every cell exact."""
+    from machine_learning_algorithm_sparkml__spark.operators.bpe import bpe_count_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    budgets = {f"src{i}": 2000 for i in range(5)}
+    return token_budget_mixture(
+        docs,
+        budgets,
+        default_budget=1000,
+        token_count=bpe_count_udf(BPE_FIXTURE_MERGES)(F.col("text")),
+    )
+
+
 def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy per-source token-budget mixture construction
     (operators/lm.py: token_budget_mixture): premium sources
@@ -331,6 +396,8 @@ QUERIES = {
     "text_unigram_familiarity": q_text_unigram_familiarity,
     "text_bigram_familiarity": q_text_bigram_familiarity,
     "mixture_token_budget": q_mixture_token_budget,
+    "text_bpe_tokenize": q_text_bpe_tokenize,
+    "mixture_token_budget_bpe": q_mixture_token_budget_bpe,
     "text_normalize": q_text_normalize,
     "domain_top_docs": q_domain_top_docs,
     "embedding_quantize_int8": q_embedding_quantize_int8,
@@ -480,6 +547,37 @@ ORACLE = {
         FROM documents d
         LEFT JOIN per_doc p USING (doc_id)
         CROSS JOIN total
+    """,
+    # BPE replay: priority-ordered sequential replacement = the merge
+    # loop for a single-level vocabulary (see BPE_FIXTURE_MERGES note)
+    "text_bpe_tokenize": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(t) AS INTEGER) AS n_tokens,
+               CAST(COALESCE(list_aggregate(list_transform(t, w -> length(w)), 'sum'), 0) AS INTEGER) AS n_chars_ws,
+               CAST(COALESCE(list_aggregate(list_transform(t, w -> {_bpe_len_sql('w')}), 'sum'), 0) AS INTEGER) AS bpe_token_count
+        FROM toks
+    """,
+    "mixture_token_budget_bpe": f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(COALESCE(list_aggregate(list_transform({_TOKS}, w -> {_bpe_len_sql('w')}), 'sum'), 0) AS INTEGER) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens, cum_tokens,
+               cum_tokens <= CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                                  THEN 2000 ELSE 1000 END AS kept
+        FROM c
     """,
     "mixture_token_budget": f"""
         WITH t AS (

@@ -1898,6 +1898,74 @@ def test_portable_ivfpq_topk_recall_and_composition(emb):
     assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
 
 
+def test_bpe_merge_loop_real_algorithm():
+    """The kernel runs the standard BPE inference loop, not the
+    fixture shortcut: multi-level merge tables (merged tokens merging
+    again) work, rank priority decides order, overlapping occurrences
+    merge leftmost-first, and the single-level fixture table matches
+    the sequential-replace replay the oracle uses (property-fuzzed)."""
+    import random
+    import re
+
+    from machine_learning_algorithm_sparkml__spark.operators.bpe import (
+        bpe_word_tokens,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.quality import (
+        BPE_FIXTURE_MERGES,
+    )
+
+    # multi-level: th + (th,e) -> 'the' is ONE token
+    ranks = {("t", "h"): 0, ("th", "e"): 1, ("h", "e"): 2}
+    assert bpe_word_tokens("the", ranks) == ["the"]
+    assert bpe_word_tokens("het", ranks) == ["he", "t"]
+    # rank priority: lower rank merges first even when it appears later
+    ranks2 = {("h", "e"): 0, ("t", "h"): 1}
+    assert bpe_word_tokens("the", ranks2) == ["t", "he"]
+    # leftmost-first on overlaps
+    assert bpe_word_tokens("aaa", {("a", "a"): 0}) == ["aa", "a"]
+    assert bpe_word_tokens("nanana", {("a", "n"): 0}) == ["n", "an", "an", "a"]
+    # empty vocab: characters survive
+    assert bpe_word_tokens("spark", {}) == list("spark")
+
+    # fixture equivalence: real loop == priority-ordered sequential
+    # leftmost-nonoverlapping replacement (the DuckDB oracle's form)
+    fixture_ranks = {p: i for i, p in enumerate(BPE_FIXTURE_MERGES)}
+
+    def replay_count(word: str) -> int:
+        for left, right in BPE_FIXTURE_MERGES:
+            word = re.sub(re.escape(left + right), "~", word)
+        return len(word)
+
+    rng = random.Random(42)
+    alphabet = "atheinorscledbquw"
+    for _ in range(2000):
+        w = "".join(rng.choices(alphabet, k=rng.randint(1, 15)))
+        assert len(bpe_word_tokens(w, fixture_ranks)) == replay_count(w), w
+
+
+def test_bpe_tokenize_frame_counts(spark):
+    """Frame-level contract: NULL/blank text counts 0, per-word counts
+    sum, n_chars_ws - bpe_token_count = merges applied."""
+    from machine_learning_algorithm_sparkml__spark.operators.bpe import bpe_tokenize
+    from machine_learning_algorithm_sparkml__spark.workload.quality import (
+        BPE_FIXTURE_MERGES,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the data"), (2, "   "), (3, None), (4, "zzz")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in bpe_tokenize(df, "doc_id", "text", BPE_FIXTURE_MERGES).collect()
+    }
+    # 'the' -> [th, e] (2), 'data' -> [d, at, a] (3)
+    assert (got[1]["n_tokens"], got[1]["n_chars_ws"], got[1]["bpe_token_count"]) == (2, 7, 5)
+    for blank in (2, 3):
+        assert (got[blank]["n_tokens"], got[blank]["bpe_token_count"]) == (0, 0)
+    assert got[4]["bpe_token_count"] == 3  # no merges fire
+
+
 def test_exact_substring_pairs_verbatim_runs_only(spark):
     """Exact-substring dedup finds a verbatim k-token run copied
     between otherwise-unrelated docs (Jaccard far below any useful
