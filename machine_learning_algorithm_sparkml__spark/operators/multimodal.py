@@ -1452,8 +1452,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                     )
                 comps.append((cid, ch, cv, tq))
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("unsupported JPEG variant: only baseline sequential (SOF0)")
+        elif marker == 0xC2:  # SOF2: hand the whole payload to the
+            return _decode_jpeg_progressive(payload)  # progressive path
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "unsupported JPEG variant: only baseline sequential (SOF0)"
+                " and progressive (SOF2)"
+            )
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             if len(body) < 2:
                 raise ValueError("truncated JPEG DRI segment")
@@ -1518,8 +1523,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                         c0 = (mx * ch + h_) * 8
                         planes[ci][r0 : r0 + 8, c0 : c0 + 8] = blk + 128.0
 
-    # bring every component to full resolution (nearest-neighbor
-    # chroma upsampling — the baseline-decoder standard), then crop
+    return _jpeg_planes_to_rgb(w, h, comps, planes, hmax, vmax)
+
+
+def _jpeg_planes_to_rgb(
+    w: int, h: int, comps: list, planes: list, hmax: int, vmax: int
+) -> tuple[int, int, np.ndarray]:
+    """Shared decoder tail (baseline + progressive): bring every
+    component plane to full resolution (nearest-neighbor chroma
+    upsampling — the baseline-decoder standard), crop the MCU cover,
+    and convert YCbCr->RGB (grayscale replicates Y)."""
     up = [
         np.kron(p, np.ones((vmax // cv, hmax // ch)))
         for p, (_, ch, cv, _) in zip(planes, comps)
@@ -1731,7 +1744,613 @@ def encode_jpeg_dri_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame
     )
 
 
-# --- palette (indexed-color) PNG: the other common web PNG layout --------------
+# --- progressive (SOF2) JPEG: spectral selection + successive approximation ----
+
+# Progressive AC scans emit EOBn symbols ((n<<4)|0, n 0..14) that the
+# standard sequential AC tables don't contain, so progressive encoders
+# ship custom tables. This fixed table holds the FULL emittable
+# alphabet — (run<<4)|size for run 0..15, size 0..10: every (run,size)
+# pair, every EOBn, and ZRL (0xF0 = the size-0 slot of run 15) — as a
+# flat canonical code: all 176 symbols at length 8 (codes 0..175; the
+# all-ones 8-bit code 255 stays unused, so the canonical tree is a
+# valid incomplete prefix code). Suboptimal size, zero ambiguity.
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC successive-approximation point transform: divide by 2^Al
+    truncating TOWARD ZERO (T.81 G.1.2.2) — unlike DC's arithmetic
+    (floor) shift."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def make_jpeg_progressive(
+    width: int, height: int, pixels: bytes, *, subsampling: str = "4:4:4"
+) -> bytes:
+    """Serialize a REAL progressive (SOF2) JFIF JPEG — the second most
+    common web JPEG layout after baseline 4:2:0 (VERDICT r14 #7). The
+    quantized coefficients are IDENTICAL to :func:`make_jpeg`'s (same
+    DCT, same tables), re-ordered into a 9-scan progression that
+    exercises every progressive coding mode of T.81 Annex G:
+
+      1. DC first, all components interleaved, Al=1 (point transform)
+      2. AC first, comp 0, spectral band 1-5,  Al=1 (EOBn run coding)
+      3. AC first, comp 0, spectral band 6-63, Al=1
+      4. AC first, comp 1, band 1-63, Al=1
+      5. AC first, comp 2, band 1-63, Al=1
+      6. DC refine, interleaved, Ah=1 Al=0 (one raw bit per block)
+      7-9. AC refine per component, band 1-63, Ah=1 Al=0 (newly-
+         significant run/sign coding + buffered correction bits)
+
+    A progressive decode therefore reconstructs the exact coefficient
+    array the baseline file carries — pixel output must be
+    bit-identical to decoding :func:`make_jpeg` of the same input,
+    which is what the round-trip tests pin."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} pixel bytes, got {len(pixels)}")
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cb = np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255)
+    cr = np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255)
+
+    if subsampling == "4:4:4":
+        if width % 8 or height % 8:
+            raise ValueError("make_jpeg_progressive 4:4:4 requires multiple-of-8 dimensions")
+        planes = [y, cb, cr]
+        meta = [(1, 1), (1, 1), (1, 1)]
+        sof_comps = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    elif subsampling == "4:2:0":
+        if width % 16 or height % 16:
+            raise ValueError("make_jpeg_progressive 4:2:0 requires multiple-of-16 dimensions")
+        cb_s = np.round(cb.reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3)))
+        cr_s = np.round(cr.reshape(height // 2, 2, width // 2, 2).mean(axis=(1, 3)))
+        planes = [y, cb_s, cr_s]
+        meta = [(2, 2), (1, 1), (1, 1)]
+        sof_comps = bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    qmap = [_Q_LUMA, _Q_CHROMA, _Q_CHROMA]
+
+    def _block_coefs(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+        gh, gw = plane.shape[0] // 8, plane.shape[1] // 8
+        out = np.zeros((gh, gw, 64), dtype=np.int32)
+        for by in range(gh):
+            for bx in range(gw):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                fq = np.round((_DCT_C @ blk @ _DCT_C.T) / qtab).astype(np.int32)
+                out[by, bx] = fq.reshape(64)[_ZZ]
+        return out
+
+    coefs = [_block_coefs(p, q) for p, q in zip(planes, qmap)]
+    hmax = max(ch for ch, _ in meta)
+    vmax = max(cv for _, cv in meta)
+    mcux_n = width // (8 * hmax)
+    mcuy_n = height // (8 * vmax)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def _mcu_blocks():
+        """Interleaved (ci, by, bx) order of T.81 §A.2.3."""
+        for my in range(mcuy_n):
+            for mx in range(mcux_n):
+                for ci, (ch, cv) in enumerate(meta):
+                    for v_ in range(cv):
+                        for h_ in range(ch):
+                            yield ci, my * cv + v_, mx * ch + h_
+
+    def _dc_first(al: int) -> bytes:
+        bw = _BitWriter()
+        preds = [0] * len(coefs)
+        for ci, by, bx in _mcu_blocks():
+            dc = int(coefs[ci][by, bx, 0]) >> al
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            s = _category(diff)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        return bw.flush()
+
+    def _dc_refine(al: int) -> bytes:
+        bw = _BitWriter()
+        for ci, by, bx in _mcu_blocks():
+            bw.write((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
+        return bw.flush()
+
+    def _ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                code, ln = ac_codes[n << 4]
+                bw.write(code, ln)
+                if n:
+                    bw.write(eobrun - (1 << n), n)
+                eobrun = 0
+
+        gh, gw, _ = coefs[ci].shape
+        for by in range(gh):
+            for bx in range(gw):
+                vals = [_pt_ac(int(coefs[ci][by, bx, k]), al) for k in range(ss, se + 1)]
+                nz = max((i for i, v in enumerate(vals) if v), default=-1)
+                if nz < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(nz + 1):
+                    v = vals[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = ac_codes[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if nz < len(vals) - 1:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return bw.flush()
+
+    def _ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        # T.81 G.1.2.3 (the libjpeg encode_mcu_AC_refine structure):
+        # newly-significant coefficients (|pt| == 1) are coded as
+        # (zero-HISTORY run, size 1) + raw sign bit; already-nonzero
+        # coefficients passed over contribute buffered correction bits
+        # emitted after the next symbol; blocks with nothing new join
+        # an EOB run whose correction bits buffer across blocks.
+        bw = _BitWriter()
+        eobrun = 0
+        pend: list[int] = []  # correction bits owed after next EOBn
+
+        def flush_eob() -> None:
+            nonlocal eobrun, pend
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                code, ln = ac_codes[n << 4]
+                bw.write(code, ln)
+                if n:
+                    bw.write(eobrun - (1 << n), n)
+                eobrun = 0
+            for bit in pend:
+                bw.write(bit, 1)
+            pend = []
+
+        gh, gw, _ = coefs[ci].shape
+        for by in range(gh):
+            for bx in range(gw):
+                zz = coefs[ci][by, bx]
+                absv = [abs(_pt_ac(int(zz[k]), al)) for k in range(ss, se + 1)]
+                eob = max((i for i, a in enumerate(absv) if a == 1), default=-1)
+                run = 0
+                br: list[int] = []
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob:
+                        flush_eob()
+                        code, ln = ac_codes[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                        for bit in br:
+                            bw.write(bit, 1)
+                        br = []
+                    if a > 1:
+                        br.append(a & 1)
+                        continue
+                    flush_eob()
+                    code, ln = ac_codes[(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+                    for bit in br:
+                        bw.write(bit, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    pend.extend(br)
+                    if eobrun == 0x7FFF or len(pend) > 900:
+                        flush_eob()
+        flush_eob()
+        return bw.flush()
+
+    def _sos(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            dc_id = 0 if ci == 0 else 1
+            ac_id = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (dc_id << 4) | ac_id])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    def _zz_bytes(q: np.ndarray) -> bytes:
+        return bytes(int(q.reshape(64)[_ZZ[z]]) for z in range(64))
+
+    dqt = _seg(0xDB, b"\x00" + _zz_bytes(_Q_LUMA) + b"\x01" + _zz_bytes(_Q_CHROMA))
+    sof = _seg(0xC2, struct.pack(">BHHB", 8, height, width, 3) + sof_comps)
+    dht = _seg(
+        0xC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x01" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+        + b"\x11" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS),
+    )
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    com = _seg(0xFE, b"spark-graft")
+    out = b"\xff\xd8" + app0 + com + dqt + sof + dht
+    out += _sos([0, 1, 2], 0, 0, 0, 1) + _dc_first(1)
+    out += _sos([0], 1, 5, 0, 1) + _ac_first(0, 1, 5, 1)
+    out += _sos([0], 6, 63, 0, 1) + _ac_first(0, 6, 63, 1)
+    out += _sos([1], 1, 63, 0, 1) + _ac_first(1, 1, 63, 1)
+    out += _sos([2], 1, 63, 0, 1) + _ac_first(2, 1, 63, 1)
+    out += _sos([0, 1, 2], 0, 0, 1, 0) + _dc_refine(0)
+    out += _sos([0], 1, 63, 1, 0) + _ac_refine(0, 1, 63, 0)
+    out += _sos([1], 1, 63, 1, 0) + _ac_refine(1, 1, 63, 0)
+    out += _sos([2], 1, 63, 1, 0) + _ac_refine(2, 1, 63, 0)
+    return out + b"\xff\xd9"
+
+
+def jpeg_prog_dims(doc_id: int) -> tuple[int, int]:
+    """Progressive fixture dimensions: 8..32 wide by 16..32 tall, so
+    every file carries multi-block spectral bands and multi-block EOB
+    runs in the all-zero-AC scans."""
+    return 8 * (1 + doc_id % 4), 8 * (2 + doc_id % 3)
+
+
+def _jpeg_prog_block_values(doc_id: int, n_blocks: int) -> list[int]:
+    """Per-block portable gray values for the progressive fixture
+    (md5-60bit family, tag 'jpegprog'). Flat blocks + DC quant step 8
+    keep the lossy decode bit-exact across the WHOLE 9-scan
+    progression: the DC path runs point transform + refinement for
+    real, the AC scans are pure EOB runs (every AC coefficient is
+    zero), and non-flat AC machinery is pinned by the
+    progressive==baseline equality tests instead."""
+    return [
+        int(hashlib.md5(f"jpegprog:{doc_id}:{b}".encode()).hexdigest()[:15], 16) % 256
+        for b in range(n_blocks)
+    ]
+
+
+def encode_jpeg_prog_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Progressive (SOF2) sibling of :func:`encode_jpeg_media` — the
+    second most common web JPEG layout (VERDICT r14 #7). Decoded by
+    the same :func:`decode_jpeg_media`: decode_jpeg dispatches on the
+    SOF marker, no fixture-specific path."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = jpeg_prog_dims(did)
+                vals = _jpeg_prog_block_values(did, (w // 8) * (h // 8))
+                grid = np.array(vals, dtype=np.uint8).reshape(h // 8, w // 8)
+                gray = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+                rgb = np.repeat(gray[..., None], 3, axis=-1)
+                payloads.append(make_jpeg_progressive(w, h, rgb.tobytes()))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL progressive (SOF2) JPEG decode, no codec library: the
+    multi-scan coefficient-accumulation architecture of T.81 Annex G.
+    Every scan (any order, any spectral band, any successive-
+    approximation schedule) updates per-component zigzag coefficient
+    grids; dequantize + IDCT + upsample + color conversion run ONCE at
+    EOI over the accumulated coefficients — which is why a progressive
+    decode of the same quantized coefficients is bit-identical to the
+    baseline decode (pinned in tests). Handles: interleaved and
+    single-component DC scans (first with point transform, refinement
+    as raw bits), AC first scans with EOBn run coding and ZRL, AC
+    refinement with zero-history runs, sign bits, and correction bits
+    buffered across EOB runs (G.1.2.3); DHT/DQT segments between
+    scans. Restart intervals inside progressive scans and arithmetic
+    coding raise rather than guessing."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (bad SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    coefs: list[np.ndarray] = []
+    grids: list[tuple[int, int]] = []  # unpadded (gh, gw) per component
+    hmax = vmax = 1
+    mcux_n = mcuy_n = 0
+    saw_eoi = False
+
+    while not saw_eoi:
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG (ran out of markers)")
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            saw_eoi = True
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment body")
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("unsupported JPEG variant: 16-bit quant tables")
+                if i + 65 > len(body):
+                    raise ValueError("truncated JPEG DQT table")
+                q = np.zeros(64, dtype=np.int32)
+                for z in range(64):
+                    q[_ZZ[z]] = body[i + 1 + z]
+                qtabs[tq] = q.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("truncated JPEG DHT table")
+                huff[(tc, th)] = _decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("unsupported JPEG variant: 12-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                ch, cv = hv >> 4, hv & 0x0F
+                if ch not in (1, 2) or cv not in (1, 2):
+                    raise ValueError(
+                        "unsupported JPEG variant: sampling factors beyond 2"
+                    )
+                comps.append((cid, ch, cv, tq))
+            frame = (w, h, comps)
+            hmax = max(ch for _, ch, _, _ in comps)
+            vmax = max(cv for _, _, cv, _ in comps)
+            mcux_n = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy_n = (h + 8 * vmax - 1) // (8 * vmax)
+            for _, ch, cv, _ in comps:
+                # MCU-padded coefficient grid; non-interleaved scans
+                # only touch the unpadded ceil(dims/8) prefix (T.81)
+                coefs.append(
+                    np.zeros((mcuy_n * cv, mcux_n * ch, 64), dtype=np.int32)
+                )
+                cw = (w * ch + hmax - 1) // hmax
+                chh = (h * cv + vmax - 1) // vmax
+                grids.append(((chh + 7) // 8, (cw + 7) // 8))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("mixed JPEG frame types in one payload")
+        elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            (ri,) = struct.unpack(">H", body[:2])
+            if ri:
+                raise ValueError(
+                    "unsupported JPEG variant: restart intervals inside a"
+                    " progressive scan"
+                )
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF2")
+            w, h, comps = frame
+            ns = body[0]
+            scan = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+                for c in range(ns)
+            ]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            by_comp = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+            br = _BitReader(payload, pos + seglen)
+            pos = _progressive_scan(
+                br, scan, ss, se, ah, al, comps, by_comp, coefs, grids,
+                huff, mcux_n, mcuy_n,
+            )
+            continue
+        pos += seglen
+
+    if frame is None:
+        raise ValueError("missing JPEG SOF2")
+    w, h, comps = frame
+    planes = []
+    for ci, (_, ch, cv, tq) in enumerate(comps):
+        if tq not in qtabs:
+            raise ValueError("JPEG frame references an undeclared quant table")
+        q = qtabs[tq]
+        gh, gw, _ = coefs[ci].shape
+        plane = np.zeros((gh * 8, gw * 8), dtype=np.float64)
+        for by in range(gh):
+            for bx in range(gw):
+                fq = np.zeros(64, dtype=np.int32)
+                fq[_ZZ] = coefs[ci][by, bx]
+                blk = _DCT_C.T @ (fq.reshape(8, 8) * q) @ _DCT_C
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk + 128.0
+        planes.append(plane)
+    return _jpeg_planes_to_rgb(w, h, comps, planes, hmax, vmax)
+
+
+def _progressive_scan(
+    br: "_BitReader",
+    scan: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    comps: list,
+    by_comp: dict,
+    coefs: list,
+    grids: list,
+    huff: dict,
+    mcux_n: int,
+    mcuy_n: int,
+) -> int:
+    """Entropy-decode ONE progressive scan in place; returns the
+    stream position after its entropy data. DC scans (Ss=0) may be
+    interleaved (multi-component MCU walk) or single-component
+    (unpadded block-grid walk); AC scans (Ss>0) are single-component
+    by T.81 §B.2.3."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Ss=Se=0")
+        if len(scan) == 1:
+            cid, dc_id, _ = scan[0]
+            ci = by_comp[cid]
+            gh, gw = grids[ci]
+            blocks = [(ci, by, bx) for by in range(gh) for bx in range(gw)]
+        else:
+            blocks = []
+            for my in range(mcuy_n):
+                for mx in range(mcux_n):
+                    for cid, dc_id, _ in scan:
+                        ci = by_comp[cid]
+                        _, ch, cv, _ = comps[ci]
+                        for v_ in range(cv):
+                            for h_ in range(ch):
+                                blocks.append((ci, my * cv + v_, mx * ch + h_))
+        if ah == 0:  # DC first: differential in the point-transformed domain
+            preds = {by_comp[cid]: 0 for cid, _, _ in scan}
+            tables = {}
+            for cid, dc_id, _ in scan:
+                if (0, dc_id) not in huff:
+                    raise ValueError("JPEG scan references an undeclared table")
+                tables[by_comp[cid]] = huff[(0, dc_id)]
+            for ci, by, bx in blocks:
+                s = _huff_read(br, tables[ci])
+                diff = 0
+                if s:
+                    v = br.bits(s)
+                    diff = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                preds[ci] += diff
+                coefs[ci][by, bx, 0] = preds[ci] << al
+        else:  # DC refine: one raw bit per block (no Huffman)
+            p1 = 1 << al
+            for ci, by, bx in blocks:
+                if br.bit():
+                    coefs[ci][by, bx, 0] |= p1
+        return br.pos
+
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid, _, ac_id = scan[0]
+    ci = by_comp[cid]
+    if (1, ac_id) not in huff:
+        raise ValueError("JPEG scan references an undeclared table")
+    ac_tbl = huff[(1, ac_id)]
+    gh, gw = grids[ci]
+    zzs = coefs[ci]
+    eobrun = 0
+    if ah == 0:  # AC first (G.1.2.2)
+        for by in range(gh):
+            for bx in range(gw):
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _huff_read(br, ac_tbl)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("corrupt progressive AC run")
+                    v = br.bits(s)
+                    v = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                    zzs[by, bx, k] = v << al
+                    k += 1
+    else:  # AC refine (G.1.2.3)
+        p1, m1 = 1 << al, -(1 << al)
+
+        def correct(by: int, bx: int, k: int) -> None:
+            cur = int(zzs[by, bx, k])
+            if br.bit() and not (cur & p1):
+                zzs[by, bx, k] = cur + (p1 if cur >= 0 else m1)
+
+        for by in range(gh):
+            for bx in range(gw):
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _huff_read(br, ac_tbl)
+                        r, s = sym >> 4, sym & 0x0F
+                        newval = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "corrupt progressive refinement symbol"
+                                )
+                            newval = p1 if br.bit() else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # advance past r zero-HISTORY coefficients,
+                        # reading correction bits for nonzero ones
+                        while k <= se:
+                            if zzs[by, bx, k] != 0:
+                                correct(by, bx, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            zzs[by, bx, k] = newval
+                        k += 1
+                if eobrun:
+                    while k <= se:
+                        if zzs[by, bx, k] != 0:
+                            correct(by, bx, k)
+                        k += 1
+                    eobrun -= 1
+    if eobrun:
+        raise ValueError("progressive scan ended inside an EOB run")
+    return br.pos
 
 
 def make_png_palette(width: int, height: int, indices: bytes, palette: bytes) -> bytes:

@@ -894,6 +894,85 @@ def test_jpeg_refusals_and_truncation_contract():
         make_jpeg(8, 8, bytes(10))
 
 
+def test_jpeg_progressive_equals_baseline_bit_exact():
+    """The progressive (SOF2) 9-scan schedule re-orders the SAME
+    quantized coefficients the baseline file carries, so the decoded
+    pixels must be BIT-IDENTICAL to the baseline decode — on content
+    chosen to exercise every Annex-G mode: random noise (correction
+    bits everywhere in AC refinement), sparse spikes (EOBn runs,
+    ZRL + zero-history runs), smooth gradients (low-band spectral
+    selection), checkerboard (high-band), 4:2:0 subsampling
+    (interleaved DC MCU walk + per-component AC grids)."""
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_jpeg,
+        make_jpeg,
+        make_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(23)
+    cases = []
+    for _ in range(3):
+        px = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+        cases.append((24, 16, "4:4:4", px))
+    sparse = np.full((48, 48, 3), 128, np.uint8)
+    for _ in range(10):
+        sparse[rng.integers(48), rng.integers(48)] = rng.integers(0, 256, 3)
+    cases.append((48, 48, "4:4:4", sparse))
+    gx, gy = np.linspace(0, 255, 40), np.linspace(0, 255, 32)
+    grad = np.stack(
+        [np.add.outer(gy, gx) / 2, np.tile(gx, (32, 1)), np.tile(gy[:, None], (1, 40))],
+        axis=-1,
+    ).astype(np.uint8)
+    cases.append((40, 32, "4:4:4", grad))
+    checker = (np.indices((32, 32)).sum(0) % 2 * 255).astype(np.uint8)
+    cases.append((32, 32, "4:4:4", np.repeat(checker[..., None], 3, -1)))
+    px420 = np.full((32, 64, 3), 200, np.uint8)
+    px420[5, 7] = [0, 255, 0]
+    px420[20, 50] = [255, 0, 255]
+    cases.append((64, 32, "4:2:0", px420))
+    for w, h, ss, px in cases:
+        base = decode_jpeg(make_jpeg(w, h, px.tobytes(), subsampling=ss))
+        prog = decode_jpeg(make_jpeg_progressive(w, h, px.tobytes(), subsampling=ss))
+        assert base[:2] == prog[:2] == (w, h)
+        assert np.array_equal(base[2], prog[2]), (w, h, ss)
+
+
+def test_jpeg_progressive_flat_fixture_and_refusals():
+    """Flat-block progressive fixtures decode bit-exactly (the oracle
+    contract); truncation anywhere raises ValueError; restart
+    intervals inside a progressive payload are refused explicitly."""
+    import numpy as np
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _jpeg_prog_block_values,
+        decode_jpeg,
+        jpeg_prog_dims,
+        make_jpeg_progressive,
+    )
+
+    for did in (0, 1, 5, 11):
+        w, h = jpeg_prog_dims(did)
+        vals = _jpeg_prog_block_values(did, (w // 8) * (h // 8))
+        grid = np.array(vals, dtype=np.uint8).reshape(h // 8, w // 8)
+        gray = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+        rgb = np.repeat(gray[..., None], 3, axis=-1)
+        w2, h2, out = decode_jpeg(make_jpeg_progressive(w, h, rgb.tobytes()))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(out.reshape(h, w, 3), rgb)
+    payload = make_jpeg_progressive(16, 16, np.full(16 * 16 * 3, 90, np.uint8).tobytes())
+    for cut in (len(payload) // 3, len(payload) // 2, len(payload) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[:cut])
+    # inject a nonzero DRI before the first SOS: explicit refusal
+    j = payload.find(b"\xff\xda")
+    dri = payload[:j] + b"\xff\xdd\x00\x04\x00\x02" + payload[j:]
+    with pytest.raises(ValueError, match="restart intervals inside a"):
+        decode_jpeg(dri)
+
+
 def test_jpeg_dri_restart_markers_exact_and_sequenced():
     """Restart intervals (T.81 §E.1.4): flat-block fixtures decode
     bit-exactly through predictor resets and byte realignment; the
