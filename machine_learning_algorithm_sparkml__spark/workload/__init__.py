@@ -22,88 +22,27 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
-# least-recently-verified keys FIRST each round. Round-14 window,
-# per VERDICT r13 "Next round" #1: (1) the 3 keys new this round
-# (never driver-checked); (2) the complete 39-key r9-stale block (the
-# r13 slip tail — after this round no registry key's latest driver row
-# predates r10); (3) an 8-key fill from the oldest r10 rows, leading
-# with the keys VERDICT r13 named (decontaminate_fuzzy,
-# join_inner_equi, scan_csv_header, TPC-H q3/q5/q6). Slip tail = the
-# remaining 39 r10 keys in rotation-proposal order, heading the r15
-# window. Regenerate the staleness table with
+# least-recently-verified keys FIRST each round. Round-15 window,
+# per VERDICT r14 "Next round" #1/#3/#4/#5/#7: (1) the 5 keys new
+# this round (never driver-checked — DRI + progressive JPEG decode,
+# exact-substring dedup, BPE tokenize + BPE-denominated budget);
+# (2) 45 of the 46-key r10-stale block (the r14 slip tail). The 46th
+# (multimodal_meta — r10 PASS, trivial metadata projection, the
+# lowest-risk oracle-backed key of the block) slips to head the r16
+# window: the never-checked-first rule outranks completing the
+# r10 sweep in one round. Regenerate the staleness table with
 # `python tools/staleness.py` after each round's CORRECTNESS file
 # lands.
 PRIORITY_KEYS = [
-    # --- r14 window (50 slots; driver records indices 0-49) ---
-    # Slots 0-9: the 10 keys NEW this round, never driver-checked —
-    # the real baseline JPEG decode (VERDICT r13 #4) and its 4:2:0
-    # subsampled sibling, the palette-PNG variant, WARC archive
-    # ingestion (VERDICT r13 #3), the mixed-content WARC scan that
-    # dispatches the codec by mime, the member-per-record .warc.gz
-    # layout, JVM-side HTML main-content extraction, the
-    # archive→HTML-extract composition, link-graph extraction, and
-    # PageRank over the extracted link graph (all oracle-backed):
-    "multimodal_jpeg_decode",
-    "multimodal_jpeg420_decode",
-    "multimodal_png8_decode",
-    "scan_warc",
-    "scan_warc_media",
-    "scan_warc_gzip",
-    "text_html_extract",
-    "scan_warc_html",
-    "text_html_links",
-    "graph_link_pagerank",
-    # Slots 10-48: the complete 39-key r9-stale block (staleness.py
-    # r9 row = the r13 slip tail, VERDICT r13 #1 — after this round
-    # no key's latest driver row predates r10):
-    "embedding_quantize_arrow",
-    "json_variant_extract",
-    "layout_compaction",
-    "layout_compaction_clustered",
-    "ml_group_ols",
-    "ml_group_ridge",
-    "observe_metrics",
-    "random_split_portable",
-    "sample_hash_portable",
-    "sample_stratified_portable",
-    "scalar_try_funcs",
-    "scan_binary_files",
-    "scan_csv_malformed",
-    "scan_json_malformed",
-    "scan_python_datasource",
-    "scan_python_datasource_pushdown",
-    "scan_schema_evolution",
-    "scan_xml",
-    "sink_dynamic_partition_overwrite",
-    "sink_python_datasource",
-    "sql_lateral_agg",
-    "sql_lateral_topn",
-    "sql_recursive_cte",
-    "sql_recursive_cte_bounded",
-    "sql_session_variables",
-    "sql_tpch_q21",
-    "sql_udf_scalar_table",
-    "streaming_checkpoint_recovery",
-    "streaming_foreach_batch_upsert",
-    "streaming_late_data",
-    "streaming_python_source",
-    "streaming_rocksdb_state",
-    "streaming_upsert_restart",
-    "udtf_dynamic_schema",
-    "udtf_partition_stats",
-    "udtf_token_runs",
-    "window_lag_lead",
-    "window_moving_avg",
-    "window_ntile_cume",
-    # Slot 49: 1-key fill from the oldest r10 rows (the first key
-    # VERDICT r13 #1 named; the r9 sweep satisfies the
-    # no-row-predates-r10 criterion regardless of fill size):
-    "decontaminate_fuzzy",
-    # --- slip tail (positions 50+): the remaining 46 r10 keys in
-    # rotation-proposal order (join_inner_equi, scan_csv_header,
-    # sql_tpch_q3/q5/q6, scan_text_logs, and agg_decimal_exact
-    # displaced from the fill by the seven late key additions); they
-    # head the r15 window ---
+    # --- r15 window (50 slots; driver records indices 0-49) ---
+    # Slots 0-4: the 5 keys NEW this round, never driver-checked:
+    "multimodal_jpeg_dri_decode",
+    "multimodal_jpeg_progressive_decode",
+    "dedup_exact_substring",
+    "text_bpe_tokenize",
+    "mixture_token_budget_bpe",
+    # Slots 5-49: the first 45 keys of the r10-stale block in
+    # rotation-proposal order (VERDICT r14 #1):
     "join_inner_equi",
     "scan_csv_header",
     "sql_tpch_q3",
@@ -149,6 +88,8 @@ PRIORITY_KEYS = [
     "simsearch_topk",
     "simsearch_lsh_portable",
     "simsearch_ivf_portable",
+    # --- slip tail (position 50): the one r10 key displaced by the
+    # five new-key slots; heads the r16 window ---
     "multimodal_meta",
 ]
 
