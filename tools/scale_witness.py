@@ -145,6 +145,25 @@ FAMILY_KEYS = {
         "multimodal_png8_decode",
         "scan_warc_html",
     ],
+    # r15 keys over the same 10x documents build. Claims under test:
+    # exact-substring dedup's candidate join is bounded by SHARED
+    # windows — replica word-renaming keeps 16-token windows disjoint
+    # across replicas, so planted-overlap density is constant and the
+    # bucket join must stay ~flat while the window explode/hash scan
+    # grows 10x (if cost tracked pairs-of-docs it would grow 100x);
+    # BPE tokenize is a shuffle-free Arrow projection (the
+    # token-entropy contract — and the per-batch word memo keeps
+    # per-row cost amortized even though renaming inflates the
+    # distinct-word count 10x); the BPE budget key adds ONE keyed
+    # window exchange; the DRI/progressive JPEG keys are per-row
+    # encode+decode Arrow kernels, the embarrassingly-parallel shape.
+    "r15": [
+        "dedup_exact_substring",
+        "text_bpe_tokenize",
+        "mixture_token_budget_bpe",
+        "multimodal_jpeg_dri_decode",
+        "multimodal_jpeg_progressive_decode",
+    ],
     # r13 session-2: bounded-window EWMA over 10x events (replica k
     # shifts event_id and user_id, so per-user series stay intact and
     # the user population grows 10x — the organic-telemetry shape).
@@ -375,6 +394,7 @@ def main() -> int:
         "retrieval": build_sf1_retrieval,
         "quality2": build_sf1_documents,
         "ingest": build_sf1_documents,
+        "r15": build_sf1_documents,
         "events": build_sf1_events,
     }
     built = set()
