@@ -740,9 +740,9 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     window count directly
     (operators/dedup.py:exact_substring_pairs)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return exact_substring_pairs(docs, "doc_id", "text", k=16).orderBy(
-        "id_a", "id_b"
-    )
+    # no ORDER BY: the driver compare canonicalizes row order, and a
+    # global sort exchange on the pair frame is pure waste at scale
+    return exact_substring_pairs(docs, "doc_id", "text", k=16)
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
