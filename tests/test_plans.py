@@ -1112,3 +1112,45 @@ def test_r13_session2_keys_plan_shapes(spark, sf_dir):
     assert p2.count("Exchange") == 1, p2  # the one groupBy shuffle
     assert "Python" not in p2 and "MapInPandas" not in p2, p2  # JVM-side regexps
     assert "HashAggregate" in p2, p2
+
+
+def test_r15_keys_plan_shapes(spark, sf_dir):
+    """r15 capability keys keep their 100 TB shapes. DRI/progressive
+    JPEG: the codec-kernel contract — scan pruned to doc_id, exactly
+    ONE compute-spreading round-robin exchange, two mapInPandas
+    kernels (encode, decode), no keyed shuffle. BPE tokenize: a
+    SHUFFLE-FREE projection (one ArrowEvalPython, zero exchanges —
+    the token-entropy contract). BPE budget: exactly one keyed
+    exchange (hashpartitioning on source) feeding the running-sum
+    window, the whitespace key's shape. Exact-substring dedup: the
+    candidate generator is an equi-join on the xxhash64 window hash
+    and the verifier an equi-join on (id, window) — never a
+    cartesian/nested-loop product over the corpus."""
+    from machine_learning_algorithm_sparkml__spark.workload.llm import (
+        q_dedup_exact_substring,
+        q_multimodal_jpeg_dri_decode,
+        q_multimodal_jpeg_progressive_decode,
+    )
+    from machine_learning_algorithm_sparkml__spark.workload.quality import (
+        q_mixture_token_budget_bpe,
+        q_text_bpe_tokenize,
+    )
+
+    for q in (q_multimodal_jpeg_dri_decode, q_multimodal_jpeg_progressive_decode):
+        p = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Exchange") == 1 and "RoundRobinPartitioning" in p, p
+        assert p.count("MapInPandas") == 2, p
+        assert "ReadSchema: struct<doc_id:bigint>" in p, p  # column pruning
+
+    p = q_text_bpe_tokenize(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert p.count("ArrowEvalPython") == 1, p
+
+    p = q_mixture_token_budget_bpe(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1 and "hashpartitioning(source" in p, p
+    assert p.count("ArrowEvalPython") == 1 and "Window" in p, p
+
+    p = q_dedup_exact_substring(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    assert "xxhash64(window" in p, p  # candidates keyed on the hash
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p, p  # all-JVM
