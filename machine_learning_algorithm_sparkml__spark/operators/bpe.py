@@ -95,6 +95,77 @@ def bpe_count_udf(merges: list[tuple[str, str]]) -> Column:
     return counts
 
 
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    *,
+    min_pair_count: int = 2,
+    max_vocab_rows: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """BPE TRAINING (not just inference): learn a merge table from the
+    corpus, the standard Sennrich formulation. The insight that makes
+    this Spark-friendly is that training state is the WORD-FREQUENCY
+    table, not the corpus: one distributed hash-aggregate reduces any
+    corpus to (word, count) rows, and the merge-learning loop runs on
+    that bounded table driver-side — per iteration, count adjacent
+    token pairs weighted by word count, adopt the most frequent pair
+    (ties broken lexicographically, so the learned table is
+    deterministic on any engine), merge it everywhere, repeat.
+
+    ``max_vocab_rows`` bounds the driver-side table (the codebook-fit
+    contract of operators/simsearch.py): past the cap, training keeps
+    the MOST FREQUENT words (count desc, word asc — deterministic) —
+    the standard practice, since rare-word tails contribute ~nothing
+    to pair counts. Stops early when no pair reaches
+    ``min_pair_count``. Returns the merge list in learned priority
+    order, directly consumable by :func:`bpe_count_udf` /
+    :func:`bpe_tokenize`."""
+    toks = tokens(F.col(text_col))
+    counts = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(max_vocab_rows)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in counts:
+        vocab[tuple(r["w"])] = vocab.get(tuple(r["w"]), 0) + int(r["c"])
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for word, c in vocab.items():
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        if pair_counts[best] < min_pair_count:
+            break
+        merges.append(best)
+        left, right = best
+        merged = left + right
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for word, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == left and word[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
 def bpe_tokenize(
     df: DataFrame,
     id_col: str,

@@ -286,6 +286,60 @@ def containment_pairs(
     )
 
 
+def token_windows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, window) pairs: the DISTINCT consecutive ``k``-token windows
+    of each document, space-joined. Documents shorter than ``k`` tokens
+    emit NOTHING — a whole-short-doc "window" is exact-dup territory,
+    not substring territory (unlike shingle_sets' short-doc
+    convention). Shared by the exact-substring pair search and the
+    exact-substring decontaminator — one window definition, no drift."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= k, F.array_distinct(shingle_array(F.col(text_col), k))
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("window"),
+    )
+
+
+def decontaminate_exact_substring(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 16,
+) -> DataFrame:
+    """Benchmark decontamination at MEMORIZATION granularity: drop
+    every corpus document sharing any VERBATIM ``k``-token window with
+    any benchmark document — the exact-substring counterpart of
+    :func:`decontaminate_by_shingle` (n-gram overlap catches
+    paraphrase-level leakage at small n; a long verbatim window is the
+    smoking-gun eval-set copy, and at k=16 the false-positive rate on
+    organic text is negligible, so this pass can run at a strictness
+    the short-shingle pass cannot afford).
+
+    Scale design is the decontaminate_by_shingle contract verbatim:
+    the benchmark side (eval suites — thousands of docs) reduces to a
+    distinct window set that is explicitly ``broadcast``; the corpus
+    is scanned ONCE, its windows probe the broadcast map-side, and
+    only the (small) contaminated id set shuffles for the anti-join.
+    The corpus is never self-joined and never shuffled by window.
+    Output: surviving corpus rows, schema unchanged."""
+    bench_wins = (
+        token_windows(benchmark, id_col, text_col, k).select("window").distinct()
+    )
+    contaminated = (
+        token_windows(corpus, id_col, text_col, k)
+        .join(F.broadcast(bench_wins), "window")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def exact_substring_pairs(
     df: DataFrame,
     id_col: str,
@@ -325,16 +379,8 @@ def exact_substring_pairs(
 
     Output: (id_a, id_b, n_shared_windows), id_a < id_b, one row per
     unordered pair sharing >= 1 exact k-token window."""
-    toks = tokens(F.col(text_col))
     wins = (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.when(
-                    F.size(toks) >= k, F.array_distinct(shingle_array(F.col(text_col), k))
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("window"),
-        )
+        token_windows(df, id_col, text_col, k)
         # feeds the hash projection AND both verify legs — materialize
         # the tokenize+window pass once (the ngram_jaccard rule)
         .localCheckpoint(eager=True)

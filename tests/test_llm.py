@@ -2045,6 +2045,67 @@ def test_bpe_tokenize_frame_counts(spark):
     assert got[4]["bpe_token_count"] == 3  # no merges fire
 
 
+def test_learn_bpe_merges_trains_and_composes(spark):
+    """BPE TRAINING: the learned table follows corpus pair frequency
+    with deterministic lexicographic tie-breaks, feeds straight into
+    the inference kernel, respects min_pair_count, and the learned
+    merges are multi-level (a merged token merging again)."""
+    from machine_learning_algorithm_sparkml__spark.operators.bpe import (
+        bpe_word_tokens,
+        learn_bpe_merges,
+    )
+
+    # 'aa' appears 3x per 'aaab' word (pairs aa,aa,ab) weighted by count
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab ccc"), (2, "aaab bd bd")],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe_merges(df, "text", n_merges=3)
+    # pair counts round 1: (a,a): 2/word x 4 words = 8; (a,b): 4;
+    # (c,c): 2; (b,d): 2 -> learn ('a','a'). Round 2 words are
+    # [aa,a,b]x4: (aa,a) and (a,b) TIE at 4 -> lexicographic min is
+    # ('a','b'). Round 3: [aa,ab]x4 -> ('aa','ab') — a MULTI-LEVEL
+    # merge (both inputs already merged tokens).
+    assert merges == [("a", "a"), ("a", "b"), ("aa", "ab")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe_word_tokens("aaab", ranks) == ["aaab"]  # fully merged
+    # min_pair_count=3: the aaab chain (counts 8, 4, 4) survives; the
+    # (c,c)=2 / (b,d)=2 tail is below the floor -> training stops
+    assert learn_bpe_merges(df, "text", n_merges=10, min_pair_count=3) == [
+        ("a", "a"), ("a", "b"), ("aa", "ab"),
+    ]
+    # deterministic tie-break: equal counts -> lexicographic pair
+    df2 = spark.createDataFrame([(1, "xy xy zw zw")], "doc_id long, text string")
+    assert learn_bpe_merges(df2, "text", n_merges=1) == [("x", "y")]
+
+
+def test_decontaminate_exact_substring_drops_verbatim_leaks(spark):
+    """The eval-leak scrubber: corpus docs carrying any verbatim
+    k-token benchmark window are dropped; paraphrases (same words,
+    different order) and short docs survive; corpus schema unchanged."""
+    from machine_learning_algorithm_sparkml__spark.operators.dedup import (
+        decontaminate_exact_substring,
+    )
+
+    bench_run = " ".join(f"q{i}" for i in range(8))
+    shuffled = " ".join(f"q{i}" for i in reversed(range(8)))
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words " + bench_run + " trailing text"),  # verbatim leak
+            (2, "clean document with enough tokens to window over here"),
+            (3, shuffled + " padded with more clean tokens here"),  # paraphrase
+            (4, "short doc"),  # < k tokens: never windowed, survives
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix " + bench_run + " suffix")], "doc_id long, text string"
+    )
+    out = decontaminate_exact_substring(corpus, bench, "doc_id", "text", k=8)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3, 4]
+    assert out.columns == corpus.columns
+
+
 def test_exact_substring_pairs_verbatim_runs_only(spark):
     """Exact-substring dedup finds a verbatim k-token run copied
     between otherwise-unrelated docs (Jaccard far below any useful
