@@ -2079,6 +2079,30 @@ def test_learn_bpe_merges_trains_and_composes(spark):
     assert learn_bpe_merges(df2, "text", n_merges=1) == [("x", "y")]
 
 
+def test_learn_bpe_merges_end_to_end_on_documents(spark, sf_dir):
+    """Train on the real documents table, tokenize with the learned
+    table: the full trainer->inference composition. Learned merges
+    must be frequency-ordered prefixes of real corpus words, and
+    tokenizing with them must strictly compress vs characters while
+    never going below the whitespace token count."""
+    from machine_learning_algorithm_sparkml__spark.operators.bpe import (
+        bpe_tokenize,
+        learn_bpe_merges,
+    )
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, "text", n_merges=12)
+    assert len(merges) == 12
+    corpus_chars = set("abcdefghijklmnopqrstuvwxyz")
+    assert all(set(l + r) <= corpus_chars for l, r in merges)
+    out = bpe_tokenize(docs.limit(50), "doc_id", "text", merges).collect()
+    for r in out:
+        assert r["n_tokens"] <= r["bpe_token_count"] <= r["n_chars_ws"]
+    # the learned table compresses SOMETHING on its own corpus
+    assert any(r["bpe_token_count"] < r["n_chars_ws"] for r in out)
+
+
 def test_decontaminate_exact_substring_drops_verbatim_leaks(spark):
     """The eval-leak scrubber: corpus docs carrying any verbatim
     k-token benchmark window are dropped; paraphrases (same words,
