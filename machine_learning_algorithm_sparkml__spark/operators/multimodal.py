@@ -183,6 +183,23 @@ def make_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return header + info + b"".join(rows)
 
 
+#: crawl-reality guard shared by every real decoder: a corrupt (or
+#: adversarial) header claiming 65535x65535 would otherwise allocate
+#: tens of GB before any pixel data is read — executors must refuse
+#: decompression-bomb dimensions, not OOM on them. 64 MP (~8k x 8k)
+#: is far above any fixture and above the overwhelming mass of crawl
+#: images; raising the cap is a one-line policy decision.
+_MAX_DECODE_PIXELS = 64_000_000
+
+
+def _check_decode_dims(w: int, h: int, what: str) -> None:
+    if w <= 0 or h <= 0 or w * h > _MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"refusing {what} dimensions {w}x{h}: corrupt or "
+            f"decompression-bomb header (cap {_MAX_DECODE_PIXELS} pixels)"
+        )
+
+
 def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL BMP decode (VERDICT r12 #4 — upgrades the sha-stub): parse
     the file header (magic, pixel-data offset), the info header
@@ -204,6 +221,7 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
         )
     top_down = height < 0
     h = abs(height)
+    _check_decode_dims(width, h, "BMP")
     row_bytes = width * 3
     stride = (row_bytes + 3) & ~3
     arr = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
@@ -339,13 +357,16 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     (sample_rate, int16 sample array)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    # a corrupt RIFF size must not walk past the real payload
+    pos, end = 12, min(8 + struct.unpack("<I", payload[4:8])[0], len(payload))
     fmt = data = None
     while pos + 8 <= end:
         tag = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif tag == b"data":
             data = body
@@ -571,6 +592,7 @@ def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG is missing its PLTE chunk")
+    _check_decode_dims(width, height, "PNG")
     # palette scanlines carry one INDEX byte per pixel, so the filters
     # (including the left-neighbor offsets) operate at bpp=1
     bpp = 3 if color_type == 2 else 1
@@ -865,6 +887,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
             if pos + 10 > len(payload):
                 raise ValueError("truncated GIF image descriptor")
             left, top, w, h, ipacked = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            _check_decode_dims(w, h, "GIF")
             pos += 10
             if ipacked & 0x40:
                 raise ValueError("interlaced GIFs are not decoded")
@@ -1226,14 +1249,23 @@ def _decode_block(
     pred: int,
 ) -> tuple[np.ndarray, int]:
     """Decode one block to zigzag-ordered coefficients; returns the
-    coefficients and the resolved DC (next block's prediction)."""
+    coefficients and the resolved DC (next block's prediction).
+    Categories are validated against the 8-bit-precision bounds of
+    T.81 Table F.1 (DC <= 11, AC <= 10): a corrupt DHT can declare
+    arbitrary symbol bytes, and an unvalidated category feeds EXTEND
+    with up to 255 bits — an integer bomb, not a coefficient."""
     s = _huff_read(br, dc_tbl)
+    if s > 11:
+        raise ValueError("corrupt JPEG DC category")
     diff = 0
     if s:
         v = br.bits(s)
         diff = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
     dc = pred + diff
-    zz = np.zeros(64, dtype=np.int32)
+    # int64: a corrupt stream can chain max-magnitude DC differentials
+    # across up to 1M blocks (the pixel cap), overflowing int32 pred
+    # accumulation even with per-step bounds
+    zz = np.zeros(64, dtype=np.int64)
     zz[0] = dc
     k = 1
     while k < 64:
@@ -1245,7 +1277,7 @@ def _decode_block(
             continue
         run, s = sym >> 4, sym & 0x0F
         k += run
-        if k > 63 or s == 0:
+        if k > 63 or s == 0 or s > 10:
             raise ValueError("corrupt JPEG AC coefficient run")
         v = br.bits(s)
         zz[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
@@ -1431,6 +1463,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             i = 0
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0F
+                if i + 17 > len(body):
+                    raise ValueError("truncated JPEG DHT table")
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
@@ -1439,9 +1473,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 huff[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF header")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("unsupported JPEG variant: 12-bit precision")
+            _check_decode_dims(w, h, "JPEG")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -1466,6 +1503,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         elif marker == 0xDA:  # SOS: component->table map, then entropy data
             if frame is None:
                 raise ValueError("JPEG SOS before SOF0")
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("truncated JPEG SOS header")
             ns = body[0]
             scan = [
                 (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
@@ -1495,6 +1534,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     ]
     preds = [0] * len(comps)
     by_comp = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    if any(cid not in by_comp for cid, _, _ in scan):
+        raise ValueError("JPEG scan references an unknown component")
     rst_m = 0
     for my in range(mcuy_n):
         for mx in range(mcux_n):
@@ -1516,7 +1557,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 for v_ in range(cv):
                     for h_ in range(ch):
                         zz, preds[ci] = _decode_block(br, dc_tbl, ac_tbl, preds[ci])
-                        fq = np.zeros(64, dtype=np.int32)
+                        fq = np.zeros(64, dtype=np.int64)
                         fq[_ZZ] = zz
                         blk = _DCT_C.T @ (fq.reshape(8, 8) * q) @ _DCT_C
                         r0 = (my * cv + v_) * 8
@@ -2122,6 +2163,8 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, np.ndarray]:
             i = 0
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0F
+                if i + 17 > len(body):
+                    raise ValueError("truncated JPEG DHT table")
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
@@ -2130,9 +2173,12 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, np.ndarray]:
                 huff[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
         elif marker == 0xC2:
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF header")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("unsupported JPEG variant: 12-bit precision")
+            _check_decode_dims(w, h, "JPEG")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -2151,7 +2197,9 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, np.ndarray]:
                 # MCU-padded coefficient grid; non-interleaved scans
                 # only touch the unpadded ceil(dims/8) prefix (T.81)
                 coefs.append(
-                    np.zeros((mcuy_n * cv, mcux_n * ch, 64), dtype=np.int32)
+                    # int64: the corrupt-stream DC-chain bound of
+                    # _decode_block applies to the progressive path too
+                    np.zeros((mcuy_n * cv, mcux_n * ch, 64), dtype=np.int64)
                 )
                 cw = (w * ch + hmax - 1) // hmax
                 chh = (h * cv + vmax - 1) // vmax
@@ -2170,6 +2218,8 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, np.ndarray]:
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF2")
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("truncated JPEG SOS header")
             w, h, comps = frame
             ns = body[0]
             scan = [
@@ -2178,7 +2228,14 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, np.ndarray]:
             ]
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            # T.81 §B.2.3 bounds: the band must live inside the 64
+            # zigzag positions and the point transforms inside 13
+            # bits — raw SOS bytes index coefficient arrays below
+            if se > 63 or ss > se or ah > 13 or al > 13:
+                raise ValueError("corrupt progressive scan header")
             by_comp = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+            if any(cid not in by_comp for cid, _, _ in scan):
+                raise ValueError("JPEG scan references an unknown component")
             br = _BitReader(payload, pos + seglen)
             pos = _progressive_scan(
                 br, scan, ss, se, ah, al, comps, by_comp, coefs, grids,
@@ -2199,7 +2256,7 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, np.ndarray]:
         plane = np.zeros((gh * 8, gw * 8), dtype=np.float64)
         for by in range(gh):
             for bx in range(gw):
-                fq = np.zeros(64, dtype=np.int32)
+                fq = np.zeros(64, dtype=np.int64)
                 fq[_ZZ] = coefs[ci][by, bx]
                 blk = _DCT_C.T @ (fq.reshape(8, 8) * q) @ _DCT_C
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk + 128.0
@@ -2254,6 +2311,8 @@ def _progressive_scan(
                 tables[by_comp[cid]] = huff[(0, dc_id)]
             for ci, by, bx in blocks:
                 s = _huff_read(br, tables[ci])
+                if s > 11:  # T.81 Table F.1 bound (8-bit precision)
+                    raise ValueError("corrupt JPEG DC category")
                 diff = 0
                 if s:
                     v = br.bits(s)
@@ -2296,7 +2355,7 @@ def _progressive_scan(
                         k += 16  # ZRL
                         continue
                     k += r
-                    if k > se:
+                    if k > se or s > 10:
                         raise ValueError("corrupt progressive AC run")
                     v = br.bits(s)
                     v = v if v >= (1 << (s - 1)) else v - (1 << s) + 1

@@ -718,3 +718,64 @@ def test_keys_invariant_to_shuffle_partition_count(spark, sf_dir):
             assert redo == base[k], f"{k}: result depends on shuffle partition count"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_codec_fuzz_single_byte_corruption_contract():
+    """Crawl-reality contract for every from-scratch decoder: a
+    corrupted payload either still decodes or raises ValueError —
+    never IndexError/KeyError/struct.error, never an allocation bomb
+    (dimension fields are capped by _check_decode_dims). Seeded
+    single-byte mutations over every byte-position class of valid
+    baseline/DRI/progressive JPEG, PNG, palette-PNG, GIF, BMP, and
+    WAV payloads."""
+    import random
+
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _png8_palette,
+        decode_bmp,
+        decode_gif,
+        decode_jpeg,
+        decode_png,
+        decode_wav,
+        make_bmp,
+        make_gif,
+        make_jpeg,
+        make_jpeg_progressive,
+        make_png,
+        make_png_palette,
+        make_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    px24 = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8).tobytes()
+    samples = (rng.integers(-32768, 32767, 50)).astype(np.int16)
+    cases = [
+        (decode_jpeg, make_jpeg(24, 16, px24)),
+        (decode_jpeg, make_jpeg(24, 16, px24, restart_interval=2)),
+        (decode_jpeg, make_jpeg_progressive(24, 16, px24)),
+        (decode_png, make_png(6, 5, bytes(rng.integers(0, 256, 6 * 5 * 3).astype(np.uint8)))),
+        (decode_png, make_png_palette(6, 5, bytes(rng.integers(0, 256, 30).astype(np.uint8)), _png8_palette())),
+        (decode_gif, make_gif(6, 5, bytes(rng.integers(0, 256, 30).astype(np.uint8)))),
+        (decode_bmp, make_bmp(6, 5, bytes(rng.integers(0, 256, 6 * 5 * 3).astype(np.uint8)))),
+        (decode_wav, make_wav(8000, samples)),
+    ]
+    r = random.Random(99)
+    for decode, payload in cases:
+        for _ in range(150):
+            i = r.randrange(len(payload))
+            b = r.randrange(256)
+            mutated = payload[:i] + bytes([b]) + payload[i + 1 :]
+            try:
+                decode(mutated)
+            except ValueError:
+                pass  # the contract: refuse, don't crash
+            except zlib_error():
+                pass  # PNG: corrupt DEFLATE stream surfaces as zlib.error
+
+
+def zlib_error():
+    import zlib
+
+    return zlib.error
