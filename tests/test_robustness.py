@@ -779,3 +779,37 @@ def zlib_error():
     import zlib
 
     return zlib.error
+
+
+def test_warc_fuzz_single_byte_corruption_contract():
+    """Archive-ingestion contract: corrupt WARC shards (plain and
+    member-per-record gzip) either parse or raise ValueError
+    (UnicodeDecodeError is a ValueError subclass) — a Common Crawl
+    shard with flipped bits must fail the record, not crash the
+    kernel."""
+    import random
+
+    from machine_learning_algorithm_sparkml__spark.operators.archive import (
+        iter_gzip_members,
+        make_warc_gz_shard,
+        make_warc_shard,
+        parse_warc,
+    )
+
+    rows = [(i, f"doc {i} body text here with words") for i in range(6)]
+    shard = make_warc_shard(rows, 0)
+    gz = make_warc_gz_shard(rows, 0)
+    r = random.Random(3)
+    for payload, run in ((shard, parse_warc), (gz, None)):
+        for _ in range(200):
+            m = bytearray(payload)
+            for _ in range(r.choice([1, 1, 2, 4])):
+                m[r.randrange(len(m))] = r.randrange(256)
+            try:
+                if run is not None:
+                    run(bytes(m))
+                else:
+                    for member in iter_gzip_members(bytes(m)):
+                        parse_warc(member)
+            except ValueError:
+                pass
