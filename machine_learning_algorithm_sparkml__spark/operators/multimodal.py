@@ -487,22 +487,14 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def make_png(width: int, height: int, pixels: bytes) -> bytes:
-    """Serialize a REAL 8-bit truecolor PNG (signature, IHDR, a tEXt
-    ancillary chunk, IDAT split across two chunks, IEND). ``pixels`` is
-    the top-down row-major RGB byte array of length ``width*height*3``.
-
-    Scanline ``y`` is filtered with type ``y % 5`` — cycling
-    None/Sub/Up/Average/Paeth — so any image of height ≥ 5 forces the
-    DECODER to implement every filter reconstruction in the spec, and
-    the IDAT split forces multi-chunk inflate. The output opens in any
-    image viewer: DEFLATE is stdlib ``zlib``, this is the actual
-    format, not a container stub."""
-    bpp = 3
-    row_bytes = width * bpp
-    if len(pixels) != row_bytes * height:
-        raise ValueError(f"need {row_bytes * height} pixel bytes, got {len(pixels)}")
-    raw = np.frombuffer(pixels, dtype=np.uint8).reshape(height, row_bytes).astype(np.int32)
+def _filter_scanlines(raw: np.ndarray, bpp: int) -> bytes:
+    """Forward-filter a (rows, row_bytes) int32 image: scanline ``y``
+    gets filter type ``y % 5`` — cycling None/Sub/Up/Average/Paeth, so
+    any sub-image of height >= 5 forces a decoder to implement every
+    reconstruction in the spec. Shared by the sequential encoders and
+    every Adam7 pass (each pass filters as its own sub-image, priors
+    never crossing pass boundaries — the spec's rule)."""
+    height, row_bytes = raw.shape
     filtered = bytearray()
     prior = np.zeros(row_bytes, dtype=np.int32)
     for y in range(height):
@@ -527,7 +519,106 @@ def make_png(width: int, height: int, pixels: bytes) -> bytes:
         filtered.append(ftype)
         filtered += (out % 256).astype(np.uint8).tobytes()
         prior = row
+    return bytes(filtered)
+
+
+def _unfilter_scanlines(lines: np.ndarray, bpp: int) -> np.ndarray:
+    """Reconstruct a (rows, 1+row_bytes) uint8 filtered block into the
+    (rows, row_bytes) int32 image — the inverse of
+    :func:`_filter_scanlines`, honoring whatever filter byte each
+    scanline declares. Shared by the sequential decoder and every
+    Adam7 pass."""
+    height, w1 = lines.shape
+    row_bytes = w1 - 1
+    out = np.zeros((height, row_bytes), dtype=np.int32)
+    prior = np.zeros(row_bytes, dtype=np.int32)
+    for y in range(height):
+        ftype = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int32)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 2:
+            rec = (cur + prior) % 256
+        elif ftype in (1, 3, 4):
+            # left-dependent filters reconstruct sequentially across x
+            rec = np.zeros(row_bytes, dtype=np.int32)
+            for x in range(row_bytes):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prior[x - bpp]) if x >= bpp else 0
+                    pred = _paeth(a, b, c)
+                rec[x] = (int(cur[x]) + pred) % 256
+        else:
+            raise ValueError(f"unknown scanline filter type {ftype}")
+        out[y] = rec
+        prior = rec
+    return out
+
+
+#: Adam7 interlace pass grid: (x0, y0, dx, dy) per pass, the spec's
+#: 8x8 sampling pattern. Passes whose sub-image is empty for a given
+#: image size contribute NO scanlines at all.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def make_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize a REAL 8-bit truecolor PNG (signature, IHDR, a tEXt
+    ancillary chunk, IDAT split across two chunks, IEND). ``pixels`` is
+    the top-down row-major RGB byte array of length ``width*height*3``.
+
+    Scanline ``y`` is filtered with type ``y % 5`` — cycling
+    None/Sub/Up/Average/Paeth — so any image of height ≥ 5 forces the
+    DECODER to implement every filter reconstruction in the spec, and
+    the IDAT split forces multi-chunk inflate. The output opens in any
+    image viewer: DEFLATE is stdlib ``zlib``, this is the actual
+    format, not a container stub."""
+    bpp = 3
+    row_bytes = width * bpp
+    if len(pixels) != row_bytes * height:
+        raise ValueError(f"need {row_bytes * height} pixel bytes, got {len(pixels)}")
+    raw = np.frombuffer(pixels, dtype=np.uint8).reshape(height, row_bytes).astype(np.int32)
+    filtered = _filter_scanlines(raw, bpp)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    compressed = zlib.compress(bytes(filtered), 6)
+    split = max(1, len(compressed) // 2)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tEXt", b"Software\x00spark-graft")
+        + _png_chunk(b"IDAT", compressed[:split])
+        + _png_chunk(b"IDAT", compressed[split:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_png_interlaced(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize a REAL Adam7-INTERLACED 8-bit truecolor PNG — the
+    progressive-rendering layout a slice of real web PNGs carries.
+    Each of the seven passes extracts its (x0 + i·dx, y0 + j·dy)
+    sample grid, filters it as an independent sub-image (cycling all
+    five filters per pass), and the concatenated pass scanlines form
+    ONE zlib stream; empty passes (small images) contribute no
+    scanlines, exactly the spec's rule."""
+    bpp = 3
+    if len(pixels) != width * height * bpp:
+        raise ValueError(f"need {width * height * bpp} pixel bytes, got {len(pixels)}")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, bpp).astype(np.int32)
+    filtered = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx, :]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if ph == 0 or pw == 0:
+            continue
+        filtered += _filter_scanlines(sub.reshape(ph, pw * bpp), bpp)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
     compressed = zlib.compress(bytes(filtered), 6)
     split = max(1, len(compressed) // 2)
     return (
@@ -585,10 +676,11 @@ def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np
     if ihdr is None or not idat:
         raise ValueError("missing IHDR or IDAT chunk")
     width, height, depth, color_type, comp, filt, interlace = ihdr
-    if (depth, comp, filt, interlace) != (8, 0, 0, 0) or color_type not in (2, 3):
+    if (depth, comp, filt) != (8, 0, 0) or color_type not in (2, 3) or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={color_type}, "
-            f"interlace={interlace}); only 8-bit truecolor/palette non-interlaced"
+            f"interlace={interlace}); only 8-bit truecolor/palette, "
+            f"sequential or Adam7"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG is missing its PLTE chunk")
@@ -598,36 +690,31 @@ def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np
     bpp = 3 if color_type == 2 else 1
     row_bytes = width * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (row_bytes + 1) * height:
-        raise ValueError("inflated scanline data has the wrong length")
-    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, row_bytes + 1)
-    out = np.zeros((height, row_bytes), dtype=np.int32)
-    prior = np.zeros(row_bytes, dtype=np.int32)
-    for y in range(height):
-        ftype = int(lines[y, 0])
-        cur = lines[y, 1:].astype(np.int32)
-        if ftype == 0:
-            rec = cur
-        elif ftype == 2:
-            rec = (cur + prior) % 256
-        elif ftype in (1, 3, 4):
-            # left-dependent filters reconstruct sequentially across x
-            rec = np.zeros(row_bytes, dtype=np.int32)
-            for x in range(row_bytes):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(prior[x])
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) // 2
-                else:
-                    c = int(prior[x - bpp]) if x >= bpp else 0
-                    pred = _paeth(a, b, c)
-                rec[x] = (int(cur[x]) + pred) % 256
-        else:
-            raise ValueError(f"unknown scanline filter type {ftype}")
-        out[y] = rec
-        prior = rec
+    if interlace == 1:
+        # Adam7: each non-empty pass is an independently-filtered
+        # sub-image; unfilter each and scatter its sample grid back
+        out = np.zeros((height, width, bpp), dtype=np.int32)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            if ph == 0 or pw == 0:
+                continue
+            need = ph * (pw * bpp + 1)
+            block = raw[pos2 : pos2 + need]
+            if len(block) != need:
+                raise ValueError("inflated Adam7 pass data has the wrong length")
+            pos2 += need
+            lines = np.frombuffer(block, dtype=np.uint8).reshape(ph, pw * bpp + 1)
+            out[y0::dy, x0::dx, :] = _unfilter_scanlines(lines, bpp).reshape(ph, pw, bpp)
+        if pos2 != len(raw):
+            raise ValueError("trailing bytes after the final Adam7 pass")
+        out = out.reshape(height, row_bytes)
+    else:
+        if len(raw) != (row_bytes + 1) * height:
+            raise ValueError("inflated scanline data has the wrong length")
+        lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, row_bytes + 1)
+        out = _unfilter_scanlines(lines, bpp)
     if color_type == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = out.astype(np.uint8)

@@ -549,6 +549,30 @@ def test_png_roundtrip_every_filter_type():
     assert bytes(arr.reshape(-1)) == grad
 
 
+def test_png_adam7_interlaced_roundtrip_exact():
+    """Adam7 interlaced PNG — the progressive-rendering layout a slice
+    of real web PNGs carries: every pass an independently-filtered
+    sub-image, one zlib stream, empty passes omitted. Round-trips
+    BIT-EXACTLY on shapes that exercise empty passes (1x1 keeps only
+    pass 1), odd dims, and tall/thin grids; the decoded pixels equal
+    the sequential decode of the same image."""
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_png,
+        make_png,
+        make_png_interlaced,
+    )
+
+    rng = np.random.default_rng(4)
+    for w, h in [(1, 1), (2, 3), (7, 5), (8, 8), (13, 11), (5, 40)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        w2, h2, out = decode_png(make_png_interlaced(w, h, px.tobytes()))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(out.reshape(h, w, 3), px)
+        assert np.array_equal(decode_png(make_png(w, h, px.tobytes()))[2], out)
+
+
 def test_png_decode_crc_and_variant_refusals():
     """A flipped byte anywhere in a chunk is a CRC error; non-PNG
     signatures, interlaced and palette variants are refused rather
@@ -583,10 +607,14 @@ def test_png_decode_crc_and_variant_refusals():
             + _png_chunk(b"IEND", b"")
         )
 
-    with pytest.raises(ValueError, match="unsupported"):
-        decode_png(variant(2, 1))  # Adam7 interlaced
+    # Adam7 interlace is now DECODED (see test_png_adam7_interlaced);
+    # a malformed interlaced stream still refuses with a ValueError
+    with pytest.raises(ValueError, match="pass data|trailing"):
+        decode_png(variant(2, 1))
     with pytest.raises(ValueError, match="unsupported"):
         decode_png(variant(6, 0))  # RGBA — alpha still refused
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(variant(2, 2))  # unknown interlace method
     # palette is now SUPPORTED (color type 3) — but only with its PLTE
     with pytest.raises(ValueError, match="missing its PLTE"):
         decode_png(variant(3, 0))
