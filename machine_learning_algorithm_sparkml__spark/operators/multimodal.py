@@ -631,6 +631,41 @@ def make_png_interlaced(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
+def _make_png_typed(
+    width: int, height: int, raw: bytes, color_type: int, bpp: int
+) -> bytes:
+    """Shared serializer for the grayscale (0) and RGBA (6) layouts:
+    same filter cycling, chunk layout, and two-IDAT split as
+    :func:`make_png`, at the layout's bytes-per-pixel."""
+    row_bytes = width * bpp
+    if len(raw) != row_bytes * height:
+        raise ValueError(f"need {row_bytes * height} bytes, got {len(raw)}")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, row_bytes).astype(np.int32)
+    filtered = _filter_scanlines(rows, bpp)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    compressed = zlib.compress(bytes(filtered), 6)
+    split = max(1, len(compressed) // 2)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", compressed[:split])
+        + _png_chunk(b"IDAT", compressed[split:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_png_gray(width: int, height: int, gray: bytes) -> bytes:
+    """REAL 8-bit GRAYSCALE PNG (color type 0): one byte per pixel
+    through the same five-filter cycle."""
+    return _make_png_typed(width, height, gray, 0, 1)
+
+
+def make_png_rgba(width: int, height: int, rgba: bytes) -> bytes:
+    """REAL 8-bit RGBA PNG (color type 6) — the most common web PNG
+    layout after truecolor: four bytes per pixel, filters at bpp=4."""
+    return _make_png_typed(width, height, rgba, 6, 4)
+
+
 def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np.ndarray]:
     """REAL PNG decode with no codec library: verify the signature,
     walk the chunk list (CRC-checking each chunk, skipping ancillary
@@ -676,18 +711,22 @@ def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np
     if ihdr is None or not idat:
         raise ValueError("missing IHDR or IDAT chunk")
     width, height, depth, color_type, comp, filt, interlace = ihdr
-    if (depth, comp, filt) != (8, 0, 0) or color_type not in (2, 3) or interlace not in (0, 1):
+    if (
+        (depth, comp, filt) != (8, 0, 0)
+        or color_type not in (0, 2, 3, 6)
+        or interlace not in (0, 1)
+    ):
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={color_type}, "
-            f"interlace={interlace}); only 8-bit truecolor/palette, "
+            f"interlace={interlace}); only 8-bit gray/truecolor/palette/RGBA, "
             f"sequential or Adam7"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG is missing its PLTE chunk")
     _check_decode_dims(width, height, "PNG")
-    # palette scanlines carry one INDEX byte per pixel, so the filters
-    # (including the left-neighbor offsets) operate at bpp=1
-    bpp = 3 if color_type == 2 else 1
+    # channels per pixel set the filter byte-per-pixel offset: gray 1,
+    # truecolor 3, palette 1 (INDEX bytes), RGBA 4
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     row_bytes = width * bpp
     raw = zlib.decompress(bytes(idat))
     if interlace == 1:
@@ -721,6 +760,16 @@ def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("PNG palette index out of range")
         return width, height, pal[idx].reshape(height, width * 3)
+    if color_type == 0:  # grayscale: replicate to RGB (the JPEG rule)
+        g = out.astype(np.uint8).reshape(height, width)
+        return width, height, np.repeat(g[..., None], 3, axis=-1).reshape(height, width * 3)
+    if color_type == 6:  # RGBA: straight-alpha composite over white,
+        # the browser default for a page background — pipelines that
+        # need raw alpha read the pass-through RGBA variant instead
+        rgba = out.reshape(height, width, 4)
+        a = rgba[..., 3:4]
+        rgb = (rgba[..., :3] * a + 255 * (255 - a) + 127) // 255
+        return width, height, np.clip(rgb, 0, 255).astype(np.uint8).reshape(height, width * 3)
     return width, height, out.astype(np.uint8)
 
 

@@ -611,8 +611,12 @@ def test_png_decode_crc_and_variant_refusals():
     # a malformed interlaced stream still refuses with a ValueError
     with pytest.raises(ValueError, match="pass data|trailing"):
         decode_png(variant(2, 1))
+    # RGBA (6) is now decoded (test_png_gray_and_rgba_decode); a
+    # malformed RGBA stream still refuses with a ValueError
+    with pytest.raises(ValueError, match="wrong length"):
+        decode_png(variant(6, 0))
     with pytest.raises(ValueError, match="unsupported"):
-        decode_png(variant(6, 0))  # RGBA — alpha still refused
+        decode_png(variant(4, 0))  # gray+alpha still refused
     with pytest.raises(ValueError, match="unsupported"):
         decode_png(variant(2, 2))  # unknown interlace method
     # palette is now SUPPORTED (color type 3) — but only with its PLTE
@@ -2273,3 +2277,37 @@ def test_dedup_containment_planted_halves(spark, sf_dir):
         assert frozenset((src, src - 20_000_000)) not in jac_pairs
     # zero-token originals never enter the pair set (empty-doc guard)
     assert all(r["n_src"] > 0 for r in rows)
+
+
+def test_png_gray_and_rgba_decode():
+    """Color types 0 (grayscale) and 6 (RGBA — the most common web PNG
+    after truecolor): gray replicates to RGB (the JPEG single-channel
+    rule); RGBA composites straight alpha over white with exact
+    integer rounding (alpha 255 degrades to the raw RGB); both run the
+    full five-filter cycle at their own bpp."""
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_png,
+        make_png_gray,
+        make_png_rgba,
+    )
+
+    rng = np.random.default_rng(8)
+    for w, h in [(1, 1), (5, 7), (13, 11)]:
+        g = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        w2, h2, out = decode_png(make_png_gray(w, h, g.tobytes()))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(out, np.repeat(g[..., None], 3, -1).reshape(h, w * 3))
+
+        rgba = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        _, _, out = decode_png(make_png_rgba(w, h, rgba.tobytes()))
+        a = rgba[..., 3:4].astype(np.int64)
+        exp = (
+            (rgba[..., :3].astype(np.int64) * a + 255 * (255 - a) + 127) // 255
+        ).astype(np.uint8).reshape(h, w * 3)
+        assert np.array_equal(out, exp)
+        solid = rgba.copy()
+        solid[..., 3] = 255
+        _, _, out2 = decode_png(make_png_rgba(w, h, solid.tobytes()))
+        assert np.array_equal(out2, solid[..., :3].reshape(h, w * 3))
