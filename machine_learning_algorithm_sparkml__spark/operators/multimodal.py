@@ -1536,6 +1536,56 @@ def make_jpeg(
     )
 
 
+def make_jpeg_gray(
+    width: int, height: int, gray: bytes, *, restart_interval: int = 0
+) -> bytes:
+    """REAL single-component (grayscale) baseline JPEG — the scanned-
+    document/thumbnail layout: one luma component, luma tables only,
+    1-block MCUs. ``gray`` is the top-down row-major single-channel
+    byte array; dimensions must be multiples of 8. The decoder's
+    1-component path replicates Y to RGB."""
+    if len(gray) != width * height:
+        raise ValueError(f"need {width * height} gray bytes, got {len(gray)}")
+    if width % 8 or height % 8:
+        raise ValueError("make_jpeg_gray requires multiple-of-8 dimensions")
+    y = np.frombuffer(gray, dtype=np.uint8).reshape(height, width).astype(np.float64)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    rst_m = 0
+    n_mcus = (height // 8) * (width // 8)
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            blk = y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            fq = np.round((_DCT_C @ blk @ _DCT_C.T) / _Q_LUMA).astype(np.int32)
+            pred = _encode_block(bw, fq.reshape(64)[_ZZ], pred, dc_codes, ac_codes)
+            mcu_idx = by * (width // 8) + bx
+            if (
+                restart_interval
+                and mcu_idx + 1 < n_mcus
+                and (mcu_idx + 1) % restart_interval == 0
+            ):
+                bw.restart(rst_m)
+                rst_m = (rst_m + 1) & 7
+                pred = 0
+
+    def _zz_bytes(q: np.ndarray) -> bytes:
+        return bytes(int(q.reshape(64)[_ZZ[z]]) for z in range(64))
+
+    dqt = _seg(0xDB, b"\x00" + _zz_bytes(_Q_LUMA))
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = _seg(
+        0xC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    sos = _seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos + bw.flush() + b"\xff\xd9"
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL baseline JPEG decode with no codec library: marker walk
     (APPn/COM skipped by length), DQT parse (multiple tables per

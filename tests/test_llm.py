@@ -2311,3 +2311,32 @@ def test_png_gray_and_rgba_decode():
         solid[..., 3] = 255
         _, _, out2 = decode_png(make_png_rgba(w, h, solid.tobytes()))
         assert np.array_equal(out2, solid[..., :3].reshape(h, w * 3))
+
+
+def test_jpeg_grayscale_single_component():
+    """Single-component (grayscale) baseline JPEG — the scanned-doc/
+    thumbnail layout: flat blocks decode bit-exactly (Y replicated to
+    RGB), restart intervals compose with the 1-block-MCU scan, and
+    nonflat content bounds to luma quantization error."""
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_jpeg,
+        make_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(9)
+    grid = rng.integers(0, 256, (3, 2)).astype(np.uint8)
+    g = np.kron(grid, np.ones((8, 8), np.uint8))
+    w, h = 16, 24
+    exp = np.repeat(g[..., None], 3, -1).reshape(h, w * 3)
+    w2, h2, out = decode_jpeg(make_jpeg_gray(w, h, g.tobytes()))
+    assert (w2, h2) == (w, h) and np.array_equal(out, exp)
+    _, _, out2 = decode_jpeg(make_jpeg_gray(w, h, g.tobytes(), restart_interval=2))
+    assert np.array_equal(out2, exp)
+    g2 = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    _, _, o3 = decode_jpeg(make_jpeg_gray(16, 16, g2.tobytes()))
+    err = np.abs(
+        o3.reshape(16, 16, 3)[:, :, 0].astype(int) - g2.astype(int)
+    ).max()
+    assert err <= 40  # luma-quantization bound on random noise
