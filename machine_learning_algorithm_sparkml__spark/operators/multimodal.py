@@ -988,6 +988,38 @@ def make_gif(width: int, height: int, indices: bytes) -> bytes:
     return b"GIF89a" + screen + palette + comment + img_desc + bytes(blocks) + b"\x3b"
 
 
+def _gif_interlace_order(height: int) -> np.ndarray:
+    """Display-row index for each STORED row of an interlaced GIF: the
+    spec's four passes (rows 0,8,16,…; 4,12,…; 2,6,10,…; 1,3,5,…)."""
+    return np.concatenate(
+        [np.arange(start, height, step) for start, step in
+         ((0, 8), (4, 8), (2, 4), (1, 2))]
+    ).astype(np.int64)
+
+
+def make_gif_interlaced(width: int, height: int, indices: bytes) -> bytes:
+    """Interlaced sibling of :func:`make_gif`: the image descriptor
+    sets the interlace flag and the rows are stored in the four-pass
+    order — the progressive-rendering layout of GIF87a-era web
+    images."""
+    if len(indices) != width * height:
+        raise ValueError(f"need {width * height} indices, got {len(indices)}")
+    rows = np.frombuffer(indices, dtype=np.uint8).reshape(height, width)
+    stored = rows[_gif_interlace_order(height)].tobytes()
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    screen = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    comment = b"\x21\xfe" + b"\x0bspark-graft" + b"\x00"
+    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0x40)
+    lzw = _lzw_compress(stored, 8)
+    blocks = bytearray([8])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return b"GIF89a" + screen + palette + comment + img_desc + bytes(blocks) + b"\x3b"
+
+
 def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL GIF decode with no library: header check, logical screen
     descriptor, global color table, extension blocks skipped by
@@ -995,7 +1027,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
     decompression (width growth, CLEAR reset, KwKwK). Returns
     (width, height, indices) with ``indices`` the top-down
     ``(height, width)`` uint8 palette-index array. Interlaced images
-    and local color tables raise rather than guessing. Validated
+    are de-interlaced (the four-pass row scatter); local color tables
+    raise rather than guessing. Validated
     against a public hand-crafted 1x1 GIF in tests (external ground
     truth, so an encoder/decoder shared bit-order bug cannot hide in
     the round-trip)."""
@@ -1025,8 +1058,6 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
             left, top, w, h, ipacked = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
             _check_decode_dims(w, h, "GIF")
             pos += 10
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIFs are not decoded")
             if ipacked & 0x80:
                 raise ValueError("local color tables are not decoded")
             min_code = _at(pos)
@@ -1041,7 +1072,15 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
             indices = _lzw_decompress(bytes(lzw), min_code)
             if len(indices) != w * h:
                 raise ValueError("decoded index count does not match dimensions")
-            return w, h, np.frombuffer(indices, dtype=np.uint8).reshape(h, w)
+            rows = np.frombuffer(indices, dtype=np.uint8).reshape(h, w)
+            if ipacked & 0x40:
+                # interlaced: stored row order is the four GIF passes
+                # (every 8th from 0, every 8th from 4, every 4th from
+                # 2, every 2nd from 1) — scatter back to display order
+                out = np.zeros_like(rows)
+                out[_gif_interlace_order(h)] = rows
+                rows = out
+            return w, h, rows
         elif b == 0x3B:
             break
         else:

@@ -759,10 +759,14 @@ def test_gif_decode_external_ground_truth_and_refusals():
     assert good[desc] == 0x2C
     with pytest.raises(ValueError, match="signature"):
         decode_gif(b"PNG89a" + bytes(good[6:]))
+    # the interlace flag is now honored: flipping it on a sequential
+    # stream still decodes, but scatters rows per the four-pass order
+    # (same pixels, different row placement) — dedicated round-trip in
+    # test_gif_interlaced_roundtrip
     inter = bytearray(good)
     inter[desc + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_gif(bytes(inter))
+    w_i, h_i, rows = decode_gif(bytes(inter))
+    assert (w_i, h_i) == decode_gif(bytes(good))[:2]
     local = bytearray(good)
     local[desc + 9] |= 0x80
     with pytest.raises(ValueError, match="local color"):
@@ -2340,3 +2344,26 @@ def test_jpeg_grayscale_single_component():
         o3.reshape(16, 16, 3)[:, :, 0].astype(int) - g2.astype(int)
     ).max()
     assert err <= 40  # luma-quantization bound on random noise
+
+
+def test_gif_interlaced_roundtrip():
+    """Interlaced GIF (the GIF87a-era progressive layout): rows stored
+    in the spec's four-pass order de-interlace back to the exact
+    display image through the real LZW pipeline, on heights that
+    exercise every pass boundary (1..17 rows), and match the
+    sequential decode of the same indices."""
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_gif,
+        make_gif,
+        make_gif_interlaced,
+    )
+
+    rng = np.random.default_rng(12)
+    for w, h in [(3, 1), (4, 2), (5, 5), (6, 8), (7, 9), (4, 17)]:
+        idx = bytes(rng.integers(0, 256, w * h).astype(np.uint8))
+        w2, h2, rows = decode_gif(make_gif_interlaced(w, h, idx))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(rows, np.frombuffer(idx, np.uint8).reshape(h, w))
+        assert np.array_equal(rows, decode_gif(make_gif(w, h, idx))[2])
