@@ -2732,3 +2732,116 @@ def encode_png8_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
             F.sha2("payload", 256).alias("sha256"),
         ).alias("media_meta"),
     )
+
+
+# --- MP4/ISO-BMFF container metadata (real box walk; codec decode stays stubbed) ---
+
+
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def make_mp4_meta(
+    *,
+    duration_ms: int,
+    width: int,
+    height: int,
+    n_video_tracks: int = 1,
+    brand: bytes = b"isom",
+) -> bytes:
+    """Serialize a REAL minimal ISO-BMFF (MP4) container: ftyp with the
+    major brand, moov holding an mvhd (version 0: timescale 1000 so
+    duration is in ms) and one tkhd-bearing trak per video track
+    (16.16 fixed-point presentation dims), and an mdat whose payload
+    is an opaque stand-in — the honest boundary: the CONTAINER walk is
+    real structure a crawl pipeline needs (duration/dims/track census
+    without decoding a single frame); sample decoding would need the
+    codec stack and stays stubbed."""
+    ftyp = _mp4_box(b"ftyp", brand + struct.pack(">I", 0x200) + brand + b"mp41")
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", 1000, duration_ms)  # timescale, duration
+        + struct.pack(">IH2x8x36xI", 0x00010000, 0x0100, n_video_tracks + 1)
+        + b"\x00" * 44,  # matrix/predefines padding (walker skips by size)
+    )
+    traks = b""
+    for t in range(n_video_tracks):
+        tkhd = _mp4_box(
+            b"tkhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIII", 0, 0, t + 1, 0)  # ids
+            + struct.pack(">I", duration_ms)
+            + b"\x00" * 52  # reserved/layer/matrix
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        traks += _mp4_box(b"trak", tkhd)
+    moov = _mp4_box(b"moov", mvhd + traks)
+    mdat = _mp4_box(b"mdat", b"spark-graft-opaque-samples")
+    return ftyp + moov + mdat
+
+
+def parse_mp4_meta(payload: bytes) -> tuple[str, int, int, int, int]:
+    """REAL ISO-BMFF box walk: returns (major_brand, duration_ms,
+    width, height, n_video_tracks) from ftyp/moov/mvhd/trak/tkhd.
+    Handles 64-bit largesize boxes (size==1), skips unknown boxes by
+    their declared size, and refuses malformed structure (zero/short
+    sizes, truncation, missing moov) with ValueError — the corrupt-
+    crawl-payload contract of every decoder in this module. Dims are
+    the FIRST video track's, converted from 16.16 fixed point."""
+
+    def _walk(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            body_off = pos + 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("truncated MP4 largesize box")
+                (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                body_off = pos + 16
+            if size < body_off - pos or pos + size > end:
+                raise ValueError(f"malformed MP4 box size for {tag!r}")
+            yield tag, body_off, pos + size
+            pos += size
+        if pos != end:
+            raise ValueError("trailing bytes after the last MP4 box")
+
+    brand = None
+    duration = None
+    dims = None
+    n_video = 0
+    for tag, b0, b1 in _walk(payload, 0, len(payload)):
+        if tag == b"ftyp":
+            if b1 - b0 < 4:
+                raise ValueError("truncated MP4 ftyp box")
+            brand = payload[b0 : b0 + 4].decode("latin-1")
+        elif tag == b"moov":
+            for t2, c0, c1 in _walk(payload, b0, b1):
+                if t2 == b"mvhd":
+                    if c1 - c0 < 20:
+                        raise ValueError("truncated MP4 mvhd box")
+                    version = payload[c0]
+                    if version == 1:
+                        timescale, dur = struct.unpack(">IQ", payload[c0 + 20 : c0 + 32])
+                    else:
+                        timescale, dur = struct.unpack(">II", payload[c0 + 12 : c0 + 20])
+                    if timescale == 0:
+                        raise ValueError("MP4 mvhd timescale is zero")
+                    duration = dur * 1000 // timescale
+                elif t2 == b"trak":
+                    for t3, d0, d1 in _walk(payload, c0, c1):
+                        if t3 == b"tkhd":
+                            if d1 - d0 < 84:
+                                raise ValueError("truncated MP4 tkhd box")
+                            w16, h16 = struct.unpack(">II", payload[d1 - 8 : d1])
+                            if w16 and h16:
+                                n_video += 1
+                                if dims is None:
+                                    dims = (w16 >> 16, h16 >> 16)
+    if brand is None or duration is None:
+        raise ValueError("MP4 payload is missing its ftyp or moov/mvhd box")
+    w, h = dims if dims is not None else (0, 0)
+    return brand, duration, w, h, n_video
