@@ -632,17 +632,18 @@ def make_png_interlaced(width: int, height: int, pixels: bytes) -> bytes:
 
 
 def _make_png_typed(
-    width: int, height: int, raw: bytes, color_type: int, bpp: int
+    width: int, height: int, raw: bytes, color_type: int, bpp: int, depth: int = 8
 ) -> bytes:
-    """Shared serializer for the grayscale (0) and RGBA (6) layouts:
-    same filter cycling, chunk layout, and two-IDAT split as
-    :func:`make_png`, at the layout's bytes-per-pixel."""
+    """Shared serializer for the non-truecolor layouts (gray, RGBA,
+    gray+alpha, 16-bit): same filter cycling, chunk layout, and
+    two-IDAT split as :func:`make_png`, at the layout's
+    bytes-per-pixel (16-bit samples are big-endian pairs in ``raw``)."""
     row_bytes = width * bpp
     if len(raw) != row_bytes * height:
         raise ValueError(f"need {row_bytes * height} bytes, got {len(raw)}")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, row_bytes).astype(np.int32)
     filtered = _filter_scanlines(rows, bpp)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
     compressed = zlib.compress(bytes(filtered), 6)
     split = max(1, len(compressed) // 2)
     return (
@@ -664,6 +665,25 @@ def make_png_rgba(width: int, height: int, rgba: bytes) -> bytes:
     """REAL 8-bit RGBA PNG (color type 6) — the most common web PNG
     layout after truecolor: four bytes per pixel, filters at bpp=4."""
     return _make_png_typed(width, height, rgba, 6, 4)
+
+
+def make_png_gray_alpha(width: int, height: int, ga: bytes) -> bytes:
+    """REAL 8-bit GRAY+ALPHA PNG (color type 4): (gray, alpha) byte
+    pairs, filters at bpp=2."""
+    return _make_png_typed(width, height, ga, 4, 2)
+
+
+def make_png_gray16(width: int, height: int, gray16_be: bytes) -> bytes:
+    """REAL 16-bit GRAYSCALE PNG (color 0, depth 16): big-endian
+    sample pairs, filters at bpp=2 — the byte-level filter offset the
+    spec mandates for 16-bit."""
+    return _make_png_typed(width, height, gray16_be, 0, 2, depth=16)
+
+
+def make_png_rgb16(width: int, height: int, rgb16_be: bytes) -> bytes:
+    """REAL 16-bit TRUECOLOR PNG (color 2, depth 16): big-endian
+    R,G,B sample pairs, filters at bpp=6."""
+    return _make_png_typed(width, height, rgb16_be, 2, 6, depth=16)
 
 
 def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np.ndarray]:
@@ -711,22 +731,20 @@ def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np
     if ihdr is None or not idat:
         raise ValueError("missing IHDR or IDAT chunk")
     width, height, depth, color_type, comp, filt, interlace = ihdr
-    if (
-        (depth, comp, filt) != (8, 0, 0)
-        or color_type not in (0, 2, 3, 6)
-        or interlace not in (0, 1)
-    ):
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    depth_ok = depth == 8 or (depth == 16 and color_type in (0, 2))
+    if channels is None or not depth_ok or (comp, filt) != (0, 0) or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={color_type}, "
-            f"interlace={interlace}); only 8-bit gray/truecolor/palette/RGBA, "
-            f"sequential or Adam7"
+            f"interlace={interlace}); 8-bit gray/truecolor/palette/"
+            f"gray+alpha/RGBA and 16-bit gray/truecolor, sequential or Adam7"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG is missing its PLTE chunk")
     _check_decode_dims(width, height, "PNG")
-    # channels per pixel set the filter byte-per-pixel offset: gray 1,
-    # truecolor 3, palette 1 (INDEX bytes), RGBA 4
-    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    # the filter byte-per-pixel offset is channels x bytes-per-sample
+    # (palette rows carry INDEX bytes, so one "channel")
+    bpp = channels * (depth // 8)
     row_bytes = width * bpp
     raw = zlib.decompress(bytes(idat))
     if interlace == 1:
@@ -760,9 +778,21 @@ def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("PNG palette index out of range")
         return width, height, pal[idx].reshape(height, width * 3)
+    if depth == 16:
+        # 16-bit samples are big-endian byte pairs in the filtered
+        # stream; pipelines downsample to 8-bit by taking the high
+        # byte (the PNG-recommended 16->8 reduction)
+        out = out.astype(np.uint8).reshape(height, width, channels, 2)[..., 0].astype(np.int32)
+        out = out.reshape(height, width * channels)
     if color_type == 0:  # grayscale: replicate to RGB (the JPEG rule)
         g = out.astype(np.uint8).reshape(height, width)
         return width, height, np.repeat(g[..., None], 3, axis=-1).reshape(height, width * 3)
+    if color_type == 4:  # gray+alpha: composite over white, replicate
+        ga = out.reshape(height, width, 2)
+        a = ga[..., 1:2]
+        g = (ga[..., 0:1] * a + 255 * (255 - a) + 127) // 255
+        g = np.clip(g, 0, 255).astype(np.uint8)
+        return width, height, np.repeat(g, 3, axis=-1).reshape(height, width * 3)
     if color_type == 6:  # RGBA: straight-alpha composite over white,
         # the browser default for a page background — pipelines that
         # need raw alpha read the pass-through RGBA variant instead

@@ -616,7 +616,7 @@ def test_png_decode_crc_and_variant_refusals():
     with pytest.raises(ValueError, match="wrong length"):
         decode_png(variant(6, 0))
     with pytest.raises(ValueError, match="unsupported"):
-        decode_png(variant(4, 0))  # gray+alpha still refused
+        decode_png(variant(5, 0))  # invalid color type
     with pytest.raises(ValueError, match="unsupported"):
         decode_png(variant(2, 2))  # unknown interlace method
     # palette is now SUPPORTED (color type 3) — but only with its PLTE
@@ -2412,3 +2412,38 @@ def test_mp4_container_metadata_walk():
         bad = _mp4_box(b"mvhd", struct.pack(">B3x", 0) + struct.pack(">II", 0, 0)
                        + struct.pack(">II", 0, 99) + b"\x00" * 80)
         parse_mp4_meta(ftyp + _mp4_box(b"moov", bad))
+
+
+def test_png_16bit_and_gray_alpha_decode():
+    """The last PNG layout refusals, now decoded: 16-bit gray and
+    truecolor (byte-pair filters at the spec's bpp, high-byte 16->8
+    reduction) and 8-bit gray+alpha (white composite, gray replicated
+    to RGB)."""
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_png,
+        make_png_gray16,
+        make_png_gray_alpha,
+        make_png_rgb16,
+    )
+
+    rng = np.random.default_rng(14)
+    for w, h in [(1, 1), (5, 7), (11, 9)]:
+        g16 = rng.integers(0, 65536, (h, w)).astype(">u2")
+        w2, h2, out = decode_png(make_png_gray16(w, h, g16.tobytes()))
+        hi = (g16 >> 8).astype(np.uint8)
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(out, np.repeat(hi[..., None], 3, -1).reshape(h, w * 3))
+
+        c16 = rng.integers(0, 65536, (h, w, 3)).astype(">u2")
+        _, _, out = decode_png(make_png_rgb16(w, h, c16.tobytes()))
+        assert np.array_equal(out, (c16 >> 8).astype(np.uint8).reshape(h, w * 3))
+
+        ga = rng.integers(0, 256, (h, w, 2)).astype(np.uint8)
+        _, _, out = decode_png(make_png_gray_alpha(w, h, ga.tobytes()))
+        a = ga[..., 1:2].astype(np.int64)
+        g = np.clip(
+            (ga[..., 0:1].astype(np.int64) * a + 255 * (255 - a) + 127) // 255, 0, 255
+        ).astype(np.uint8)
+        assert np.array_equal(out, np.repeat(g, 3, -1).reshape(h, w * 3))
