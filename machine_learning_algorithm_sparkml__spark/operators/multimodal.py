@@ -2875,3 +2875,83 @@ def parse_mp4_meta(payload: bytes) -> tuple[str, int, int, int, int]:
         raise ValueError("MP4 payload is missing its ftyp or moov/mvhd box")
     w, h = dims if dims is not None else (0, 0)
     return brand, duration, w, h, n_video
+
+
+# --- FLAC stream metadata (real STREAMINFO bit layout; frame decode stays stubbed) ---
+
+
+def make_flac_meta(
+    *,
+    sample_rate: int,
+    channels: int,
+    bits_per_sample: int,
+    total_samples: int,
+) -> bytes:
+    """Serialize a REAL FLAC header: 'fLaC' magic, a STREAMINFO block
+    with the spec's packed bit layout (20-bit rate, 3-bit channels-1,
+    5-bit bps-1, 36-bit total-samples), a VORBIS_COMMENT and a PADDING
+    block the walker must skip, then opaque stand-in frame bytes — the
+    MP4-meta contract for audio: the CONTAINER/metadata walk is real,
+    subframe decoding stays stubbed."""
+    if not (1 <= channels <= 8 and 4 <= bits_per_sample <= 32):
+        raise ValueError("FLAC channels must be 1-8, bits 4-32")
+    if sample_rate >= 1 << 20 or total_samples >= 1 << 36:
+        raise ValueError("FLAC field overflow")
+    u64 = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096)
+        + (0).to_bytes(3, "big")
+        + (0).to_bytes(3, "big")
+        + u64.to_bytes(8, "big")
+        + b"\x00" * 16  # unset md5
+    )
+    vendor = b"spark-graft"
+    vorbis = struct.pack("<I", len(vendor)) + vendor + struct.pack("<I", 0)
+    blocks = (
+        bytes([0]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+        + bytes([4]) + len(vorbis).to_bytes(3, "big") + vorbis
+        + bytes([0x80 | 1]) + (8).to_bytes(3, "big") + b"\x00" * 8  # last: padding
+    )
+    return b"fLaC" + blocks + b"\xff\xf8spark-graft-opaque-frames"
+
+
+def parse_flac_meta(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL FLAC metadata walk: returns (sample_rate, channels,
+    bits_per_sample, total_samples, duration_ms) from the STREAMINFO
+    block, skipping every other metadata block by its declared length.
+    Malformed magic, truncated blocks, a missing STREAMINFO, or a zero
+    sample rate refuse with ValueError — the corrupt-crawl contract."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (bad magic)")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FLAC metadata block header")
+        head = payload[pos]
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + length]
+        if len(body) != length:
+            raise ValueError("truncated FLAC metadata block body")
+        if head & 0x7F == 0:
+            if length < 34:
+                raise ValueError("FLAC STREAMINFO block too short")
+            u64 = int.from_bytes(body[10:18], "big")
+            rate = u64 >> 44
+            ch = ((u64 >> 41) & 0x7) + 1
+            bps = ((u64 >> 36) & 0x1F) + 1
+            total = u64 & ((1 << 36) - 1)
+            if rate == 0:
+                raise ValueError("FLAC sample rate is zero")
+            info = (rate, ch, bps, total, total * 1000 // rate)
+        pos += 4 + length
+        if head & 0x80:
+            break
+    if info is None:
+        raise ValueError("FLAC payload is missing its STREAMINFO block")
+    return info

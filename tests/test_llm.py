@@ -2447,3 +2447,33 @@ def test_png_16bit_and_gray_alpha_decode():
             (ga[..., 0:1].astype(np.int64) * a + 255 * (255 - a) + 127) // 255, 0, 255
         ).astype(np.uint8)
         assert np.array_equal(out, np.repeat(g, 3, -1).reshape(h, w * 3))
+
+
+def test_flac_streaminfo_metadata_walk():
+    """REAL FLAC metadata walk (the audio sibling of the MP4 box
+    walk): STREAMINFO's packed 20/3/5/36-bit layout, skip-by-length
+    over vorbis-comment and padding blocks, duration at the declared
+    rate; bad magic, truncation, missing STREAMINFO, and zero rate
+    refuse."""
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        make_flac_meta,
+        parse_flac_meta,
+    )
+
+    p = make_flac_meta(
+        sample_rate=44100, channels=2, bits_per_sample=16, total_samples=441000
+    )
+    assert parse_flac_meta(p) == (44100, 2, 16, 441000, 10000)
+    assert parse_flac_meta(
+        make_flac_meta(sample_rate=8000, channels=8, bits_per_sample=32,
+                       total_samples=123)
+    ) == (8000, 8, 32, 123, 15)
+    with pytest.raises(ValueError, match="magic"):
+        parse_flac_meta(b"OggS" + p[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_flac_meta(p[:20])
+    # a stream whose only block is padding: no STREAMINFO
+    with pytest.raises(ValueError, match="missing its STREAMINFO"):
+        parse_flac_meta(b"fLaC" + bytes([0x80 | 1]) + (4).to_bytes(3, "big") + b"\x00" * 4)
