@@ -172,26 +172,41 @@ def unresolved_spike(runs: list[float], prior: float | None) -> bool:
     )
 
 
+def _unconfirmed_submaterial(runs: list[float]) -> bool:
+    """Exactly ONE sub-material run among otherwise-material readings
+    whose lower median is material: the record-minimum rule wants a
+    SECOND sub-material sample before trusting min(runs) (ADVICE r15 —
+    a single anomalous fast outlier could be a mis-timed run, and
+    folding it into BENCH_PRIORS as the floor would mask a real
+    regression in every later sweep). Such keys earn confirmation runs
+    up to MAX_RUNS_SPIKED."""
+    lower_median = sorted(runs)[(len(runs) - 1) // 2]
+    n_sub = sum(1 for r in runs if r < REPEAT_BELOW_SEC)
+    return n_sub == 1 and lower_median >= REPEAT_BELOW_SEC
+
+
 def should_repeat(runs: list[float], prior: float | None) -> bool:
     """Take another run? True while (a) the fastest run so far is in
     noise territory (< REPEAT_BELOW_SEC), (b) the latest run looks
     like a spike vs the floor prior, or (c) the stat that would be
-    recorded is an unresolved material regression — (a)/(b) up to
-    MAX_RUNS total, (c) up to MAX_RUNS_SPIKED. The old runs[0]-only
-    rule let a first-run spike on a normally-fast key skip its repeats
-    and get reported as a regression (ADVICE r5). Heavy keys (prior >=
-    HEAVY_PRIOR_SEC) use the tighter HEAVY_SPIKE_FACTOR: a 25% swing
-    on a 20 s key is seconds of unadjudicated noise and the suite's
-    closest approach to the 2x gate (ml_cross_validate's 20.8→31.3 s
-    history, VERDICT r6 #5)."""
-    cap = MAX_RUNS_SPIKED if unresolved_spike(runs, prior) else MAX_RUNS
+    recorded is an unresolved material regression, or (d) a single
+    unconfirmed sub-material outlier needs its confirmation sample —
+    (a)/(b) up to MAX_RUNS total, (c)/(d) up to MAX_RUNS_SPIKED. The
+    old runs[0]-only rule let a first-run spike on a normally-fast key
+    skip its repeats and get reported as a regression (ADVICE r5).
+    Heavy keys (prior >= HEAVY_PRIOR_SEC) use the tighter
+    HEAVY_SPIKE_FACTOR: a 25% swing on a 20 s key is seconds of
+    unadjudicated noise and the suite's closest approach to the 2x
+    gate (ml_cross_validate's 20.8→31.3 s history, VERDICT r6 #5)."""
+    extended = unresolved_spike(runs, prior) or _unconfirmed_submaterial(runs)
+    cap = MAX_RUNS_SPIKED if extended else MAX_RUNS
     if len(runs) >= cap:
         return False
     if prior is not None:
         factor = HEAVY_SPIKE_FACTOR if prior >= HEAVY_PRIOR_SEC else SPIKE_FACTOR
         if runs[-1] > factor * prior:
             return True
-    if unresolved_spike(runs, prior):
+    if extended:
         return True
     return min(runs) < REPEAT_BELOW_SEC
 
@@ -200,17 +215,21 @@ def report_stat(runs: list[float]) -> float:
     """Lower median: for an even run count prefer the faster sample,
     else a 2-run [normal, spike] pair would report the spike.
 
-    Record-minimum rule (VERDICT r14 #6): if the lower median would
-    read as material (>= REPEAT_BELOW_SEC) but SOME run was
-    sub-material, the key demonstrably ran at noise-floor speed this
-    session — a contention ramp inflated the tail, not the operator
-    (r14 case: pivot_status_by_priority ran [0.435, 2.617, 3.299,
-    3.472, 3.672]; the recorded 3.299 was 23x floor while run 1 sat at
-    floor). Record min(runs): the floor-direction rule BENCH_PRIORS
-    already applies — a real regression cannot produce a sub-material
-    run (caches are cleared between runs)."""
+    Record-minimum rule (VERDICT r14 #6, tightened per ADVICE r15): if
+    the lower median would read as material (>= REPEAT_BELOW_SEC) but
+    AT LEAST TWO runs were sub-material, the key demonstrably ran at
+    noise-floor speed this session — a contention ramp inflated the
+    tail, not the operator (r14 case: pivot_status_by_priority ran
+    [0.435, 2.617, 3.299, 3.472, 3.672]; the recorded 3.299 was 23x
+    floor while run 1 sat at floor). TWO sub-material samples are
+    required because a single fast outlier could itself be the anomaly
+    (a mis-timed run) — should_repeat() grants the confirmation run;
+    if it never confirms, the lower median stands and the key lands in
+    the spiked-adjudication record instead of silently folding a
+    suspect floor into BENCH_PRIORS."""
     stat = sorted(runs)[(len(runs) - 1) // 2]
-    if stat >= REPEAT_BELOW_SEC and min(runs) < REPEAT_BELOW_SEC:
+    n_sub = sum(1 for r in runs if r < REPEAT_BELOW_SEC)
+    if stat >= REPEAT_BELOW_SEC and n_sub >= 2:
         return min(runs)
     return stat
 

@@ -746,7 +746,28 @@ def decode_png(payload: bytes, *, verify_crc: bool = True) -> tuple[int, int, np
     # (palette rows carry INDEX bytes, so one "channel")
     bpp = channels * (depth // 8)
     row_bytes = width * bpp
-    raw = zlib.decompress(bytes(idat))
+    # streaming-bounded inflate: the header declares exactly how many
+    # bytes a legal IDAT stream may produce, so cap the decompressor at
+    # that size +1 — a crafted small-IHDR/multi-GB-IDAT bomb stops at
+    # the cap instead of exhausting executor memory, and a corrupt
+    # DEFLATE stream refuses as ValueError (the decode-or-ValueError
+    # contract), never as a raw zlib.error
+    if interlace == 1:
+        expected = 0
+        for ax0, ay0, adx, ady in _ADAM7:
+            aph = (height - ay0 + ady - 1) // ady if height > ay0 else 0
+            apw = (width - ax0 + adx - 1) // adx if width > ax0 else 0
+            if aph and apw:
+                expected += aph * (apw * bpp + 1)
+    else:
+        expected = (row_bytes + 1) * height
+    try:
+        inflater = zlib.decompressobj()
+        raw = inflater.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from None
+    if len(raw) > expected or inflater.unconsumed_tail:
+        raise ValueError("PNG IDAT inflates past the declared dimensions")
     if interlace == 1:
         # Adam7: each non-empty pass is an independently-filtered
         # sub-image; unfilter each and scatter its sample grid back
@@ -940,10 +961,16 @@ def _lzw_compress(indices: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+def _lzw_decompress(
+    data: bytes, min_code_size: int, *, max_output: int | None = None
+) -> bytes:
     """Inverse of :func:`_lzw_compress`, including the KwKwK corner
     (a code one past the table references prefix+prefix[0]) and the
-    same grow/widen/reset discipline. Raises on malformed streams."""
+    same grow/widen/reset discipline. Raises on malformed streams.
+    ``max_output`` bounds the decoded size AS IT ACCUMULATES (callers
+    that know the image dimensions pass ``w*h``), so a crafted stream
+    that would inflate past the declared dimensions refuses at the cap
+    instead of building a multi-GB buffer first."""
     clear = 1 << min_code_size
     end = clear + 1
     pos = 0
@@ -979,6 +1006,8 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
         else:
             raise ValueError(f"LZW code {code} out of range")
         out += entry
+        if max_output is not None and len(out) > max_output:
+            raise ValueError("LZW stream inflates past the declared dimensions")
         if prev is not None:
             table.append(prev + entry[:1])
         # the decoder's table additions lag the encoder's by exactly
@@ -1099,7 +1128,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
                     raise ValueError("truncated GIF image sub-block")
                 lzw += payload[pos + 1 : pos + 1 + n]
                 pos += 1 + n
-            indices = _lzw_decompress(bytes(lzw), min_code)
+            indices = _lzw_decompress(bytes(lzw), min_code, max_output=w * h)
             if len(indices) != w * h:
                 raise ValueError("decoded index count does not match dimensions")
             rows = np.frombuffer(indices, dtype=np.uint8).reshape(h, w)

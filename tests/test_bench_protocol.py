@@ -64,21 +64,44 @@ def test_report_stat_lower_median():
 
 
 def test_report_stat_record_minimum_on_contention_ramp():
-    # VERDICT r14 #6: pivot_status_by_priority ran [0.435, 2.617,
-    # 3.299, 3.472, 3.672] — run 1 at floor, confirmation runs in a
-    # contention ramp. The median (3.299, 23x floor) misreports a key
-    # that demonstrably ran sub-material; record the minimum.
-    assert bench.report_stat([0.435, 2.617, 3.299, 3.472, 3.672]) == 0.435
-    # sql_tpch_q14 shape: the sub-material run arrives later — still min
-    assert bench.report_stat([3.383, 1.246, 3.5]) == 1.246
-    # and the spike-record gate agrees: a sub-material best run means
-    # no unresolved regression to adjudicate
-    assert not bench.unresolved_spike(
+    # VERDICT r14 #6 tightened per ADVICE r15: min(runs) is recorded
+    # only when TWO runs confirm the sub-material reading — a single
+    # fast outlier could itself be the anomaly (mis-timed run) and
+    # must not fold a suspect floor into BENCH_PRIORS.
+    assert bench.report_stat([0.435, 1.1, 3.299, 3.472, 3.672]) == 0.435
+    # sql_tpch_q14 shape with a confirmation sample: the lower median
+    # itself drops sub-material (no min substitution even needed)
+    assert bench.report_stat([3.383, 1.246, 3.5, 1.31]) == 1.31
+    # a confirmed pair that still leaves the median material: min
+    assert bench.report_stat([3.383, 1.246, 3.5, 3.6, 1.31]) == 1.246
+    # UNCONFIRMED single outlier: lower median stands...
+    assert bench.report_stat([0.435, 2.617, 3.299, 3.472, 3.672]) == 3.299
+    assert bench.report_stat([3.383, 1.246, 3.5]) == 3.383
+    # ...and the spiked-adjudication gate catches it instead
+    assert bench.unresolved_spike(
         [0.435, 2.617, 3.299, 3.472, 3.672], prior=0.143
+    )
+    # a CONFIRMED sub-material pair means no regression to adjudicate
+    assert not bench.unresolved_spike(
+        [0.435, 1.1, 3.299, 3.472, 3.672], prior=0.143
     )
     # all-material ramps are untouched: nothing proves the key can run
     # faster, so the lower median still stands
     assert bench.report_stat([2.1, 4.0, 4.2]) == 4.0
+
+
+def test_single_submaterial_outlier_earns_confirmation_run():
+    # ADVICE r15: one sub-material sample among material readings
+    # extends the session to MAX_RUNS_SPIKED looking for confirmation
+    assert bench._unconfirmed_submaterial([3.383, 1.246, 3.5])
+    assert bench.should_repeat([3.383, 1.246, 3.5], prior=None)
+    # confirmed -> no longer unconfirmed, and the stat resolves to min
+    assert not bench._unconfirmed_submaterial([3.383, 1.246, 3.5, 1.31])
+    assert not bench.should_repeat([3.383, 1.246, 3.5, 1.31], prior=None)
+    # never past the spiked cap, even unconfirmed
+    assert not bench.should_repeat([3.4, 1.2, 3.5, 3.6, 3.4], prior=None)
+    # a sub-material MEDIAN needs no confirmation machinery
+    assert not bench._unconfirmed_submaterial([2.4, 0.5])
 
 
 def test_merge_priors_takes_per_key_floor():
@@ -96,14 +119,15 @@ def test_merge_priors_takes_per_key_floor():
 
 def test_decaying_spike_earns_extra_confirmation_runs():
     # r14 observe_metrics: [13.4, 5.4, 1.2] — contention decaying to
-    # the floor on run 3. Under the r15 record-minimum rule the
-    # sub-material run 3 already resolves the stat to 1.2 (no 4th run
-    # needed); a decay that only reaches MATERIAL readings still earns
+    # the floor on run 3. The single sub-material run now earns a
+    # CONFIRMATION run (ADVICE r15); once confirmed the stat resolves
+    # to min. A decay that only reaches MATERIAL readings still earns
     # the extended confirmation runs.
-    assert not bench.should_repeat([13.4, 5.4, 1.2], prior=0.37)
-    assert bench.report_stat([13.4, 5.4, 1.2]) == 1.2
+    assert bench.should_repeat([13.4, 5.4, 1.2], prior=0.37)       # confirm
+    assert bench.report_stat([13.4, 5.4, 1.2]) == 5.4              # unconfirmed
     assert bench.should_repeat([13.4, 7.1, 4.9], prior=0.37)       # 4th run
     assert bench.report_stat([13.4, 5.4, 1.2, 1.2]) == 1.2
+    assert not bench.should_repeat([13.4, 5.4, 1.2, 1.2], prior=0.37)
     # a PERSISTENT >2x reading still stops at the spiked cap
     assert not bench.should_repeat([5.0, 5.1, 5.0, 5.2, 5.1], prior=1.0)
     # sub-noise-band readings never extend past MAX_RUNS, whatever the

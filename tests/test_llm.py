@@ -2399,7 +2399,6 @@ def test_mp4_container_metadata_walk():
     v1 = ftyp + _mp4_box(b"moov", mvhd_v1)
     assert parse_mp4_meta(v1) == ("mp42", 7000, 0, 0, 0)
     # 64-bit largesize wrapper around the moov still walks
-    moov_body = p[p.find(b"moov") + 4 : ]  # reuse the real moov body? no — build fresh
     inner = _mp4_box(b"mvhd", struct.pack(">B3x", 0) + struct.pack(">II", 0, 0)
                      + struct.pack(">II", 1000, 1234) + b"\x00" * 80)
     large = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(inner)) + inner

@@ -763,6 +763,7 @@ def test_codec_fuzz_single_byte_corruption_contract():
     ]
     r = random.Random(99)
     for decode, payload in cases:
+        n_refused = 0
         for _ in range(150):
             i = r.randrange(len(payload))
             b = r.randrange(256)
@@ -770,15 +771,11 @@ def test_codec_fuzz_single_byte_corruption_contract():
             try:
                 decode(mutated)
             except ValueError:
-                pass  # the contract: refuse, don't crash
-            except zlib_error():
-                pass  # PNG: corrupt DEFLATE stream surfaces as zlib.error
-
-
-def zlib_error():
-    import zlib
-
-    return zlib.error
+                n_refused += 1  # the contract: refuse, don't crash
+        # magic-byte mutations alone guarantee refusals; if the
+        # decoders start swallowing everything the contract test has
+        # stopped testing anything
+        assert n_refused > 0, f"{decode.__name__}: no mutation was refused"
 
 
 def test_warc_fuzz_single_byte_corruption_contract():
@@ -813,3 +810,61 @@ def test_warc_fuzz_single_byte_corruption_contract():
                         parse_warc(member)
             except ValueError:
                 pass
+
+
+def test_decompression_bomb_streams_refuse_before_allocating():
+    """ADVICE r15: dimension caps alone are not bomb protection — a
+    PNG with a VALID small IHDR whose IDAT inflates to gigabytes, or a
+    GIF whose LZW stream decodes far past w*h, must refuse AT the
+    declared-size bound (streaming-capped inflate / capped LZW
+    output), never build the full buffer first."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+        _png_chunk,
+        decode_gif,
+        decode_png,
+        make_gif,
+        make_png,
+    )
+
+    # PNG: legitimate 2x2 header, IDAT that inflates to ~64 MB
+    sig = bytes.fromhex("89504e470d0a1a0a")
+    ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+    bomb_idat = _png_chunk(b"IDAT", zlib.compress(b"\x00" * (64 << 20), 9))
+    bomb = sig + ihdr + bomb_idat + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="inflates past"):
+        decode_png(bomb)
+
+    # PNG: corrupt DEFLATE stream is a ValueError, not a zlib.error
+    # (the decode-or-ValueError contract, ADVICE r15 #2)
+    bad_idat = _png_chunk(b"IDAT", b"\x99not-a-deflate-stream")
+    with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        decode_png(sig + ihdr + bad_idat + _png_chunk(b"IEND", b""))
+
+    # GIF: valid 4x4 image descriptor, LZW stream for 1 MB of indices
+    good = make_gif(4, 4, bytes(16))
+    lzw_bomb = _lzw_compress(b"\x07" * (1 << 20), 8)
+    blocks = bytearray([8])
+    for i in range(0, len(lzw_bomb), 255):
+        chunk = lzw_bomb[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    # splice: header + GCT + comment + image descriptor from the good
+    # file, then the bomb data stream (0x2c bytes occur inside the
+    # grayscale palette, so index structurally: 13-byte header+screen,
+    # 768-byte GCT, 15-byte comment extension)
+    desc_at = 13 + 768 + 15
+    assert good[desc_at] == 0x2C
+    bomb_gif = good[: desc_at + 10] + bytes(blocks) + b"\x3b"
+    with pytest.raises(ValueError, match="inflates past"):
+        decode_gif(bomb_gif)
+
+    # the capped LZW helper itself: exact-size output still round-trips
+    assert _lzw_decompress(_lzw_compress(bytes(16), 8), 8, max_output=16) == bytes(16)
