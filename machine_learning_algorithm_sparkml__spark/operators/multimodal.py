@@ -2807,24 +2807,38 @@ def make_mp4_meta(
     height: int,
     n_video_tracks: int = 1,
     brand: bytes = b"isom",
+    mvhd_version: int = 0,
+    largesize_moov: bool = False,
 ) -> bytes:
     """Serialize a REAL minimal ISO-BMFF (MP4) container: ftyp with the
     major brand, moov holding an mvhd (version 0: timescale 1000 so
-    duration is in ms) and one tkhd-bearing trak per video track
-    (16.16 fixed-point presentation dims), and an mdat whose payload
-    is an opaque stand-in — the honest boundary: the CONTAINER walk is
-    real structure a crawl pipeline needs (duration/dims/track census
+    duration is in ms; version 1: 64-bit duration at timescale 90000 —
+    duration_ms*90 ticks, so the parse recovers duration_ms exactly)
+    and one tkhd-bearing trak per video track (16.16 fixed-point
+    presentation dims), and an mdat whose payload is an opaque
+    stand-in — the honest boundary: the CONTAINER walk is real
+    structure a crawl pipeline needs (duration/dims/track census
     without decoding a single frame); sample decoding would need the
-    codec stack and stays stubbed."""
+    codec stack and stays stubbed. ``largesize_moov`` wraps the moov
+    in the 64-bit size==1 largesize layout big real files use."""
     ftyp = _mp4_box(b"ftyp", brand + struct.pack(">I", 0x200) + brand + b"mp41")
-    mvhd = _mp4_box(
-        b"mvhd",
-        struct.pack(">B3x", 0)
-        + struct.pack(">II", 0, 0)  # creation/modification
-        + struct.pack(">II", 1000, duration_ms)  # timescale, duration
-        + struct.pack(">IH2x8x36xI", 0x00010000, 0x0100, n_video_tracks + 1)
-        + b"\x00" * 44,  # matrix/predefines padding (walker skips by size)
-    )
+    if mvhd_version == 1:
+        mvhd = _mp4_box(
+            b"mvhd",
+            struct.pack(">B3x", 1)
+            + struct.pack(">QQ", 0, 0)  # creation/modification (64-bit)
+            + struct.pack(">IQ", 90000, duration_ms * 90)  # timescale, duration
+            + b"\x00" * 80,  # rate/volume/matrix padding (walker skips by size)
+        )
+    else:
+        mvhd = _mp4_box(
+            b"mvhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">II", 0, 0)  # creation/modification
+            + struct.pack(">II", 1000, duration_ms)  # timescale, duration
+            + struct.pack(">IH2x8x36xI", 0x00010000, 0x0100, n_video_tracks + 1)
+            + b"\x00" * 44,  # matrix/predefines padding (walker skips by size)
+        )
     traks = b""
     for t in range(n_video_tracks):
         tkhd = _mp4_box(
@@ -2836,7 +2850,14 @@ def make_mp4_meta(
             + struct.pack(">II", width << 16, height << 16),
         )
         traks += _mp4_box(b"trak", tkhd)
-    moov = _mp4_box(b"moov", mvhd + traks)
+    moov_body = mvhd + traks
+    if largesize_moov:
+        moov = (
+            struct.pack(">I", 1) + b"moov"
+            + struct.pack(">Q", 16 + len(moov_body)) + moov_body
+        )
+    else:
+        moov = _mp4_box(b"moov", moov_body)
     mdat = _mp4_box(b"mdat", b"spark-graft-opaque-samples")
     return ftyp + moov + mdat
 
@@ -2984,3 +3005,415 @@ def parse_flac_meta(payload: bytes) -> tuple[int, int, int, int, int]:
     if info is None:
         raise ValueError("FLAC payload is missing its STREAMINFO block")
     return info
+
+
+# --- staged codec surfaces promoted to driver keys (round 16) -------------------
+# Encoders/decoders above shipped (round-trip-exact + fuzz-clean) in
+# round 15; these wrappers give each surface its own portable fixture
+# family so the DuckDB oracle replays the decode (VERDICT r15 #1/#2).
+
+
+def pngi_dims(doc_id: int) -> tuple[int, int]:
+    """Adam7 fixture dimensions: 5-12 x 6-12 sweeps images where some
+    interlace passes are EMPTY (width <= 4 kills pass 2, height <= 4
+    kills pass 3...) and others carry multiple scanlines — the
+    scatter-reconstruction cases a sequential-only decoder gets
+    wrong."""
+    return 5 + doc_id % 8, 6 + doc_id % 7
+
+
+def _pngi_pixel_bytes(doc_id: int, n: int) -> bytes:
+    """Portable pixel fixture for the interlaced key (md5-60bit
+    family, its own 'pngi:' seed so the key is independent of the
+    sequential PNG key's data)."""
+    return bytes(
+        int(hashlib.md5(f"pngi:{doc_id}:{p}".encode()).hexdigest()[:15], 16) % 256
+        for p in range(n)
+    )
+
+
+def encode_png_interlaced_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL Adam7-interlaced PNG payloads per row — interlacing
+    changes the BITSTREAM (per-pass sub-image filtering, pass-order
+    scanlines in one zlib stream), not the pixels, so the decoded
+    projection keeps the plain pixel_sum closed form."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = pngi_dims(did)
+                payloads.append(
+                    make_png_interlaced(w, h, _pngi_pixel_bytes(did, w * h * 3))
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )
+
+
+def _png_rgba_bytes(doc_id: int, n: int) -> bytes:
+    """Portable RGBA fixture: byte ``i`` (4 per pixel — R,G,B,A
+    interleaved) = md5('pngrgba:doc_id:i') % 256, so DuckDB replays
+    the straight-alpha white composite per channel with exact integer
+    rounding."""
+    return bytes(
+        int(hashlib.md5(f"pngrgba:{doc_id}:{p}".encode()).hexdigest()[:15], 16) % 256
+        for p in range(n)
+    )
+
+
+def encode_png_rgba_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL RGBA (color type 6) PNG payloads per row — the most
+    common web PNG layout after truecolor: four bytes per pixel,
+    filters at bpp=4, decode composites straight alpha over white with
+    exact integer rounding ((v*a + 255*(255-a) + 127) // 255)."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = png_dims(did)
+                payloads.append(make_png_rgba(w, h, _png_rgba_bytes(did, w * h * 4)))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )
+
+
+def jpeg_gray_dims(doc_id: int) -> tuple[int, int]:
+    """Grayscale JPEG fixture dimensions: 8-40 wide x 8-16 tall MCU
+    multiples — wider than tall (the scanned-page shape), always a
+    real multi-MCU scan."""
+    return 8 * (1 + doc_id % 5), 8 * (1 + doc_id % 2)
+
+
+def _jpeg_gray_block_values(doc_id: int, n_blocks: int) -> list[int]:
+    """Per-8x8-block portable gray values ('jpeggray:' seed): the flat
+    blocks + DC quant step 8 keep the single-component lossy decode
+    bit-exact (the make_jpeg argument), and the decoder's
+    replicate-to-RGB path makes each block contribute 192*v."""
+    return [
+        int(hashlib.md5(f"jpeggray:{doc_id}:{b}".encode()).hexdigest()[:15], 16) % 256
+        for b in range(n_blocks)
+    ]
+
+
+def encode_jpeg_gray_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL single-component (grayscale) baseline JPEG payloads
+    per row — luma tables only, 1-block MCUs, the scanned-document
+    layout; exercises the decoder's 1-component replicate-to-RGB
+    path."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = jpeg_gray_dims(did)
+                vals = _jpeg_gray_block_values(did, (w // 8) * (h // 8))
+                grid = np.array(vals, dtype=np.uint8).reshape(h // 8, w // 8)
+                gray = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+                payloads.append(make_jpeg_gray(w, h, gray.tobytes()))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )
+
+
+def gifi_dims(doc_id: int) -> tuple[int, int]:
+    """Interlaced-GIF fixture dimensions: 5-9 x 6-11 — every height
+    exercises all four interlace passes (pass 2 starts at row 4,
+    pass 4 covers the odd rows), and the index count keeps the LZW
+    dictionary genuinely growing."""
+    return 5 + doc_id % 5, 6 + doc_id % 6
+
+
+def _gifi_indices(doc_id: int, n: int) -> bytes:
+    """Portable index fixture for the interlaced key ('gifi:' seed)."""
+    return bytes(
+        int(hashlib.md5(f"gifi:{doc_id}:{p}".encode()).hexdigest()[:15], 16) % 256
+        for p in range(n)
+    )
+
+
+def encode_gif_interlaced_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL interlaced GIF payloads per row — the image
+    descriptor sets the interlace flag and rows are stored in the
+    spec's four-pass order, so the decode must scatter them back;
+    interlacing permutes storage, not values, so index_sum keeps the
+    plain closed form."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = gifi_dims(did)
+                payloads.append(make_gif_interlaced(w, h, _gifi_indices(did, w * h)))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/gif").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )
+
+
+#: Output schema of the MP4 container-metadata walk.
+DECODED_MP4_SCHEMA = (
+    "doc_id long, brand string, duration_ms long, width int, height int, "
+    "n_video_tracks int"
+)
+
+
+def mp4_meta_params(doc_id: int) -> dict:
+    """Per-doc MP4 fixture parameters (closed-form doc_id residues so
+    the oracle STATES the expected tuple — the text_html_extract
+    pattern): brand cycles the three common major brands, mvhd
+    alternates v0/v1 (64-bit duration), every 5th file wraps its moov
+    in a 64-bit largesize box."""
+    return {
+        "brand": [b"isom", b"mp42", b"avc1"][doc_id % 3],
+        "duration_ms": 1000 + doc_id % 9777,
+        "width": 160 + 16 * (doc_id % 20),
+        "height": 120 + 16 * (doc_id % 15),
+        "n_video_tracks": 1 + doc_id % 3,
+        "mvhd_version": doc_id % 2,
+        "largesize_moov": doc_id % 5 == 0,
+    }
+
+
+def encode_mp4_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL minimal ISO-BMFF containers per row (ftyp + moov
+    with v0/v1 mvhd and per-track tkhd boxes, optionally largesize-
+    wrapped, + opaque mdat)."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                payloads.append(make_mp4_meta(**mp4_meta_params(int(did))))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )
+
+
+def parse_mp4_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched REAL ISO-BMFF box walk to the oracle-comparable
+    projection (brand, duration_ms, first-video-track dims, video
+    track census) — the crawl first mile for video: container
+    structure without decoding a single frame."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = [parse_mp4_meta(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "brand": [r[0] for r in rows],
+                    "duration_ms": [r[1] for r in rows],
+                    "width": [r[2] for r in rows],
+                    "height": [r[3] for r in rows],
+                    "n_video_tracks": [r[4] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(_parse, schema=DECODED_MP4_SCHEMA)
+
+
+#: Output schema of the FLAC STREAMINFO walk.
+DECODED_FLAC_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, bits_per_sample int, "
+    "total_samples long, duration_ms long"
+)
+
+
+def flac_meta_params(doc_id: int) -> dict:
+    """Per-doc FLAC fixture parameters (closed-form residues): the
+    five common sample rates, the full 1-8 channel range, 8-24 bit
+    depths, and a varying sample count whose duration the packed-field
+    parse must recover exactly (total*1000 // rate)."""
+    return {
+        "sample_rate": [8000, 16000, 22050, 32000, 44100][doc_id % 5],
+        "channels": 1 + doc_id % 8,
+        "bits_per_sample": 8 + 4 * (doc_id % 5),
+        "total_samples": 1000 + doc_id % 9973,
+    }
+
+
+def encode_flac_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL FLAC headers per row (fLaC magic, packed STREAMINFO,
+    VORBIS_COMMENT + PADDING blocks the walker must skip, opaque frame
+    bytes)."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                payloads.append(make_flac_meta(**flac_meta_params(int(did))))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("audio/flac").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )
+
+
+def parse_flac_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched REAL FLAC STREAMINFO walk to the oracle-comparable
+    projection (rate, channels, bit depth, total samples, duration) —
+    the MP4-meta contract for audio."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = [parse_flac_meta(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "sample_rate": [r[0] for r in rows],
+                    "channels": [r[1] for r in rows],
+                    "bits_per_sample": [r[2] for r in rows],
+                    "total_samples": [r[3] for r in rows],
+                    "duration_ms": [r[4] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(_parse, schema=DECODED_FLAC_SCHEMA)
+
+
+#: Positional projections for the INTERLACED keys: interlacing is a
+#: storage permutation, so a plain value sum cannot see a scatter bug
+#: that permutes rows/pixels — the position-weighted sum can.
+DECODED_PNG_POS_SCHEMA = (
+    "doc_id long, width int, height int, pixel_sum long, pos_weighted_sum long"
+)
+DECODED_GIF_POS_SCHEMA = (
+    "doc_id long, width int, height int, index_sum long, pos_weighted_sum long"
+)
+
+
+def decode_png_positional_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """PNG decode to a PERMUTATION-SENSITIVE projection: pixel_sum plus
+    the position-weighted sum Σ p·v_p over the flattened top-down
+    row-major byte array — an Adam7 scatter that lands any pass on the
+    wrong grid produces a different weighted sum even when the value
+    multiset is identical."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            widths, heights, sums, wsums = [], [], [], []
+            for payload in pdf["payload"]:
+                w, h, pixels = decode_png(bytes(payload))
+                flat = pixels.astype(np.int64).ravel()
+                widths.append(w)
+                heights.append(h)
+                sums.append(int(flat.sum()))
+                wsums.append(int((np.arange(flat.size, dtype=np.int64) * flat).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": widths,
+                    "height": heights,
+                    "pixel_sum": sums,
+                    "pos_weighted_sum": wsums,
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=DECODED_PNG_POS_SCHEMA)
+
+
+def decode_gif_positional_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """GIF decode to a PERMUTATION-SENSITIVE projection: index_sum plus
+    Σ p·v_p over the flattened top-down row-major index array — a
+    de-interlace that scatters rows to the wrong display positions
+    changes the weighted sum even though the index multiset (and so
+    the plain sum) is untouched."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            widths, heights, sums, wsums = [], [], [], []
+            for payload in pdf["payload"]:
+                w, h, idx = decode_gif(bytes(payload))
+                flat = idx.astype(np.int64).ravel()
+                widths.append(w)
+                heights.append(h)
+                sums.append(int(flat.sum()))
+                wsums.append(int((np.arange(flat.size, dtype=np.int64) * flat).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": widths,
+                    "height": heights,
+                    "index_sum": sums,
+                    "pos_weighted_sum": wsums,
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=DECODED_GIF_POS_SCHEMA)

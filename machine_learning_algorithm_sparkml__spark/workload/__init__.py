@@ -22,75 +22,86 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 
 # Order matters: the driver's correctness sweep records only the first
 # ~50 keys, in dict-insertion order, so the rotation puts the
-# least-recently-verified keys FIRST each round. Round-15 window,
-# per VERDICT r14 "Next round" #1/#3/#4/#5/#7: (1) the 5 keys new
-# this round (never driver-checked — DRI + progressive JPEG decode,
-# exact-substring dedup, BPE tokenize + BPE-denominated budget);
-# (2) 45 of the 46-key r10-stale block (the r14 slip tail). The 46th
-# (multimodal_meta — r10 PASS, trivial metadata projection, the
-# lowest-risk oracle-backed key of the block) slips to head the r16
-# window: the never-checked-first rule outranks completing the
-# r10 sweep in one round. Regenerate the staleness table with
-# `python tools/staleness.py` after each round's CORRECTNESS file
-# lands.
+# least-recently-verified keys FIRST each round. Round-16 window, per
+# VERDICT r15 "Next round" #1/#2/#5/#7: (1) multimodal_meta — the one
+# r10-stale key, slipped from the r15 window (VERDICT #1 names it the
+# window head); (2) the 9 keys NEW this round, never driver-checked
+# (exact-substring decontamination, BPE trainer + trainer→inference
+# composition, and the six staged codec surfaces: interlaced/RGBA PNG,
+# gray JPEG, interlaced GIF, MP4 container meta, FLAC STREAMINFO);
+# (3) the first 40 keys of the 50-key r11-stale block (VERDICT #5).
+# The last 10 of the r11 block (all low-risk oracle-backed SQL/set-op
+# keys) slip to the tail and head the r17 window. Regenerate the
+# staleness table with `python tools/staleness.py` after each round's
+# CORRECTNESS file lands.
 PRIORITY_KEYS = [
-    # --- r15 window (50 slots; driver records indices 0-49) ---
-    # Slots 0-4: the 5 keys NEW this round, never driver-checked:
-    "multimodal_jpeg_dri_decode",
-    "multimodal_jpeg_progressive_decode",
-    "dedup_exact_substring",
-    "text_bpe_tokenize",
-    "mixture_token_budget_bpe",
-    # Slots 5-49: the first 45 keys of the r10-stale block in
-    # rotation-proposal order (VERDICT r14 #1):
-    "join_inner_equi",
-    "scan_csv_header",
-    "sql_tpch_q3",
-    "sql_tpch_q5",
-    "sql_tpch_q6",
-    "scan_text_logs",
-    "agg_decimal_exact",
-    "agg_incremental_retract",
-    "profile_table",
-    "scd2_intervals",
-    "fuzzy_join_blocked",
-    "scalar_array_map_funcs",
-    "scalar_math_funcs",
-    "sql_tpch_q18",
-    "sql_tpch_q10",
-    "sql_frontend_conveniences",
-    "streaming_window_counts",
-    "streaming_sliding_counts",
-    "streaming_session_window",
-    "streaming_dedup",
-    "stream_static_join",
-    "streaming_stateful_totals",
-    "sessionize",
-    "session_stats",
-    "timeseries_gapfill",
-    "stream_stream_join",
-    "streaming_python_source_static_join",
-    "streaming_python_source_windowed",
-    "streaming_rocksdb_changelog",
-    "streaming_state_reader",
-    "streaming_state_changefeed",
-    "join_skew_salted",
-    "sink_partitioned_scan",
-    "join_bucketed",
-    "sink_json",
-    "text_repetition_bigram",
-    "ps_groupby_agg",
-    "window_range_time",
-    "dedup_minhash_mllib",
-    "decontaminate_fuzzy_large",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "simsearch_topk",
-    "simsearch_lsh_portable",
-    "simsearch_ivf_portable",
-    # --- slip tail (position 50): the one r10 key displaced by the
-    # five new-key slots; heads the r16 window ---
+    # --- r16 window (50 slots; driver records indices 0-49) ---
+    # Slot 0: the r10-stale slip (VERDICT r15 #1 head):
     "multimodal_meta",
+    # Slots 1-9: the 9 keys NEW this round, never driver-checked:
+    "decontaminate_exact_substring",
+    "text_bpe_learned",
+    "text_bpe_train_tokenize",
+    "multimodal_png_interlaced_decode",
+    "multimodal_png_rgba_decode",
+    "multimodal_jpeg_gray_decode",
+    "multimodal_gif_interlaced_decode",
+    "multimodal_mp4_meta",
+    "multimodal_flac_meta",
+    # Slots 10-49: the first 40 keys of the r11-stale block in
+    # staleness order (VERDICT r15 #5):
+    "agg_count",
+    "agg_cube",
+    "agg_distinct_count",
+    "agg_distinct_setops_sketch",
+    "agg_groupby_count",
+    "agg_heavy_hitters",
+    "agg_incremental_merge",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "asof_join",
+    "corpus_shuffle_epoch",
+    "embedding_neardup",
+    "filter_and_not",
+    "filter_dropna",
+    "filter_eq",
+    "join_anti",
+    "join_drop_dup_key",
+    "join_full_outer",
+    "join_left_outer",
+    "join_semi",
+    "json_extract",
+    "merge_upsert",
+    "ml_model_save_load",
+    "pivot_status_by_priority",
+    "project_alias_cast",
+    "project_select",
+    "random_split",
+    "range_join",
+    "sample_fraction",
+    "scan_parquet",
+    "set_except",
+    "set_intersect",
+    "simsearch_brp",
+    "simsearch_ivf",
+    "simsearch_lsh",
+    "simsearch_pq",
+    "sink_csv",
+    "sink_orc",
+    "sort_limit_topk",
+    # --- slip tail (positions 50-59): the last 10 of the r11 block,
+    # displaced by the new-key slots; they head the r17 window ---
+    "sql_collation_ci",
+    "sql_collation_unicode",
+    "sql_tpch_q12",
+    "sql_tpch_q16",
+    "sql_tpch_q4",
+    "sql_tpch_q7",
+    "text_bm25",
+    "union_all",
+    "unpivot_wide_metrics",
+    "window_rank_topk",
 ]
 
 ALL_QUERY_MODULES = [relational, streaming, scale, quality, analytics, ml, llm]

@@ -136,6 +136,61 @@ def q_mixture_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Merge count for the TRAINER keys. The DuckDB replay is exact only
+#: while every learned merge is a single-character pair (the
+#: BPE_FIXTURE_MERGES closed-form argument applied to TRAINING: at
+#: each rank the global argmax pair must be char x char, so the rank's
+#: replay is one sequential replace and the next rank's pair counts
+#: come from counting adjacent non-placeholder chars). Probed on the
+#: driver corpus: merges go multi-level at rank 5 (sf0.01: ('m','er'))
+#: and rank 7 (sf0.001), so 4 ranks replay exactly at both SFs with a
+#: margin rank to spare; tests/test_llm.py pins the single-level
+#: property per SF so a testdata regeneration that breaks it fails
+#: loudly in CI rather than silently in the driver compare.
+BPE_LEARN_N_MERGES = 4
+
+
+def q_text_bpe_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING as a driver surface (VERDICT r15 #1): learn the
+    first 4 merges from the corpus itself — ONE distributed word-count
+    aggregate, then the Sennrich merge-learning loop on the bounded
+    (word, count) table driver-side (operators/bpe.py:
+    learn_bpe_merges). Output: the learned merge table (rank, lhs,
+    rhs). The DuckDB oracle replays training rank by rank: count
+    adjacent char pairs weighted by word count, argmax with the
+    deterministic (count desc, pair asc) tie-break, apply the merge as
+    a sequential replace, repeat — exact while every learned merge
+    stays single-level (see BPE_LEARN_N_MERGES)."""
+    from machine_learning_algorithm_sparkml__spark.operators.bpe import (
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, "text", BPE_LEARN_N_MERGES)
+    rows = [(i, left, right) for i, (left, right) in enumerate(merges)]
+    return spark.createDataFrame(rows, "merge_rank int, lhs string, rhs string")
+
+
+def q_text_bpe_train_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer→inference COMPOSITION as one driver surface
+    (VERDICT r15 #7): learn the merge table from the corpus, then
+    tokenize the same corpus with it — the two halves a real pipeline
+    always runs together, certified end to end (a drift between the
+    trainer's merge semantics and the inference kernel's is a value
+    mismatch here even when each half passes alone). The oracle
+    replays training in CTEs and feeds the derived pairs into the
+    sequential-replace tokenization replay — no hardcoded merges on
+    either side."""
+    from machine_learning_algorithm_sparkml__spark.operators.bpe import (
+        bpe_tokenize,
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, "text", BPE_LEARN_N_MERGES)
+    return bpe_tokenize(docs, "doc_id", "text", merges)
+
+
 def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy per-source token-budget mixture construction
     (operators/lm.py: token_budget_mixture): premium sources
@@ -397,6 +452,8 @@ QUERIES = {
     "text_bigram_familiarity": q_text_bigram_familiarity,
     "mixture_token_budget": q_mixture_token_budget,
     "text_bpe_tokenize": q_text_bpe_tokenize,
+    "text_bpe_learned": q_text_bpe_learned,
+    "text_bpe_train_tokenize": q_text_bpe_train_tokenize,
     "mixture_token_budget_bpe": q_mixture_token_budget_bpe,
     "text_normalize": q_text_normalize,
     "domain_top_docs": q_domain_top_docs,
@@ -412,6 +469,67 @@ QUERIES = {
 # miss tabs/newlines).
 _TOKS = "list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> length(x) > 0)"
 _NTOK = f"len({_TOKS})"
+
+
+def _bpe_train_replay_ctes(n_merges: int) -> str:
+    """CTE chain replaying BPE TRAINING rank by rank in DuckDB: the
+    corpus reduces to the (word, count) table (exactly the trainer's
+    state), then each rank counts adjacent NON-PLACEHOLDER char pairs
+    weighted by word count, takes the argmax under the trainer's
+    (count desc, pair asc) tie-break, and applies the winning merge as
+    a sequential leftmost-nonoverlapping replace to '~' — which IS the
+    merge loop while every winner is a single-char pair (an earlier
+    merge only removes char adjacencies, '~' never re-merges). Each
+    m{k} CTE exposes the rank-k pair as column pr{k}."""
+    ctes = [
+        f"""words0 AS (
+            SELECT u.w AS w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT {_TOKS} AS t FROM documents), UNNEST(t) AS u(w)
+            GROUP BY u.w
+        )"""
+    ]
+    for k in range(n_merges):
+        ctes.append(f"""p{k} AS (
+            SELECT substr(w, i, 2) AS pair, SUM(c) AS cnt
+            FROM words{k}, UNNEST(range(1, length(w))) AS u(i)
+            WHERE substr(w, i, 1) <> '~' AND substr(w, i + 1, 1) <> '~'
+            GROUP BY 1
+        )""")
+        ctes.append(
+            f"m{k} AS (SELECT pair AS pr{k} FROM p{k} ORDER BY cnt DESC, pair ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"words{k + 1} AS (SELECT replace(w, (SELECT pr{k} FROM m{k}), '~') AS w, c FROM words{k})"
+        )
+    return ",\n        ".join(ctes)
+
+
+def _bpe_learned_oracle_sql(n_merges: int) -> str:
+    body = _bpe_train_replay_ctes(n_merges)
+    rows = "\n        UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_rank, "
+        f"substr(pr{k}, 1, 1) AS lhs, substr(pr{k}, 2, 1) AS rhs FROM m{k}"
+        for k in range(n_merges)
+    )
+    return f"WITH {body}\n        {rows}"
+
+
+def _bpe_train_tokenize_oracle_sql(n_merges: int) -> str:
+    body = _bpe_train_replay_ctes(n_merges)
+    pair_cols = ", ".join(f"pr{k}" for k in range(n_merges))
+    pair_srcs = ", ".join(f"m{k}" for k in range(n_merges))
+    repl = "w"
+    for k in range(n_merges):
+        repl = f"replace({repl}, pr{k}, '~')"
+    return f"""WITH {body},
+        toksd AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        pairs AS (SELECT {pair_cols} FROM {pair_srcs})
+        SELECT doc_id,
+               CAST(len(t) AS INTEGER) AS n_tokens,
+               CAST(COALESCE(list_aggregate(list_transform(t, w -> length(w)), 'sum'), 0) AS INTEGER) AS n_chars_ws,
+               CAST(COALESCE(list_aggregate(list_transform(t, w -> length({repl})), 'sum'), 0) AS INTEGER) AS bpe_token_count
+        FROM toksd CROSS JOIN pairs
+    """
 
 ORACLE = {
     # text_html_extract: the page construction is deterministic and
@@ -560,6 +678,13 @@ ORACLE = {
                CAST(COALESCE(list_aggregate(list_transform(t, w -> {_bpe_len_sql('w')}), 'sum'), 0) AS INTEGER) AS bpe_token_count
         FROM toks
     """,
+    # BPE TRAINING replay: rank-by-rank argmax over adjacent-pair
+    # counts with the trainer's deterministic tie-break — exact while
+    # the learned merges stay single-level (BPE_LEARN_N_MERGES note)
+    "text_bpe_learned": _bpe_learned_oracle_sql(BPE_LEARN_N_MERGES),
+    # trainer→inference composition: training replayed in CTEs, the
+    # DERIVED pairs fed to the sequential-replace tokenization replay
+    "text_bpe_train_tokenize": _bpe_train_tokenize_oracle_sql(BPE_LEARN_N_MERGES),
     "mixture_token_budget_bpe": f"""
         WITH t AS (
             SELECT doc_id, source,

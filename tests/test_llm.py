@@ -2139,6 +2139,35 @@ def test_learn_bpe_merges_end_to_end_on_documents(spark, sf_dir):
     assert any(r["bpe_token_count"] < r["n_chars_ws"] for r in out)
 
 
+def test_bpe_learned_oracle_precondition_single_level(spark):
+    """The text_bpe_learned / text_bpe_train_tokenize oracles replay
+    TRAINING as rank-by-rank sequential replaces, which is exact only
+    while every learned merge is a single-character pair (probed r16:
+    the corpus goes multi-level at rank 5 on sf0.01 and rank 7 on
+    sf0.001, so BPE_LEARN_N_MERGES=4 holds with a margin rank). Pin
+    the precondition on BOTH driver SFs so a testdata regeneration
+    that breaks it fails HERE, not in the driver's hash compare — and
+    pin that no corpus word carries the replay placeholder '~'."""
+    from machine_learning_algorithm_sparkml__spark.operators.bpe import (
+        learn_bpe_merges,
+    )
+    from machine_learning_algorithm_sparkml__spark.sources import load_table
+    from machine_learning_algorithm_sparkml__spark.workload.quality import (
+        BPE_LEARN_N_MERGES,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf, "documents")
+        assert docs.filter(F.col("text").contains("~")).count() == 0, sf
+        # one rank PAST the key's setting must still be single-level —
+        # the margin that keeps a small count drift from flipping the
+        # key silently
+        merges = learn_bpe_merges(docs, "text", BPE_LEARN_N_MERGES + 1)
+        assert len(merges) == BPE_LEARN_N_MERGES + 1, sf
+        for left, right in merges:
+            assert len(left) == 1 and len(right) == 1, (sf, merges)
+
+
 def test_decontaminate_exact_substring_drops_verbatim_leaks(spark):
     """The eval-leak scrubber: corpus docs carrying any verbatim
     k-token benchmark window are dropped; paraphrases (same words,
