@@ -164,6 +164,30 @@ FAMILY_KEYS = {
         "multimodal_jpeg_dri_decode",
         "multimodal_jpeg_progressive_decode",
     ],
+    # r16 keys over the same 10x documents build. Claims under test:
+    # exact-substring decontamination scans the corpus ONCE and probes
+    # a broadcast window set — replica renaming keeps windows disjoint
+    # across replicas so contamination density is constant, and cost
+    # must track the corpus scan (~10x), never the corpus-x-benchmark
+    # product; BPE training is ONE distributed word-count aggregate
+    # (the merge loop runs on the bounded distinct-word table, which
+    # renaming inflates 10x but keeps trivially small); the trainer->
+    # inference composition adds the shuffle-free tokenize projection;
+    # the codec/meta keys are per-row encode+decode Arrow kernels
+    # behind the spread exchange — the embarrassingly-parallel shape,
+    # expect ~3x at 10x like their r15 siblings.
+    "r16": [
+        "decontaminate_exact_substring",
+        "text_bpe_learned",
+        "text_bpe_train_tokenize",
+        "multimodal_png_interlaced_decode",
+        "multimodal_png_rgba_decode",
+        "multimodal_jpeg_gray_decode",
+        "multimodal_jpeg12_decode",
+        "multimodal_gif_interlaced_decode",
+        "multimodal_mp4_meta",
+        "multimodal_flac_meta",
+    ],
     # r13 session-2: bounded-window EWMA over 10x events (replica k
     # shifts event_id and user_id, so per-user series stay intact and
     # the user population grows 10x — the organic-telemetry shape).
@@ -395,6 +419,7 @@ def main() -> int:
         "quality2": build_sf1_documents,
         "ingest": build_sf1_documents,
         "r15": build_sf1_documents,
+        "r16": build_sf1_documents,
         "events": build_sf1_events,
     }
     built = set()
