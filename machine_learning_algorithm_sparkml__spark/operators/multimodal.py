@@ -1614,6 +1614,24 @@ def make_jpeg(
                 _code_block(cr_s, my * 8, mx * 8, _Q_CHROMA, 2)
                 _end_mcu(my * (width // 16) + mx, n_mcus)
         sof_comps = bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    elif subsampling == "4:1:1":
+        if width % 32 or height % 8:
+            raise ValueError(
+                "make_jpeg 4:1:1 requires width multiple of 32, height of 8"
+            )
+        # 4x1-mean chroma downsample (exact on horizontally-flat runs;
+        # T.81 §A.2.3 MCU = 4 horizontal Y blocks + Cb + Cr)
+        cb_s = np.round(cb.reshape(height, width // 4, 4).mean(axis=2))
+        cr_s = np.round(cr.reshape(height, width // 4, 4).mean(axis=2))
+        n_mcus = (height // 8) * (width // 32)
+        for my in range(height // 8):
+            for mx in range(width // 32):
+                for h_ in range(4):
+                    _code_block(y, my * 8, (mx * 4 + h_) * 8, _Q_LUMA, 0)
+                _code_block(cb_s, my * 8, mx * 8, _Q_CHROMA, 1)
+                _code_block(cr_s, my * 8, mx * 8, _Q_CHROMA, 2)
+                _end_mcu(my * (width // 32) + mx, n_mcus)
+        sof_comps = bytes([1, 0x41, 0, 2, 0x11, 1, 3, 0x11, 1])
     else:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
 
@@ -1766,14 +1784,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     and YCbCr->RGB. Returns (width, height, pixels) with ``pixels``
     the top-down (height, width*3) uint8 RGB array; images whose
     dimensions are not MCU multiples are decoded MCU-covered then
-    cropped, as the spec requires. Per-component sampling factors up
-    to 2 are supported — 4:4:4, 4:2:0 (what nearly every web JPEG
-    uses), 4:2:2, 4:4:0 — with the T.81 §A.2.3 per-MCU block
-    interleave and nearest-neighbor chroma upsampling. Restart
-    intervals (DRI/RSTn, T.81 §E.1.4 — byte realign, in-sequence
-    marker check, DC predictor reset) are decoded; arithmetic coding,
-    sampling factors beyond 2, and 12-bit precision raise rather than
-    guessing. Progressive (SOF2) dispatches to
+    cropped, as the spec requires. Per-component sampling factors
+    span T.81's full 1..4 range — 4:4:4, 4:2:0 (what nearly every web
+    JPEG uses), 4:2:2, 4:4:0, 4:1:1 — with the T.81 §A.2.3 per-MCU
+    block interleave and nearest-neighbor chroma upsampling
+    (integer-ratio layouts only; a 3-vs-4 factor mix would need
+    fractional resampling and refuses). Restart intervals (DRI/RSTn,
+    T.81 §E.1.4 — byte realign, in-sequence marker check, DC
+    predictor reset) and 12-bit extended-sequential (SOF1) frames are
+    decoded; arithmetic coding raises rather than guessing.
+    Progressive (SOF2) dispatches to
     :func:`decode_jpeg_progressive`."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (bad SOI)")
@@ -1847,11 +1867,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 ch, cv = hv >> 4, hv & 0x0F
-                if ch not in (1, 2) or cv not in (1, 2):
-                    raise ValueError(
-                        "unsupported JPEG variant: sampling factors beyond 2"
-                    )
+                # T.81 B.2.2: Hi/Vi are 1..4; anything else is corrupt
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError("corrupt JPEG sampling factors")
                 comps.append((cid, ch, cv, tq))
+            # nearest-neighbor upsampling needs integer ratios to the
+            # max factor — true of every real layout (4:4:4, 4:2:x,
+            # 4:1:1, 4:4:0...); a 3-vs-4 factor mix would need
+            # fractional resampling and refuses rather than guessing
+            hmax0 = max(ch for _, ch, _, _ in comps)
+            vmax0 = max(cv for _, _, cv, _ in comps)
+            if any(hmax0 % ch or vmax0 % cv for _, ch, cv, _ in comps):
+                raise ValueError(
+                    "unsupported JPEG variant: fractional chroma upsampling"
+                )
             frame = (w, h, comps, prec)
         elif marker == 0xC2:  # SOF2: hand the whole payload to the
             return _decode_jpeg_progressive(payload)  # progressive path
@@ -3550,6 +3579,56 @@ def encode_jpeg12_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                     np.ones((8, 8), dtype=np.int64),
                 )
                 payloads.append(make_jpeg12(w, h, grid))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )
+
+
+def jpeg411_dims(doc_id: int) -> tuple[int, int]:
+    """4:1:1 fixture dimensions: 32/64 wide x 8-32 tall (MCU = 32x8 —
+    four horizontal Y blocks per chroma sample), always a real
+    multi-MCU interleaved scan."""
+    return 32 * (1 + doc_id % 2), 8 * (1 + doc_id % 4)
+
+
+def _jpeg411_mcu_values(doc_id: int, n_mcus: int) -> list[int]:
+    """Per-32x8-MCU portable gray values ('jpeg411:' seed): flat MCU
+    regions survive BOTH loss stages (the 4x1 chroma mean of a flat
+    run is exact; DC quant step 8 divides every flat block), so each
+    MCU contributes 256 pixels x 3 channels x value."""
+    return [
+        int(hashlib.md5(f"jpeg411:{doc_id}:{m}".encode()).hexdigest()[:15], 16) % 256
+        for m in range(n_mcus)
+    ]
+
+
+def encode_jpeg411_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL 4:1:1-subsampled JPEG payloads per row — sampling
+    factor 4, past the old Hi/Vi<=2 bound: the DV/consumer-video
+    layout, T.81's maximum horizontal factor."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = jpeg411_dims(did)
+                vals = _jpeg411_mcu_values(did, (w // 32) * (h // 8))
+                grid = np.array(vals, dtype=np.uint8).reshape(h // 8, w // 32)
+                gray = np.kron(grid, np.ones((8, 32), dtype=np.uint8))
+                rgb = np.repeat(gray[..., None], 3, axis=-1)
+                payloads.append(make_jpeg(w, h, rgb.tobytes(), subsampling="4:1:1"))
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
     out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")

@@ -1626,6 +1626,26 @@ def q_multimodal_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_media(encode_jpeg12_media(docs))
 
 
+def q_multimodal_jpeg411_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED 4:1:1 JPEG decode — sampling factor 4, T.81's
+    maximum and previously a blanket refusal (the DV/consumer-video
+    layout): per-MCU interleave of FOUR horizontal Y blocks + Cb +
+    Cr, 4x1-mean chroma downsample on encode, nearest-neighbor
+    4x-horizontal upsample on decode. Flat 32x8 MCU regions keep the
+    doubly-lossy pipeline bit-exact (the 4:2:0 argument at factor 4),
+    each contributing 256 pixels x 3 channels x value; a 3-vs-4
+    factor mix (fractional resampling) and out-of-range factors still
+    refuse (operators/multimodal.py:make_jpeg subsampling='4:1:1',
+    decode_jpeg). Remaining JPEG refusal: arithmetic coding only."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_jpeg_media,
+        encode_jpeg411_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_jpeg_media(encode_jpeg411_media(docs))
+
+
 def q_multimodal_gif_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-BACKED INTERLACED GIF decode (VERDICT r15 #2) — the
     GIF87a-era progressive layout: rows stored in the spec's four-pass
@@ -1844,6 +1864,7 @@ QUERIES = {
     "multimodal_png_rgba_decode": q_multimodal_png_rgba_decode,
     "multimodal_jpeg_gray_decode": q_multimodal_jpeg_gray_decode,
     "multimodal_jpeg12_decode": q_multimodal_jpeg12_decode,
+    "multimodal_jpeg411_decode": q_multimodal_jpeg411_decode,
     "multimodal_gif_decode": q_multimodal_gif_decode,
     "multimodal_gif_interlaced_decode": q_multimodal_gif_interlaced_decode,
     "multimodal_mp4_meta": q_multimodal_mp4_meta,
@@ -3421,6 +3442,25 @@ ORACLE = {
         )
         SELECT doc_id, width, height,
                CAST(SUM(((CAST('0x' || substr(md5('jpeg12:' || doc_id || ':' || b), 1, 15) AS BIGINT) % 4096) // 16) * 192) AS BIGINT) AS pixel_sum
+        FROM blocks
+        GROUP BY doc_id, width, height
+    """,
+    # 4:1:1 replay: flat 32x8 MCU regions survive both loss stages
+    # (4x1 chroma mean of a flat run is exact; DC quant 8 divides
+    # every flat block), so each MCU contributes 256 px x 3 x value
+    "multimodal_jpeg411_decode": """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(32 * (1 + doc_id % 2) AS INTEGER) AS width,
+                   CAST(8 * (1 + doc_id % 4) AS INTEGER) AS height
+            FROM documents
+        ), blocks AS (
+            SELECT doc_id, width, height,
+                   unnest(range(0, (width // 32) * (height // 8))) AS m
+            FROM dims
+        )
+        SELECT doc_id, width, height,
+               CAST(SUM((CAST('0x' || substr(md5('jpeg411:' || doc_id || ':' || m), 1, 15) AS BIGINT) % 256) * 768) AS BIGINT) AS pixel_sum
         FROM blocks
         GROUP BY doc_id, width, height
     """,

@@ -2421,6 +2421,53 @@ def test_jpeg_12bit_extended_sequential():
         decode_jpeg(as_sof0)
 
 
+def test_jpeg_411_sampling_factor_four():
+    """4:1:1 subsampling — sampling factor 4, T.81's maximum (the DV
+    layout), past the old Hi/Vi<=2 refusal: four horizontal Y blocks
+    per MCU, 4x1 chroma mean/upsample. Flat 32x8 MCUs are bit-exact
+    through both loss stages; restart intervals compose; GRAY nonflat
+    content (chroma flat at 128) bounds to luma quantization error;
+    fractional factor mixes and out-of-range factors refuse."""
+    import numpy as np
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_jpeg,
+        make_jpeg,
+    )
+
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 256, (2, 2))
+    gray = np.kron(vals, np.ones((8, 32), np.int64)).astype(np.uint8)
+    rgb = np.repeat(gray[..., None], 3, -1)
+    w, h = 64, 16
+    w2, h2, out = decode_jpeg(make_jpeg(w, h, rgb.tobytes(), subsampling="4:1:1"))
+    assert (w2, h2) == (w, h) and np.array_equal(out, rgb.reshape(h, w * 3))
+    _, _, out2 = decode_jpeg(
+        make_jpeg(w, h, rgb.tobytes(), subsampling="4:1:1", restart_interval=2)
+    )
+    assert np.array_equal(out2, out)
+    # nonflat GRAY content: chroma is flat (128), so the error is the
+    # luma quantization bound
+    g2 = rng.integers(0, 256, (8, 32)).astype(np.uint8)
+    rgb2 = np.repeat(g2[..., None], 3, -1)
+    _, _, o3 = decode_jpeg(make_jpeg(32, 8, rgb2.tobytes(), subsampling="4:1:1"))
+    err = np.abs(o3.reshape(8, 32, 3)[:, :, 0].astype(int) - g2.astype(int)).max()
+    assert err <= 40
+    # refusals: 3-vs-4 mix needs fractional resampling; Hi=5 is out of
+    # the T.81 1..4 range entirely
+    p = make_jpeg(32, 8, bytes(32 * 8 * 3), subsampling="4:1:1")
+    sof_at = p.find(b"\xff\xc0")
+    mix = bytearray(p)
+    mix[sof_at + 14] = 0x31  # Cb Hi=3 under Y Hi=4
+    with pytest.raises(ValueError, match="fractional chroma upsampling"):
+        decode_jpeg(bytes(mix))
+    oob = bytearray(p)
+    oob[sof_at + 11] = 0x51  # Y Hi=5
+    with pytest.raises(ValueError, match="corrupt JPEG sampling factors"):
+        decode_jpeg(bytes(oob))
+
+
 def test_gif_interlaced_roundtrip():
     """Interlaced GIF (the GIF87a-era progressive layout): rows stored
     in the spec's four-pass order de-interlace back to the exact

@@ -757,6 +757,7 @@ def test_codec_fuzz_single_byte_corruption_contract():
         (decode_jpeg, make_jpeg(24, 16, px24, restart_interval=2)),
         (decode_jpeg, make_jpeg_progressive(24, 16, px24)),
         (decode_jpeg, make_jpeg12(24, 16, rng.integers(0, 4096, (16, 24)))),
+        (decode_jpeg, make_jpeg(32, 8, bytes(rng.integers(0, 256, 32 * 8 * 3).astype(np.uint8)), subsampling="4:1:1")),
         (decode_png, make_png(6, 5, bytes(rng.integers(0, 256, 6 * 5 * 3).astype(np.uint8)))),
         (decode_png, make_png_palette(6, 5, bytes(rng.integers(0, 256, 30).astype(np.uint8)), _png8_palette())),
         (decode_gif, make_gif(6, 5, bytes(rng.integers(0, 256, 30).astype(np.uint8)))),

@@ -184,6 +184,7 @@ FAMILY_KEYS = {
         "multimodal_png_rgba_decode",
         "multimodal_jpeg_gray_decode",
         "multimodal_jpeg12_decode",
+        "multimodal_jpeg411_decode",
         "multimodal_gif_interlaced_decode",
         "multimodal_mp4_meta",
         "multimodal_flac_meta",
