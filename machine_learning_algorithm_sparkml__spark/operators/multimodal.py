@@ -3641,3 +3641,242 @@ def encode_jpeg411_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
             F.sha2("payload", 256).alias("sha256"),
         ).alias("media_meta"),
     )
+
+
+#: Output schema of the audio quality-stats projection.
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, sum_sq long, peak_abs int, "
+    "n_zero_crossings int, n_clipped int"
+)
+
+
+def audio_stats_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Per-file audio QUALITY statistics over the real WAV decode —
+    the filter pass an audio-training pipeline runs before anything
+    else (silence, clipping, and level screening): energy as the
+    EXACT integer sum of squares (RMS is sqrt(sum_sq/n) downstream —
+    the sqrt stays out of the comparable projection so every cell is
+    integer), peak absolute amplitude, zero-crossing count (the
+    cheapest spectral proxy; sign change = (prev<0) != (cur<0), zeros
+    counted nonnegative), and samples pinned at full scale (±32767/
+    -32768 — the clipping witness). Bytes and samples stay
+    executor-side; six ints per file cross to the JVM."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in (
+                "sample_rate", "n_samples", "sum_sq", "peak_abs",
+                "n_zero_crossings", "n_clipped",
+            )}
+            for payload in pdf["payload"]:
+                rate, s = decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                neg = s64 < 0
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(s64))
+                rows["sum_sq"].append(int((s64 * s64).sum()))
+                rows["peak_abs"].append(int(np.abs(s64).max(initial=0)))
+                rows["n_zero_crossings"].append(int((neg[1:] != neg[:-1]).sum()))
+                rows["n_clipped"].append(
+                    int(((s64 == 32767) | (s64 == -32768)).sum())
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], **rows})
+
+    return df.mapInPandas(_stats, schema=AUDIO_STATS_SCHEMA)
+
+
+# --- EXIF (APP1/TIFF IFD) metadata — the crawl-real image metadata walk --------
+
+#: Output schema of the EXIF metadata walk.
+EXIF_META_SCHEMA = (
+    "doc_id long, byte_order string, orientation int, make string, datetime string"
+)
+
+
+def make_exif_app1(
+    *, byte_order: str, orientation: int, make: str, datetime_str: str
+) -> bytes:
+    """Serialize a REAL Exif APP1 segment: 'Exif\\0\\0' identifier, a
+    TIFF header in the requested byte order ('II' little- or 'MM'
+    big-endian — both occur in real crawls), and IFD0 with three
+    entries in ascending-tag order (the TIFF requirement): Make
+    (0x010F, ASCII, stored at an offset), Orientation (0x0112, SHORT,
+    inline left-justified in the 4-byte value slot per the spec), and
+    DateTime (0x0132, ASCII 20 bytes, at an offset)."""
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    e = "<" if byte_order == "II" else ">"
+    make_b = make.encode() + b"\x00"
+    dt_b = datetime_str.encode() + b"\x00"
+    if len(dt_b) != 20:
+        raise ValueError("Exif DateTime must be 19 chars + NUL")
+    # header(8) + count(2) + 3 entries(36) + next-IFD(4) = value area at 50
+    make_off = 50
+    dt_off = make_off + len(make_b)
+
+    def entry(tag: int, typ: int, count: int, value4: bytes) -> bytes:
+        return struct.pack(f"{e}HHI", tag, typ, count) + value4
+
+    tiff = (
+        (b"II\x2a\x00" if e == "<" else b"MM\x00\x2a")
+        + struct.pack(f"{e}I", 8)
+        + struct.pack(f"{e}H", 3)
+        + entry(0x010F, 2, len(make_b), struct.pack(f"{e}I", make_off))
+        # SHORT values shorter than 4 bytes sit left-justified in the
+        # value slot (T.6 / TIFF 6.0 §2): 2 value bytes then padding
+        + entry(0x0112, 3, 1, struct.pack(f"{e}H", orientation) + b"\x00\x00")
+        + entry(0x0132, 2, len(dt_b), struct.pack(f"{e}I", dt_off))
+        + struct.pack(f"{e}I", 0)  # no next IFD
+        + make_b
+        + dt_b
+    )
+    body = b"Exif\x00\x00" + tiff
+    return bytes([0xFF, 0xE1]) + struct.pack(">H", len(body) + 2) + body
+
+
+def insert_exif(jpeg: bytes, app1: bytes) -> bytes:
+    """Splice an APP1 segment into a JPEG right after SOI (APPn order
+    is free in practice; Exif says APP1 first, which this satisfies)."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (bad SOI)")
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def parse_exif(payload: bytes) -> tuple[str, int, str, str]:
+    """REAL Exif walk: find the APP1 'Exif' segment in the JPEG marker
+    stream, then parse the embedded TIFF — byte-order mark (II/MM),
+    magic 42, IFD0 entry table — honoring inline-vs-offset value
+    storage, and return (byte_order, orientation, make, datetime).
+    Malformed TIFF structure (bad magic, truncated IFD, out-of-bounds
+    value offsets) or a missing Exif segment refuse with ValueError —
+    the corrupt-crawl contract of every parser in this module."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (bad SOI)")
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync while scanning for Exif")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment while scanning for Exif")
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            break
+        if marker == 0xDA:
+            break  # entropy data: no Exif before the scan means none
+        pos += 2 + seglen
+    if tiff is None:
+        raise ValueError("JPEG payload carries no Exif APP1 segment")
+    if tiff[:4] == b"II\x2a\x00":
+        e, order = "<", "II"
+    elif tiff[:4] == b"MM\x00\x2a":
+        e, order = ">", "MM"
+    else:
+        raise ValueError("corrupt Exif TIFF header")
+    (ifd_off,) = struct.unpack(f"{e}I", tiff[4:8])
+    if ifd_off + 2 > len(tiff):
+        raise ValueError("Exif IFD offset out of bounds")
+    (n,) = struct.unpack(f"{e}H", tiff[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + 12 * n + 4 > len(tiff):
+        raise ValueError("truncated Exif IFD entry table")
+
+    def ascii_value(count: int, value4: bytes) -> str:
+        if count <= 4:
+            raw = value4[:count]
+        else:
+            (off,) = struct.unpack(f"{e}I", value4)
+            if off + count > len(tiff):
+                raise ValueError("Exif ASCII value offset out of bounds")
+            raw = tiff[off : off + count]
+        return raw.rstrip(b"\x00").decode("latin-1")
+
+    orientation = None
+    make = None
+    dt = None
+    for k in range(n):
+        at = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack(f"{e}HHI", tiff[at : at + 8])
+        value4 = tiff[at + 8 : at + 12]
+        if tag == 0x0112 and typ == 3:
+            (orientation,) = struct.unpack(f"{e}H", value4[:2])
+        elif tag == 0x010F and typ == 2:
+            make = ascii_value(count, value4)
+        elif tag == 0x0132 and typ == 2:
+            dt = ascii_value(count, value4)
+    if orientation is None or make is None or dt is None:
+        raise ValueError("Exif IFD0 is missing Make/Orientation/DateTime")
+    return order, orientation, make, dt
+
+
+def exif_params(doc_id: int) -> dict:
+    """Per-doc closed-form Exif fixture: alternating byte order, the
+    full 1-8 orientation range, and residue-derived camera/date
+    fields the oracle can state directly."""
+    return {
+        "byte_order": "II" if doc_id % 2 == 0 else "MM",
+        "orientation": 1 + doc_id % 8,
+        "make": f"cam{doc_id % 23}",
+        "datetime_str": (
+            f"2026:08:{1 + doc_id % 28:02d} "
+            f"{doc_id % 24:02d}:{doc_id % 60:02d}:{(doc_id * 7) % 60:02d}"
+        ),
+    }
+
+
+def encode_jpeg_exif_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL Exif-bearing JPEGs per row: the smallest valid
+    baseline JPEG (one flat 8x8 block) carrying an APP1 TIFF IFD in
+    alternating byte order — the payload both decode_jpeg (which must
+    SKIP the APP1) and parse_exif (which must walk it) accept."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = make_jpeg(8, 8, bytes([128]) * (8 * 8 * 3))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                payloads.append(
+                    insert_exif(base, make_exif_app1(**exif_params(int(did))))
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )
+
+
+def parse_exif_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched Exif walk to the oracle-comparable projection."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = [parse_exif(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "byte_order": [r[0] for r in rows],
+                    "orientation": [r[1] for r in rows],
+                    "make": [r[2] for r in rows],
+                    "datetime": [r[3] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(_parse, schema=EXIF_META_SCHEMA)

@@ -25,13 +25,14 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # least-recently-verified keys FIRST each round. Round-16 window, per
 # VERDICT r15 "Next round" #1/#2/#5/#7: (1) multimodal_meta — the one
 # r10-stale key, slipped from the r15 window (VERDICT #1 names it the
-# window head); (2) the 11 keys NEW this round, never driver-checked
+# window head); (2) the 13 keys NEW this round, never driver-checked
 # (exact-substring decontamination, BPE trainer + trainer→inference
 # composition, the six staged codec surfaces — interlaced/RGBA PNG,
 # gray JPEG, interlaced GIF, MP4 container meta, FLAC STREAMINFO —
-# and the 12-bit SOF1 + 4:1:1 JPEG decodes that close VERDICT #8);
-# (3) the first 38 keys of the 50-key r11-stale block (VERDICT #5).
-# The last 12 of the r11 block (all low-risk oracle-backed SQL/set-op
+# the 12-bit SOF1 + 4:1:1 JPEG decodes that close VERDICT #8, and
+# the Exif-walk + audio-stats surfaces);
+# (3) the first 36 keys of the 50-key r11-stale block (VERDICT #5).
+# The last 14 of the r11 block (all low-risk oracle-backed SQL/set-op
 # keys) slip to the tail and head the r17 window. Regenerate the
 # staleness table with `python tools/staleness.py` after each round's
 # CORRECTNESS file lands.
@@ -39,7 +40,7 @@ PRIORITY_KEYS = [
     # --- r16 window (50 slots; driver records indices 0-49) ---
     # Slot 0: the r10-stale slip (VERDICT r15 #1 head):
     "multimodal_meta",
-    # Slots 1-11: the 11 keys NEW this round, never driver-checked:
+    # Slots 1-13: the 13 keys NEW this round, never driver-checked:
     "decontaminate_exact_substring",
     "text_bpe_learned",
     "text_bpe_train_tokenize",
@@ -51,7 +52,9 @@ PRIORITY_KEYS = [
     "multimodal_gif_interlaced_decode",
     "multimodal_mp4_meta",
     "multimodal_flac_meta",
-    # Slots 12-49: the first 38 keys of the r11-stale block in
+    "multimodal_wav_stats",
+    "multimodal_exif_meta",
+    # Slots 14-49: the first 36 keys of the r11-stale block in
     # staleness order (VERDICT r15 #5):
     "agg_count",
     "agg_cube",
@@ -89,10 +92,10 @@ PRIORITY_KEYS = [
     "simsearch_brp",
     "simsearch_ivf",
     "simsearch_lsh",
+    # --- slip tail (positions 50-63): the last 14 of the r11 block,
+    # displaced by the new-key slots; they head the r17 window ---
     "simsearch_pq",
     "sink_csv",
-    # --- slip tail (positions 50-61): the last 12 of the r11 block,
-    # displaced by the new-key slots; they head the r17 window ---
     "sink_orc",
     "sort_limit_topk",
     "sql_collation_ci",

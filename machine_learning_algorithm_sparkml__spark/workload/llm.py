@@ -1705,6 +1705,44 @@ def q_multimodal_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_flac_media(encode_flac_media(docs))
 
 
+def q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED audio QUALITY statistics over the real WAV decode
+    — the screening pass an audio pipeline runs first (silence /
+    clipping / level): exact integer sum of squares (energy), peak
+    absolute amplitude, zero-crossing count, and full-scale-pinned
+    sample count, all replayed by DuckDB from the portable 'wav:'
+    sample fixture (crossings via a lag window; every cell integer —
+    RMS's sqrt stays out of the comparable projection)
+    (operators/multimodal.py:audio_stats_media, decode_wav)."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        audio_stats_media,
+        encode_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return audio_stats_media(encode_wav_media(docs))
+
+
+def q_multimodal_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED Exif metadata walk — the image metadata a crawl
+    pipeline reads before any pixel work (orientation for correct
+    rotation, camera make, capture time): a REAL APP1 'Exif' segment
+    carrying a TIFF IFD in ALTERNATING byte order (II/MM both occur in
+    real crawls), inline SHORT values and offset-stored ASCII values
+    per TIFF 6.0, parsed from a JPEG the image decoder also accepts
+    (decode_jpeg skips the APP1; parse_exif walks it — the same bytes
+    serve both paths). Fixture fields are closed-form doc_id residues
+    so the oracle states the expected tuple
+    (operators/multimodal.py:make_exif_app1, parse_exif)."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        encode_jpeg_exif_media,
+        parse_exif_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return parse_exif_media(encode_jpeg_exif_media(docs))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: Arrow-batched feature-extraction stub. The feature
     vector is summarized to scalar columns (dim / L1 norm / first slot)
@@ -1854,6 +1892,8 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_wav_decode": q_multimodal_wav_decode,
+    "multimodal_wav_stats": q_multimodal_wav_stats,
+    "multimodal_exif_meta": q_multimodal_exif_meta,
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_jpeg_dri_decode": q_multimodal_jpeg_dri_decode,
@@ -3560,6 +3600,45 @@ ORACLE = {
         SELECT doc_id, sample_rate, n_samples,
                CAST(SUM(CAST('0x' || substr(md5('wav:' || doc_id || ':' || i), 1, 15) AS BIGINT) % 65536 - 32768) AS BIGINT) AS amp_sum
         FROM sm
+        GROUP BY doc_id, sample_rate, n_samples
+    """,
+    # Exif replay: fixture fields are closed-form residues; the oracle
+    # STATES the tuple the TIFF IFD walk must recover through both
+    # byte orders (the text_html_extract pattern)
+    "multimodal_exif_meta": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+               CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+               'cam' || CAST(doc_id % 23 AS VARCHAR) AS make,
+               printf('2026:08:%02d %02d:%02d:%02d',
+                      1 + doc_id % 28, doc_id % 24, doc_id % 60,
+                      (doc_id * 7) % 60) AS datetime
+        FROM documents
+    """,
+    # audio-stats replay: every statistic is exact-integer over the
+    # regenerated portable samples (crossings via a LAG window; the
+    # RMS sqrt deliberately stays out of the comparable projection)
+    "multimodal_wav_stats": """
+        WITH params AS (
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+                   CAST(40 + doc_id % 17 AS INTEGER) AS n_samples
+            FROM documents
+        ), sm AS (
+            SELECT doc_id, sample_rate, n_samples, i,
+                   CAST('0x' || substr(md5('wav:' || doc_id || ':' || i), 1, 15) AS BIGINT) % 65536 - 32768 AS v
+            FROM params, unnest(range(0, n_samples)) AS u(i)
+        ), lagd AS (
+            SELECT doc_id, sample_rate, n_samples, v,
+                   LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+            FROM sm
+        )
+        SELECT doc_id, sample_rate, n_samples,
+               CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+               CAST(MAX(ABS(v)) AS INTEGER) AS peak_abs,
+               CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0)) THEN 1 ELSE 0 END) AS INTEGER) AS n_zero_crossings,
+               CAST(SUM(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END) AS INTEGER) AS n_clipped
+        FROM lagd
         GROUP BY doc_id, sample_rate, n_samples
     """,
     # sha256-derived stub decode/features are fully SQL-expressible:

@@ -2468,6 +2468,71 @@ def test_jpeg_411_sampling_factor_four():
         decode_jpeg(bytes(oob))
 
 
+def test_exif_tiff_ifd_walk_both_endians():
+    """Exif APP1/TIFF IFD walk: both byte orders round-trip, inline
+    SHORT and offset ASCII storage both parse, the Exif-bearing JPEG
+    still image-decodes (APP1 skipped), and malformed structure
+    refuses (missing segment, corrupt TIFF magic, out-of-bounds value
+    offset)."""
+    import struct
+
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_jpeg,
+        exif_params,
+        insert_exif,
+        make_exif_app1,
+        make_jpeg,
+        parse_exif,
+    )
+
+    base = make_jpeg(8, 8, bytes([128]) * 192)
+    for did in (0, 1, 7, 22, 459):
+        p = exif_params(did)
+        payload = insert_exif(base, make_exif_app1(**p))
+        assert parse_exif(payload) == (
+            p["byte_order"], p["orientation"], p["make"], p["datetime_str"]
+        )
+        assert decode_jpeg(payload)[:2] == (8, 8)  # APP1 skipped
+    with pytest.raises(ValueError, match="no Exif APP1"):
+        parse_exif(base)
+    good = insert_exif(base, make_exif_app1(**exif_params(0)))
+    tiff_at = good.find(b"Exif\x00\x00") + 6
+    bad_magic = bytearray(good)
+    bad_magic[tiff_at] = 0x58
+    with pytest.raises(ValueError, match="corrupt Exif TIFF header"):
+        parse_exif(bytes(bad_magic))
+    # out-of-bounds ASCII offset: point the Make entry past the TIFF
+    bad_off = bytearray(good)
+    make_entry_at = tiff_at + 10  # header(8) + count(2) -> first entry
+    bad_off[make_entry_at + 8 : make_entry_at + 12] = struct.pack("<I", 1 << 20)
+    with pytest.raises(ValueError, match="offset out of bounds"):
+        parse_exif(bytes(bad_off))
+
+
+def test_audio_stats_exact_math():
+    """The audio quality statistics match a direct numpy computation
+    on the decoded samples, including a planted clipped/crossing
+    pattern."""
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        decode_wav,
+        make_wav,
+    )
+
+    s = np.array([0, 5, -3, 32767, -32768, 0, -1, 1], dtype=np.int16)
+    rate, out = decode_wav(make_wav(8000, s))
+    assert rate == 8000 and np.array_equal(out, s)
+    s64 = out.astype(np.int64)
+    assert int((s64 * s64).sum()) == 25 + 9 + 32767**2 + 32768**2 + 1 + 1
+    neg = s64 < 0
+    # crossings: 5->-3, -3->32767, 32767->-32768, -32768->0, 0->-1, -1->1
+    assert int((neg[1:] != neg[:-1]).sum()) == 6
+    assert int(((s64 == 32767) | (s64 == -32768)).sum()) == 2
+
+
 def test_gif_interlaced_roundtrip():
     """Interlaced GIF (the GIF87a-era progressive layout): rows stored
     in the spec's four-pass order de-interlace back to the exact

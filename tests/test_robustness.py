@@ -739,7 +739,10 @@ def test_codec_fuzz_single_byte_corruption_contract():
         decode_jpeg,
         decode_png,
         decode_wav,
+        exif_params,
+        insert_exif,
         make_bmp,
+        make_exif_app1,
         make_gif,
         make_jpeg,
         make_jpeg12,
@@ -747,6 +750,7 @@ def test_codec_fuzz_single_byte_corruption_contract():
         make_png,
         make_png_palette,
         make_wav,
+        parse_exif,
     )
 
     rng = np.random.default_rng(5)
@@ -763,6 +767,9 @@ def test_codec_fuzz_single_byte_corruption_contract():
         (decode_gif, make_gif(6, 5, bytes(rng.integers(0, 256, 30).astype(np.uint8)))),
         (decode_bmp, make_bmp(6, 5, bytes(rng.integers(0, 256, 6 * 5 * 3).astype(np.uint8)))),
         (decode_wav, make_wav(8000, samples)),
+        (parse_exif, insert_exif(
+            make_jpeg(8, 8, bytes([128]) * 192), make_exif_app1(**exif_params(3))
+        )),
     ]
     r = random.Random(99)
     for decode, payload in cases:

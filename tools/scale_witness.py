@@ -188,6 +188,8 @@ FAMILY_KEYS = {
         "multimodal_gif_interlaced_decode",
         "multimodal_mp4_meta",
         "multimodal_flac_meta",
+        "multimodal_wav_stats",
+        "multimodal_exif_meta",
     ],
     # r13 session-2: bounded-window EWMA over 10x events (replica k
     # shifts event_id and user_id, so per-user series stay intact and
