@@ -3880,3 +3880,40 @@ def parse_exif_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(_parse, schema=EXIF_META_SCHEMA)
+
+
+def encode_png_twin_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """PNG payload builder for the image-dedup key: rows with
+    doc_id >= 40M are PLANTED NEAR-DUP TWINS of doc_id - 40M — the
+    SAME pixel fixture with the first byte shifted by +48 (mod 256),
+    i.e. a slightly-edited re-encode of the same picture. One changed
+    pixel moves at most the three row-0 dHash bits whose sample grid
+    touches x=0, so every twin pair sits within Hamming 3 of its
+    original BY CONSTRUCTION — inside both the operator threshold and
+    the pigeonhole band guarantee."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                orig = did - 40_000_000 if did >= 40_000_000 else did
+                w, h = png_dims(orig)
+                px = bytearray(_png_pixel_bytes(orig, w * h * 3))
+                if did >= 40_000_000:
+                    px[0] = (px[0] + 48) % 256
+                payloads.append(make_png(w, h, bytes(px)))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )

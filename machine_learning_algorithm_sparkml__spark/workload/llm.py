@@ -1743,6 +1743,37 @@ def q_multimodal_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_exif_media(encode_jpeg_exif_media(docs))
 
 
+def q_multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED perceptual IMAGE near-dup — the multimodal
+    counterpart of the text dedup suite, composed end to end through
+    REAL codecs: every doc becomes a real PNG, every 37th doc also
+    plants a slightly-edited twin (same picture, first pixel byte
+    shifted — the re-encode/edit a byte hash cannot see), payloads
+    decode through the from-scratch PNG path, dHash-64 per image
+    (9x8 nearest-neighbor grayscale grid, horizontal gradient bits),
+    then SimHash-style 4x16-bit band bucketing with an exact
+    bit_count(XOR) <= 3 verify. max_hamming=3 < 4 bands makes banding
+    provably cost-only by pigeonhole, so DuckDB verifies against TRUE
+    all-pairs Hamming over the regenerated fixture — candidate
+    generation needs no replay (the dedup_simhash rule)
+    (operators/imagededup.py, operators/multimodal.py:
+    encode_png_twin_media)."""
+    from machine_learning_algorithm_sparkml__spark.operators.imagededup import (
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        encode_png_twin_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    twins = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + F.lit(40_000_000)).alias("doc_id")
+    )
+    corpus = docs.unionAll(twins)
+    return dhash_near_dup_pairs(image_dhash(encode_png_twin_media(corpus)))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: Arrow-batched feature-extraction stub. The feature
     vector is summarized to scalar columns (dim / L1 norm / first slot)
@@ -1894,6 +1925,7 @@ QUERIES = {
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_wav_stats": q_multimodal_wav_stats,
     "multimodal_exif_meta": q_multimodal_exif_meta,
+    "multimodal_dhash_neardup": q_multimodal_dhash_neardup,
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_jpeg_dri_decode": q_multimodal_jpeg_dri_decode,
@@ -3601,6 +3633,45 @@ ORACLE = {
                CAST(SUM(CAST('0x' || substr(md5('wav:' || doc_id || ':' || i), 1, 15) AS BIGINT) % 65536 - 32768) AS BIGINT) AS amp_sum
         FROM sm
         GROUP BY doc_id, sample_rate, n_samples
+    """,
+    # dHash image-dedup replay: banding is provably cost-only
+    # (max_hamming 3 < 4 bands — pigeonhole), so the oracle verifies
+    # TRUE all-pairs Hamming over dHash bits regenerated from the
+    # pixel fixture (grayscale, 9x8 nearest-neighbor grid, gradient
+    # bits); twins re-derive the ORIGINAL doc's pixels with byte 0
+    # shifted +48
+    "multimodal_dhash_neardup": """
+        WITH corpus AS (
+            SELECT doc_id AS id, doc_id AS orig, FALSE AS pert FROM documents
+            UNION ALL
+            SELECT doc_id + 40000000, doc_id, TRUE FROM documents WHERE doc_id % 37 = 0
+        ), dims AS (
+            SELECT id, orig, pert,
+                   CAST(4 + orig % 5 AS BIGINT) AS w,
+                   CAST(5 + orig % 4 AS BIGINT) AS h
+            FROM corpus
+        ), grid AS (
+            SELECT id, orig, pert, r, c,
+                   ((r * h) // 8) * w + ((c * w) // 9) AS p
+            FROM dims, unnest(range(0, 8)) AS tr(r), unnest(range(0, 9)) AS tc(c)
+        ), gray AS (
+            SELECT id, r, c,
+                   ((CASE WHEN pert AND p = 0
+                          THEN (CAST('0x' || substr(md5('png:' || orig || ':' || 0), 1, 15) AS BIGINT) % 256 + 48) % 256
+                          ELSE CAST('0x' || substr(md5('png:' || orig || ':' || (3*p)), 1, 15) AS BIGINT) % 256 END)
+                    + CAST('0x' || substr(md5('png:' || orig || ':' || (3*p+1)), 1, 15) AS BIGINT) % 256
+                    + CAST('0x' || substr(md5('png:' || orig || ':' || (3*p+2)), 1, 15) AS BIGINT) % 256) // 3 AS g
+            FROM grid
+        ), bits AS (
+            SELECT a.id, a.r, a.c, CAST(a.g > b.g AS INTEGER) AS bit
+            FROM gray a JOIN gray b ON a.id = b.id AND a.r = b.r AND b.c = a.c + 1
+            WHERE a.c < 8
+        )
+        SELECT x.id AS id_a, y.id AS id_b,
+               CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+        FROM bits x JOIN bits y ON x.r = y.r AND x.c = y.c AND x.id < y.id
+        GROUP BY 1, 2
+        HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 3
     """,
     # Exif replay: fixture fields are closed-form residues; the oracle
     # STATES the tuple the TIFF IFD walk must recover through both

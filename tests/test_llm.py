@@ -2468,6 +2468,69 @@ def test_jpeg_411_sampling_factor_four():
         decode_jpeg(bytes(oob))
 
 
+def test_dhash_image_neardup(spark):
+    """Perceptual image dedup: dHash-64 is invariant to nearest-
+    neighbor upscaling of the same picture (the resize a re-encode
+    pipeline applies), sensitive to different pictures, the planted
+    single-pixel edit stays within Hamming 3 (only row-0/x=0 sample
+    bits can move), and the band join finds exactly the all-pairs
+    Hamming<=3 truth (pigeonhole: 3 differing bits cannot touch all 4
+    bands)."""
+    import numpy as np
+
+    from machine_learning_algorithm_sparkml__spark.operators.imagededup import (
+        dhash64,
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        _png_pixel_bytes,
+        encode_png_twin_media,
+        png_dims,
+    )
+
+    rng = np.random.default_rng(23)
+    # scale-invariance: the same image at 1x and 3x nearest-neighbor
+    # upscale hashes IDENTICALLY (the grid samples the same texels)
+    base = rng.integers(0, 256, (8, 9, 3)).astype(np.uint8)
+    up = np.kron(base, np.ones((3, 3, 1), dtype=np.uint8))
+    h1 = dhash64(base.reshape(8, 27), 9, 8)
+    h2 = dhash64(up.reshape(24, 81), 27, 24)
+    assert h1 == h2
+    # a different picture lands far away
+    other = rng.integers(0, 256, (8, 9, 3)).astype(np.uint8)
+    h3 = dhash64(other.reshape(8, 27), 9, 8)
+    assert bin((h1 ^ h3) & ((1 << 64) - 1)).count("1") > 3
+    # planted twin edit moves at most 3 bits, whatever the doc
+    for did in (0, 37, 74, 296):
+        w, hh = png_dims(did)
+        px = _png_pixel_bytes(did, w * hh * 3)
+        tw = bytearray(px)
+        tw[0] = (tw[0] + 48) % 256
+        a = dhash64(np.frombuffer(px, np.uint8).reshape(hh, w * 3), w, hh)
+        b = dhash64(np.frombuffer(bytes(tw), np.uint8).reshape(hh, w * 3), w, hh)
+        assert bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 3
+    # Spark path: band join == all-pairs truth on a small corpus
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    twins = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id")
+    )
+    hashes = image_dhash(encode_png_twin_media(docs.unionAll(twins)))
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in dhash_near_dup_pairs(hashes).collect()
+    )
+    hs = {r.doc_id: r.dhash for r in hashes.collect()}
+    ks = sorted(hs)
+    truth = sorted(
+        (a, b, bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ks)
+        for b in ks[i + 1 :]
+        if bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    )
+    assert got == truth and any(b - a == 40_000_000 for a, b, _ in got)
+
+
 def test_exif_tiff_ifd_walk_both_endians():
     """Exif APP1/TIFF IFD walk: both byte orders round-trip, inline
     SHORT and offset ASCII storage both parse, the Exif-bearing JPEG
