@@ -349,3 +349,33 @@ def html_links(html: Column) -> Column:
         texts,
         lambda h, t: F.struct(h.alias("href"), html_unescape(t).alias("anchor")),
     )
+
+
+#: Mojibake detector: 'Ã' (the latin1 reading of UTF-8 lead byte C3)
+#: followed by a character in U+0080-00BF — the latin1 reading of a
+#: UTF-8 CONTINUATION byte (80-BF). That pair is the signature of
+#: UTF-8 text decoded as ISO-8859-1 and re-encoded (the most common
+#: crawl encoding damage: 'café' reads 'cafÃ©'); organic text never
+#: puts a continuation-range character after 'Ã'.
+MOJIBAKE_PATTERN = "Ã[\u0080-\u00bf]"
+
+
+def repair_mojibake(text: Column) -> Column:
+    """Repair DOUBLE-ENCODED UTF-8 (mojibake): text that went
+    utf8-bytes → decoded-as-latin1 → stored, so 'café' reads 'cafÃ©'.
+    The repair is the true inverse — re-encode the damaged string as
+    ISO-8859-1 (recovering the original UTF-8 bytes, exact because
+    latin1 maps code points 0-255 to themselves) and decode as UTF-8 —
+    applied ONLY when the mojibake signature is present: undamaged
+    text must pass through byte-identical, and ASCII round-trips
+    either way. Entirely JVM-side (encode/decode/rlike), shuffle-free
+    — the projection shape of a first-pass crawl cleanup at 100 TB."""
+    raw = F.coalesce(text, F.lit(""))
+    return F.when(
+        raw.rlike(MOJIBAKE_PATTERN), F.decode(F.encode(raw, "ISO-8859-1"), "UTF-8")
+    ).otherwise(raw)
+
+
+def is_mojibake(text: Column) -> Column:
+    """TRUE iff the mojibake signature is present (the repair gate)."""
+    return F.coalesce(text, F.lit("")).rlike(MOJIBAKE_PATTERN)

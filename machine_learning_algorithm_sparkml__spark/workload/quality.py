@@ -191,6 +191,40 @@ def q_text_bpe_train_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_tokenize(docs, "doc_id", "text", merges)
 
 
+def q_text_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake (double-encoded UTF-8) repair — the crawl cleanup pass
+    that fixes 'cafÃ©' back to 'café': every 41st doc plants damaged
+    text (three UTF-8-as-latin1 sequences appended); the operator
+    detects the continuation-byte signature and applies the TRUE
+    inverse transform (re-encode as ISO-8859-1, decode as UTF-8 —
+    functions/text.py:repair_mojibake), passing undamaged text through
+    byte-identical. The oracle replays the repair as targeted
+    replaces, exact because the planted damage is the only non-ASCII
+    content (ASCII bytes are fixed points of both transforms).
+    Shuffle-free JVM projection."""
+    from machine_learning_algorithm_sparkml__spark.functions.text import (
+        is_mojibake,
+        repair_mojibake,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.col("doc_id") % 41 == 0
+    raw = F.when(
+        planted,
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" cafÃ© mÃ¼nchen espaÃ±ol"),
+        ),
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+    fixed = repair_mojibake(raw)
+    return docs.select(
+        "doc_id",
+        fixed.alias("fixed_text"),
+        is_mojibake(raw).alias("was_mojibake"),
+        (F.length(raw) - F.length(fixed)).alias("n_repaired"),
+    )
+
+
 def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy per-source token-budget mixture construction
     (operators/lm.py: token_budget_mixture): premium sources
@@ -456,6 +490,7 @@ QUERIES = {
     "text_bpe_train_tokenize": q_text_bpe_train_tokenize,
     "mixture_token_budget_bpe": q_mixture_token_budget_bpe,
     "text_normalize": q_text_normalize,
+    "text_encoding_repair": q_text_encoding_repair,
     "domain_top_docs": q_domain_top_docs,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "embedding_quantize_arrow": q_embedding_quantize_arrow,
@@ -761,6 +796,30 @@ ORACLE = {
         FROM documents d
         LEFT JOIN per_doc p USING (doc_id)
         CROSS JOIN total
+    """,
+    # mojibake replay: the planted damage is the ONLY non-ASCII
+    # content, so the true inverse transform (latin1 re-encode ->
+    # utf8 decode) equals targeted replaces of the three damaged
+    # sequences; the gate regexp is the shared continuation-byte
+    # signature (functions/text.py:MOJIBAKE_PATTERN)
+    "text_encoding_repair": """
+        WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 41 = 0
+                        THEN COALESCE(text, '') || ' cafÃ© mÃ¼nchen espaÃ±ol'
+                        ELSE COALESCE(text, '') END AS raw
+            FROM documents
+        ), r AS (
+            SELECT doc_id, raw,
+                   regexp_matches(raw, 'Ã[\\x{0080}-\\x{00bf}]') AS was_mojibake,
+                   CASE WHEN regexp_matches(raw, 'Ã[\\x{0080}-\\x{00bf}]')
+                        THEN replace(replace(replace(raw, 'Ã©', 'é'), 'Ã¼', 'ü'), 'Ã±', 'ñ')
+                        ELSE raw END AS fixed_text
+            FROM m
+        )
+        SELECT doc_id, fixed_text, was_mojibake,
+               CAST(length(raw) - length(fixed_text) AS INTEGER) AS n_repaired
+        FROM r
     """,
     "text_normalize": """
         SELECT doc_id,
