@@ -1128,12 +1128,13 @@ def test_jpeg420_flat_macroblock_exact_and_lossy_bounds():
     with pytest.raises(ValueError, match="multiple-of-16"):
         make_jpeg(24, 16, bytes(24 * 16 * 3), subsampling="4:2:0")
     with pytest.raises(ValueError, match="unsupported subsampling"):
-        make_jpeg(16, 16, bytes(16 * 16 * 3), subsampling="4:1:1")
-    # decoder refusal: sampling factors beyond 2 (hand-patch the SOF)
+        make_jpeg(16, 16, bytes(16 * 16 * 3), subsampling="3:1:1")
+    # decoder refusal: sampling factors past T.81's 1..4 range
+    # (hand-patch the SOF; factors up to 4 now DECODE — r16)
     good = make_jpeg(16, 16, bytes(16 * 16 * 3), subsampling="4:2:0")
     i = good.find(b"\xff\xc0")
     bad = bytearray(good)
-    bad[i + 2 + 2 + 6 + 1] = 0x33  # Y component HV -> (3,3)
+    bad[i + 2 + 2 + 6 + 1] = 0x53  # Y component HV -> (5,3): H out of range
     with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(bad))
 

@@ -191,6 +191,7 @@ FAMILY_KEYS = {
         "multimodal_wav_stats",
         "multimodal_exif_meta",
         "multimodal_dhash_neardup",
+        "text_encoding_repair",
     ],
     # r13 session-2: bounded-window EWMA over 10x events (replica k
     # shifts event_id and user_id, so per-user series stay intact and
