@@ -741,16 +741,22 @@ def test_codec_fuzz_single_byte_corruption_contract():
         decode_wav,
         exif_params,
         insert_exif,
+        flac_meta_params,
         make_bmp,
         make_exif_app1,
+        make_flac_meta,
         make_gif,
         make_jpeg,
         make_jpeg12,
         make_jpeg_progressive,
+        make_mp4_meta,
         make_png,
         make_png_palette,
         make_wav,
+        mp4_meta_params,
         parse_exif,
+        parse_flac_meta,
+        parse_mp4_meta,
     )
 
     rng = np.random.default_rng(5)
@@ -770,6 +776,9 @@ def test_codec_fuzz_single_byte_corruption_contract():
         (parse_exif, insert_exif(
             make_jpeg(8, 8, bytes([128]) * 192), make_exif_app1(**exif_params(3))
         )),
+        (parse_mp4_meta, make_mp4_meta(**mp4_meta_params(7))),
+        (parse_mp4_meta, make_mp4_meta(**mp4_meta_params(10))),  # v1 + largesize
+        (parse_flac_meta, make_flac_meta(**flac_meta_params(4))),
     ]
     r = random.Random(99)
     for decode, payload in cases:
