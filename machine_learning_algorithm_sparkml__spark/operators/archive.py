@@ -512,3 +512,172 @@ def scan_warc_gz(spark, warc_dir: str) -> DataFrame:
         .select("content")
     )
     return shards.mapInPandas(_parse, schema=WARC_SCAN_SCHEMA)
+
+
+# --- tar (USTAR) ingestion: the source-code-corpus container ------------------
+# GitHub/software-heritage corpora arrive as tarballs; the 100 TB shape
+# is identical to WARC (one archive = one scan task, members are
+# length-framed with no mid-file sync point), so the same
+# binaryFile -> Arrow-kernel plan applies.
+
+#: Output schema of the tar scan: one row per regular-file member.
+TAR_SCAN_SCHEMA = "name string, size long, payload_sha256 string, text string"
+
+
+def _tar_octal(value: int, width: int) -> bytes:
+    return f"{value:0{width - 1}o}".encode() + b"\x00"
+
+
+def _tar_header(name: str, size: int, typeflag: bytes) -> bytes:
+    """One 512-byte USTAR header: octal size/mode/mtime fields, the
+    'ustar' magic, and the spec's checksum (byte sum of the header
+    with the checksum field read as eight spaces, stored as six octal
+    digits + NUL + space)."""
+    name_b = name.encode()
+    if len(name_b) > 100:
+        raise ValueError("tar member name exceeds the 100-byte USTAR field")
+    head = bytearray(512)
+    head[0 : len(name_b)] = name_b
+    head[100:108] = _tar_octal(0o644, 8)  # mode
+    head[108:116] = _tar_octal(0, 8)  # uid
+    head[116:124] = _tar_octal(0, 8)  # gid
+    head[124:136] = _tar_octal(size, 12)
+    head[136:148] = _tar_octal(0, 12)  # mtime (fixed: determinism)
+    head[148:156] = b" " * 8  # checksum placeholder
+    head[156:157] = typeflag
+    head[257:263] = b"ustar\x00"
+    head[263:265] = b"00"
+    chksum = sum(head)
+    head[148:156] = f"{chksum:06o}".encode() + b"\x00 "
+    return bytes(head)
+
+
+def tar_member_name(doc_id: int) -> str:
+    return f"docs/{doc_id:08d}.txt"
+
+
+def make_tar_shard(rows: list[tuple[int, str]]) -> bytes:
+    """One deterministic USTAR archive: a directory member every 10th
+    doc (typeflag '5', zero size — the skip case a naive reader trips
+    over), then per document a regular-file member holding the utf-8
+    text, data padded to 512-byte blocks, terminated by two zero
+    blocks — the actual format, opens with any tar tool."""
+    out = bytearray()
+    for doc_id, text in rows:
+        if doc_id % 10 == 0:
+            out += _tar_header(f"docs/dir{doc_id:08d}/", 0, b"5")
+        body = text.encode("utf-8")
+        out += _tar_header(tar_member_name(doc_id), len(body), b"0")
+        out += body
+        if len(body) % 512:
+            out += b"\x00" * (512 - len(body) % 512)
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def parse_tar(payload: bytes) -> list[tuple[str, int, str, str]]:
+    """REAL USTAR walk: verify the magic and the spec checksum per
+    header, parse octal sizes, skip non-file members by type, honor
+    512-block data padding, stop at the zero-block terminator.
+    Malformed structure (bad magic/checksum, non-octal size, truncated
+    member) refuses with ValueError — the corrupt-crawl contract.
+    Returns (name, size, payload_sha256, text) per regular file."""
+    out = []
+    pos = 0
+    while pos + 512 <= len(payload):
+        head = payload[pos : pos + 512]
+        if head == b"\x00" * 512:
+            break  # terminator
+        if head[257:262] != b"ustar":
+            raise ValueError("tar header is missing the ustar magic")
+        stored = head[148:156]
+        summed = sum(head[:148]) + 8 * 0x20 + sum(head[156:])
+        try:
+            chksum = int(stored.rstrip(b"\x00 ").lstrip(b" ") or b"0", 8)
+            size = int(head[124:136].rstrip(b"\x00 ") or b"0", 8)
+        except ValueError:
+            raise ValueError("tar header carries a non-octal field") from None
+        if chksum != summed:
+            raise ValueError("tar header checksum mismatch")
+        data = payload[pos + 512 : pos + 512 + size]
+        if len(data) != size:
+            raise ValueError("truncated tar member data")
+        typeflag = head[156:157]
+        if typeflag in (b"0", b"\x00"):
+            name = head[0:100].rstrip(b"\x00").decode("utf-8", "strict")
+            out.append(
+                (
+                    name,
+                    size,
+                    hashlib.sha256(data).hexdigest(),
+                    data.decode("utf-8"),
+                )
+            )
+        pos += 512 + size + ((512 - size % 512) % 512)
+    else:
+        raise ValueError("tar archive is missing its zero-block terminator")
+    return out
+
+
+def write_tar_shards(docs: DataFrame, out_dir: str, *, n_shards: int = 8) -> None:
+    """Write the corpus as ``n_shards`` tar files, built executor-side
+    (the write_warc_shards pattern: repartition on doc_id % n_shards,
+    wb-on-first-touch so task retries rewrite cleanly)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        opened: set[int] = set()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for shard, grp in pdf.groupby(pdf["doc_id"] % n_shards):
+                shard = int(shard)
+                rows = list(zip(grp["doc_id"].astype(int), grp["text"]))
+                mode = "ab" if shard in opened else "wb"
+                opened.add(shard)
+                with open(os.path.join(out_dir, f"shard-{shard}.tar"), mode) as f:
+                    f.write(make_tar_shard(rows))
+        yield pd.DataFrame({"n": []}, dtype="int64")
+
+    (
+        docs.select("doc_id", "text")
+        .repartition(n_shards, F.col("doc_id") % n_shards)
+        .mapInPandas(_write, schema="n long")
+        .write.format("noop").mode("overwrite").save()
+    )
+
+
+def scan_tar(spark, tar_dir: str) -> DataFrame:
+    """Distributed tar scan: ``binaryFile`` lists and distributes the
+    archives (one task per file), the Arrow kernel walks each; only
+    the extracted columns return to the JVM."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            names, sizes, digests, texts = [], [], [], []
+            for content in pdf["content"]:
+                for name, size, digest, text in parse_tar(bytes(content)):
+                    names.append(name)
+                    sizes.append(size)
+                    digests.append(digest)
+                    texts.append(text)
+            yield pd.DataFrame(
+                {
+                    "name": names,
+                    "size": sizes,
+                    "payload_sha256": digests,
+                    "text": texts,
+                }
+            )
+
+    shards = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(tar_dir)
+        .select("content")
+    )
+    return shards.mapInPandas(_parse, schema=TAR_SCAN_SCHEMA)

@@ -210,6 +210,34 @@ def q_scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_warc(spark, path)
 
 
+def q_scan_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tar (USTAR) archive ingestion — the container SOURCE-CODE
+    corpora arrive in (GitHub/Software-Heritage tarballs), completing
+    the archive family beside WARC: the corpus is written as 8
+    deterministic USTAR shards EXECUTOR-side (real 512-byte headers
+    with spec checksums, directory members the parser must skip,
+    block-padded data, zero-block terminator —
+    operators/archive.py:make_tar_shard; the writer's output opens
+    with any tar tool and the PARSER is validated against the stdlib
+    tarfile reader in pytest — external ground truth), then scanned
+    back through the binaryFile one-task-per-archive plan and an
+    Arrow kernel that verifies each header checksum as it walks.
+    Oracle: DuckDB replays the deterministic construction straight
+    from the documents table."""
+    import shutil
+
+    from machine_learning_algorithm_sparkml__spark.operators.archive import (
+        scan_tar,
+        write_tar_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = scratch_sink_path(sf_dir, "documents_tar")
+    shutil.rmtree(path, ignore_errors=True)
+    write_tar_shards(docs, path, n_shards=8)
+    return scan_tar(spark, path)
+
+
 def q_scan_warc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-content WARC ingestion — the composition point VERDICT r13
     #3 asked for: one archive, two payload kinds. Every 5th document's
@@ -821,6 +849,7 @@ QUERIES = {
     "sink_json": q_sink_json_roundtrip,
     "scan_jsonl_gzip": q_scan_jsonl_gzip,
     "scan_warc": q_scan_warc,
+    "scan_tar": q_scan_tar,
     "scan_warc_media": q_scan_warc_media,
     "scan_warc_gzip": q_scan_warc_gzip,
     "scan_warc_html": q_scan_warc_html,
@@ -958,6 +987,15 @@ ORACLE = {
     "scan_warc": """
         SELECT 'https://corpus.example.com/docs/' || doc_id AS url,
                'text/plain; charset=utf-8' AS mime,
+               sha256(text) AS payload_sha256,
+               text
+        FROM documents
+    """,
+    # tar replay: deterministic construction — directory members never
+    # surface from the parser; size is the utf-8 byte length
+    "scan_tar": """
+        SELECT 'docs/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS name,
+               CAST(octet_length(encode(text)) AS BIGINT) AS size,
                sha256(text) AS payload_sha256,
                text
         FROM documents

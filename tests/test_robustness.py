@@ -797,6 +797,62 @@ def test_codec_fuzz_single_byte_corruption_contract():
         assert n_refused > 0, f"{decode.__name__}: no mutation was refused"
 
 
+def test_tar_roundtrip_matches_stdlib_and_refuses_corruption():
+    """The USTAR writer/parser pair against EXTERNAL ground truth: the
+    stdlib tarfile reader must extract identical (name, size, text)
+    members from our writer's output (so a shared writer/parser format
+    bug cannot hide in the round-trip), directory members are skipped,
+    and malformed structure refuses (missing terminator, bad magic,
+    checksum mismatch, truncated member data, non-octal size)."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.archive import (
+        make_tar_shard,
+        parse_tar,
+        tar_member_name,
+    )
+
+    rows = [(i, f"doc {i} body with words " * (i % 7 + 1)) for i in range(25)]
+    shard = make_tar_shard(rows)
+    tf = tarfile.open(fileobj=io.BytesIO(shard))
+    std = [
+        (m.name, m.size, tf.extractfile(m).read().decode())
+        for m in tf.getmembers()
+        if m.isfile()
+    ]
+    ours = [(n, s, t) for n, s, _, t in parse_tar(shard)]
+    assert std == ours
+    assert len(ours) == 25 and ours[0][0] == tar_member_name(0)
+    assert sum(1 for m in tf.getmembers() if m.isdir()) == 3  # docs 0/10/20
+    with pytest.raises(ValueError, match="terminator"):
+        parse_tar(shard[:-1024])
+    with pytest.raises(ValueError, match="ustar magic"):
+        parse_tar(b"X" * 512 + shard)
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        parse_tar(shard[:148] + b"0000000\x00" + shard[156:])
+    # cut INSIDE the first file member's data (dir header at 0, file
+    # header at 512, data from 1024): the size field promises more
+    # bytes than remain
+    with pytest.raises(ValueError, match="truncated tar member"):
+        parse_tar(shard[:1034])
+    with pytest.raises(ValueError, match="non-octal"):
+        parse_tar(shard[:124] + b"zzzzzzzzzzz\x00" + shard[136:])
+    # single-byte corruption sweep: decode-or-ValueError
+    import random
+
+    r = random.Random(11)
+    for _ in range(300):
+        i = r.randrange(len(shard))
+        m = shard[:i] + bytes([r.randrange(256)]) + shard[i + 1 :]
+        try:
+            parse_tar(m)
+        except ValueError:
+            pass
+
+
 def test_warc_fuzz_single_byte_corruption_contract():
     """Archive-ingestion contract: corrupt WARC shards (plain and
     member-per-record gzip) either parse or raise ValueError

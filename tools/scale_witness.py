@@ -137,6 +137,7 @@ FAMILY_KEYS = {
     # JVM projection (the token-entropy contract: no exchange at all).
     "ingest": [
         "scan_warc",
+        "scan_tar",
         "scan_warc_media",
         "multimodal_jpeg_decode",
         "scan_warc_gzip",
