@@ -3917,3 +3917,162 @@ def encode_png_twin_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame
             F.sha2("payload", 256).alias("sha256"),
         ).alias("media_meta"),
     )
+
+
+# --- MP3 (MPEG-1 Layer III) frame-header walk — audio meta without decode ------
+
+#: Output schema of the MP3 metadata walk.
+MP3_META_SCHEMA = (
+    "doc_id long, bitrate_kbps int, sample_rate int, n_frames int, duration_ms long"
+)
+
+#: MPEG-1 Layer III bitrate table (kbps) indexed by the 4-bit header
+#: field (index 0 = "free format", 15 = forbidden) and the 2-bit
+#: sample-rate table — ISO 11172-3 §2.4.2.3.
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def make_mp3_meta(
+    *, bitrate_kbps: int, sample_rate: int, n_frames: int, id3_size: int = 64
+) -> bytes:
+    """Serialize a REAL MPEG-1 Layer III frame sequence behind an
+    ID3v2 tag: the tag header carries a SYNCSAFE size (7 bits per
+    byte — the part naive readers get wrong), each audio frame starts
+    with the 11-bit sync + version/layer/bitrate/samplerate fields,
+    and frame LENGTH follows the spec formula
+    144*bitrate/samplerate (+ padding bit, unset here). Frame payload
+    bytes are an opaque stand-in — the honest boundary: the HEADER
+    walk is what a crawl pipeline needs (bitrate/duration census);
+    Huffman subband decode would need the full psychoacoustic stack
+    and stays stubbed (the MP4/FLAC contract)."""
+    bidx = _MP3_BITRATES.index(bitrate_kbps)
+    ridx = _MP3_RATES.index(sample_rate)
+    tag_body = b"\x00" * id3_size
+    if id3_size >= 1 << 28:
+        raise ValueError("ID3 size exceeds the syncsafe field")
+    syncsafe = bytes(
+        [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+         (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+    )
+    out = bytearray(b"ID3\x03\x00\x00" + syncsafe + tag_body)
+    # header: FF FB = sync + MPEG-1 + Layer III + no CRC; then
+    # bitrate(4) srate(2) pad(1) priv(1); mode byte fixed joint-stereo
+    h3 = (bidx << 4) | (ridx << 2)
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    for i in range(n_frames):
+        frame = bytearray(frame_len)
+        frame[0:4] = bytes([0xFF, 0xFB, h3, 0x80])
+        frame[4:] = bytes((i + j) % 251 for j in range(frame_len - 4))
+        out += frame
+    return bytes(out)
+
+
+def parse_mp3_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL MP3 header walk: skip the ID3v2 tag by its SYNCSAFE size,
+    then walk frame headers — verify sync, require MPEG-1 Layer III,
+    look up bitrate/sample-rate from the spec tables, advance by the
+    computed frame length (honoring the padding bit) — and return
+    (bitrate_kbps, sample_rate, n_frames, duration_ms); duration is
+    n_frames * 1152 samples at the declared rate, exact integer
+    division. A broken sync mid-stream, a forbidden bitrate/rate
+    index, or a truncated final frame refuses with ValueError — the
+    corrupt-crawl contract. Constant-bitrate streams only (VBR needs
+    the Xing header; refused explicitly, not guessed)."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 tag header")
+        ss = payload[6:10]
+        if any(b & 0x80 for b in ss):
+            raise ValueError("ID3v2 size bytes must be syncsafe")
+        pos = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+    bitrate = rate = None
+    n_frames = 0
+    while pos < len(payload):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated MP3 frame header")
+        b0, b1, b2, _b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError("broken MP3 frame sync")
+        if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+            raise ValueError("unsupported MP3 variant: MPEG-1 Layer III only")
+        bidx, ridx, padding = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+        if bidx in (0, 15) or ridx == 3:
+            raise ValueError("forbidden MP3 bitrate/sample-rate index")
+        fb, fr = _MP3_BITRATES[bidx], _MP3_RATES[ridx]
+        if bitrate is None:
+            bitrate, rate = fb, fr
+        elif (fb, fr) != (bitrate, rate):
+            raise ValueError(
+                "variable-bitrate MP3 is not walked (Xing header support"
+                " would be needed); constant-bitrate streams only"
+            )
+        frame_len = 144 * fb * 1000 // fr + padding
+        if pos + frame_len > len(payload):
+            raise ValueError("truncated MP3 frame body")
+        pos += frame_len
+        n_frames += 1
+    if bitrate is None:
+        raise ValueError("MP3 payload contains no audio frames")
+    return bitrate, rate, n_frames, n_frames * 1152 * 1000 // rate
+
+
+def mp3_meta_params(doc_id: int) -> dict:
+    """Per-doc closed-form MP3 fixture: the common bitrate ladder,
+    all three MPEG-1 sample rates, varying frame counts and ID3 tag
+    sizes (including id3_size values whose syncsafe encoding carries
+    multiple nonzero bytes)."""
+    return {
+        "bitrate_kbps": [64, 96, 128, 160, 192, 320][doc_id % 6],
+        "sample_rate": _MP3_RATES[doc_id % 3],
+        "n_frames": 3 + doc_id % 9,
+        "id3_size": 32 + (doc_id % 5) * 100,
+    }
+
+
+def encode_mp3_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL MP3 frame sequences per row (ID3v2 tag + CBR
+    MPEG-1 Layer III headers with opaque frame bodies)."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                payloads.append(make_mp3_meta(**mp3_meta_params(int(did))))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    out = spread_for_kernel(df).mapInPandas(_encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("audio/mpeg").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("media_meta"),
+    )
+
+
+def parse_mp3_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched MP3 header walk to the oracle-comparable
+    projection."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = [parse_mp3_meta(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "bitrate_kbps": [r[0] for r in rows],
+                    "sample_rate": [r[1] for r in rows],
+                    "n_frames": [r[2] for r in rows],
+                    "duration_ms": [r[3] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(_parse, schema=MP3_META_SCHEMA)

@@ -25,15 +25,15 @@ from machine_learning_algorithm_sparkml__spark.workload import (
 # least-recently-verified keys FIRST each round. Round-16 window, per
 # VERDICT r15 "Next round" #1/#2/#5/#7: (1) multimodal_meta — the one
 # r10-stale key, slipped from the r15 window (VERDICT #1 names it the
-# window head); (2) the 16 keys NEW this round, never driver-checked
+# window head); (2) the 17 keys NEW this round, never driver-checked
 # (exact-substring decontamination, BPE trainer + trainer→inference
 # composition, the six staged codec surfaces — interlaced/RGBA PNG,
 # gray JPEG, interlaced GIF, MP4 container meta, FLAC STREAMINFO —
 # the 12-bit SOF1 + 4:1:1 JPEG decodes that close VERDICT #8, and
 # the Exif-walk, audio-stats, dHash image-dedup, mojibake-repair,
-# and tar-ingestion surfaces);
-# (3) the first 33 keys of the 50-key r11-stale block (VERDICT #5).
-# The last 17 of the r11 block (all low-risk oracle-backed SQL/set-op
+# tar-ingestion, and MP3-walk surfaces);
+# (3) the first 32 keys of the 50-key r11-stale block (VERDICT #5).
+# The last 18 of the r11 block (all low-risk oracle-backed SQL/set-op
 # keys) slip to the tail and head the r17 window. Regenerate the
 # staleness table with `python tools/staleness.py` after each round's
 # CORRECTNESS file lands.
@@ -41,7 +41,7 @@ PRIORITY_KEYS = [
     # --- r16 window (50 slots; driver records indices 0-49) ---
     # Slot 0: the r10-stale slip (VERDICT r15 #1 head):
     "multimodal_meta",
-    # Slots 1-16: the 16 keys NEW this round, never driver-checked:
+    # Slots 1-17: the 17 keys NEW this round, never driver-checked:
     "decontaminate_exact_substring",
     "text_bpe_learned",
     "text_bpe_train_tokenize",
@@ -58,7 +58,8 @@ PRIORITY_KEYS = [
     "multimodal_dhash_neardup",
     "text_encoding_repair",
     "scan_tar",
-    # Slots 17-49: the first 33 keys of the r11-stale block in
+    "multimodal_mp3_meta",
+    # Slots 18-49: the first 32 keys of the r11-stale block in
     # staleness order (VERDICT r15 #5):
     "agg_count",
     "agg_cube",
@@ -92,8 +93,8 @@ PRIORITY_KEYS = [
     "sample_fraction",
     "scan_parquet",
     "set_except",
+    # --- slip tail (positions 50-67): the last 18 of the r11 block,
     "set_intersect",
-    # --- slip tail (positions 50-66): the last 17 of the r11 block,
     "simsearch_brp",
     "simsearch_ivf",
     "simsearch_lsh",

@@ -1743,6 +1743,28 @@ def q_multimodal_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_exif_media(encode_jpeg_exif_media(docs))
 
 
+def q_multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED MP3 frame-header walk — the third audio
+    container beside WAV and FLAC, and the crawl census shape for the
+    web's dominant audio format: skip the ID3v2 tag by its SYNCSAFE
+    size (7 bits per byte — the field naive readers misparse), walk
+    CBR MPEG-1 Layer III frame headers via the ISO 11172-3 bitrate/
+    sample-rate tables and the 144*bitrate/rate frame-length formula,
+    and report (bitrate, rate, frame count, exact integer duration).
+    Fixture parameters are closed-form residues spanning the common
+    bitrate ladder, all three MPEG-1 rates, and multi-byte syncsafe
+    tag sizes; VBR streams refuse explicitly (Xing support would be
+    needed — never guessed)
+    (operators/multimodal.py:make_mp3_meta, parse_mp3_meta)."""
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        encode_mp3_media,
+        parse_mp3_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return parse_mp3_media(encode_mp3_media(docs))
+
+
 def q_multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-BACKED perceptual IMAGE near-dup — the multimodal
     counterpart of the text dedup suite, composed end to end through
@@ -1925,6 +1947,7 @@ QUERIES = {
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_wav_stats": q_multimodal_wav_stats,
     "multimodal_exif_meta": q_multimodal_exif_meta,
+    "multimodal_mp3_meta": q_multimodal_mp3_meta,
     "multimodal_dhash_neardup": q_multimodal_dhash_neardup,
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
@@ -3633,6 +3656,26 @@ ORACLE = {
                CAST(SUM(CAST('0x' || substr(md5('wav:' || doc_id || ':' || i), 1, 15) AS BIGINT) % 65536 - 32768) AS BIGINT) AS amp_sum
         FROM sm
         GROUP BY doc_id, sample_rate, n_samples
+    """,
+    # MP3 replay: closed-form residue parameters; duration is exact
+    # integer division (1152 samples per MPEG-1 Layer III frame)
+    "multimodal_mp3_meta": """
+        WITH params AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 6 AS INTEGER)
+                        WHEN 0 THEN 64 WHEN 1 THEN 96 WHEN 2 THEN 128
+                        WHEN 3 THEN 160 WHEN 4 THEN 192 ELSE 320 END AS bitrate_kbps,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sample_rate,
+                   CAST(3 + doc_id % 9 AS INTEGER) AS n_frames
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(bitrate_kbps AS INTEGER) AS bitrate_kbps,
+               CAST(sample_rate AS INTEGER) AS sample_rate,
+               n_frames,
+               CAST((CAST(n_frames AS BIGINT) * 1152 * 1000) // sample_rate AS BIGINT) AS duration_ms
+        FROM params
     """,
     # dHash image-dedup replay: banding is provably cost-only
     # (max_hamming 3 < 4 bands — pigeonhole), so the oracle verifies

@@ -2469,6 +2469,47 @@ def test_jpeg_411_sampling_factor_four():
         decode_jpeg(bytes(oob))
 
 
+def test_mp3_frame_header_walk():
+    """MP3 header walk: CBR streams round-trip exactly across the
+    bitrate ladder and all three MPEG-1 rates, multi-byte syncsafe
+    ID3 sizes skip correctly, and the refusal contract holds (broken
+    sync, truncation, non-syncsafe tag size, VBR — explicitly refused
+    rather than mis-summed)."""
+    import pytest
+
+    from machine_learning_algorithm_sparkml__spark.operators.multimodal import (
+        make_mp3_meta,
+        mp3_meta_params,
+        parse_mp3_meta,
+    )
+
+    for did in (0, 1, 2, 3, 4, 5, 100, 456):
+        p = mp3_meta_params(did)
+        got = parse_mp3_meta(make_mp3_meta(**p))
+        assert got == (
+            p["bitrate_kbps"], p["sample_rate"], p["n_frames"],
+            p["n_frames"] * 1152 * 1000 // p["sample_rate"],
+        ), did
+    # syncsafe: id3_size 200 encodes as (1, 72) across two 7-bit bytes
+    big_tag = make_mp3_meta(
+        bitrate_kbps=128, sample_rate=44100, n_frames=3, id3_size=200
+    )
+    assert parse_mp3_meta(big_tag)[2] == 3
+    good = make_mp3_meta(bitrate_kbps=128, sample_rate=44100, n_frames=4)
+    with pytest.raises(ValueError, match="broken MP3 frame sync"):
+        parse_mp3_meta(good.replace(b"\xff\xfb", b"\xf0\xfb", 1))
+    with pytest.raises(ValueError, match="truncated MP3 frame body"):
+        parse_mp3_meta(good[:-3])
+    with pytest.raises(ValueError, match="syncsafe"):
+        parse_mp3_meta(b"ID3\x03\x00\x00\x80\x00\x00\x00")
+    # VBR: splice a 192 kbps frame after 128 kbps frames -> refuse
+    tail = make_mp3_meta(bitrate_kbps=192, sample_rate=44100, n_frames=1, id3_size=0)
+    assert tail[:3] == b"ID3"
+    vbr = good + tail[10:]  # strip the second ID3 header
+    with pytest.raises(ValueError, match="variable-bitrate"):
+        parse_mp3_meta(vbr)
+
+
 def test_dhash_image_neardup(spark):
     """Perceptual image dedup: dHash-64 is invariant to nearest-
     neighbor upscaling of the same picture (the resize a re-encode

@@ -749,13 +749,16 @@ def test_codec_fuzz_single_byte_corruption_contract():
         make_jpeg,
         make_jpeg12,
         make_jpeg_progressive,
+        make_mp3_meta,
         make_mp4_meta,
         make_png,
         make_png_palette,
         make_wav,
+        mp3_meta_params,
         mp4_meta_params,
         parse_exif,
         parse_flac_meta,
+        parse_mp3_meta,
         parse_mp4_meta,
     )
 
@@ -779,6 +782,7 @@ def test_codec_fuzz_single_byte_corruption_contract():
         (parse_mp4_meta, make_mp4_meta(**mp4_meta_params(7))),
         (parse_mp4_meta, make_mp4_meta(**mp4_meta_params(10))),  # v1 + largesize
         (parse_flac_meta, make_flac_meta(**flac_meta_params(4))),
+        (parse_mp3_meta, make_mp3_meta(**mp3_meta_params(5))),
     ]
     r = random.Random(99)
     for decode, payload in cases:

@@ -189,6 +189,7 @@ FAMILY_KEYS = {
         "multimodal_gif_interlaced_decode",
         "multimodal_mp4_meta",
         "multimodal_flac_meta",
+        "multimodal_mp3_meta",
         "multimodal_wav_stats",
         "multimodal_exif_meta",
         "multimodal_dhash_neardup",
