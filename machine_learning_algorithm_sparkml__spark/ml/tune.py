@@ -27,6 +27,8 @@ from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 from pyspark.sql import DataFrame
 
+from machine_learning_algorithm_sparkml__spark.operators.spread import spread_rows
+
 
 def make_accuracy_evaluator(label_col: str = "label_index", prediction_col: str = "prediction") -> MulticlassClassificationEvaluator:
     """M8: accuracy of ``prediction`` vs indexed label."""
@@ -80,7 +82,27 @@ def fit_predict_evaluate(
 ) -> tuple[object, DataFrame, float]:
     """M11: ``fit`` on the training split, ``transform`` the test split,
     ``evaluate`` -> accuracy (``MarchineLearningAlgorithm.txt:237,253,
-    268-270``). Caches ``train`` around the (possibly iterative) fit."""
+    268-270``). Caches ``train`` around the (possibly iterative) fit.
+
+    The train split is ``spread_rows``-spread first: it derives from a
+    small single-row-group scan, so it reaches the (possibly 12-fold
+    CV) fit as ONE partition and every tree aggregation serializes onto
+    one core (r16: RF pipeline.fit 7.4-10.5 s single-partition vs
+    3.0-4.7 s spread at sf0.1/32 cores; no-op at cluster scale). The
+    spread happens AFTER the caller's seeded_random_split, so split
+    membership is unchanged; only MLlib's layout-dependent seeded
+    bagging/fold draws shift, which no rows-only contract pins."""
+    spread_key = "row_id" if "row_id" in train.columns else train.columns[0]
+    # A CrossValidator runs `parallelism` fits CONCURRENTLY over this
+    # one frame: the concurrency already fills the cores, so each fit
+    # wants cores/parallelism partitions, not cores (r16 measurement in
+    # operators/spread.py). Plain estimators get the full spread.
+    get_par = getattr(estimator, "getParallelism", None)
+    n_jobs = get_par() if callable(get_par) else 1
+    sc = train.sparkSession.sparkContext
+    train = spread_rows(
+        train, spread_key, n=max(2, sc.defaultParallelism // max(1, n_jobs))
+    )
     train.cache()
     try:
         model = estimator.fit(train)

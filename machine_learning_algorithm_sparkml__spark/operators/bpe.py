@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from machine_learning_algorithm_sparkml__spark.functions.text import tokens
+from machine_learning_algorithm_sparkml__spark.operators.spread import spread_rows
 
 
 def bpe_word_tokens(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -180,6 +181,10 @@ def bpe_tokenize(
     table buys on this corpus."""
     toks = tokens(F.col(text_col))
     counter = bpe_count_udf(merges)
+    # spread first: the merge-loop UDF + HOF fold are per-row compute
+    # inside the scan stage (single-task on small inputs; no-op at
+    # cluster scale — see operators/spread.py)
+    df = spread_rows(df, id_col)
     return df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),

@@ -22,11 +22,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from machine_learning_algorithm_sparkml__spark.functions.text import token_bigrams, tokens
+from machine_learning_algorithm_sparkml__spark.operators.spread import spread_rows
 
 
 def exploded_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, token) rows — empty/NULL docs contribute no rows."""
-    return docs.select(
+    """(id, token) rows — empty/NULL docs contribute no rows. Spread
+    first: tokenize+explode is scan-stage per-row work, single-task on
+    small inputs (see operators/spread.py; no-op at cluster scale)."""
+    return spread_rows(docs, id_col).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )
 
@@ -88,9 +91,9 @@ def exploded_bigrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     construction (two literal-offset slices zipped), no shuffle; docs
     with <2 tokens contribute no rows."""
     pairs = token_bigrams(tokens(F.col(text_col)))
-    return docs.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
-        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
-    )
+    return spread_rows(docs, id_col).select(
+        F.col(id_col), F.explode(pairs).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
 
 def bigram_familiarity(

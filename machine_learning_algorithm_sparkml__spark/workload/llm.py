@@ -1827,7 +1827,12 @@ def q_ml_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_feature_pipeline,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread before fit/transform: the tokenizer->TF->IDF chain is
+    # per-row compute inside an otherwise single-task scan stage, and
+    # the IDF fit aggregates 4096-wide vectors (r16; no-op at scale)
+    from machine_learning_algorithm_sparkml__spark.operators.spread import spread_rows
+
+    docs = spread_rows(load_table(spark, sf_dir, "documents"), "doc_id")
     model = text_feature_pipeline(num_features=1 << 12).fit(docs)
     out = model.transform(docs)
     arr = vector_to_array(F.col("tfidf"))

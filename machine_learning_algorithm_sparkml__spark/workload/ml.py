@@ -39,6 +39,7 @@ from machine_learning_algorithm_sparkml__spark.ml.pipelines import (
     mla_pipeline,
 )
 from machine_learning_algorithm_sparkml__spark.operators import seeded_random_split
+from machine_learning_algorithm_sparkml__spark.operators.spread import spread_rows
 from machine_learning_algorithm_sparkml__spark.sources import load_table
 
 
@@ -199,7 +200,18 @@ def _rf_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         assembled = make_vector_assembler(
             ["priority_index", "segment_index", "nation_index"]
         ).transform(indexed)
-        assembled = assembled.cache()
+        # spread before the iterative fit: the frame derives from a
+        # small single-row-group scan, so it reaches MLlib as ONE
+        # partition and every per-depth tree aggregation runs on one
+        # core (r16 optimization round: pipeline.fit 7.4-10.5 s
+        # single-partition vs 3.0-4.7 s spread at sf0.1/32 cores;
+        # spread_rows no-ops at cluster scale). Partitioning shifts
+        # which rows MLlib's seeded bagging samples — the realized
+        # tree ensemble was never layout-independent (a cluster run
+        # differs from local[32] the same way); the key's contract
+        # (rows-only count, seed-determinism per environment, the
+        # accuracy>=majority-baseline invariant) is unchanged.
+        assembled = spread_rows(assembled, "row_id").cache()
         try:
             rf = make_random_forest(num_trees=10, max_depth=4)
             model = rf.fit(assembled)
@@ -222,7 +234,9 @@ def q_ml_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7: the same stages composed as a Pipeline
     (``MarchineLearningAlgorithm.txt:145-146``); rows-only check."""
-    df = covid_like_frame(spark, sf_dir)
+    # spread before the fit (see _rf_predictions: single-partition
+    # frame serializes the RF aggregation; no-op at cluster scale)
+    df = spread_rows(covid_like_frame(spark, sf_dir), "row_id")
     feature_cols = ["priority", "segment", "nation_name"]
     pipeline = make_pipeline([
         make_string_indexer("status", "label_index"),
@@ -385,7 +399,9 @@ def q_ml_model_save_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.ml import PipelineModel
 
-    df = covid_like_frame(spark, sf_dir).filter(F.col("row_id") % 4 == 0).cache()
+    df = spread_rows(
+        covid_like_frame(spark, sf_dir).filter(F.col("row_id") % 4 == 0), "row_id"
+    ).cache()  # spread before the fit — see _rf_predictions
     feature_cols = ["priority", "segment", "nation_name"]
     pipeline = make_pipeline([
         make_string_indexer("status", "label_index"),
