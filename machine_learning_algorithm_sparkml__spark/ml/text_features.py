@@ -121,7 +121,14 @@ def minhash_lsh_mllib_pairs(
     1 - similarity). Output: (id_a, id_b, jaccard_dist)."""
     from machine_learning_algorithm_sparkml__spark.operators.dedup import shingle_array
 
-    shingled = df.select(
+    from machine_learning_algorithm_sparkml__spark.operators.spread import spread_rows
+
+    # spread before shingle+HashingTF: per-row compute inside an
+    # otherwise single-task scan stage (r16; no-op at cluster scale).
+    # MinHashLSH coefficients are seeded and data-independent, and
+    # approxSimilarityJoin is value-based, so the pair set (and the
+    # pair_sets_equal invariant vs the custom operator) is unchanged.
+    shingled = spread_rows(df, id_col).select(
         F.col(id_col), shingle_array(F.col(text_col), shingle_n).alias("shingles")
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True)

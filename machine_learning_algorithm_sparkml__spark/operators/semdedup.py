@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from machine_learning_algorithm_sparkml__spark.operators.spread import spread_rows
+
 
 def choose_k(n: int, *, target_cluster_rows: int = 2048, k_max: int = 65_536) -> int:
     """Cluster count that keeps the within-cluster pair term bounded:
@@ -101,6 +103,12 @@ def semantic_dedup(
     duplicates). ``k=None`` scales the cluster count with the corpus
     (:func:`choose_k`) so the within-cluster pair term stays bounded
     at any input size."""
+    # spread first (no-op at cluster scale): the corpus otherwise scans
+    # as one task, so the assignment projection + per-row normalization
+    # run single-core AND the checkpointed frame's single partition
+    # serializes the within-cluster pair stage (the broadcast join's
+    # probe side inherits it) — r16, see operators/spread.py
+    df = spread_rows(df, id_col)
     assigned = cluster_embeddings(df, id_col=id_col, vec_col=vec_col, k=k, seed=seed)
     # Pre-normalize ONCE per vector so the pairwise predicate is a
     # single dot product instead of dot + two norms — the pairwise
@@ -193,6 +201,10 @@ def semantic_dedup_portable(
 
     cz = _portable_centroids(df, id_col, vec_col, k, tag)
     assign_udf = _portable_cells_udf(cz, 1)
+    # spread before the assignment UDF (same rationale as
+    # semantic_dedup; centroids are md5-ranked — value-based, so the
+    # exchange cannot move the oracle hash)
+    df = spread_rows(df, id_col)
     assigned = (
         df.select(
             F.col(id_col),
