@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from machine_learning_algorithm_sparkml__spark.functions.vectors import cosine_similarity
-from machine_learning_algorithm_sparkml__spark.operators.spread import spread_rows
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -129,12 +128,15 @@ def _buckets_udf(plane_sets: list[np.ndarray]):
 
 
 def _table_buckets(df: DataFrame, id_alias: str, id_col: str, vec_col: str, plane_sets: list[np.ndarray]) -> DataFrame:
-    """(id, table, bucket) — one row per hash table. Spread first: the
-    per-row hyperplane dot products otherwise run inside a single-task
-    scan stage on small inputs, and downstream broadcast joins inherit
-    that lone partition (r16, operators/spread.py; no-op at scale)."""
+    """(id, table, bucket) — one row per hash table.
+
+    NOT spread (r16 measured): the bucket UDF is one vectorized matmul
+    per Arrow batch — cheap enough that fanning a ~2k-row corpus into
+    32 Python tasks costs more in worker round-trips than the lone
+    scan task costs in serialization (bench: lsh flat, neardup_portable
+    +0.5 s with the spread). The compute-bound spread belongs to the
+    JVM text paths and the within-cluster pair joins, not here."""
     udf = _buckets_udf(plane_sets)
-    df = spread_rows(df, id_col)
     return df.select(
         F.col(id_col).alias(id_alias), udf(F.col(vec_col)).alias("bks")
     ).select(id_alias, F.posexplode("bks").alias("table", "bucket"))
@@ -238,12 +240,7 @@ def ivf_topk(
     model = km.fit(fit_input.coalesce(8))
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
 
-    # spread only the ASSIGNMENT input (the fit input above stays on
-    # the scan layout, so the fitted centers — and every downstream
-    # value — are bit-identical to the unspread plan); assignment and
-    # the probe-join scoring otherwise run inside one scan task on
-    # small corpora (r16, operators/spread.py; no-op at scale)
-    c_assigned = model.transform(spread_rows(with_vec, id_col)).select(
+    c_assigned = model.transform(with_vec).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), F.col("_cell").alias("cell")
     )
 
@@ -485,7 +482,7 @@ def pq_topk(
 
     local_shortlist = _partition_shortlister(qid_arr, S, score_batch)
     id_type = dict(corpus.dtypes)[id_col]
-    codes_df = spread_rows(corpus, id_col).select(
+    codes_df = corpus.select(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
     )
     local = codes_df.mapInPandas(
@@ -632,7 +629,7 @@ def ivfpq_topk(
         return ids, sims
 
     id_type = dict(corpus.dtypes)[id_col]
-    coded = spread_rows(corpus, id_col).select(
+    coded = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         assign_and_encode(F.col(vec_col)).alias("ce"),
     ).select("neighbor_id", "ce.cell", "ce.codes")
@@ -700,9 +697,6 @@ def embedding_near_dup_pairs(
     # read these buckets; checkpoint materializes once and the blocks
     # are released by the ContextCleaner when the frame is GC'd, so a
     # long-lived session running many queries does not accumulate pins
-    # _table_buckets spreads internally (r16), so the checkpoint below
-    # holds defaultParallelism partitions and the candidate join and
-    # verify stages parallelize instead of inheriting one scan task
     buckets = _table_buckets(df, "vid", id_col, vec_col, plane_sets).localCheckpoint(eager=True)
     a = buckets.select(F.col("vid").alias("id_a"), "table", "bucket")
     b = buckets.select(F.col("vid").alias("id_b"), "table", "bucket")
@@ -1134,7 +1128,7 @@ def portable_pq_topk(
 
     local_shortlist = _partition_shortlister(qid_arr, S, score_batch)
     id_type = dict(corpus.dtypes)[id_col]
-    codes_df = spread_rows(corpus, id_col).select(
+    codes_df = corpus.select(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
     )
     local = codes_df.mapInPandas(
@@ -1258,7 +1252,7 @@ def portable_ivfpq_topk(
         return ids, sims
 
     id_type = dict(corpus.dtypes)[id_col]
-    coded = spread_rows(corpus, id_col).select(
+    coded = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.element_at(assign_udf(F.col(vec_col)), 1).alias("cell"),
         encode_udf(F.col(vec_col)).alias("codes"),
