@@ -211,6 +211,32 @@ def should_repeat(runs: list[float], prior: float | None) -> bool:
     return min(runs) < REPEAT_BELOW_SEC
 
 
+def deterministic_kept_keys(
+    keys: list[str], prior: dict[str, float], line_budget: int = 1900
+) -> list[str]:
+    """The keys the one-line JSON reports individually — a pure
+    function of the COMMITTED priors and the registry, never of the
+    run's timings (r17, VERDICT r16 #6): consecutive sweeps at the same
+    commit keep an identical kept set, so round-over-round PERF tracks
+    a stable population (the old fastest-first fold re-chose its
+    victims every run, making the most-improved keys read as
+    "dropped"). Keys without a floor (new since the last prior ratchet)
+    rank first so a new key is always visible in its first driver line;
+    then descending floor, ties by name. A fixed per-entry width
+    estimate (len(key)+10 covers any value up to 999.99) sizes the set
+    without looking at measured digits."""
+    keep_order = sorted(keys, key=lambda k: (-prior.get(k, float("inf")), k))
+    kept: list[str] = []
+    est = 220  # JSON skeleton: metric/value/sf/omitted/failure fields
+    for k in keep_order:
+        cost = len(k) + 10
+        if est + cost > line_budget:
+            break
+        est += cost
+        kept.append(k)
+    return kept
+
+
 def report_stat(runs: list[float]) -> float:
     """Lower median: for an even run count prefer the faster sample,
     else a 2-run [normal, spike] pair would report the spike.
@@ -385,9 +411,13 @@ def main() -> None:
     # fastest keys into an "omitted" rollup — their sub-second timings
     # carry the least signal and survive in BENCH_FULL.json anyway.
     line_budget = 1900
-    kept = {k: round(v, 2) for k, v in timings.items()}
-    omitted_n, omitted_sec = 0, 0.0
-    by_time = sorted(timings, key=lambda k: (timings[k], k))
+    # Deterministic omission — see deterministic_kept_keys; the
+    # pop-loop below is a safety net that only fires if a timing
+    # overflows the fixed width estimate.
+    kept_keys = deterministic_kept_keys(list(timings), prior, line_budget)
+    kept = {k: round(timings[k], 2) for k in kept_keys}
+    omitted_n = len(timings) - len(kept)
+    omitted_sec = sum(v for k, v in timings.items() if k not in kept)
 
     def _line() -> str:
         result = {
@@ -407,10 +437,14 @@ def main() -> None:
         return json.dumps(result, separators=(",", ":"))
 
     line = _line()
-    for k in by_time:
+    # safety net only (a timing wider than the +10 estimate): trim from
+    # the END of the deterministic keep order so the surviving prefix
+    # is still prior-ordered
+    for k in reversed(kept_keys):
         if len(line) <= line_budget:
             break
-        omitted_sec += kept.pop(k)
+        omitted_sec += timings[k]
+        kept.pop(k)
         omitted_n += 1
         line = _line()
 

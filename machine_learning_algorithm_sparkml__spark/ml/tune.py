@@ -92,7 +92,10 @@ def fit_predict_evaluate(
     spread happens AFTER the caller's seeded_random_split, so split
     membership is unchanged; only MLlib's layout-dependent seeded
     bagging/fold draws shift, which no rows-only contract pins."""
-    spread_key = "row_id" if "row_id" in train.columns else train.columns[0]
+    # hash-spread on row_id when present; otherwise round-robin — an
+    # arbitrary first column can be a low-cardinality label/feature
+    # whose hash collapses into a few skewed partitions (ADVICE r16 #1)
+    spread_key = "row_id" if "row_id" in train.columns else None
     # A CrossValidator runs `parallelism` fits CONCURRENTLY over this
     # one frame: the concurrency already fills the cores, so each fit
     # wants cores/parallelism partitions, not cores (r16 measurement in

@@ -120,14 +120,42 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     return spread.select(F.col(id_col), F.explode(F.array_distinct(ngrams)).alias("shingle"))
 
 
-def _cap_hot_shingles(pairs: DataFrame, id_col: str, max_doc_freq: int | None) -> DataFrame:
+def _cap_hot_shingles(
+    pairs: DataFrame,
+    id_col: str,
+    max_doc_freq: int | None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
     """Drop shingles appearing in more than ``max_doc_freq`` docs —
-    they carry no dedup signal and quadratically inflate the self-join."""
+    they carry no dedup signal and quadratically inflate the self-join.
+    ``key_cols`` names the shingle-identity columns (default the raw
+    ``shingle`` string; the Jaccard path passes its 120-bit hash pair,
+    under which doc-frequency counts are identical)."""
     if max_doc_freq is None:
         return pairs
-    freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    keep = freq.filter(F.col("df_") <= max_doc_freq).select("shingle")
-    return pairs.join(keep, "shingle")
+    keys = key_cols or ["shingle"]
+    freq = pairs.groupBy(*keys).agg(F.count(F.lit(1)).alias("df_"))
+    keep = freq.filter(F.col("df_") <= max_doc_freq).select(*keys)
+    return pairs.join(keep, keys)
+
+
+def _hashed_shingles(sh: DataFrame, id_col: str) -> DataFrame:
+    """Project (id, shingle-string) to (id, h1, h2) — the two 60-bit
+    halves of one md5 (:func:`portable_hash60` / :func:`portable_hash60b`;
+    subexpression elimination computes the md5 once). Everything
+    downstream of a shingle frame only needs shingle IDENTITY, so the
+    shuffles and checkpoints carry 16 bytes per row instead of the
+    n-gram text (guide §2.3 "shuffle keys and metadata instead of
+    payloads") — at corpus scale the shingle strings are the dominant
+    shuffle-bytes term of the whole dedup family. 120 bits of md5 make
+    hash identity and string identity coincide on any non-adversarial
+    corpus (birthday bound ~1e-13 at a trillion distinct shingles), so
+    results — and the string-ground-truth oracles — are unchanged."""
+    return sh.select(
+        F.col(id_col),
+        portable_hash60(F.col("shingle")).alias("h1"),
+        portable_hash60b(F.col("shingle")).alias("h2"),
+    )
 
 
 # --- exact n-gram Jaccard ---------------------------------------------------------
@@ -143,32 +171,42 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact near-duplicate pairs by n-gram Jaccard similarity.
 
-    shingle-explode -> self-join on shingle (id_a < id_b) -> count
-    intersections -> join per-doc set sizes -> Jaccard >= threshold.
-    Fully SQL-expressible, so oracle-checkable; at scale the candidate
-    join is bounded by ``max_shingle_doc_freq``. Set sizes always come
-    from the FULL sets; with the cap set, shared hot shingles are
-    excluded from intersections, so the reported Jaccard is a lower
-    bound (conservative: may miss borderline pairs, never inflates).
-    Output: (id_a, id_b, jaccard), exact when the cap is unset.
+    shingle-explode -> self-join on the shingle's 120-bit md5 identity
+    (id_a < id_b) -> count intersections -> join per-doc set sizes ->
+    Jaccard >= threshold. Fully SQL-expressible, so oracle-checkable
+    (the oracle joins the raw strings — the ground truth the hashed
+    join reproduces; see :func:`_hashed_shingles`); at scale the
+    candidate join is bounded by ``max_shingle_doc_freq``. Set sizes
+    always come from the FULL sets; with the cap set, shared hot
+    shingles are excluded from intersections, so the reported Jaccard
+    is a lower bound (conservative: may miss borderline pairs, never
+    inflates). Output: (id_a, id_b, jaccard), exact when the cap is
+    unset.
     """
-    # The (id, shingle) frame feeds the size aggregate, the doc-freq
-    # cap, and both legs of the candidate self-join — five lineage
-    # reads. Materialize it once (localCheckpoint blocks are released
-    # by the ContextCleaner); at cluster scale this trades one
-    # corpus-token-sized spill for four recomputes of the
-    # tokenize+shingle projection over the full corpus.
-    pairs = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=True)
+    # The shingle frame feeds the size aggregate, the doc-freq cap,
+    # and both legs of the candidate self-join — five lineage reads.
+    # Materialize it once (localCheckpoint blocks are released by the
+    # ContextCleaner); at cluster scale this trades one spill for four
+    # recomputes of the tokenize+shingle projection over the corpus.
+    # The checkpoint (and every downstream exchange) carries the
+    # 120-bit hash pair, never the n-gram text — see _hashed_shingles
+    # (guide §2.3); intersection counts by hash identity equal the
+    # string counts, so the string-ground-truth oracle is unchanged.
+    pairs = _hashed_shingles(
+        shingle_sets(df, id_col, text_col, n), id_col
+    ).localCheckpoint(eager=True)
     # TRUE set sizes from the uncapped sets: the hot-shingle cap below
     # prunes CANDIDATE GENERATION only; folding it into sizes or
     # intersections would silently change the reported Jaccard.
     sizes = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    capped = _cap_hot_shingles(pairs, id_col, max_shingle_doc_freq)
+    capped = _cap_hot_shingles(
+        pairs, id_col, max_shingle_doc_freq, key_cols=["h1", "h2"]
+    )
 
-    a = capped.select(F.col(id_col).alias("id_a"), "shingle")
-    b = capped.select(F.col(id_col).alias("id_b"), "shingle")
+    a = capped.select(F.col(id_col).alias("id_a"), "h1", "h2")
+    b = capped.select(F.col(id_col).alias("id_b"), "h1", "h2")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, ["h1", "h2"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -208,7 +246,7 @@ def containment_pairs(
     Candidate generation is PPJoin-style PREFIX FILTERING, and —
     unlike MinHash banding — it is EXACT (the SimHash-oracle rule):
     rank each doc's shingles by a global rarity total order
-    (document frequency, shingle); if C(src→dst) ≥ t then src misses
+    (document frequency, shingle-hash); if C(src→dst) ≥ t then src misses
     at most ⌊(1−t)·|S(src)|⌋ shingles from dst, so among src's
     ⌊(1−t)·|S(src)|⌋+1 RAREST shingles at least one is in dst
     (pigeonhole over ANY size-(miss+1) subset). Joining only that
@@ -240,16 +278,21 @@ def containment_pairs(
     # Non-empty docs never produce the empty shingle (concat_ws over
     # ≥1 non-empty tokens), so dropping it removes exactly the
     # zero-token docs. The oracle applies the same guard.
-    sh = (
-        shingle_sets(df, id_col, text_col, n)
-        .filter(F.col("shingle") != "")
-        .localCheckpoint(eager=True)
-    )
+    # Checkpoint and every downstream exchange carry the shingle's
+    # 120-bit md5 identity, never the n-gram text (_hashed_shingles,
+    # guide §2.3): the rarity order's tiebreak becomes (df_, h1, h2) —
+    # ANY fixed total order over the distinct shingles preserves the
+    # pigeonhole recall argument, so the result set is unchanged, and
+    # the string-ground-truth oracle stays as-is.
+    sh = _hashed_shingles(
+        shingle_sets(df, id_col, text_col, n).filter(F.col("shingle") != ""),
+        id_col,
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_src"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    w = Window.partitionBy(id_col).orderBy(F.asc("df_"), F.asc("shingle"))
+    dfreq = sh.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("df_"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df_"), F.asc("h1"), F.asc("h2"))
     ranked = (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq, ["h1", "h2"])
         .withColumn("rn", F.row_number().over(w))
         .join(sizes, id_col)
     )
@@ -258,21 +301,21 @@ def containment_pairs(
     p_, q_ = t.numerator, t.denominator
     prefix_len = ((q_ - p_) * F.col("n_src")) / q_
     prefix = ranked.filter(F.col("rn") <= F.floor(prefix_len) + 1).select(
-        F.col(id_col).alias("src_id"), "shingle"
+        F.col(id_col).alias("src_id"), "h1", "h2"
     )
-    index = sh.select(F.col(id_col).alias("dst_id"), "shingle")
+    index = sh.select(F.col(id_col).alias("dst_id"), "h1", "h2")
     cand = (
-        prefix.join(index, "shingle")
+        prefix.join(index, ["h1", "h2"])
         .filter(F.col("src_id") != F.col("dst_id"))
         .select("src_id", "dst_id")
         .distinct()
     )
     # verification: per candidate pair, count src's shingles present
-    # in dst — probes the (dst, shingle) index, bounded by |cand|·|src|
-    src_sh = sh.select(F.col(id_col).alias("src_id"), "shingle")
+    # in dst — probes the (dst, hash) index, bounded by |cand|·|src|
+    src_sh = sh.select(F.col(id_col).alias("src_id"), "h1", "h2")
     common = (
         cand.join(src_sh, "src_id")
-        .join(index, ["dst_id", "shingle"])
+        .join(index, ["dst_id", "h1", "h2"])
         .groupBy("src_id", "dst_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

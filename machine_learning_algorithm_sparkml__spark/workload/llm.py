@@ -1829,10 +1829,17 @@ def q_ml_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # spread before fit/transform: the tokenizer->TF->IDF chain is
     # per-row compute inside an otherwise single-task scan stage, and
-    # the IDF fit aggregates 4096-wide vectors (r16; no-op at scale)
+    # the IDF fit aggregates 4096-wide vectors (r16; no-op at scale).
+    # localCheckpoint: the frame feeds BOTH fit() and the lazy
+    # transform(), so without materialization the scan + spread
+    # exchange execute twice (ADVICE r16 #2); checkpoint blocks are
+    # released by the ContextCleaner (cache+unpersist can't work here
+    # — the transform executes only after this function returns)
     from machine_learning_algorithm_sparkml__spark.operators.spread import spread_rows
 
-    docs = spread_rows(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = spread_rows(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).localCheckpoint(eager=True)
     model = text_feature_pipeline(num_features=1 << 12).fit(docs)
     out = model.transform(docs)
     arr = vector_to_array(F.col("tfidf"))

@@ -232,3 +232,26 @@ def test_session_memo_keys_exist_and_share_one_fit():
         f"memoized consumers {consumers} != SESSION_MEMO_KEYS "
         f"{bench.SESSION_MEMO_KEYS}"
     )
+
+
+def test_deterministic_kept_keys_ignore_timings():
+    # r17 (VERDICT r16 #6): the one-line kept set is a pure function of
+    # the committed priors + registry — identical across sweeps no
+    # matter how the run's timings jitter.
+    keys = [f"key_{i:03d}" for i in range(300)]
+    prior = {k: 0.5 + (i % 37) * 0.1 for i, k in enumerate(keys)}
+    kept = bench.deterministic_kept_keys(keys, prior)
+    assert kept == bench.deterministic_kept_keys(list(reversed(keys)), prior)
+    # estimate must leave room for the skeleton and per-entry widths
+    est = 220 + sum(len(k) + 10 for k in kept)
+    assert est <= 1900
+    # priors order: every kept key's floor >= every omitted key's floor
+    omitted = [k for k in keys if k not in set(kept)]
+    assert min(prior[k] for k in kept) >= max(prior[k] for k in omitted)
+
+
+def test_deterministic_kept_keys_new_keys_first():
+    # a key with no floor yet (new this round) is always kept
+    keys = [f"key_{i:03d}" for i in range(300)]
+    prior = {k: 5.0 for k in keys if k != "key_299"}
+    assert "key_299" in bench.deterministic_kept_keys(keys, prior)
