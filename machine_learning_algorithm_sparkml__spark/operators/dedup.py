@@ -139,12 +139,14 @@ def _cap_hot_shingles(
     return pairs.join(keep, keys)
 
 
-def _hashed_shingles(sh: DataFrame, id_col: str) -> DataFrame:
+def _hashed_shingles(
+    sh: DataFrame, id_col: str, value_col: str = "shingle"
+) -> DataFrame:
     """Project (id, shingle-string) to (id, h1, h2) — the two 60-bit
     halves of one md5 (:func:`portable_hash60` / :func:`portable_hash60b`;
     subexpression elimination computes the md5 once). Everything
-    downstream of a shingle frame only needs shingle IDENTITY, so the
-    shuffles and checkpoints carry 16 bytes per row instead of the
+    downstream of a shingle/window frame only needs VALUE IDENTITY, so
+    the shuffles and checkpoints carry 16 bytes per row instead of the
     n-gram text (guide §2.3 "shuffle keys and metadata instead of
     payloads") — at corpus scale the shingle strings are the dominant
     shuffle-bytes term of the whole dedup family. 120 bits of md5 make
@@ -153,8 +155,8 @@ def _hashed_shingles(sh: DataFrame, id_col: str) -> DataFrame:
     results — and the string-ground-truth oracles — are unchanged."""
     return sh.select(
         F.col(id_col),
-        portable_hash60(F.col("shingle")).alias("h1"),
-        portable_hash60b(F.col("shingle")).alias("h2"),
+        portable_hash60(F.col(value_col)).alias("h1"),
+        portable_hash60b(F.col(value_col)).alias("h2"),
     )
 
 
@@ -380,6 +382,12 @@ def decontaminate_exact_substring(
     only the (small) contaminated id set shuffles for the anti-join.
     The corpus is never self-joined and never shuffled by window.
     Output: surviving corpus rows, schema unchanged."""
+    # NOT hashed to 120-bit identity (r17 measured): unlike the
+    # self-join paths there is no corpus-side shuffle here — windows
+    # probe the broadcast map-side — so hashing only shrinks the
+    # (already small) benchmark broadcast while ADDING an md5 per
+    # corpus window; measured +0.2 s at sf0.1 on the ngram sibling,
+    # reverted. Revisit only if the benchmark set grows to GB scale.
     bench_wins = (
         token_windows(benchmark, id_col, text_col, k).select("window").distinct()
     )
@@ -407,60 +415,45 @@ def exact_substring_pairs(
     memorization surface a training pipeline scrubs (the
     suffix-array-dedup use case, at rolling-window granularity).
 
-    Pipeline — bucket by hash, verify exactly, never all-pairs:
+    Pipeline — bucket by 120-bit identity, count, never all-pairs:
 
     1. windows: every consecutive ``k``-token window per document
        (distinct per doc; documents shorter than ``k`` tokens emit
        nothing — a whole-short-doc "window" is exact-dup territory,
-       not substring territory).
-    2. candidates: the SELF-JOIN runs on ``xxhash64(window)`` — 8
-       bytes per window cross the shuffle, not the window text; only
-       buckets holding >= 2 distinct docs survive.
-    3. verify: candidate pairs (and only candidate pairs) join their
-       window TEXTS; the reported count is of exactly-equal strings,
-       so a 64-bit hash collision can create a discarded candidate but
-       never a false count.
+       not substring territory), projected immediately to the two
+       60-bit md5 halves (:func:`_hashed_shingles`) so the checkpoint
+       and the self-join shuffle carry 16 bytes per window, never the
+       k-token text (guide §2.3).
+    2. the SELF-JOIN on (h1, h2) counts shared windows per pair
+       directly. The r14 design hashed candidates with xxhash64 and
+       then re-joined the window TEXTS to verify — correct under
+       64-bit collisions, but it shuffled the whole corpus's window
+       strings a second time. With 120 bits, hash identity IS string
+       identity on any non-adversarial corpus (the ngram_jaccard rule;
+       birthday bound ~1e-13 at a trillion distinct windows, and the
+       string-ground-truth oracle would catch a collision), so the
+       verify pass — and its shuffle — is gone.
 
     At 100 TB the knobs are ``k`` (windows per doc ≈ tokens, so the
     exploded frame is ~corpus-token-sized regardless of k) and
     ``max_window_doc_freq`` — boilerplate windows shared by thousands
     of docs (licence headers) make the bucket join quadratic in the
-    hot bucket; the cap drops them from CANDIDATE GENERATION only,
-    making reported counts a lower bound (the _cap_hot_shingles
-    contract). Unset, the result is exact and oracle-checkable.
+    hot bucket; the cap drops them from pairing entirely, making
+    reported counts a lower bound (the _cap_hot_shingles contract).
+    Unset, the result is exact and oracle-checkable.
 
     Output: (id_a, id_b, n_shared_windows), id_a < id_b, one row per
     unordered pair sharing >= 1 exact k-token window."""
-    wins = (
-        token_windows(df, id_col, text_col, k)
-        # feeds the hash projection AND both verify legs — materialize
-        # the tokenize+window pass once (the ngram_jaccard rule)
-        .localCheckpoint(eager=True)
+    wins = _hashed_shingles(
+        token_windows(df, id_col, text_col, k), id_col, value_col="window"
+    ).localCheckpoint(eager=True)
+    capped = _cap_hot_shingles(
+        wins, id_col, max_window_doc_freq, key_cols=["h1", "h2"]
     )
-    hashed = wins.select(F.col(id_col), F.xxhash64("window").alias("wh"))
-    capped = (
-        hashed
-        if max_window_doc_freq is None
-        else hashed.join(
-            hashed.groupBy("wh")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") <= max_window_doc_freq)
-            .select("wh"),
-            "wh",
-        )
-    )
-    cand = (
-        capped.select(F.col(id_col).alias("id_a"), "wh")
-        .join(capped.select(F.col(id_col).alias("id_b"), "wh"), "wh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    wa = wins.select(F.col(id_col).alias("id_a"), "window")
-    wb = wins.select(F.col(id_col).alias("id_b"), "window")
     return (
-        cand.join(wa, "id_a")
-        .join(wb, ["id_b", "window"])
+        capped.select(F.col(id_col).alias("id_a"), "h1", "h2")
+        .join(capped.select(F.col(id_col).alias("id_b"), "h1", "h2"), ["h1", "h2"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )
@@ -485,6 +478,9 @@ def decontaminate_by_shingle(
     shuffles for the anti-join. The corpus is never self-joined and
     never shuffled by shingle. Output: surviving corpus rows, schema
     unchanged."""
+    # NOT hashed to 120-bit identity — the decontaminate_exact_substring
+    # rationale: no corpus-side shuffle to slim, md5 per shingle is pure
+    # added cost at the probe (r17 measured 0.73 -> 0.98 s, reverted)
     bench_shingles = (
         shingle_sets(benchmark, id_col, text_col, n).select("shingle").distinct()
     )
