@@ -63,3 +63,18 @@ def test_estimate_survives_broadcast_join_inflation(spark, sf_dir):
 def test_spread_n_override_caps_partitions(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     assert spread_rows(docs, "doc_id", n=4).rdd.getNumPartitions() == 4
+
+
+def test_spread_keyless_round_robin_fallback(spark, sf_dir):
+    # ADVICE r16 #1: with no high-cardinality key available, by=None
+    # round-robins instead of hashing an arbitrary (possibly
+    # low-cardinality) column — every partition gets rows
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    spread = spread_rows(docs, None)
+    n = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() == n
+    sizes = spread.rdd.glom().map(len).collect()
+    assert min(sizes) > 0  # a 4-value hash key would leave most empty
+    assert sorted(r.lang for r in spread.collect()) == sorted(
+        r.lang for r in docs.collect()
+    )

@@ -841,3 +841,51 @@ def test_streaming_corpus_dedup_state_survives_restart(spark, sf_dir):
             keepers[0].doc_id,
         )
     out.unpersist()
+
+
+def test_corpus_dedup_group_handler_closed_form():
+    """r17 fast path of streaming/corpus_dedup._dedup_group: keeper
+    election and the non-monotonic raise must behave exactly as the
+    r16 per-row loop — first row keeps iff no stored keeper, later
+    rows never keep, any arrival below the stored keeper raises."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from machine_learning_algorithm_sparkml__spark.streaming.corpus_dedup import (
+        _dedup_group,
+    )
+
+    class _State:
+        def __init__(self, value=None):
+            self._v = value
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def run(rows, state):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "phase"])
+        (out,) = list(_dedup_group((123,), iter([pdf]), state))
+        return list(zip(out["doc_id"], out["kept"] if "kept" in out else out["is_kept"]))
+
+    # fresh group: min (phase, doc_id) keeps, rest drop — input unsorted
+    st = _State()
+    got = run([(7, 1), (3, 1), (9, 2)], st)
+    assert got == [(3, True), (7, False), (9, False)]
+    assert st.get == (1, 3)
+
+    # later batch with stored keeper: nothing keeps
+    got = run([(11, 2), (10, 2)], st)
+    assert got == [(10, False), (11, False)]
+    assert st.get == (1, 3)
+
+    # arrival below the stored keeper must raise, not re-elect
+    with _pytest.raises(ValueError, match="non-monotonic"):
+        run([(1, 1)], st)
