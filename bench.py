@@ -139,6 +139,27 @@ def merge_priors(sources: list[dict]) -> dict[str, float]:
     return merged
 
 
+def load_curated_priors(repo_root: str, sf: float) -> dict[str, float]:
+    """BENCH_PRIORS.json alone — the committed, curated floor that
+    bench runs never write. This is the ONLY prior source the
+    deterministic kept-set choice may read: merging BENCH_FULL.json
+    (which every sweep overwrites) back in would let one sweep's
+    readings re-order the next sweep's kept set, recreating exactly
+    the churn VERDICT r16 #6 asked to remove."""
+    try:
+        with open(os.path.join(repo_root, "BENCH_PRIORS.json")) as f:
+            data = json.load(f)
+        if data.get("sf") == sf:
+            return {
+                k: float(v)
+                for k, v in data.get("queries", {}).items()
+                if isinstance(v, (int, float))
+            }
+    except Exception:
+        pass
+    return {}
+
+
 def load_priors(repo_root: str, sf: float) -> dict[str, float]:
     """Floors are only comparable WITHIN a scale factor: an sf0.001
     smoke run's timings merged as floors for an sf0.1 sweep would flag
@@ -414,7 +435,9 @@ def main() -> None:
     # Deterministic omission — see deterministic_kept_keys; the
     # pop-loop below is a safety net that only fires if a timing
     # overflows the fixed width estimate.
-    kept_keys = deterministic_kept_keys(list(timings), prior, line_budget)
+    kept_keys = deterministic_kept_keys(
+        list(timings), load_curated_priors(repo_root, _sf_from_dir(sf_dir)), line_budget
+    )
     kept = {k: round(timings[k], 2) for k in kept_keys}
     omitted_n = len(timings) - len(kept)
     omitted_sec = sum(v for k, v in timings.items() if k not in kept)

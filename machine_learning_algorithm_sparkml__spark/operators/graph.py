@@ -73,48 +73,44 @@ def connected_components(
     # count — per-round Spark overhead dominates, 43s vs 25s at sf0.1).
     # Revisit only for graphs with large diameters.
 
+    # round 1 for free: with self-loops present, min(dst) per src IS the
+    # 1-hop label minimum (dst values are raw vertex ids = own labels)
+    labels = adjacency.groupBy("src").agg(F.min("dst").alias("component")).select(
+        F.col("src").alias("id"), "component"
+    ).localCheckpoint(eager=True)
+
     # key the convergence strategy on the LABEL type (edge-derived) —
     # keying on the vertices dtype would silently pick the sum path for
     # non-numeric labels, whose decimal cast is NULL, and declare
     # convergence after round 1
     sum_convergence = dict(undirected.dtypes).get("dst") in _INTEGRAL_TYPES
 
-    def checkpoint_with_sum(df: DataFrame):
-        """Materialize one round's labels AND collect the convergence
-        sum in the SAME action (r17, VERDICT r16 #7): an ``observe``
-        metric rides the eager localCheckpoint job, replacing the
-        separate per-round aggregate job the probe used to cost. The
-        sum is exact DECIMAL(38,0), so the accumulator's task-
-        completion-order merge cannot drift it (the same fusion is
-        deliberately NOT applied to pagerank's float dangling mass,
-        whose 6-decimal-pinned ranks a nondeterministic merge order
-        could wiggle). Returns (checkpointed_labels, sum | None)."""
-        if not sum_convergence:
-            return df.localCheckpoint(eager=True), None
-        from pyspark.sql import Observation
+    # NOTE (r17, VERDICT r16 #7): fusing this probe into the checkpoint
+    # action via an ``observe()`` metric was implemented, measured, and
+    # REVERTED: PySpark's Observation initializes the session's lazy
+    # ObservationManager, and MLlib training summaries capture the
+    # SparkSession inside later task closures — once the manager field
+    # is initialized it is java-unserializable, so ANY
+    # model-with-summary transform in the same session dies with
+    # "Task not serializable: ObservationManager" (reproduced:
+    # connected_components then arc_pipeline in one session). A ~0.3 s
+    # per-key probe saving is not worth a cross-cutting session
+    # landmine; the separate aggregate job stays.
+    def label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("s")).first()["s"]
 
-        obs = Observation()
-        ck = df.observe(
-            obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).localCheckpoint(eager=True)
-        return ck, obs.get["s"]
-
-    # round 1 for free: with self-loops present, min(dst) per src IS the
-    # 1-hop label minimum (dst values are raw vertex ids = own labels)
-    labels, prev_sum = checkpoint_with_sum(
-        adjacency.groupBy("src").agg(F.min("dst").alias("component")).select(
-            F.col("src").alias("id"), "component"
-        )
-    )
+    prev_sum = label_sum(labels) if sum_convergence else None
     converged = False
     for _ in range(max_iterations):
-        updated, new_sum = checkpoint_with_sum(
+        updated = (
             adjacency.join(labels, adjacency["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("component").alias("component"))
             .select(F.col("src").alias("id"), "component")
+            .localCheckpoint(eager=True)
         )
         if sum_convergence:
+            new_sum = label_sum(updated)
             changed = new_sum != prev_sum
             prev_sum = new_sum
         else:

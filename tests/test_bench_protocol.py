@@ -255,3 +255,19 @@ def test_deterministic_kept_keys_new_keys_first():
     keys = [f"key_{i:03d}" for i in range(300)]
     prior = {k: 5.0 for k in keys if k != "key_299"}
     assert "key_299" in bench.deterministic_kept_keys(keys, prior)
+
+
+def test_curated_priors_ignore_bench_full(tmp_path):
+    # the kept-set prior source must be BENCH_PRIORS.json alone: a
+    # sweep's own BENCH_FULL.json must not re-order the next sweep
+    import json
+
+    (tmp_path / "BENCH_PRIORS.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 2.0}})
+    )
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 0.1, "b": 0.2}})
+    )
+    assert bench.load_curated_priors(str(tmp_path), 0.1) == {"a": 2.0}
+    # merged floor (spike detection) still folds BENCH_FULL minima
+    assert bench.load_priors(str(tmp_path), 0.1) == {"a": 0.1, "b": 0.2}

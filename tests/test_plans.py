@@ -1157,5 +1157,9 @@ def test_r15_keys_plan_shapes(spark, sf_dir):
 
     p = q_dedup_exact_substring(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p and "NestedLoop" not in p, p
-    assert "xxhash64(window" in p, p  # candidates keyed on the hash
+    # r17: the pair count joins on the window's 120-bit md5 identity
+    # (h1, h2) — the window TEXT never reaches a join or exchange (the
+    # r14 shape re-joined window strings to verify xxhash64 candidates)
+    assert "[h1#" in p and "h2#" in p, p
+    assert "window#" not in p, p  # no window-text column downstream of the checkpoint
     assert "MapInPandas" not in p and "ArrowEvalPython" not in p, p  # all-JVM
